@@ -1,0 +1,239 @@
+"""Partitioned-CSR BSP engine for the iterative link-graph kernels.
+
+The reference runs PageRank / connected components / PLP as OpenMP loops over
+a shared-memory adjacency (e.g. networkit/cpp/centrality/PageRank.cpp:54-64,
+community/PLP.cpp:77-107).  The distributed re-expression is bulk-synchronous
+supersteps over hash-partitioned CSR blocks:
+
+- edges are hash-partitioned by ``vpart(src)`` into P CSR blocks, built ONCE
+  and pinned in the Ray object store (consumed by every superstep — never
+  re-read from Parquet, never re-shuffled);
+- vertex state is partitioned by ``vpart(v)`` with the same hash, so the
+  "gather state along out-edges" join is partition-local (zero shuffle);
+- each superstep: P map tasks compute per-destination partial aggregates
+  (combiner — the message to partition q is at most one value per distinct
+  destination vertex, so hub in-degree skew is absorbed in the combiners,
+  the distributed analog of the reference's guided scheduling,
+  Graph.hpp:1788), addressed via ``num_returns=P`` so each of the P reduce
+  tasks fetches only its own slice — an explicit P×P exchange through the
+  object store;
+- reduce tasks fold messages into the co-partitioned state and emit small
+  per-partition stats (residuals, changed counts) — the only thing the
+  driver ever materializes.
+
+Why not the Dataset API: a Dataset-expressed superstep (state ⋈ edges →
+``groupby(dst).sum``) re-shuffles the full edge table on every iteration and
+cannot pin the CSR layout between iterations.  This module is the documented
+"raw Ray tasks where the Dataset API genuinely can't express the semantics"
+escape hatch; everything non-iterative in the engine stays on Datasets.
+
+Partitioning assumption (documented per the custom-operator contract): all
+placement — CSR blocks, state, message routing — uses the single hash
+``common.hashing.vpart``; results are invariant to P and to ``num_cpus``
+(tested), because per-superstep aggregation is exact, not approximate.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from networkit_ray.common.hashing import vpart
+
+
+def default_num_parts() -> int:
+    n_cpus = int(ray.cluster_resources().get("CPU", 8))
+    return max(2, min(64, n_cpus))
+
+
+@ray.remote
+def _dense_vids(n: int, num_parts: int) -> tuple[np.ndarray, ...]:
+    """Vertex-id slices for a dense 0..n-1 universe, split by vpart."""
+    ids = np.arange(n, dtype=np.uint64)
+    parts = vpart(ids, num_parts)
+    order = np.argsort(parts, kind="stable")
+    sorted_ids = ids[order]
+    bounds = np.searchsorted(parts[order], np.arange(num_parts + 1))
+    return tuple(np.sort(sorted_ids[bounds[p] : bounds[p + 1]]) for p in range(num_parts))
+
+
+@ray.remote
+def _shuffle_edges(t: pa.Table, num_parts: int, weighted: bool) -> tuple:
+    """Split one Arrow edge block by vpart(src) → P (src, dst[, w]) slices."""
+    src = t["src"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    w = t["w"].to_numpy(zero_copy_only=False).astype(np.float64) if weighted else None
+    parts = vpart(src, num_parts)
+    order = np.argsort(parts, kind="stable")
+    bounds = np.searchsorted(parts[order], np.arange(num_parts + 1))
+    out = []
+    for p in range(num_parts):
+        sl = order[bounds[p] : bounds[p + 1]]
+        out.append((src[sl], dst[sl], w[sl] if w is not None else None))
+    return tuple(out)
+
+
+@ray.remote
+def _build_block(part: int, vids: np.ndarray, num_parts: int, all_vids: list, *slices) -> dict:
+    """Assemble partition ``part``'s CSR block from its shuffle slices.
+
+    Pre-computes everything per-edge that is superstep-invariant: local src
+    index expansion, destination partition + local index, and the grouped
+    ordering (sorted by (dst_part, dst_local)) that lets every superstep
+    aggregate messages with one ``np.add.reduceat`` — no per-superstep sort
+    for the sum/min kernels.
+    """
+    srcs = [s for s, _, _ in slices if len(s)]
+    dsts = [d for _, d, _ in slices if len(d)]
+    ws = [w for s, _, w in slices if w is not None and len(s)]
+    src = np.concatenate(srcs) if srcs else np.empty(0, np.uint64)
+    dst = np.concatenate(dsts) if dsts else np.empty(0, np.uint64)
+    w = np.concatenate(ws) if ws else None
+
+    n_v = len(vids)
+    # CSR over owned vertices, rows sorted by local src index
+    src_local = np.searchsorted(vids, src)
+    order = np.argsort(src_local, kind="stable")
+    src_local = src_local[order]
+    dst = dst[order]
+    if w is not None:
+        w = w[order]
+    indptr = np.zeros(n_v + 1, dtype=np.int64)
+    np.add.at(indptr, src_local + 1, 1)
+    np.cumsum(indptr, out=indptr)
+
+    dst_part = vpart(dst, num_parts)
+    dst_local = np.empty(len(dst), dtype=np.int64)
+    for q in range(num_parts):
+        mask = dst_part == q
+        if mask.any():
+            dst_local[mask] = np.searchsorted(all_vids[q], dst[mask])
+
+    # superstep-invariant grouped ordering by (dst_part, dst_local)
+    edge_order = np.lexsort((dst_local, dst_part))
+    dp_sorted = dst_part[edge_order]
+    dl_sorted = dst_local[edge_order]
+    part_bounds = np.searchsorted(dp_sorted, np.arange(num_parts + 1))
+    if len(dl_sorted):
+        key_change = np.empty(len(dl_sorted), dtype=bool)
+        key_change[0] = True
+        key_change[1:] = (dl_sorted[1:] != dl_sorted[:-1]) | (
+            dp_sorted[1:] != dp_sorted[:-1]
+        )
+        group_starts = np.flatnonzero(key_change).astype(np.int64)
+        uniq_dst_local = dl_sorted[group_starts]
+        group_bounds = np.searchsorted(dp_sorted[group_starts], np.arange(num_parts + 1))
+    else:
+        group_starts = np.empty(0, np.int64)
+        uniq_dst_local = np.empty(0, np.int64)
+        group_bounds = np.zeros(num_parts + 1, np.int64)
+
+    return {
+        "part": part,
+        "vids": vids,
+        "indptr": indptr,
+        "src_local": src_local,
+        "dst": dst,
+        "dst_part": dst_part,
+        "dst_local": dst_local,
+        "w": w,
+        "edge_order": edge_order,
+        "part_bounds": part_bounds,
+        "group_starts": group_starts,
+        "uniq_dst_local": uniq_dst_local,
+        "group_bounds": group_bounds,
+        "out_deg": np.diff(indptr),
+    }
+
+
+@dataclass
+class PGraph:
+    """A hash-partitioned graph pinned in the object store."""
+
+    num_parts: int
+    num_nodes: int
+    vid_refs: list  # P refs → sorted uint64 vertex ids per partition
+    block_refs: list  # P refs → CSR block dicts (see _build_block)
+    weighted: bool
+
+    def part_sizes(self) -> list[int]:
+        return [len(v) for v in ray.get(self.vid_refs)]
+
+
+def build_pgraph(
+    edges: ray.data.Dataset,
+    num_nodes: int,
+    *,
+    num_parts: int | None = None,
+    weighted: bool = False,
+) -> PGraph:
+    """Build the partitioned CSR representation of an edge Dataset.
+
+    ``edges``: (src, dst[, w]) — directed as given; pass a symmetrized table
+    for undirected kernels.  ``num_nodes``: dense universe 0..num_nodes-1
+    (hash-derived sparse universes go through compact_ids first or pass an
+    explicit vertex Dataset — see build.compact_ids).
+    """
+    P = num_parts or default_num_parts()
+    vid_refs = list(_dense_vids.options(num_returns=P).remote(num_nodes, P))
+
+    edge_refs = edges.to_arrow_refs()
+    slice_refs = [
+        _shuffle_edges.options(num_returns=P).remote(r, P, weighted) for r in edge_refs
+    ]
+    all_vids_ref = ray.put(ray.get(vid_refs))  # list of P arrays, fetched per build task
+    block_refs = [
+        _build_block.remote(p, vid_refs[p], P, all_vids_ref, *[s[p] for s in slice_refs])
+        for p in range(P)
+    ]
+    return PGraph(P, num_nodes, vid_refs, block_refs, weighted)
+
+
+@ray.remote
+def _state_to_table(vids: np.ndarray, values: np.ndarray, col: str) -> pa.Table:
+    return pa.table({"v": pa.array(vids.astype(np.int64)), col: pa.array(values)})
+
+
+def state_to_dataset(g: PGraph, state_refs: list, col: str) -> ray.data.Dataset:
+    """Expose per-partition state arrays as a vertex-table Dataset (v, col)."""
+    refs = [
+        _state_to_table.remote(g.vid_refs[p], state_refs[p], col)
+        for p in range(g.num_parts)
+    ]
+    return ray.data.from_arrow_refs(refs)
+
+
+def aggregate_messages(block: dict, edge_values: np.ndarray) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Sum ``edge_values`` per destination vertex, split by destination partition.
+
+    Returns, for each target partition q, (uniq_dst_local, sums).  Uses the
+    block's precomputed grouped ordering — O(E) adds, no sort.
+    """
+    P = len(block["part_bounds"]) - 1
+    gs = block["group_starts"]
+    if not len(gs):
+        empty = np.empty(0, np.int64), np.empty(0, np.float64)
+        return [empty] * P
+    vals_ordered = edge_values[block["edge_order"]]
+    sums = np.add.reduceat(vals_ordered, gs)
+    gb = block["group_bounds"]
+    uniq = block["uniq_dst_local"]
+    return [(uniq[gb[q] : gb[q + 1]], sums[gb[q] : gb[q + 1]]) for q in range(P)]
+
+
+def min_messages(block: dict, edge_values: np.ndarray) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Min of ``edge_values`` per destination vertex, split by partition."""
+    P = len(block["part_bounds"]) - 1
+    gs = block["group_starts"]
+    if not len(gs):
+        empty = np.empty(0, np.int64), np.empty(0, edge_values.dtype)
+        return [empty] * P
+    vals_ordered = edge_values[block["edge_order"]]
+    mins = np.minimum.reduceat(vals_ordered, gs)
+    gb = block["group_bounds"]
+    uniq = block["uniq_dst_local"]
+    return [(uniq[gb[q] : gb[q + 1]], mins[gb[q] : gb[q + 1]]) for q in range(P)]

@@ -1,0 +1,219 @@
+"""Edge-table construction ops (Ray-Data-native).
+
+Covers the reference's graph-mutation / projection surface (SURVEY.md §2.2,
+§2.7) as immutable Dataset→Dataset transforms:
+
+- ``removeSelfLoops``  (Graph.hpp:1438)        → :func:`drop_self_loops`
+- ``removeMultiEdges`` (Graph.hpp:1433) + the readers' duplicate-edge drop
+  (io/EdgeListReader.cpp:119-123)              → :func:`dedup_edges`
+- ``GraphTools::toUndirected`` (GraphTools.hpp:325) → :func:`symmetrize` /
+  :func:`canonicalize`
+- ``GraphTools::transpose`` (GraphTools.hpp:352)   → :func:`transpose`
+- ``Graph::degree`` family (Graph.hpp:1280-1340; centrality/DegreeCentrality.cpp)
+  → :func:`degree_table`
+- ``GraphTools::subgraphFromNodes`` (GraphTools.hpp:205) → :func:`subgraph`
+- ``GraphTools::getContinuousNodeIds`` / ``getCompactedGraph``
+  (GraphTools.hpp:377-410)                     → :func:`compact_ids`
+- ``GraphTools::size/density/volume/maxDegree`` (GraphTools.hpp:21-146)
+  → :func:`graph_stats` / :func:`max_degree`
+
+All transforms are lazy, zero-copy Arrow batch functions; the only wide ops
+are the dedup/degree groupby shuffles, preceded by per-batch partial
+dedup/aggregation to cut exchange volume.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+
+def _batch_unique_pairs(t: pa.Table) -> pa.Table:
+    """Per-batch partial dedup of (src, dst) — combiner before the shuffle."""
+    return t.group_by(["src", "dst"]).aggregate([])
+
+
+def dedup_edges(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """Exact (src, dst) dedup: per-batch unique, then one hash shuffle."""
+    partial = edges.map_batches(_batch_unique_pairs, batch_format="pyarrow")
+    out = partial.groupby(["src", "dst"]).aggregate(Count(alias_name="_c"))
+    return out.drop_columns(["_c"])
+
+
+def drop_self_loops(edges: ray.data.Dataset) -> ray.data.Dataset:
+    return edges.map_batches(
+        lambda t: t.filter(pc.not_equal(t["src"], t["dst"])), batch_format="pyarrow"
+    )
+
+
+def transpose(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """Reverse every edge (GraphTools::transpose)."""
+
+    def swap(t: pa.Table) -> pa.Table:
+        cols = {"src": t["dst"], "dst": t["src"]}
+        for name in t.column_names:
+            if name not in ("src", "dst"):
+                cols[name] = t[name]
+        return pa.table(cols)
+
+    return edges.map_batches(swap, batch_format="pyarrow")
+
+
+def symmetrize(edges: ray.data.Dataset, *, deduped: bool = True) -> ray.data.Dataset:
+    """Both directions present once — undirected adjacency in edge-table form."""
+    both = edges.union(transpose(edges))
+    return dedup_edges(both) if deduped else both
+
+
+def canonicalize(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """Each undirected edge once, as (lo, hi)."""
+
+    def lohi(t: pa.Table) -> pa.Table:
+        lo = pc.min_element_wise(t["src"], t["dst"])
+        hi = pc.max_element_wise(t["src"], t["dst"])
+        return pa.table({"src": lo, "dst": hi})
+
+    return dedup_edges(edges.map_batches(lohi, batch_format="pyarrow"))
+
+
+def degree_table(
+    edges: ray.data.Dataset, *, key: str = "src", out_name: str = "deg"
+) -> ray.data.Dataset:
+    """Per-vertex degree: (v, deg). Pre-aggregated per batch, then groupby.
+
+    On a directed table keyed "src" this is out-degree; keyed "dst" in-degree;
+    on a symmetrized table it is the undirected degree.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by([key]).aggregate([([], "count_all")])
+        return pa.table(
+            {"v": g[key], "_pc": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    partials = edges.map_batches(partial, batch_format="pyarrow")
+    out = partials.groupby("v").aggregate(Sum("_pc", alias_name=out_name))
+    return out
+
+
+def weighted_degree_table(edges: ray.data.Dataset, w_col: str = "w") -> ray.data.Dataset:
+    """(v, wdeg) — Graph::weightedDegree (Graph.hpp:1340)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["src"]).aggregate([(w_col, "sum")])
+        return pa.table({"v": g["src"], "_ps": g[f"{w_col}_sum"]})
+
+    partials = edges.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("v").aggregate(Sum("_ps", alias_name="wdeg"))
+
+
+def max_degree(edges: ray.data.Dataset, *, key: str = "src") -> int:
+    """GraphTools::maxDegree — degree table → global max (small aggregate)."""
+    deg = degree_table(edges, key=key)
+    return int(deg.max("deg"))
+
+
+def graph_stats(edges: ray.data.Dataset, num_nodes: int, *, directed: bool) -> dict:
+    """n, m, density, volume (GraphTools.hpp:129-146).
+
+    ``edges`` must be the directed table, or the canonical (lo,hi) table for
+    undirected graphs.  volume = Σ deg = m for directed, 2m undirected.
+    """
+    m = edges.count()
+    denom = num_nodes * (num_nodes - 1)
+    density = (m / denom) if directed else (2.0 * m / denom)
+    volume = m if directed else 2 * m
+    return {
+        "n": num_nodes,
+        "m": m,
+        "density": density,
+        "volume": volume,
+    }
+
+
+def subgraph(edges: ray.data.Dataset, node_pred) -> ray.data.Dataset:
+    """Induced subgraph via a vectorized predicate over vertex-id arrays.
+
+    For an explicit (small) node set, pass
+    ``lambda v: np.isin(v, broadcast_ids)`` — the set rides into every task
+    via closure capture (ray serializes it once per task spec, i.e. a
+    broadcast, not a shuffle join).  Large node sets should be semi-joined
+    instead (see triangles.py for the join pattern).
+    """
+
+    def f(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy(zero_copy_only=False)
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        keep = np.asarray(node_pred(src)) & np.asarray(node_pred(dst))
+        return t.filter(pa.array(keep))
+
+    return edges.map_batches(f, batch_format="pyarrow")
+
+
+def zip_with_index(sorted_ds: ray.data.Dataset, index_name: str = "idx") -> ray.data.Dataset:
+    """Attach a global dense 0-based index to an already-sorted dataset.
+
+    Scalable dense-rank: materialize the sorted dataset, read per-block row
+    counts (driver holds one int per block), then index each block with its
+    offset in parallel.  Used by :func:`compact_ids`.
+    """
+    mat = sorted_ds.materialize()
+    refs = mat.to_arrow_refs()
+
+    @ray.remote
+    def block_len(t: pa.Table) -> int:
+        return t.num_rows
+
+    lens = ray.get([block_len.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
+
+    @ray.remote
+    def index_block(t: pa.Table, off: int) -> pa.Table:
+        return t.append_column(
+            index_name, pa.array(np.arange(off, off + t.num_rows, dtype=np.int64))
+        )
+
+    out_refs = [index_block.remote(r, int(o)) for r, o in zip(refs, offsets)]
+    return ray.data.from_arrow_refs(out_refs)
+
+
+def compact_ids(edges: ray.data.Dataset) -> tuple[ray.data.Dataset, ray.data.Dataset]:
+    """GraphTools::getContinuousNodeIds + getCompactedGraph.
+
+    Returns (mapping, remapped_edges): mapping (v, idx) assigns dense ids in
+    ascending order of the original ids; remapped_edges uses the dense ids.
+    The remap is a hash join of the edge table against the mapping on each
+    endpoint (two shuffles) — never a driver-side dict at scale.
+    """
+    src_ids = edges.select_columns(["src"]).map_batches(
+        lambda t: pa.table({"v": t["src"].combine_chunks().unique()}),
+        batch_format="pyarrow",
+    )
+    dst_ids = edges.select_columns(["dst"]).map_batches(
+        lambda t: pa.table({"v": t["dst"].combine_chunks().unique()}),
+        batch_format="pyarrow",
+    )
+    ids = src_ids.union(dst_ids).groupby("v").aggregate(Count(alias_name="_c"))
+    ids = ids.drop_columns(["_c"]).sort("v")
+    mapping = zip_with_index(ids, "idx").materialize()
+
+    nparts = max(2, min(32, mapping.count() // 10000 + 2))
+    e1 = edges.join(
+        mapping, join_type="inner", num_partitions=nparts, on=("src",), right_on=("v",)
+    )
+    e1 = e1.map_batches(
+        lambda t: pa.table({"src_new": t["idx"], "dst": t["dst"]}),
+        batch_format="pyarrow",
+    )
+    e2 = e1.join(
+        mapping, join_type="inner", num_partitions=nparts, on=("dst",), right_on=("v",)
+    )
+    remapped = e2.map_batches(
+        lambda t: pa.table({"src": t["src_new"], "dst": t["idx"]}),
+        batch_format="pyarrow",
+    )
+    return mapping, remapped

@@ -1,0 +1,172 @@
+"""Distributed PageRank (power iteration) on the partitioned-CSR BSP engine.
+
+Semantics follow the reference exactly (networkit/cpp/centrality/PageRank.cpp:18-102,
+include/networkit/centrality/PageRank.hpp:26-73):
+
+- init score[u] = 1/n over the full vertex universe (PageRank.cpp:20-24);
+- superstep: pr[u] = (1-damp)/n + damp * Σ_{(v,u)} score[v] * w(v,u) / wdeg(v)
+  (PageRank.cpp:54-64); undirected graphs pass the symmetrized edge table so
+  "in-edges" are all incident edges;
+- dangling nodes contribute nothing per iteration (mass leaks; fixed by the
+  final normalization, not per-iteration redistribution) — same as reference;
+- convergence (PageRank.cpp:39-49): iterations >= max_iterations OR
+  residual <= tol with residual = Σ|Δ| (L1) or sqrt(ΣΔ²) (L2).  Reference
+  defaults damp=0.85, tol=1e-8, norm=L2 (PageRank.hpp:38,65); the north rule
+  pins L1/1e-6, so our default is norm="l1";
+- post-normalization (PageRank.cpp:73-90): default divide by the global score
+  sum (Σ=1); ``normalized=True`` divides by
+  (1/n)·((1-damp) + damp·Σ_{outdeg(u)=0} score[u]).
+
+Each superstep is one P×P object-store exchange; per-iteration state can be
+checkpointed with lineage via ``state.checkpoint``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import ray
+import ray.data
+
+from networkit_ray.graph import bsp
+from networkit_ray.graph.bsp import PGraph, aggregate_messages, build_pgraph
+from networkit_ray.state import checkpoint as ckpt
+
+
+@ray.remote
+def _pr_coef(block: dict) -> np.ndarray:
+    """Per-edge superstep-invariant coefficient w(u,v)/wdeg(u) (or 1/outdeg)."""
+    src_local = block["src_local"]
+    if block["w"] is not None:
+        wdeg = np.zeros(len(block["vids"]), dtype=np.float64)
+        np.add.at(wdeg, src_local, block["w"])
+        return block["w"] / wdeg[src_local]
+    out_deg = block["out_deg"].astype(np.float64)
+    return 1.0 / out_deg[src_local]
+
+
+@ray.remote
+def _pr_init(vids: np.ndarray, n: int) -> np.ndarray:
+    return np.full(len(vids), 1.0 / n, dtype=np.float64)
+
+
+@ray.remote
+def _pr_map(block: dict, coef: np.ndarray, scores: np.ndarray) -> tuple:
+    vals = scores[block["src_local"]] * coef
+    return tuple(aggregate_messages(block, vals))
+
+
+@ray.remote(num_returns=2)
+def _pr_reduce(old: np.ndarray, damp: float, n: int, *partials):
+    new = np.full(len(old), (1.0 - damp) / n, dtype=np.float64)
+    for idx, sums in partials:
+        if len(idx):
+            new[idx] += damp * sums  # idx unique within each partial
+    delta = new - old
+    stats = (np.abs(delta).sum(), float(delta @ delta), new.sum())
+    return new, stats
+
+
+@ray.remote
+def _pr_scale(scores: np.ndarray, factor: float) -> np.ndarray:
+    return scores / factor
+
+
+@ray.remote
+def _pr_dangling_sum(block: dict, scores: np.ndarray) -> float:
+    return float(scores[block["out_deg"] == 0].sum())
+
+
+@ray.remote
+def _pr_total(scores: np.ndarray) -> float:
+    return float(scores.sum())
+
+
+def pagerank_refs(
+    g: PGraph,
+    *,
+    damp: float = 0.85,
+    tol: float = 1e-8,
+    norm: str = "l1",
+    max_iterations: int | None = None,
+    normalized: bool = False,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 1,
+    resume: bool = False,
+) -> tuple[list, dict]:
+    """Run PageRank; returns (per-partition score refs, info dict)."""
+    P = g.num_parts
+    n = g.num_nodes
+    coef_refs = [_pr_coef.remote(b) for b in g.block_refs]
+
+    start_iter = 0
+    scores = None
+    if resume and checkpoint_dir:
+        loaded = ckpt.load_latest(checkpoint_dir, "pagerank", g)
+        if loaded is not None:
+            scores, meta = loaded
+            start_iter = meta["iteration"]
+    if scores is None:
+        scores = [_pr_init.remote(g.vid_refs[p], n) for p in range(P)]
+
+    iteration = start_iter
+    residual = float("inf")
+    max_it = max_iterations if max_iterations is not None else 10**9
+    while iteration < max_it:
+        map_out = [
+            _pr_map.options(num_returns=P).remote(g.block_refs[p], coef_refs[p], scores[p])
+            for p in range(P)
+        ]
+        new_scores, stat_refs = [], []
+        for q in range(P):
+            s, st = _pr_reduce.remote(
+                scores[q], damp, n, *[map_out[p][q] for p in range(P)]
+            )
+            new_scores.append(s)
+            stat_refs.append(st)
+        stats = ray.get(stat_refs)
+        scores = new_scores
+        iteration += 1
+        l1 = sum(s[0] for s in stats)
+        l2 = float(np.sqrt(sum(s[1] for s in stats)))
+        residual = l1 if norm == "l1" else l2
+        if checkpoint_dir and iteration % checkpoint_every == 0:
+            ckpt.save(
+                checkpoint_dir, "pagerank", iteration, g, scores, "score",
+                {"residual": residual, "damp": damp, "tol": tol},
+            )
+        if residual <= tol:
+            break
+
+    # final normalization (PageRank.cpp:73-90)
+    if normalized:
+        dangling = sum(ray.get([
+            _pr_dangling_sum.remote(g.block_refs[p], scores[p]) for p in range(P)
+        ]))
+        factor = ((1.0 - damp) + damp * dangling) / n
+    else:
+        if iteration > start_iter:
+            factor = sum(s[2] for s in stats)
+        else:
+            factor = sum(ray.get([_pr_total.remote(s) for s in scores]))
+    scores = [_pr_scale.remote(s, factor) for s in scores]
+    info = {"iterations": iteration, "residual": residual}
+    return scores, info
+
+
+def pagerank(
+    edges: ray.data.Dataset,
+    num_nodes: int,
+    *,
+    num_parts: int | None = None,
+    weighted: bool = False,
+    **kwargs,
+) -> tuple[ray.data.Dataset, dict]:
+    """End-to-end: edge table → (v, score) vertex table.
+
+    ``edges`` is the *message* direction: for directed PageRank pass the
+    directed table (messages flow src→dst along out-edges); for undirected
+    pass the symmetrized table.
+    """
+    g = build_pgraph(edges, num_nodes, num_parts=num_parts, weighted=weighted)
+    refs, info = pagerank_refs(g, **kwargs)
+    return bsp.state_to_dataset(g, refs, "score"), info

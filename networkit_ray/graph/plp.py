@@ -1,0 +1,179 @@
+"""PLP label-propagation community detection — deterministic synchronous schedule.
+
+Semantics from the reference (networkit/cpp/community/PLP.cpp:25-118 and the
+fork's MPLP, networkit/cpp/community/MPLP.cpp:27-158):
+
+- init singleton labels label[u] = u (PLP.cpp:31-35);
+- sweep: each non-isolated node adopts the label with the largest total
+  neighbor weight (PLP.cpp:80-92); tie-break = smallest label id among the
+  maxima (MPLP.cpp:124: ``(w > best) || (w == best && heaviest > lw)``);
+- isolated nodes keep their singleton label (PLP.cpp:50-61);
+- terminate when the number of updated nodes ≤ updateThreshold (default
+  n/1e5, PLP.cpp:41-43) or max_iterations is reached.
+
+The reference sweep is asynchronous/in-place (benign races, PLP.cpp:94-99) so
+its labels are schedule-dependent; tests there assert properties, not exact
+labels (SURVEY.md §5).  We define a *synchronous* (Jacobi) schedule —
+iteration t reads only labels from t-1, with the same histogram and tie-break
+rule — which makes results bit-identical across partition counts, CPU counts
+and resume-from-checkpoint.  A max_iterations cap (default 100) guards the
+2-cycles that synchronous LP can enter on bipartite-ish structures (the
+async reference avoids them stochastically).
+
+Superstep shape: per-edge (dst, label[src], w) messages, pre-aggregated per
+(dst, label) inside each map task (the combiner — hub in-degree skew is
+absorbed here), then per-destination-partition reduce does the final
+(dst, label) sum and the argmax-with-min-label-tie-break.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import ray
+import ray.data
+
+from networkit_ray.graph import bsp
+from networkit_ray.graph.bsp import PGraph, build_pgraph
+from networkit_ray.state import checkpoint as ckpt
+
+
+@ray.remote
+def _plp_init(vids: np.ndarray) -> np.ndarray:
+    return vids.copy()
+
+
+@ray.remote
+def _plp_map(block: dict, labels: np.ndarray) -> tuple:
+    """Per target partition: (dst_local, label, wsum) partial histograms."""
+    P = len(block["part_bounds"]) - 1
+    order = block["edge_order"]
+    if not len(order):
+        empty = (np.empty(0, np.int64), np.empty(0, np.uint64), np.empty(0, np.float64))
+        return tuple([empty] * P)
+    lab = labels[block["src_local"]][order]
+    dl = block["dst_local"][order]
+    w = block["w"][order] if block["w"] is not None else np.ones(len(order), np.float64)
+    pb = block["part_bounds"]
+    out = []
+    for q in range(P):
+        s, e = pb[q], pb[q + 1]
+        if s == e:
+            out.append((np.empty(0, np.int64), np.empty(0, np.uint64), np.empty(0, np.float64)))
+            continue
+        dq, lq, wq = dl[s:e], lab[s:e], w[s:e]
+        o2 = np.lexsort((lq, dq))  # dq already sorted; group by (dst, label)
+        dq, lq, wq = dq[o2], lq[o2], wq[o2]
+        change = np.empty(len(dq), dtype=bool)
+        change[0] = True
+        change[1:] = (dq[1:] != dq[:-1]) | (lq[1:] != lq[:-1])
+        starts = np.flatnonzero(change)
+        out.append((dq[starts], lq[starts], np.add.reduceat(wq, starts)))
+    return tuple(out)
+
+
+@ray.remote(num_returns=2)
+def _plp_reduce(labels: np.ndarray, *partials):
+    """Combine (dst, label, w) partials → argmax label (ties → smallest label)."""
+    ds = [p[0] for p in partials if len(p[0])]
+    if not ds:
+        return labels, 0
+    d = np.concatenate(ds)
+    l = np.concatenate([p[1] for p in partials if len(p[0])])
+    w = np.concatenate([p[2] for p in partials if len(p[0])])
+    o = np.lexsort((l, d))
+    d, l, w = d[o], l[o], w[o]
+    change = np.empty(len(d), dtype=bool)
+    change[0] = True
+    change[1:] = (d[1:] != d[:-1]) | (l[1:] != l[:-1])
+    starts = np.flatnonzero(change)
+    d, l = d[starts], l[starts]
+    w = np.add.reduceat(w, starts)
+    # argmax per dst, tie-break smallest label: sort by (dst, -w, label), take first
+    o2 = np.lexsort((l, -w, d))
+    d, l = d[o2], l[o2]
+    first = np.empty(len(d), dtype=bool)
+    first[0] = True
+    first[1:] = d[1:] != d[:-1]
+    heads = np.flatnonzero(first)
+    new = labels.copy()
+    new[d[heads]] = l[heads]
+    changed = int((new != labels).sum())
+    return new, changed
+
+
+def plp_refs(
+    g: PGraph,
+    *,
+    update_threshold: int | None = None,
+    max_iterations: int = 100,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 4,
+    resume: bool = False,
+) -> tuple[list, dict]:
+    P = g.num_parts
+    theta = update_threshold if update_threshold is not None else g.num_nodes // 100000
+    labels = None
+    start_iter = 0
+    if resume and checkpoint_dir:
+        loaded = ckpt.load_latest(checkpoint_dir, "plp", g)
+        if loaded is not None:
+            raw, meta = loaded
+            start_iter = meta["iteration"]
+
+            @ray.remote
+            def _as_u64(x):
+                return x.astype(np.uint64)
+
+            labels = [_as_u64.remote(r) for r in raw]
+    if labels is None:
+        labels = [_plp_init.remote(g.vid_refs[p]) for p in range(P)]
+
+    iteration = start_iter
+    timing = []
+    import time
+
+    while iteration < max_iterations:
+        t0 = time.perf_counter()
+        map_out = [
+            _plp_map.options(num_returns=P).remote(g.block_refs[p], labels[p])
+            for p in range(P)
+        ]
+        new_labels, count_refs = [], []
+        for q in range(P):
+            s, c = _plp_reduce.remote(labels[q], *[map_out[p][q] for p in range(P)])
+            new_labels.append(s)
+            count_refs.append(c)
+        n_updated = sum(ray.get(count_refs))
+        labels = new_labels
+        iteration += 1
+        timing.append(time.perf_counter() - t0)
+        if checkpoint_dir and iteration % checkpoint_every == 0:
+            out64 = [_labels_i64.remote(r) for r in labels]
+            ckpt.save(
+                checkpoint_dir, "plp", iteration, g, out64, "label",
+                {"n_updated": n_updated},
+            )
+        if n_updated <= theta:
+            break
+
+    out = [_labels_i64.remote(r) for r in labels]
+    return out, {"iterations": iteration, "timing": timing}
+
+
+@ray.remote
+def _labels_i64(labels: np.ndarray) -> np.ndarray:
+    return labels.astype(np.int64)
+
+
+def plp(
+    sym_edges: ray.data.Dataset,
+    num_nodes: int,
+    *,
+    num_parts: int | None = None,
+    weighted: bool = False,
+    **kwargs,
+) -> tuple[ray.data.Dataset, dict]:
+    """Symmetrized edge table → (v, label) community assignment."""
+    g = build_pgraph(sym_edges, num_nodes, num_parts=num_parts, weighted=weighted)
+    refs, info = plp_refs(g, **kwargs)
+    return bsp.state_to_dataset(g, refs, "label"), info

@@ -1,0 +1,124 @@
+"""Distributed kernels vs. single-process numpy oracles (SURVEY.md §5 styles:
+tiny golden graphs + cross-implementation equivalence + invariance across
+partition counts)."""
+
+import numpy as np
+import pytest
+import ray.data
+
+from networkit_ray.graph import ref
+from networkit_ray.graph.components import connected_components
+from networkit_ray.graph.pagerank import pagerank
+from networkit_ray.graph.plp import plp
+from networkit_ray.sources.derive import derived_edges
+
+
+def edges_ds(arr):
+    arr = np.asarray(arr, dtype=np.int64)
+    import pyarrow as pa
+
+    return ray.data.from_arrow(pa.table({"src": arr[:, 0], "dst": arr[:, 1]}))
+
+
+def sym(arr):
+    arr = np.asarray(arr, dtype=np.int64)
+    both = np.vstack([arr, arr[:, ::-1]])
+    return np.unique(both, axis=0)
+
+
+# the 20-node / 5-component graph of ConnectedComponentsGTest.cpp:32-63
+CC20 = [(0, 1), (1, 2), (2, 4), (4, 8), (8, 16), (16, 19), (3, 5), (5, 6),
+        (6, 7), (7, 9), (10, 11), (10, 18), (10, 12), (18, 17), (13, 14)]
+
+
+class TestConnectedComponents:
+    def test_cc20_golden(self):
+        s = sym(CC20)
+        labels, info = connected_components(edges_ds(s), 20, num_parts=3)
+        got = labels.to_pandas().sort_values("v")["label"].to_numpy()
+        expect = ref.components_ref(s, 20)
+        assert np.array_equal(got, expect)
+        assert len(np.unique(got)) == 5
+        assert got[15] == 15  # isolated node stays a singleton
+
+    def test_invariance_num_parts(self):
+        rng = np.random.default_rng(7)
+        e = np.unique(rng.integers(0, 60, size=(120, 2)), axis=0)
+        e = e[e[:, 0] != e[:, 1]]
+        s = sym(e)
+        expect = ref.components_ref(s, 60)
+        for P in (2, 5):
+            labels, _ = connected_components(edges_ds(s), 60, num_parts=P)
+            got = labels.to_pandas().sort_values("v")["label"].to_numpy()
+            assert np.array_equal(got, expect)
+
+
+class TestPageRank:
+    def test_line3_closed_form(self):
+        # 0→1→2 directed path; node 2 dangling
+        e = np.array([[0, 1], [1, 2]])
+        scores, info = pagerank(edges_ds(e), 3, num_parts=2, tol=1e-12)
+        got = scores.to_pandas().sort_values("v")["score"].to_numpy()
+        expect, _ = ref.pagerank_ref(e, 3, tol=1e-12)
+        np.testing.assert_allclose(got, expect, atol=1e-9)
+        assert got.sum() == pytest.approx(1.0, abs=1e-12)
+
+    def test_directed_vs_ref(self):
+        rng = np.random.default_rng(42)
+        e = np.unique(rng.integers(0, 80, size=(400, 2)), axis=0)
+        e = e[e[:, 0] != e[:, 1]]
+        for normalized in (False, True):
+            scores, info = pagerank(
+                edges_ds(e), 80, num_parts=3, tol=1e-10, normalized=normalized
+            )
+            got = scores.to_pandas().sort_values("v")["score"].to_numpy()
+            expect, it = ref.pagerank_ref(e, 80, tol=1e-10, normalized=normalized)
+            np.testing.assert_allclose(got, expect, atol=1e-6)
+            assert info["iterations"] == it
+
+    def test_l2_norm_and_maxiter(self):
+        e = np.array([[0, 1], [1, 2], [2, 0], [3, 0]])
+        scores, info = pagerank(
+            edges_ds(e), 4, num_parts=2, tol=0.0, norm="l2", max_iterations=5
+        )
+        got = scores.to_pandas().sort_values("v")["score"].to_numpy()
+        expect, _ = ref.pagerank_ref(e, 4, tol=0.0, norm="l2", max_iterations=5)
+        np.testing.assert_allclose(got, expect, atol=1e-12)
+        assert info["iterations"] == 5
+
+    def test_invariance_num_parts_derived(self, sf_tiny):
+        edges, n = derived_edges(sf_tiny)
+        a, _ = pagerank(edges, n, num_parts=2, tol=1e-9)
+        b, _ = pagerank(edges, n, num_parts=7, tol=1e-9)
+        pa_ = a.to_pandas().sort_values("v")["score"].to_numpy()
+        pb = b.to_pandas().sort_values("v")["score"].to_numpy()
+        np.testing.assert_allclose(pa_, pb, atol=1e-12)
+
+
+class TestPLP:
+    def test_planted_partition(self):
+        # two 10-cliques joined by nothing → PLP must find 2 communities
+        # (property oracle style of CommunityGTest.cpp:52-107)
+        cliques = []
+        for base in (0, 10):
+            for i in range(10):
+                for j in range(i + 1, 10):
+                    cliques.append((base + i, base + j))
+        s = sym(cliques)
+        labels, info = plp(edges_ds(s), 20, num_parts=3, update_threshold=0)
+        got = labels.to_pandas().sort_values("v")["label"].to_numpy()
+        expect, it = ref.plp_ref(s, 20)
+        assert np.array_equal(got, expect)
+        assert len(np.unique(got)) == 2
+
+    def test_sync_equivalence_random(self):
+        rng = np.random.default_rng(3)
+        e = np.unique(rng.integers(0, 50, size=(300, 2)), axis=0)
+        e = e[e[:, 0] != e[:, 1]]
+        s = sym(e)
+        labels, info = plp(edges_ds(s), 50, num_parts=4, update_threshold=0,
+                           max_iterations=30)
+        got = labels.to_pandas().sort_values("v")["label"].to_numpy()
+        expect, it = ref.plp_ref(s, 50, max_iterations=30)
+        assert np.array_equal(got, expect)
+        assert info["iterations"] == it
