@@ -1,0 +1,148 @@
+"""HTML outlink extraction + byte-identical text extraction (actor pool).
+
+The extraction stage of the north-star pipeline: pages (url, html, ...) →
+edge table.  Stateful pieces — compiled regexes, the URL normalizer — are
+built once per actor in ``__init__`` and reused across batches
+(``map_batches(OutlinkExtractor, concurrency=N, batch_size=B)``), per the
+warm-parser actor-pool design (SURVEY.md §2.3).  The reference has no HTML
+layer; its closest analog is the URL/netloc script scripts/webgraph.py:27-49,
+and its string→id reader map (io/EdgeListReader.cpp:30-35) is replaced by
+stable ``hash64(normalized_url)`` ids — no sequential shared dict.
+
+URL normalization: resolve relative hrefs against the page URL, lowercase
+scheme+host, strip fragments, drop non-http(s) schemes.  Duplicate targets
+within a page collapse; cross-page duplicates are removed by the standard
+(src, dst) dedup shuffle in graph.build.
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+from urllib.parse import urljoin, urlsplit, urlunsplit
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from networkit_ray.common.hashing import hash64_array
+from networkit_ray.graph.build import dedup_edges
+
+_HREF_RE = re.compile(rb'<a\s+[^>]*href="([^"]*)"', re.IGNORECASE)
+_TEXT_RE = re.compile(rb"<p>(.*?)</p>", re.DOTALL)
+
+
+def normalize_url(base: str, href: str) -> str | None:
+    """Absolute, lowercase-host, fragment-free URL — or None if not http(s)."""
+    absu = urljoin(base, href)
+    parts = urlsplit(absu)
+    if parts.scheme.lower() not in ("http", "https"):
+        return None
+    return urlunsplit(
+        (parts.scheme.lower(), parts.netloc.lower(), parts.path, parts.query, "")
+    )
+
+
+def extract_text(html: bytes) -> str:
+    """Byte-identical text extraction: first <p> block, entity-unescaped.
+
+    The fixture generator writes html-escaped ``text`` into one <p>; this
+    inverse must reproduce ``documents.text`` byte-for-byte (input_hint
+    invariant).
+    """
+    m = _TEXT_RE.search(html)
+    if m is None:
+        return ""
+    return _html.unescape(m.group(1).decode("utf-8"))
+
+
+class OutlinkExtractor:
+    """Actor-pool batch UDF: pages → (src, dst) url-hash edge rows.
+
+    ``ids="hash"`` emits uint64 hash64(url) ids (production path);
+    ``ids="doc"`` parses the fixture's /p/{doc_id} path into doc ids
+    (oracle-comparable path).
+    """
+
+    def __init__(self, ids: str = "hash"):
+        self.ids = ids
+        self.href_re = _HREF_RE
+        self.docid_re = re.compile(r"/p/(\d+)$")
+
+    def _doc_id(self, url: str) -> int:
+        m = self.docid_re.search(url)
+        return int(m.group(1)) if m else -1
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        htmls = batch["html"].to_pylist()
+        src_list: list[str] = []
+        dst_list: list[str] = []
+        for url, html in zip(urls, htmls):
+            seen = set()
+            for m in self.href_re.finditer(html):
+                href = m.group(1).decode("utf-8", "replace")
+                href = _html.unescape(href)
+                target = normalize_url(url, href)
+                if target is None or target in seen:
+                    continue
+                seen.add(target)
+                src_list.append(url)
+                dst_list.append(target)
+        if self.ids == "doc":
+            src = pa.array([self._doc_id(u) for u in src_list], pa.int64())
+            dst = pa.array([self._doc_id(u) for u in dst_list], pa.int64())
+        else:
+            src = pa.array(hash64_array(src_list), pa.uint64())
+            dst = pa.array(hash64_array(dst_list), pa.uint64())
+        return pa.table({"src": src, "dst": dst})
+
+
+def extract_edges(
+    pages: ray.data.Dataset,
+    *,
+    ids: str = "hash",
+    concurrency: int | tuple = (1, 4),
+    batch_size: int = 1024,
+    dedup: bool = True,
+) -> ray.data.Dataset:
+    """pages → deduplicated edge table via the warm-parser actor pool."""
+    edges = pages.map_batches(
+        OutlinkExtractor,
+        fn_constructor_kwargs={"ids": ids},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    return dedup_edges(edges) if dedup else edges
+
+
+class TextExtractor:
+    """Actor-pool batch UDF: pages → (url, text) with byte-identical text."""
+
+    def __init__(self):
+        self.text_re = _TEXT_RE
+        self.docid_re = re.compile(r"/p/(\d+)$")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        htmls = batch["html"].to_pylist()
+        texts = [extract_text(h) for h in htmls]
+        doc_ids = [int(self.docid_re.search(u).group(1)) for u in urls]
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+
+
+def extract_texts(
+    pages: ray.data.Dataset, *, concurrency: int | tuple = (1, 4), batch_size: int = 1024
+) -> ray.data.Dataset:
+    return pages.map_batches(
+        TextExtractor,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -1,0 +1,77 @@
+"""Web layer: byte-identical text roundtrip + edge extraction vs arithmetic oracle."""
+
+import duckdb
+import numpy as np
+import pytest
+
+from networkit_ray.web.extract import extract_edges, extract_texts, normalize_url
+from networkit_ray.web.htmlgen import (
+    WEB_EDGES_SQL,
+    num_documents,
+    outlink_targets,
+    pages_dataset,
+)
+
+
+class TestNormalizeUrl:
+    def test_basics(self):
+        base = "https://site0001.example/p/000051"
+        assert (
+            normalize_url(base, "/p/000101")
+            == "https://site0001.example/p/000101"
+        )
+        assert (
+            normalize_url(base, "HTTPS://SITE0002.EXAMPLE/p/000003")
+            == "https://site0002.example/p/000003"
+        )
+        assert (
+            normalize_url(base, "https://a.example/x#frag")
+            == "https://a.example/x"
+        )
+        assert normalize_url(base, "mailto:x@y.z") is None
+        assert normalize_url(base, "javascript:void(0)") is None
+
+
+class TestWebPipeline:
+    def test_text_roundtrip_byte_identical(self, sf_tiny):
+        pages = pages_dataset(sf_tiny)
+        got = extract_texts(pages).to_pandas().sort_values("doc_id")
+        expect = duckdb.sql(
+            f"SELECT doc_id, text FROM read_parquet('{sf_tiny}/documents.parquet') ORDER BY doc_id"
+        ).df()
+        assert list(got["doc_id"]) == list(expect["doc_id"])
+        # byte-identical, not just equal-after-normalization
+        for g, e in zip(got["text"], expect["text"]):
+            assert g.encode("utf-8") == e.encode("utf-8")
+
+    def test_edges_match_arithmetic_oracle(self, sf_tiny):
+        pages = pages_dataset(sf_tiny)
+        got = (
+            extract_edges(pages, ids="doc", concurrency=(1, 2))
+            .to_pandas()
+            .sort_values(["src", "dst"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_tiny}/documents.parquet')"
+        )
+        expect = (
+            con.execute(f"SELECT src, dst FROM ({WEB_EDGES_SQL}) ORDER BY src, dst")
+            .df()
+        )
+        assert got.shape == expect.shape
+        assert (got["src"].to_numpy() == expect["src"].to_numpy()).all()
+        assert (got["dst"].to_numpy() == expect["dst"].to_numpy()).all()
+
+    def test_hash_ids_deterministic(self, sf_tiny):
+        pages = pages_dataset(sf_tiny)
+        a = extract_edges(pages, ids="hash").to_pandas()
+        b = extract_edges(pages, ids="hash", concurrency=(1, 2), batch_size=64).to_pandas()
+        ka = set(zip(a["src"], a["dst"]))
+        kb = set(zip(b["src"], b["dst"]))
+        assert ka == kb
+        # same multiplicity of rows as the doc-id graph
+        n = num_documents(sf_tiny)
+        t1, t2 = outlink_targets(0, n)
+        assert len(ka) > 0
