@@ -63,7 +63,14 @@ def _dense_vids(n: int, num_parts: int) -> tuple[np.ndarray, ...]:
 
 @ray.remote
 def _shuffle_edges(t: pa.Table, num_parts: int, weighted: bool) -> tuple:
-    """Split one Arrow edge block by vpart(src) → P (src, dst[, w]) slices."""
+    """Split one Arrow edge block by vpart(src) → P (src, dst[, w]) slices.
+
+    0-row blocks can arrive with a stale schema (Ray passes empty blocks
+    through map_batches untouched); treat them as empty edge sets.
+    """
+    if t.num_rows == 0 or "src" not in t.column_names:
+        empty = (np.empty(0, np.uint64), np.empty(0, np.uint64), None)
+        return tuple([empty] * num_parts)
     src = t["src"].to_numpy(zero_copy_only=False).astype(np.uint64)
     dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.uint64)
     w = t["w"].to_numpy(zero_copy_only=False).astype(np.float64) if weighted else None

@@ -1,0 +1,162 @@
+"""Text-analysis stages for large-scale training-data pipelines.
+
+All stages are vectorized ``map_batches`` transforms over the ``documents``
+table (doc_id, text, lang, source, n_chars).  Where a DuckDB-exact SQL
+equivalent exists the semantics are pinned to it (ASCII word classes, not
+Python's unicode ``\\w``), so the oracle comparison is bit-exact:
+
+- :func:`token_counts` — whitespace tokens + a BPE-ish regex token count;
+- :func:`quality_scores` — length / punctuation / alpha-ratio heuristics;
+- :func:`fingerprints` — md5 content fingerprint (matches DuckDB ``md5``)
+  plus a 64-bit rolling hash;
+- :class:`LangId` — actor-pool n-gram/stopword language classifier
+  (stateful: stopword tables + compiled regexes built once per actor).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+_WORD_RE = re.compile(r"[A-Za-z0-9_]+")
+_BPEISH_RE = re.compile(r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]")
+_PUNCT_RE = re.compile(r"[.!?]")
+_ALPHA_RE = re.compile(r"[A-Za-z]")
+_WS_RE = re.compile(r"\s+")
+
+
+def token_counts(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, n_tokens, n_bpeish) token counts.
+
+    n_tokens = whitespace-delimited tokens of trimmed text (0 for blank);
+    n_bpeish = ASCII-word-or-single-punct tokens, a proxy for BPE token
+    count without a tokenizer dependency.
+    """
+
+    def f(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        n_tok = np.fromiter(
+            (0 if not s.strip() else len(_WS_RE.split(s.strip())) for s in texts),
+            np.int64,
+            len(texts),
+        )
+        n_bpe = np.fromiter(
+            (len(_BPEISH_RE.findall(s)) for s in texts), np.int64, len(texts)
+        )
+        return pa.table(
+            {"doc_id": t["doc_id"], "n_tokens": pa.array(n_tok), "n_bpeish": pa.array(n_bpe)}
+        )
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+def quality_scores(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, n_chars, n_words, n_sentences, alpha_ratio, mean_word_len).
+
+    Heuristic quality features of a web-scale filter stage; ratios rounded to
+    6 decimals half-away (DuckDB ROUND semantics).
+    """
+    from networkit_ray.common.hashing import round_half_away
+
+    def f(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        n = len(texts)
+        n_chars = np.fromiter((len(s) for s in texts), np.int64, n)
+        words = [_WORD_RE.findall(s) for s in texts]
+        n_words = np.fromiter((len(w) for w in words), np.int64, n)
+        n_sent = np.fromiter((len(_PUNCT_RE.findall(s)) for s in texts), np.int64, n)
+        n_alpha = np.fromiter((len(_ALPHA_RE.findall(s)) for s in texts), np.int64, n)
+        alpha_ratio = round_half_away(
+            n_alpha / np.maximum(n_chars, 1), 6
+        )
+        wlen = np.fromiter((sum(len(x) for x in w) for w in words), np.int64, n)
+        mean_wl = round_half_away(wlen / np.maximum(n_words, 1), 6)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_chars": pa.array(n_chars),
+                "n_words": pa.array(n_words),
+                "n_sentences": pa.array(n_sent),
+                "alpha_ratio": pa.array(alpha_ratio),
+                "mean_word_len": pa.array(mean_wl),
+            }
+        )
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+def fingerprints(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, md5, rhash64): md5 hex fingerprint (= DuckDB md5(text)) and a
+    64-bit polynomial rolling hash of the whole text (engine-internal key)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        md5s = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in texts]
+        rh = np.empty(len(texts), dtype=np.uint64)
+        B = np.uint64(1000003)
+        for i, s in enumerate(texts):
+            h = np.uint64(1469598103934665603)
+            for b in s.encode("utf-8"):
+                h = h * B + np.uint64(b)
+            rh[i] = h
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "md5": pa.array(md5s, pa.string()),
+                "rhash64": pa.array(rh.astype(np.int64)),
+            }
+        )
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "for", "with", "was", "on"},
+    "de": {"der", "die", "das", "und", "ist", "von", "mit", "für", "auf", "ein", "eine", "nicht"},
+    "fr": {"le", "la", "les", "et", "de", "un", "une", "est", "pour", "dans", "que", "pas"},
+}
+
+
+class LangId:
+    """Actor-pool language classifier: stopword hit-rate + char-ngram prior.
+
+    Stateful stage (SURVEY.md §2.3): stopword tables and the tokenizer regex
+    are built once per actor.  Heuristic only — returns the best-scoring
+    language among {en, de, fr} or 'und' when nothing matches.
+    """
+
+    def __init__(self):
+        self.word_re = re.compile(r"[a-zäöüéèêàâçœ']+")
+        self.tables = {k: frozenset(v) for k, v in _STOPWORDS.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        out = []
+        for s in texts:
+            toks = self.word_re.findall(s.lower())
+            if not toks:
+                out.append("und")
+                continue
+            scores = {
+                lang: sum(tk in tbl for tk in toks) for lang, tbl in self.tables.items()
+            }
+            best = max(scores.items(), key=lambda kv: (kv[1], kv[0]))
+            out.append(best[0] if best[1] > 0 else "und")
+        return pa.table({"doc_id": batch["doc_id"], "lang_pred": pa.array(out, pa.string())})
+
+
+def langid(docs: ray.data.Dataset, *, concurrency=(1, 4)) -> ray.data.Dataset:
+    return docs.map_batches(
+        LangId, batch_format="pyarrow", batch_size=2048, concurrency=concurrency
+    )
+
+
+def lang_histogram(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """(lang, n_docs) — groupby aggregate over the declared lang column."""
+    from ray.data.aggregate import Count
+
+    return docs.groupby("lang").aggregate(Count(alias_name="n_docs"))

@@ -1,0 +1,197 @@
+"""Text analysis, dedup family, ANN, multimodal plumbing."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from networkit_ray.ann.search import brute_force_topk, lsh_topk
+from networkit_ray.dedup.embed import embedding_near_dups
+from networkit_ray.dedup.exact import duplicate_stats, exact_dedup_keepers
+from networkit_ray.dedup.minhash import jaccard, near_dup_clusters, near_dup_pairs
+from networkit_ray.dedup.simhash import simhash64, simhash_near_dups
+from networkit_ray.multimodal.decode import decode_media, synth_media
+from networkit_ray.text.analysis import (
+    fingerprints,
+    langid,
+    quality_scores,
+    token_counts,
+)
+
+
+def docs_ds(texts, langs=None):
+    n = len(texts)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(langs or ["en"] * n, pa.string()),
+            }
+        )
+    )
+
+
+class TestTextAnalysis:
+    def test_token_counts_match_duckdb(self, sf_tiny):
+        docs = ray.data.read_parquet(f"{sf_tiny}/documents.parquet")
+        got = token_counts(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        exp = duckdb.sql(
+            f"""SELECT doc_id,
+                CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+                len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS n_bpeish
+                FROM read_parquet('{sf_tiny}/documents.parquet') ORDER BY doc_id"""
+        ).df()
+        assert (got["n_tokens"].to_numpy() == exp["n_tokens"].to_numpy()).all()
+        assert (got["n_bpeish"].to_numpy() == exp["n_bpeish"].to_numpy()).all()
+
+    def test_fingerprints_match_duckdb_md5(self, sf_tiny):
+        docs = ray.data.read_parquet(f"{sf_tiny}/documents.parquet")
+        got = fingerprints(docs).to_pandas().sort_values("doc_id")
+        exp = duckdb.sql(
+            f"SELECT doc_id, md5(text) AS md5 FROM read_parquet('{sf_tiny}/documents.parquet') ORDER BY doc_id"
+        ).df()
+        assert list(got["md5"]) == list(exp["md5"])
+
+    def test_quality_scores(self):
+        docs = docs_ds(["Hello world. How are you?", "", "a b c!"])
+        q = quality_scores(docs).to_pandas().sort_values("doc_id")
+        assert list(q["n_words"]) == [5, 0, 3]
+        assert list(q["n_sentences"]) == [2, 0, 1]
+
+    def test_langid(self):
+        docs = docs_ds(
+            [
+                "the cat sat on the mat and it was happy",
+                "der Hund ist nicht auf der Straße und das ist gut",
+                "le chat est dans la maison et il est content",
+                "zzz qqq xxx",
+            ]
+        )
+        got = langid(docs, concurrency=(1, 2)).to_pandas().sort_values("doc_id")
+        assert list(got["lang_pred"]) == ["en", "de", "fr", "und"]
+
+
+class TestDedup:
+    def test_exact_dedup(self):
+        docs = docs_ds(["aaa", "bbb", "aaa", "ccc", "bbb", "aaa"])
+        stats = duplicate_stats(docs)
+        assert stats == {"total": 6, "distinct": 3, "duplicates": 3}
+        keep = exact_dedup_keepers(docs).to_pandas()
+        assert sorted(keep["doc_id"]) == [0, 1, 3]
+
+    def test_minhash_finds_near_dups(self):
+        base = (
+            "the quick brown fox jumps over the lazy dog while the sun shines "
+            "bright over the green hills and the river flows gently to the sea "
+            "carrying leaves and small branches from the old oak tree"
+        )
+        variant = base.replace("small branches", "tiny branches")
+        other = (
+            "completely different content about database systems and query "
+            "optimization with hash joins and sort merge strategies for "
+            "distributed execution engines running on large clusters today"
+        )
+        docs = docs_ds([base, variant, other, base])
+        pairs = near_dup_pairs(docs, threshold=0.5).to_pandas()
+        keys = set(zip(pairs["a"], pairs["b"]))
+        assert (0, 3) in keys  # identical
+        assert (0, 1) in keys  # near-dup
+        assert not any(2 in p for p in keys)
+        cl = near_dup_clusters(docs, 4, threshold=0.5).to_pandas().sort_values("doc_id")
+        assert list(cl["cluster"]) == [0, 0, 2, 0]
+        assert jaccard(base, base) == 1.0
+
+    def test_simhash(self):
+        a = "the quick brown fox jumps over the lazy dog near the river bank today"
+        b = "the quick brown fox jumps over the lazy dog near the river bank tonight"
+        c = "entirely unrelated words about spacecraft navigation and orbital mechanics"
+        assert simhash64(a) == simhash64(a)
+        docs = docs_ds([a, b, c])
+        nd = simhash_near_dups(docs, max_hamming=12).to_pandas()
+        keys = set(zip(nd["a"], nd["b"]))
+        assert (0, 1) in keys
+        assert (0, 2) not in keys
+
+    def test_embedding_near_dups(self, sf_tiny):
+        emb = ray.data.read_parquet(f"{sf_tiny}/embeddings.parquet")
+        dim = len(emb.take(1)[0]["embedding"])
+        pairs = embedding_near_dups(emb, dim, threshold=0.99).to_pandas()
+        # sanity: pairs (if any) are ordered and above threshold
+        if len(pairs):
+            assert (pairs["a"] < pairs["b"]).all()
+            assert (pairs["cos"] >= 0.99).all()
+
+
+class TestANN:
+    def test_brute_force_vs_duckdb(self, sf_tiny):
+        emb = ray.data.read_parquet(f"{sf_tiny}/embeddings.parquet")
+        got = (
+            brute_force_topk(emb, [0, 1, 2], k=5)
+            .to_pandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf_tiny}/embeddings.parquet')"
+        )
+        exp = con.execute(
+            """
+            WITH nv AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> x / sqrt(list_sum(list_transform(embedding, y -> y*y)))) AS nvec
+              FROM embeddings),
+            q AS (SELECT vec_id AS query_id, nvec AS qv FROM nv WHERE vec_id IN (0,1,2)),
+            scored AS (
+              SELECT q.query_id, nv.vec_id,
+                     list_dot_product(q.qv, nv.nvec) AS score
+              FROM q CROSS JOIN nv),
+            ranked AS (
+              SELECT query_id, vec_id, score,
+                     row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+              FROM scored)
+            SELECT query_id, rank, vec_id, ROUND(score, 6) AS score
+            FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+            """
+        ).df()
+        assert (got["vec_id"].to_numpy() == exp["vec_id"].to_numpy()).all()
+        np.testing.assert_allclose(got["score"], exp["score"], atol=1e-6)
+        # self is always rank 1 with score 1
+        r1 = got[got["rank"] == 1]
+        assert list(r1["vec_id"]) == [0, 1, 2]
+
+    def test_lsh_recall(self, sf_tiny):
+        emb = ray.data.read_parquet(f"{sf_tiny}/embeddings.parquet")
+        exact = brute_force_topk(emb, [0, 1], k=5).to_pandas()
+        approx = lsh_topk(emb, [0, 1], k=5).to_pandas()
+        # recall@5 of the LSH path vs brute force
+        e = set(zip(exact["query_id"], exact["vec_id"]))
+        a = set(zip(approx["query_id"], approx["vec_id"]))
+        recall = len(e & a) / len(e)
+        assert recall >= 0.4  # self + near buckets; approximate by design
+
+
+class TestMultimodal:
+    def test_decode_plumbing(self):
+        media = synth_media(50, kind="image")
+        out = decode_media(media, real=False).to_pandas()
+        assert len(out) == 50
+        assert set(out.columns) == {"id", "height", "width", "channels", "features"}
+        assert all(len(f) == 8 for f in out["features"])
+        # deterministic across runs
+        out2 = decode_media(synth_media(50, kind="image"), real=False).to_pandas()
+        pd.testing.assert_frame_equal(
+            out.sort_values("id").reset_index(drop=True),
+            out2.sort_values("id").reset_index(drop=True),
+        )
+
+    def test_real_decode_raises(self):
+        from networkit_ray.multimodal.decode import DecodeStub
+
+        stub = DecodeStub(real=True)
+        with pytest.raises(NotImplementedError):
+            stub._decode_one(b"xx", "image")
