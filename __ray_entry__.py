@@ -1,16 +1,21 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract: entry() smoke, queries() battery, oracle_sql() DuckDB twins.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing here
+(or in networkit_ray) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Every queries() entry is an operator/pipeline from SURVEY.md §2 re-expressed
+Ray-Data-first; each oracle_sql() entry is the ANSI-SQL equivalent DuckDB
+runs on the same parquet views (region nation customer supplier part orders
+lineitem events documents embeddings).  Column names and rounding are pinned
+identically on both sides (DuckDB ROUND = half-away; engine uses
+common.hashing.round_half_away).  Iterative kernels use FIXED iteration
+counts here so the SQL twin (chained CTE levels) is exact; convergence-driven
+variants are exercised in tests/ and bench.py.
+
+Queries without an oracle entry (PLP, MinHash/SimHash/embedding near-dup,
+LSH ANN, multimodal, R-MAT) are non-SQL-expressible (iterative argmax
+schedules, hash-sketch families, stubs); the driver records rows-only checks
+for them.
 """
 
 from __future__ import annotations
@@ -18,27 +23,689 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
 
+PR_ITERS = 30  # fixed power-iteration count shared by engine and SQL oracle
+
+
+# ---------------------------------------------------------------- helpers
+# The driver runs each query independently; the derived graph variants are
+# shared inputs, so memoize them MATERIALIZED per sf_dir (pinned in the
+# session's object store — the same reuse pattern the BSP engine applies to
+# CSR blocks).  Keyed on sf_dir only; the derivation is deterministic.
+_GRAPH_CACHE: dict = {}
+
+
+def _derived(sf_dir):
+    key = ("derived", sf_dir)
+    if key not in _GRAPH_CACHE:
+        from networkit_ray.sources.derive import derived_edges
+
+        edges, n = derived_edges(sf_dir)
+        _GRAPH_CACHE[key] = (edges.materialize(), n)
+    return _GRAPH_CACHE[key]
+
+
+def _sym(sf_dir):
+    key = ("sym", sf_dir)
+    if key not in _GRAPH_CACHE:
+        from networkit_ray.graph.build import symmetrize
+
+        edges, n = _derived(sf_dir)
+        _GRAPH_CACHE[key] = (symmetrize(edges).materialize(), n)
+    return _GRAPH_CACHE[key]
+
+
+def _canon(sf_dir):
+    key = ("canon", sf_dir)
+    if key not in _GRAPH_CACHE:
+        from networkit_ray.graph.build import canonicalize
+
+        edges, n = _derived(sf_dir)
+        _GRAPH_CACHE[key] = (canonicalize(edges).materialize(), n)
+    return _GRAPH_CACHE[key]
+
+
+def _cc_labels(sf_dir):
+    key = ("cc", sf_dir)
+    if key not in _GRAPH_CACHE:
+        from networkit_ray.graph.components import connected_components
+
+        sym, n = _sym(sf_dir)
+        labels, _ = connected_components(sym, n)
+        _GRAPH_CACHE[key] = (labels.materialize(), n)
+    return _GRAPH_CACHE[key]
+
+
+def _docs(sf_dir):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def _round_col(ds, col, decimals):
+    from networkit_ray.common.hashing import round_half_away
+
+    def f(t: pa.Table) -> pa.Table:
+        vals = round_half_away(t[col].to_numpy(zero_copy_only=False), decimals)
+        i = t.column_names.index(col)
+        return t.set_column(i, col, pa.array(vals))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- queries
+def q_edge_table(sf_dir):
+    edges, _ = _derived(sf_dir)
+    return edges
+
+
+def q_edge_table_sym(sf_dir):
+    sym, _ = _sym(sf_dir)
+    return sym
+
+
+def q_degree_table(sf_dir):
+    from networkit_ray.graph.build import degree_table
+
+    edges, _ = _derived(sf_dir)
+    return degree_table(edges, key="src", out_name="deg")
+
+
+def q_in_degree_table(sf_dir):
+    from networkit_ray.graph.build import degree_table
+
+    edges, _ = _derived(sf_dir)
+    return degree_table(edges, key="dst", out_name="deg")
+
+
+def q_max_degree(sf_dir):
+    from networkit_ray.graph.build import max_degree
+
+    edges, _ = _derived(sf_dir)
+    return pa.table({"max_deg": pa.array([max_degree(edges, key="src")], pa.int64())})
+
+
+def q_graph_stats(sf_dir):
+    from networkit_ray.common.hashing import round_half_away
+    from networkit_ray.graph.build import graph_stats
+
+    edges, n = _derived(sf_dir)
+    s = graph_stats(edges, n, directed=True)
+    return pa.table(
+        {
+            "n": pa.array([s["n"]], pa.int64()),
+            "m": pa.array([s["m"]], pa.int64()),
+            "density": pa.array(round_half_away([s["density"]], 8)),
+            "volume": pa.array([s["volume"]], pa.int64()),
+        }
+    )
+
+
+def q_transpose(sf_dir):
+    from networkit_ray.graph.build import transpose
+
+    edges, _ = _derived(sf_dir)
+    return transpose(edges)
+
+
+def q_subgraph(sf_dir):
+    from networkit_ray.graph.build import subgraph
+
+    edges, n = _derived(sf_dir)
+    half = n // 2
+    return subgraph(edges, lambda v: v < half)
+
+
+def q_compact_ids(sf_dir):
+    from networkit_ray.graph.build import compact_ids
+
+    edges, _ = _derived(sf_dir)
+    mapping, _ = compact_ids(edges)
+    return mapping
+
+
+def q_pagerank(sf_dir):
+    from networkit_ray.graph.pagerank import pagerank
+
+    edges, n = _derived(sf_dir)
+    scores, _ = pagerank(edges, n, tol=0.0, max_iterations=PR_ITERS)
+    return _round_col(scores, "score", 8)
+
+
+def q_pagerank_topk(sf_dir):
+    import pandas as pd
+
+    from networkit_ray.graph.pagerank import pagerank
+
+    edges, n = _derived(sf_dir)
+    scores, _ = pagerank(edges, n, tol=0.0, max_iterations=PR_ITERS)
+    top = (
+        _round_col(scores, "score", 8)
+        .sort(["score", "v"], descending=[True, False])
+        .limit(10)
+    )
+    df = top.to_pandas()
+    df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+    return df[["rank", "v", "score"]]
+
+
+def q_connected_components(sf_dir):
+    labels, _ = _cc_labels(sf_dir)
+    return labels
+
+
+def q_cc_sizes(sf_dir):
+    from networkit_ray.graph.quality import subset_sizes
+
+    labels, _ = _cc_labels(sf_dir)
+    return subset_sizes(labels)
+
+
+def q_num_components(sf_dir):
+    from networkit_ray.graph.quality import num_subsets
+
+    labels, _ = _cc_labels(sf_dir)
+    return pa.table({"n_components": pa.array([num_subsets(labels)], pa.int64())})
+
+
+def q_plp_communities(sf_dir):
+    from networkit_ray.graph.plp import plp
+
+    sym, n = _sym(sf_dir)
+    labels, _ = plp(sym, n, update_threshold=0, max_iterations=25)
+    return labels
+
+
+def q_modularity(sf_dir):
+    import ray.data
+
+    from networkit_ray.common.hashing import round_half_away
+    from networkit_ray.graph.quality import modularity
+
+    canon, n = _canon(sf_dir)
+    labels = ray.data.from_arrow(
+        pa.table(
+            {
+                "v": pa.array(np.arange(n, dtype=np.int64)),
+                "label": pa.array(np.arange(n, dtype=np.int64) % 10),
+            }
+        )
+    )
+    q = modularity(canon, labels, n)
+    return pa.table({"modularity": pa.array(round_half_away([q], 8))})
+
+
+def q_triangle_count(sf_dir):
+    from networkit_ray.graph.triangles import triangle_count
+
+    canon, n = _canon(sf_dir)
+    return pa.table(
+        {"n_triangles": pa.array([triangle_count(canon, n)], pa.int64())}
+    )
+
+
+def q_triangles_per_vertex(sf_dir):
+    from networkit_ray.graph.triangles import triangles_per_vertex
+
+    canon, n = _canon(sf_dir)
+    return triangles_per_vertex(canon, n)
+
+
+def q_lcc(sf_dir):
+    from networkit_ray.graph.triangles import local_clustering_coefficient
+
+    canon, n = _canon(sf_dir)
+    return _round_col(local_clustering_coefficient(canon, n), "lcc", 8)
+
+
+def q_assortativity(sf_dir):
+    from networkit_ray.common.hashing import round_half_away
+    from networkit_ray.graph.quality import assortativity
+
+    sym, n = _sym(sf_dir)
+    r = assortativity(sym, n)
+    return pa.table({"assortativity": pa.array(round_half_away([r], 8))})
+
+
+def q_partition_intersection(sf_dir):
+    import ray.data
+
+    from networkit_ray.graph.quality import partition_intersection
+    from networkit_ray.sources.derive import num_customers
+
+    n = num_customers(sf_dir)
+    v = np.arange(n, dtype=np.int64)
+    l1 = ray.data.from_arrow(pa.table({"v": v, "label": v % 6}))
+    l2 = ray.data.from_arrow(pa.table({"v": v, "label": v % 4}))
+    return partition_intersection(l1, l2, n)
+
+
+# ------- web
+def q_web_text_roundtrip(sf_dir):
+    from networkit_ray.web.extract import extract_texts
+    from networkit_ray.web.htmlgen import pages_dataset
+
+    return extract_texts(pages_dataset(sf_dir))
+
+
+def q_web_edges(sf_dir):
+    from networkit_ray.web.extract import extract_edges
+    from networkit_ray.web.htmlgen import pages_dataset
+
+    return extract_edges(pages_dataset(sf_dir), ids="doc")
+
+
+def q_web_pagerank(sf_dir):
+    from networkit_ray.graph.build import drop_self_loops
+    from networkit_ray.graph.pagerank import pagerank
+    from networkit_ray.web.extract import extract_edges
+    from networkit_ray.web.htmlgen import num_documents, pages_dataset
+
+    n = num_documents(sf_dir)
+    edges = drop_self_loops(extract_edges(pages_dataset(sf_dir), ids="doc"))
+    scores, _ = pagerank(edges, n, tol=0.0, max_iterations=PR_ITERS)
+    return _round_col(scores, "score", 8)
+
+
+# ------- documents / text
+def q_exact_dedup(sf_dir):
+    from networkit_ray.dedup.exact import exact_dedup_keepers
+
+    return exact_dedup_keepers(_docs(sf_dir))
+
+
+def q_token_counts(sf_dir):
+    from networkit_ray.text.analysis import token_counts
+
+    return token_counts(_docs(sf_dir))
+
+
+def q_quality_scores(sf_dir):
+    from networkit_ray.text.analysis import quality_scores
+
+    return quality_scores(_docs(sf_dir))
+
+
+def q_fingerprint_md5(sf_dir):
+    from networkit_ray.text.analysis import fingerprints
+
+    return fingerprints(_docs(sf_dir)).select_columns(["doc_id", "md5"])
+
+
+def q_lang_histogram(sf_dir):
+    from networkit_ray.text.analysis import lang_histogram
+
+    return lang_histogram(_docs(sf_dir))
+
+
+def q_langid(sf_dir):
+    from networkit_ray.text.analysis import langid
+
+    return langid(_docs(sf_dir))
+
+
+def q_minhash_near_dups(sf_dir):
+    from networkit_ray.dedup.minhash import near_dup_pairs
+
+    return _round_col(near_dup_pairs(_docs(sf_dir), threshold=0.8), "jaccard", 6)
+
+
+def q_simhash_near_dups(sf_dir):
+    from networkit_ray.dedup.simhash import simhash_near_dups
+
+    return simhash_near_dups(_docs(sf_dir), max_hamming=3)
+
+
+def q_embedding_near_dups(sf_dir):
+    import ray.data
+
+    from networkit_ray.dedup.embed import embedding_near_dups
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.take(1)[0]["embedding"])
+    return _round_col(embedding_near_dups(emb, dim, threshold=0.9), "cos", 6)
+
+
+def q_ann_topk(sf_dir):
+    import ray.data
+
+    from networkit_ray.ann.search import brute_force_topk
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return brute_force_topk(emb, [0, 1, 2, 3, 4], k=5)
+
+
+def q_ann_lsh_topk(sf_dir):
+    import ray.data
+
+    from networkit_ray.ann.search import lsh_topk
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_topk(emb, [0, 1, 2, 3, 4], k=5)
+
+
+def q_multimodal_decode(sf_dir):
+    import pyarrow.compute as pc
+
+    from networkit_ray.multimodal.decode import decode_media, synth_media
+
+    dec = decode_media(synth_media(200, kind="image"), real=False)
+
+    def scalarize(t: pa.Table) -> pa.Table:
+        feats = t["features"].combine_chunks()
+        fsum = np.array([float(np.sum(f)) for f in feats.to_pylist()])
+        from networkit_ray.common.hashing import round_half_away
+
+        return pa.table(
+            {
+                "id": t["id"],
+                "height": t["height"],
+                "width": t["width"],
+                "channels": t["channels"],
+                "feat_sum": pa.array(round_half_away(fsum, 6)),
+            }
+        )
+
+    return dec.map_batches(scalarize, batch_format="pyarrow")
+
+
+def q_rmat_edges(sf_dir):
+    from networkit_ray.sources.synth import rmat_edges
+
+    edges, n = rmat_edges(10, 8)
+    return edges
+
+
+# ------- events
+def q_tumbling_window(sf_dir):
+    import ray.data
+
+    from networkit_ray.pipelines.events import tumbling_window
+
+    return tumbling_window(ray.data.read_parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_sessionize(sf_dir):
+    import ray.data
+
+    from networkit_ray.pipelines.events import sessionize
+
+    return sessionize(ray.data.read_parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_event_type_histogram(sf_dir):
+    import ray.data
+
+    from networkit_ray.pipelines.events import event_type_histogram
+
+    return event_type_histogram(ray.data.read_parquet(f"{sf_dir}/events.parquet"))
+
+
+# ---------------------------------------------------------------- contract
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship north-star slice at sf0.001: pages → extract (actor pool) →
+    edge table → PageRank → top-20 vertex table."""
+    from networkit_ray.graph.build import drop_self_loops
+    from networkit_ray.graph.pagerank import pagerank
+    from networkit_ray.web.extract import extract_edges
+    from networkit_ray.web.htmlgen import num_documents, pages_dataset
+
+    sf_dir = "/root/testdata/sf0.001"
+    n = num_documents(sf_dir)
+    pages = pages_dataset(sf_dir)
+    edges = drop_self_loops(extract_edges(pages, ids="doc"))
+    scores, info = pagerank(edges, n, tol=1e-6, norm="l1")
+    return scores.sort("score", descending=True).limit(20).to_pandas()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "edge_table": q_edge_table,
+        "edge_table_sym": q_edge_table_sym,
+        "degree_table": q_degree_table,
+        "in_degree_table": q_in_degree_table,
+        "max_degree": q_max_degree,
+        "graph_stats": q_graph_stats,
+        "transpose": q_transpose,
+        "subgraph": q_subgraph,
+        "compact_ids": q_compact_ids,
+        "pagerank": q_pagerank,
+        "pagerank_topk": q_pagerank_topk,
+        "connected_components": q_connected_components,
+        "cc_sizes": q_cc_sizes,
+        "num_components": q_num_components,
+        "plp_communities": q_plp_communities,
+        "modularity": q_modularity,
+        "triangle_count": q_triangle_count,
+        "triangles_per_vertex": q_triangles_per_vertex,
+        "lcc": q_lcc,
+        "assortativity": q_assortativity,
+        "partition_intersection": q_partition_intersection,
+        "web_text_roundtrip": q_web_text_roundtrip,
+        "web_edges": q_web_edges,
+        "web_pagerank": q_web_pagerank,
+        "exact_dedup": q_exact_dedup,
+        "token_counts": q_token_counts,
+        "quality_scores": q_quality_scores,
+        "fingerprint_md5": q_fingerprint_md5,
+        "lang_histogram": q_lang_histogram,
+        "langid": q_langid,
+        "minhash_near_dups": q_minhash_near_dups,
+        "simhash_near_dups": q_simhash_near_dups,
+        "embedding_near_dups": q_embedding_near_dups,
+        "ann_topk": q_ann_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "multimodal_decode": q_multimodal_decode,
+        "rmat_edges": q_rmat_edges,
+        "tumbling_window": q_tumbling_window,
+        "sessionize": q_sessionize,
+        "event_type_histogram": q_event_type_histogram,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------- oracles
+def _pagerank_sql(edges_sql: str, iters: int) -> str:
+    """Chained fixed-iteration power-iteration CTE (exact twin of the engine
+    run with tol=0, max_iterations=iters, divide-by-sum normalization)."""
+    n_sql = "(SELECT COUNT(*) FROM customer)"
+    parts = [
+        f"WITH e AS MATERIALIZED ({edges_sql})",
+        "od AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS DOUBLE) AS d FROM e GROUP BY src)",
+        "nodes AS MATERIALIZED ({nodes})",
+        f"s0 AS MATERIALIZED (SELECT v, 1.0/{{n}} AS score FROM nodes)",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"s{k} AS MATERIALIZED (SELECT nodes.v, 0.15/{{n}} + 0.85*COALESCE(m.inc, 0) AS score "
+            f"FROM nodes LEFT JOIN (SELECT e.dst AS v, SUM(p.score/od.d) AS inc "
+            f"FROM e JOIN s{k-1} p ON p.v = e.src JOIN od ON od.src = e.src "
+            f"GROUP BY e.dst) m ON m.v = nodes.v)"
+        )
+    body = ",\n".join(parts)
+    return (
+        body
+        + f"\nSELECT v, ROUND(score / (SELECT SUM(score) FROM s{iters}), 8) AS score FROM s{iters}"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    from networkit_ray.sources.derive import (
+        CANONICAL_EDGES_SQL,
+        DERIVED_EDGES_SQL,
+        SYMMETRIC_EDGES_SQL,
+    )
+    from networkit_ray.web.htmlgen import WEB_EDGES_SQL
+
+    n_customers = "(SELECT COUNT(*) FROM customer)"
+    n_docs = "(SELECT COUNT(*) FROM documents)"
+    pr = (_pagerank_sql(DERIVED_EDGES_SQL, PR_ITERS)
+        .replace("{nodes}", "SELECT CAST(c_custkey AS BIGINT) AS v FROM customer")
+        .replace("{n}", n_customers))
+    web_pr = (
+        _pagerank_sql(
+            f"SELECT src, dst FROM ({WEB_EDGES_SQL}) WHERE src <> dst", PR_ITERS
+        )
+        .replace("{nodes}", "SELECT CAST(doc_id AS BIGINT) AS v FROM documents")
+        .replace("{n}", n_docs)
+    )
+
+    cc_sql = f"""
+        WITH RECURSIVE se AS ({SYMMETRIC_EDGES_SQL}),
+        nodes AS (SELECT CAST(c_custkey AS BIGINT) AS v FROM customer),
+        r(v, l) AS (
+            SELECT v, v FROM nodes
+            UNION
+            SELECT e.dst, r.l FROM r JOIN se e ON e.src = r.v
+        )
+        SELECT v, MIN(l) AS label FROM r GROUP BY v
     """
-    return {}
+
+    tri_corners = f"""
+        SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        FROM ({CANONICAL_EDGES_SQL}) e1
+        JOIN ({CANONICAL_EDGES_SQL}) e2 ON e2.src = e1.dst
+        JOIN ({CANONICAL_EDGES_SQL}) e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    """
+    deg_sql = f"""
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+            SELECT src AS v FROM ({CANONICAL_EDGES_SQL})
+            UNION ALL SELECT dst FROM ({CANONICAL_EDGES_SQL})
+        ) GROUP BY v
+    """
+    tri_sql = f"""
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS tri FROM (
+            SELECT a AS v FROM ({tri_corners})
+            UNION ALL SELECT b FROM ({tri_corners})
+            UNION ALL SELECT c FROM ({tri_corners})
+        ) GROUP BY v
+    """
+
+    return {
+        "edge_table": DERIVED_EDGES_SQL,
+        "edge_table_sym": SYMMETRIC_EDGES_SQL,
+        "degree_table": f"SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS deg FROM ({DERIVED_EDGES_SQL}) GROUP BY src",
+        "in_degree_table": f"SELECT dst AS v, CAST(COUNT(*) AS BIGINT) AS deg FROM ({DERIVED_EDGES_SQL}) GROUP BY dst",
+        "max_degree": f"SELECT MAX(deg) AS max_deg FROM (SELECT CAST(COUNT(*) AS BIGINT) AS deg FROM ({DERIVED_EDGES_SQL}) GROUP BY src)",
+        "graph_stats": f"""
+            SELECT {n_customers} AS n,
+                   CAST(COUNT(*) AS BIGINT) AS m,
+                   ROUND(CAST(COUNT(*) AS DOUBLE) / ({n_customers} * ({n_customers} - 1)), 8) AS density,
+                   CAST(COUNT(*) AS BIGINT) AS volume
+            FROM ({DERIVED_EDGES_SQL})
+        """,
+        "transpose": f"SELECT dst AS src, src AS dst FROM ({DERIVED_EDGES_SQL})",
+        "subgraph": f"SELECT src, dst FROM ({DERIVED_EDGES_SQL}) WHERE src < {n_customers} / 2 AND dst < {n_customers} / 2",
+        "compact_ids": f"""
+            SELECT v, CAST(ROW_NUMBER() OVER (ORDER BY v) - 1 AS BIGINT) AS idx FROM (
+                SELECT DISTINCT src AS v FROM ({DERIVED_EDGES_SQL})
+                UNION SELECT DISTINCT dst FROM ({DERIVED_EDGES_SQL})
+            )
+        """,
+        "pagerank": pr,
+        "pagerank_topk": f"""
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, v ASC) AS BIGINT) AS rank, v, score
+            FROM ({pr}) QUALIFY rank <= 10
+        """,
+        "connected_components": cc_sql,
+        "cc_sizes": f"SELECT label, CAST(COUNT(*) AS BIGINT) AS size FROM ({cc_sql}) GROUP BY label",
+        "num_components": f"SELECT CAST(COUNT(DISTINCT label) AS BIGINT) AS n_components FROM ({cc_sql})",
+        "modularity": f"""
+            WITH ce AS ({CANONICAL_EDGES_SQL}),
+            lab AS (SELECT CAST(c_custkey AS BIGINT) AS v, CAST(c_custkey % 10 AS BIGINT) AS label FROM customer),
+            m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM ce),
+            intra AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM ce JOIN lab l1 ON l1.v = ce.src JOIN lab l2 ON l2.v = ce.dst WHERE l1.label = l2.label),
+            deg AS (SELECT v, CAST(COUNT(*) AS DOUBLE) AS deg FROM (SELECT src AS v FROM ce UNION ALL SELECT dst FROM ce) GROUP BY v),
+            vols AS (SELECT l.label, SUM(d.deg) AS vol FROM deg d JOIN lab l ON l.v = d.v GROUP BY l.label)
+            SELECT ROUND((SELECT c FROM intra) / (SELECT m FROM m) - SUM(POWER(vol / (2 * (SELECT m FROM m)), 2)), 8) AS modularity
+            FROM vols
+        """,
+        "triangle_count": f"SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles FROM ({tri_corners})",
+        "triangles_per_vertex": tri_sql,
+        "lcc": f"""
+            SELECT d.v, d.deg, CAST(COALESCE(t.tri, 0) AS BIGINT) AS tri,
+                   CASE WHEN d.deg >= 2
+                        THEN ROUND(2.0 * COALESCE(t.tri, 0) / (d.deg * (d.deg - 1.0)), 8)
+                        ELSE 0.0 END AS lcc
+            FROM ({deg_sql}) d LEFT JOIN ({tri_sql}) t ON t.v = d.v
+        """,
+        "assortativity": f"""
+            WITH se AS ({SYMMETRIC_EDGES_SQL}),
+            deg AS (SELECT src AS v, CAST(COUNT(*) AS DOUBLE) AS deg FROM se GROUP BY src)
+            SELECT ROUND(corr(d1.deg, d2.deg), 8) AS assortativity
+            FROM se JOIN deg d1 ON d1.v = se.src JOIN deg d2 ON d2.v = se.dst
+        """,
+        "partition_intersection": f"""
+            WITH pairs AS (
+                SELECT CAST(c_custkey AS BIGINT) AS v,
+                       CAST(c_custkey % 6 AS BIGINT) AS l1,
+                       CAST(c_custkey % 4 AS BIGINT) AS l2
+                FROM customer)
+            SELECT v, CAST(DENSE_RANK() OVER (ORDER BY l1, l2) - 1 AS BIGINT) AS label FROM pairs
+        """,
+        "web_text_roundtrip": "SELECT doc_id, text FROM documents",
+        "web_edges": WEB_EDGES_SQL,
+        "web_pagerank": web_pr,
+        "exact_dedup": "SELECT md5(text) AS text_md5, CAST(MIN(doc_id) AS BIGINT) AS doc_id FROM documents GROUP BY md5(text)",
+        "token_counts": r"""
+            SELECT doc_id,
+                   CAST(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS BIGINT) AS n_bpeish
+            FROM documents
+        """,
+        "quality_scores": r"""
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT) AS n_words,
+                   CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT) AS n_sentences,
+                   ROUND(CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / GREATEST(length(text), 1), 6) AS alpha_ratio,
+                   ROUND(CAST(length(regexp_replace(text, '[^A-Za-z0-9_]', '', 'g')) AS DOUBLE)
+                         / GREATEST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')), 1), 6) AS mean_word_len
+            FROM documents
+        """,
+        "fingerprint_md5": "SELECT doc_id, md5(text) AS md5 FROM documents",
+        "lang_histogram": "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang",
+        "ann_topk": """
+            WITH nv AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> x / sqrt(list_sum(list_transform(embedding, y -> y*y)))) AS nvec
+              FROM embeddings),
+            q AS (SELECT vec_id AS query_id, nvec AS qv FROM nv WHERE vec_id IN (0, 1, 2, 3, 4)),
+            scored AS (
+              SELECT q.query_id, nv.vec_id, list_dot_product(q.qv, nv.nvec) AS score
+              FROM q CROSS JOIN nv),
+            ranked AS (
+              SELECT query_id, vec_id, score,
+                     CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS BIGINT) AS rank
+              FROM scored)
+            SELECT query_id, rank, vec_id, ROUND(score, 6) AS score
+            FROM ranked WHERE rank <= 5
+        """,
+        "tumbling_window": """
+            SELECT user_id,
+                   CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS win,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   ROUND(SUM(value), 6) AS sum_value
+            FROM events GROUP BY user_id, win
+        """,
+        "sessionize": """
+            WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+            marked AS (
+              SELECT user_id, tus,
+                     CASE WHEN tus - LAG(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) > 1800000000
+                          THEN 1 ELSE 0 END AS brk
+              FROM o),
+            sess AS (
+              SELECT user_id, tus,
+                     SUM(brk) OVER (PARTITION BY user_id ORDER BY tus ROWS UNBOUNDED PRECEDING) AS session
+              FROM marked)
+            SELECT user_id, CAST(session AS BIGINT) AS session,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(MIN(tus) AS BIGINT) AS start_us,
+                   CAST(MAX(tus) AS BIGINT) AS end_us
+            FROM sess GROUP BY user_id, session
+        """,
+        "event_type_histogram": "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY event_type",
+    }

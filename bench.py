@@ -1,0 +1,210 @@
+"""Benchmark driver — prints ONE JSON line on stdout.
+
+Headline metric: wall seconds for the benchmark battery (unit "sec"), with
+the north-rule numbers carried alongside:
+- pagerank_edges_per_sec_superstep: directed R-MAT (scale 20, ef 16 by
+  default → 1.05M vertices / 16.8M edges), fixed supersteps on the pinned
+  partitioned-CSR graph — the metric BASELINE.md tracks;
+- pagerank_iters_to_1e6: iterations to L1 ≤ 1e-6 on the same graph;
+- per-query seconds for the sf-dir pipelines (extraction, kernels,
+  dedup, ANN) in "queries".
+
+Usage:
+    python bench.py                 # one run; RAY_GRAFT_CPUS (default 32)
+    python bench.py --scaling       # fresh 8-CPU and 32-CPU subprocesses +
+                                    # scaling efficiency (north-rule evidence)
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS,
+GRAFT_RMAT_SCALE (default 20), GRAFT_BENCH_SUPERSTEPS (default 10).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def run_bench() -> dict:
+    import ray
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    rmat_scale = int(os.environ.get("GRAFT_RMAT_SCALE", "20"))
+    supersteps = int(os.environ.get("GRAFT_BENCH_SUPERSTEPS", "10"))
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+        log_to_driver=False,
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from networkit_ray.graph.bsp import build_pgraph
+    from networkit_ray.graph.build import canonicalize, degree_table, symmetrize
+    from networkit_ray.graph.components import connected_components_refs
+    from networkit_ray.graph.pagerank import pagerank_refs
+    from networkit_ray.graph.plp import plp_refs
+    from networkit_ray.graph.triangles import triangle_count
+    from networkit_ray.sources.derive import derived_edges
+    from networkit_ray.sources.synth import rmat_edges
+    from networkit_ray.web.extract import extract_edges
+    from networkit_ray.web.htmlgen import num_documents, pages_dataset
+
+    queries: dict[str, float] = {}
+    t_total = time.perf_counter()
+
+    # ---- R-MAT kernel throughput (the north-rule metric) -------------
+    log(f"generating R-MAT scale={rmat_scale} ef=16 ...")
+    t0 = time.perf_counter()
+    edges, n = rmat_edges(rmat_scale, 16)
+    edges = edges.materialize()
+    m = edges.count()
+    queries["rmat_generate"] = time.perf_counter() - t0
+    log(f"R-MAT: n={n} m={m} in {queries['rmat_generate']:.1f}s")
+
+    t0 = time.perf_counter()
+    g = build_pgraph(edges, n)
+    # building is lazy (refs); force by running one superstep warmup below
+    refs, info = pagerank_refs(g, tol=0.0, max_iterations=1)
+    queries["csr_build_plus_warmup"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    refs, info = pagerank_refs(g, tol=0.0, max_iterations=supersteps)
+    dt = time.perf_counter() - t0
+    queries["pagerank_supersteps"] = dt
+    pr_eps = m * supersteps / dt
+    log(f"pagerank: {supersteps} supersteps in {dt:.2f}s → {pr_eps/1e6:.1f}M edges/s/superstep")
+
+    t0 = time.perf_counter()
+    refs, info = pagerank_refs(g, tol=1e-6, norm="l1")
+    queries["pagerank_converge"] = time.perf_counter() - t0
+    pr_iters = info["iterations"]
+    log(f"pagerank converged (L1≤1e-6) in {pr_iters} iters, {queries['pagerank_converge']:.2f}s")
+
+    t0 = time.perf_counter()
+    sym = symmetrize(edges).materialize()
+    queries["symmetrize"] = time.perf_counter() - t0
+    gs = build_pgraph(sym, n)
+
+    t0 = time.perf_counter()
+    _, cc_info = connected_components_refs(gs)
+    queries["connected_components"] = time.perf_counter() - t0
+    log(f"cc: {cc_info['iterations']} supersteps, {queries['connected_components']:.2f}s")
+
+    t0 = time.perf_counter()
+    _, plp_info = plp_refs(gs, max_iterations=5, update_threshold=0)
+    dt = time.perf_counter() - t0
+    queries["plp_5_iters"] = dt
+    sym_m = sym.count()
+    plp_eps = sym_m * 5 / dt
+    log(f"plp: 5 iters in {dt:.2f}s → {plp_eps/1e6:.1f}M edge-scans/s/iter")
+
+    # ---- sf-dir pipelines -------------------------------------------
+    t0 = time.perf_counter()
+    e2, n2 = derived_edges(sf_dir)
+    e2 = e2.materialize()
+    queries["derive_edges"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    degree_table(e2).materialize()
+    queries["degree_table"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    canon = canonicalize(e2).materialize()
+    tc = triangle_count(canon, n2)
+    queries["triangles"] = time.perf_counter() - t0
+    log(f"triangles on derived sf graph: {tc} in {queries['triangles']:.2f}s")
+
+    t0 = time.perf_counter()
+    pages = pages_dataset(sf_dir)
+    nd = num_documents(sf_dir)
+    web_edges = extract_edges(pages, ids="hash").materialize()
+    queries["web_extract"] = time.perf_counter() - t0
+    log(f"web extract: {web_edges.count()} edges from {nd} pages in {queries['web_extract']:.2f}s")
+
+    t0 = time.perf_counter()
+    import ray.data
+
+    from networkit_ray.dedup.minhash import candidate_pairs
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    cp = candidate_pairs(docs).count()
+    queries["minhash_candidates"] = time.perf_counter() - t0
+    log(f"minhash: {cp} candidate pairs in {queries['minhash_candidates']:.2f}s")
+
+    t0 = time.perf_counter()
+    from networkit_ray.ann.search import brute_force_topk
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    brute_force_topk(emb, list(range(8)), k=10).to_pandas()
+    queries["ann_topk"] = time.perf_counter() - t0
+
+    total = time.perf_counter() - t_total
+    result = {
+        "metric": "bench battery wall time (R-MAT kernels + sf pipelines)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in queries.items()},
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "rmat": {"scale": rmat_scale, "n": n, "m": m},
+        "pagerank_edges_per_sec_superstep": round(pr_eps, 0),
+        "plp_edge_scans_per_sec_iter": round(plp_eps, 0),
+        "pagerank_iters_to_1e6": pr_iters,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> None:
+    out = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        log(f"--- scaling run: num_cpus={ncpu} ---")
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        sys.stderr.write(proc.stderr)
+        out[ncpu] = json.loads(proc.stdout.strip().splitlines()[-1])
+    eps8 = out[8]["pagerank_edges_per_sec_superstep"]
+    eps32 = out[32]["pagerank_edges_per_sec_superstep"]
+    eff = (eps32 / eps8) / (32 / 8)
+    print(
+        json.dumps(
+            {
+                "metric": "pagerank superstep throughput scaling 8→32 CPUs",
+                "value": round(eff, 3),
+                "unit": "efficiency",
+                "edges_per_sec_8cpu": eps8,
+                "edges_per_sec_32cpu": eps32,
+                "sec_8": out[8]["queries"]["pagerank_supersteps"],
+                "sec_32": out[32]["queries"]["pagerank_supersteps"],
+                "scaling_efficiency": round(eff, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

@@ -37,11 +37,40 @@ def _batch_unique_pairs(t: pa.Table) -> pa.Table:
     return t.group_by(["src", "dst"]).aggregate([])
 
 
+def _dedup_parts() -> int:
+    try:
+        return max(4, min(128, int(ray.cluster_resources().get("CPU", 8)) * 2))
+    except Exception:
+        return 16
+
+
 def dedup_edges(edges: ray.data.Dataset) -> ray.data.Dataset:
-    """Exact (src, dst) dedup: per-batch unique, then one hash shuffle."""
+    """Exact (src, dst) dedup.
+
+    Shape: per-batch partial unique (combiner) → hash-bucket the pairs into
+    ~2×CPU buckets → vectorized unique per bucket.  A per-key
+    ``groupby(src,dst).aggregate`` would create one group per edge (millions
+    of tiny groups — measured ~50× slower); bucketing keeps the shuffle but
+    does the dedup as one Arrow group_by per bucket.
+    """
+    from networkit_ray.common.hashing import vpart
+
+    P = _dedup_parts()
     partial = edges.map_batches(_batch_unique_pairs, batch_format="pyarrow")
-    out = partial.groupby(["src", "dst"]).aggregate(Count(alias_name="_c"))
-    return out.drop_columns(["_c"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        key = src * np.uint64(0x9E3779B97F4A7C15) ^ dst
+        return t.append_column("_b", pa.array(vpart(key, P)))
+
+    def unique_in_bucket(t: pa.Table) -> pa.Table:
+        return t.drop_columns(["_b"]).group_by(
+            [c for c in t.column_names if c != "_b"]
+        ).aggregate([])
+
+    bucketed = partial.map_batches(add_bucket, batch_format="pyarrow")
+    return bucketed.groupby("_b").map_groups(unique_in_bucket, batch_format="pyarrow")
 
 
 def drop_self_loops(edges: ray.data.Dataset) -> ray.data.Dataset:

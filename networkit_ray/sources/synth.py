@@ -1,0 +1,90 @@
+"""Deterministic distributed graph generators (R-MAT, planted partition).
+
+R-MAT follows the reference's quadrant-recursion drawEdge
+(networkit/cpp/generators/RmatGenerator.cpp:54-66) with the fork's benchmark
+parameter grid (Paper/IJPP/vectgraph.tex:719-730), but replaces the serial
+PRNG with counter-based hashing (splitmix64 over the edge index), so the
+edge set is a pure function of (seed, edge_index) — identical at any
+parallelism, partition count, or resume point.  Generation is
+``ray.data.range(m).map_batches`` — an embarrassingly parallel source.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Counter-based uniform uint64 hash (public splitmix64 constants)."""
+    z = x + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def rmat_edges(
+    scale: int,
+    edge_factor: int = 16,
+    *,
+    a: float = 0.57,
+    b: float = 0.19,
+    c: float = 0.19,
+    d: float = 0.05,
+    seed: int = 42,
+) -> tuple[ray.data.Dataset, int]:
+    """R-MAT edge table: n = 2^scale nodes, m = n·edge_factor directed edges.
+
+    Each of the ``scale`` recursion levels consumes one hashed uniform draw
+    per edge: quadrant thresholds (a, a+b, a+b+c) pick the bit of src/dst at
+    that level (RmatGenerator.cpp:54-66 semantics, vectorized).
+    """
+    n = 1 << scale
+    m = n * edge_factor
+    t_ab, t_abc = a + b, a + b + c
+    base = np.uint64(seed) * np.uint64(0x100000001B3)
+
+    def gen(batch: dict) -> pa.Table:
+        idx = batch["id"].astype(np.uint64)
+        src = np.zeros(len(idx), dtype=np.uint64)
+        dst = np.zeros(len(idx), dtype=np.uint64)
+        for level in range(scale):
+            ctr = base + idx * np.uint64(scale) + np.uint64(level)
+            u = _splitmix64(ctr).astype(np.float64) / 2.0**64
+            sbit = ((u >= t_ab)).astype(np.uint64)  # lower half: a|b, upper: c|d
+            dbit = ((u >= t_abc) | ((u >= a) & (u < t_ab))).astype(np.uint64)
+            src = (src << np.uint64(1)) | sbit
+            dst = (dst << np.uint64(1)) | dbit
+        return pa.table(
+            {
+                "src": pa.array(src.astype(np.int64)),
+                "dst": pa.array(dst.astype(np.int64)),
+            }
+        )
+
+    return ray.data.range(m).map_batches(gen, batch_format="numpy"), n
+
+
+def planted_partition(
+    n: int, k: int, *, p_in: float = 1.0, p_out: float = 0.0, seed: int = 7
+) -> tuple[ray.data.Dataset, np.ndarray]:
+    """Planted-partition graph (ClusteredRandomGraphGenerator analog,
+    generators/ClusteredRandomGraphGenerator.cpp) with hash-coin edges.
+
+    Returns (canonical (lo,hi) edge Dataset, ground-truth labels).  Test-
+    scale generator (materializes the pair grid driver-side).
+    """
+    labels = np.arange(n) % k
+    iu, ju = np.triu_indices(n, 1)
+    ctr = np.uint64(seed) + iu.astype(np.uint64) * np.uint64(n) + ju.astype(np.uint64)
+    u = _splitmix64(ctr).astype(np.float64) / 2.0**64
+    same = labels[iu] == labels[ju]
+    keep = np.where(same, u < p_in, u < p_out)
+    t = pa.table(
+        {
+            "src": pa.array(iu[keep].astype(np.int64)),
+            "dst": pa.array(ju[keep].astype(np.int64)),
+        }
+    )
+    return ray.data.from_arrow(t), labels

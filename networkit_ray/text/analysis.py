@@ -97,11 +97,11 @@ def fingerprints(docs: ray.data.Dataset) -> ray.data.Dataset:
         texts = t["text"].to_pylist()
         md5s = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in texts]
         rh = np.empty(len(texts), dtype=np.uint64)
-        B = np.uint64(1000003)
+        MASK = (1 << 64) - 1
         for i, s in enumerate(texts):
-            h = np.uint64(1469598103934665603)
+            h = 1469598103934665603
             for b in s.encode("utf-8"):
-                h = h * B + np.uint64(b)
+                h = (h * 1000003 + b) & MASK
             rh[i] = h
         return pa.table(
             {
