@@ -32,9 +32,10 @@ def exact_dedup_keepers(docs: ray.data.Dataset) -> ray.data.Dataset:
 
 def exact_dedup(docs: ray.data.Dataset) -> ray.data.Dataset:
     """Filter to the kept rows (semi-join against the keeper set on doc_id)."""
+    from networkit_ray.common.exchange import exchange_join
+
     keepers = exact_dedup_keepers(docs).select_columns(["doc_id"])
-    nparts = 4
-    return docs.join(keepers, join_type="left_semi", num_partitions=nparts, on=("doc_id",))
+    return exchange_join(docs, keepers, left_on=["doc_id"], join_type="left semi")
 
 
 def duplicate_stats(docs: ray.data.Dataset) -> dict:

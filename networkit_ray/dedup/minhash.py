@@ -148,13 +148,15 @@ def near_dup_pairs(
                 [("a", pa.int64()), ("b", pa.int64()), ("jaccard", pa.float64())]
             ).empty_table()
         )
+    from networkit_ray.common.exchange import exchange_join
+
     texts = docs.select_columns(["doc_id", "text"])
-    j1 = cand.join(texts, join_type="inner", num_partitions=4, on=("a",), right_on=("doc_id",))
+    j1 = exchange_join(cand, texts, left_on=["a"], right_on=["doc_id"])
     j1 = j1.map_batches(
         lambda t: pa.table({"a": t["a"], "b": t["b"], "text_a": t["text"]}),
         batch_format="pyarrow",
     )
-    j2 = j1.join(texts, join_type="inner", num_partitions=4, on=("b",), right_on=("doc_id",))
+    j2 = exchange_join(j1, texts, left_on=["b"], right_on=["doc_id"])
 
     def verify(t: pa.Table) -> pa.Table:
         ja = np.array(

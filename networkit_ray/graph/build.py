@@ -45,32 +45,19 @@ def _dedup_parts() -> int:
 
 
 def dedup_edges(edges: ray.data.Dataset) -> ray.data.Dataset:
-    """Exact (src, dst) dedup.
+    """Exact (src, dst) dedup via the raw-task hash exchange.
 
-    Shape: per-batch partial unique (combiner) → hash-bucket the pairs into
-    ~2×CPU buckets → vectorized unique per bucket.  A per-key
-    ``groupby(src,dst).aggregate`` would create one group per edge (millions
-    of tiny groups — measured ~50× slower); bucketing keeps the shuffle but
-    does the dedup as one Arrow group_by per bucket.
+    Per-block partial unique (combiner) → split by key hash with
+    ``num_returns=P`` (each reduce task fetches only its slice) → one
+    vectorized Arrow ``group_by`` per partition.  A per-key Ray
+    ``groupby(src, dst).aggregate`` creates one group per edge (tens of
+    millions of 1-row groups — measured ~50× slower), and the Dataset-level
+    bucketed ``groupby.map_groups`` still paid the full hash-shuffle cost;
+    the raw exchange is the same pattern the BSP build uses.
     """
-    from networkit_ray.common.hashing import vpart
+    from networkit_ray.common.exchange import exchange_unique
 
-    P = _dedup_parts()
-    partial = edges.map_batches(_batch_unique_pairs, batch_format="pyarrow")
-
-    def add_bucket(t: pa.Table) -> pa.Table:
-        src = t["src"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        key = src * np.uint64(0x9E3779B97F4A7C15) ^ dst
-        return t.append_column("_b", pa.array(vpart(key, P)))
-
-    def unique_in_bucket(t: pa.Table) -> pa.Table:
-        return t.drop_columns(["_b"]).group_by(
-            [c for c in t.column_names if c != "_b"]
-        ).aggregate([])
-
-    bucketed = partial.map_batches(add_bucket, batch_format="pyarrow")
-    return bucketed.groupby("_b").map_groups(unique_in_bucket, batch_format="pyarrow")
+    return exchange_unique(edges, ["src", "dst"])
 
 
 def drop_self_loops(edges: ray.data.Dataset) -> ray.data.Dataset:
@@ -226,21 +213,17 @@ def compact_ids(edges: ray.data.Dataset) -> tuple[ray.data.Dataset, ray.data.Dat
         lambda t: pa.table({"v": t["dst"].combine_chunks().unique()}),
         batch_format="pyarrow",
     )
-    ids = src_ids.union(dst_ids).groupby("v").aggregate(Count(alias_name="_c"))
-    ids = ids.drop_columns(["_c"]).sort("v")
+    from networkit_ray.common.exchange import exchange_join, exchange_unique
+
+    ids = exchange_unique(src_ids.union(dst_ids), ["v"]).sort("v")
     mapping = zip_with_index(ids, "idx").materialize()
 
-    nparts = max(2, min(32, mapping.count() // 10000 + 2))
-    e1 = edges.join(
-        mapping, join_type="inner", num_partitions=nparts, on=("src",), right_on=("v",)
-    )
+    e1 = exchange_join(edges, mapping, left_on=["src"], right_on=["v"])
     e1 = e1.map_batches(
         lambda t: pa.table({"src_new": t["idx"], "dst": t["dst"]}),
         batch_format="pyarrow",
     )
-    e2 = e1.join(
-        mapping, join_type="inner", num_partitions=nparts, on=("dst",), right_on=("v",)
-    )
+    e2 = exchange_join(e1, mapping, left_on=["dst"], right_on=["v"])
     remapped = e2.map_batches(
         lambda t: pa.table({"src": t["src_new"], "dst": t["idx"]}),
         batch_format="pyarrow",

@@ -19,6 +19,7 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count, Sum
 
+from networkit_ray.common.exchange import exchange_join
 from networkit_ray.graph.build import zip_with_index
 from networkit_ray.graph.triangles import undirected_degrees
 
@@ -34,20 +35,19 @@ def modularity(
 
     canon = canonical (lo<hi) undirected edge table.
     """
-    np_ = _nparts(num_nodes)
     m = canon.count()
-    e1 = canon.join(labels, join_type="inner", num_partitions=np_, on=("src",), right_on=("v",))
+    e1 = exchange_join(canon, labels, left_on=["src"], right_on=["v"])
     e1 = e1.map_batches(
         lambda t: pa.table({"src": t["src"], "dst": t["dst"], "ls": t["label"]}),
         batch_format="pyarrow",
     )
-    e2 = e1.join(labels, join_type="inner", num_partitions=np_, on=("dst",), right_on=("v",))
+    e2 = exchange_join(e1, labels, left_on=["dst"], right_on=["v"])
     intra = e2.map_batches(
         lambda t: t.filter(pc.equal(t["ls"], t["label"])), batch_format="pyarrow"
     ).count()
 
     deg = undirected_degrees(canon)
-    dl = deg.join(labels, join_type="inner", num_partitions=np_, on=("v",))
+    dl = exchange_join(deg, labels, left_on=["v"])
     vols = dl.groupby("label").aggregate(Sum("deg", alias_name="vol"))
     two_m = 2.0 * m
     sq = vols.map_batches(
@@ -63,17 +63,16 @@ def modularity(
 def assortativity(sym_edges: ray.data.Dataset, num_nodes: int) -> float:
     """Degree assortativity: Pearson r of (deg(src), deg(dst)) over the
     symmetrized edge list — matches DuckDB's corr() on the same join."""
-    np_ = _nparts(num_nodes)
     # degree over the symmetrized table = out-degree per src
     from networkit_ray.graph.build import degree_table
 
     deg = degree_table(sym_edges, key="src").materialize()
-    e1 = sym_edges.join(deg, join_type="inner", num_partitions=np_, on=("src",), right_on=("v",))
+    e1 = exchange_join(sym_edges, deg, left_on=["src"], right_on=["v"])
     e1 = e1.map_batches(
         lambda t: pa.table({"dst": t["dst"], "dx": pc.cast(t["deg"], pa.float64())}),
         batch_format="pyarrow",
     )
-    e2 = e1.join(deg, join_type="inner", num_partitions=np_, on=("dst",), right_on=("v",))
+    e2 = exchange_join(e1, deg, left_on=["dst"], right_on=["v"])
 
     def moments(t: pa.Table) -> pa.Table:
         x = t["dx"].to_numpy(zero_copy_only=False)
@@ -111,7 +110,7 @@ def compact_partition(labels: ray.data.Dataset) -> ray.data.Dataset:
     """Partition::compact — relabel to dense 0..k-1 by ascending old label."""
     distinct = subset_sizes(labels).select_columns(["label"]).sort("label")
     mapping = zip_with_index(distinct, "new_label").materialize()
-    out = labels.join(mapping, join_type="inner", num_partitions=4, on=("label",))
+    out = exchange_join(labels, mapping, left_on=["label"])
     return out.map_batches(
         lambda t: pa.table({"v": t["v"], "label": t["new_label"]}),
         batch_format="pyarrow",
@@ -123,19 +122,17 @@ def partition_intersection(
 ) -> ray.data.Dataset:
     """Meet of two partitions: cells = nonempty (l1, l2) pairs, relabeled
     densely in ascending (l1, l2) order. Returns (v, label)."""
-    np_ = _nparts(num_nodes)
+    from networkit_ray.common.exchange import exchange_unique
+
     l2r = labels2.map_batches(
         lambda t: pa.table({"v": t["v"], "label2": t["label"]}), batch_format="pyarrow"
     )
-    j = labels1.join(l2r, join_type="inner", num_partitions=np_, on=("v",))
-    pairs = (
-        j.groupby(["label", "label2"])
-        .aggregate(Count(alias_name="_c"))
-        .drop_columns(["_c"])
-        .sort(["label", "label2"])
+    j = exchange_join(labels1, l2r, left_on=["v"]).materialize()
+    pairs = exchange_unique(j.select_columns(["label", "label2"]), ["label", "label2"]).sort(
+        ["label", "label2"]
     )
     mapping = zip_with_index(pairs, "new_label").materialize()
-    out = j.join(mapping, join_type="inner", num_partitions=np_, on=("label", "label2"))
+    out = exchange_join(j, mapping, left_on=["label", "label2"])
     return out.map_batches(
         lambda t: pa.table({"v": t["v"], "label": t["new_label"]}),
         batch_format="pyarrow",

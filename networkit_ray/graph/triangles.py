@@ -11,17 +11,18 @@ and TriangleEdgeScore (edgescores/TriangleEdgeScore.cpp:20-122):
   skew control for web-graph hubs (a deg-200k hub fans out only to
   higher-rank vertices);
 - wedges: for each vertex u, all rank-ordered pairs (a, b) of oriented
-  out-neighbors — generated per-group via ``groupby(u).map_groups``;
+  out-neighbors — generated per hash partition of the corner vertex;
 - closure: hash-join wedges against the oriented edge set on (a, b) — each
   triangle is found exactly once, at its lowest-rank corner;
-- per-vertex counts: every triangle credits its three corners →
-  ``groupby(v).count``;
+- per-vertex counts: every triangle credits its three corners;
 - score: c(u) = 2·tri(u) / (deg(u)·(deg(u)−1)), 0 when deg<2
   (LocalClusteringCoefficient.cpp:50-52,82-83); maximum() = 1.
 
-Shuffle keys (documented partitioning assumptions): orientation joins on the
-edge endpoints, wedge grouping on the low-rank corner, closure join on
-(a, b).  All steps are Dataset-native (no BSP needed — non-iterative).
+All wide steps run on the raw-task hash exchange (common/exchange.py):
+Ray 2.49's Dataset.join / per-key map_groups pay seconds of fixed actor
+overhead per call, pathological for this 4-join pipeline.  Shuffle keys
+(documented partitioning assumptions): orientation joins on each endpoint,
+wedge grouping on the low-rank corner, closure join on (a, b).
 
 Rank encoding: rank = deg·n + id packed into int64 — valid while
 deg·n + id < 2^63, i.e. up to ~3e9 vertices; beyond that switch to a struct
@@ -31,14 +32,13 @@ sort key.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Sum
 
+from networkit_ray.common.exchange import exchange_join, partition_refs
 from networkit_ray.common.schema import enforce_schema
-from networkit_ray.graph.build import canonicalize, dedup_edges
 
 
 def undirected_degrees(canon: ray.data.Dataset) -> ray.data.Dataset:
@@ -56,21 +56,16 @@ def undirected_degrees(canon: ray.data.Dataset) -> ray.data.Dataset:
     return partial.groupby("v").aggregate(Sum("_pc", alias_name="deg"))
 
 
-def _join_parts(n_rows_hint: int) -> int:
-    return max(2, min(64, n_rows_hint // 500_000 + 2))
-
-
 def oriented_edges(
     canon: ray.data.Dataset, deg: ray.data.Dataset, num_nodes: int
 ) -> ray.data.Dataset:
     """Orient canonical edges low-rank → high-rank; columns (a, b, rb).
 
     rb = packed rank of b, kept so wedge generation can order neighbors
-    without a third join.
+    without a third join.  Two hash-exchange joins against the degree table.
     """
     n = num_nodes
-    nparts = _join_parts(num_nodes)
-    e1 = canon.join(deg, join_type="inner", num_partitions=nparts, on=("src",), right_on=("v",))
+    e1 = exchange_join(canon, deg, left_on=["src"], right_on=["v"])
     e1 = e1.map_batches(
         lambda t: pa.table(
             {
@@ -84,7 +79,7 @@ def oriented_edges(
         ),
         batch_format="pyarrow",
     )
-    e2 = e1.join(deg, join_type="inner", num_partitions=nparts, on=("dst",), right_on=("v",))
+    e2 = exchange_join(e1, deg, left_on=["dst"], right_on=["v"])
 
     def orient(t: pa.Table) -> pa.Table:
         src = t["src"].to_numpy(zero_copy_only=False)
@@ -100,53 +95,76 @@ def oriented_edges(
     return e2.map_batches(orient, batch_format="pyarrow")
 
 
-def _wedges_group(g: pd.DataFrame) -> pd.DataFrame:
-    """All rank-ordered out-neighbor pairs of one corner vertex.
+@ray.remote
+def _wedges_part(*tables):
+    """Wedges for one hash partition of corner vertices.
 
-    Output columns are named (x, y, corner) — distinct from the group key
-    ``a`` so map_groups key reattachment can't create duplicate columns.
+    Input slices hold ALL oriented out-edges of each corner assigned here;
+    neighbors are rank-sorted and all ordered pairs emitted.  The per-group
+    pair expansion loops over corners with numpy bodies — fine up to ~10^5
+    corners per partition; the oriented out-degree is O(√m) so no corner
+    explodes.
     """
-    g = g.sort_values("rb")
-    nb = g["b"].to_numpy()
-    k = len(nb)
-    if k < 2:
-        return pd.DataFrame(
-            {"x": np.empty(0, np.int64), "y": np.empty(0, np.int64),
-             "corner": np.empty(0, np.int64)}
-        )
-    iu, ju = np.triu_indices(k, 1)
-    return pd.DataFrame(
-        {"x": nb[iu], "y": nb[ju], "corner": np.full(len(iu), g["a"].iloc[0])}
+    ts = [t for t in tables if t is not None]
+    if not ts:
+        return None
+    t = pa.concat_tables(ts)
+    a = t["a"].to_numpy(zero_copy_only=False)
+    b = t["b"].to_numpy(zero_copy_only=False)
+    rb = t["rb"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((rb, a))
+    a, b = a[order], b[order]
+    change = np.empty(len(a), dtype=bool)
+    change[0] = True
+    change[1:] = a[1:] != a[:-1]
+    starts = np.flatnonzero(change)
+    ends = np.append(starts[1:], len(a))
+    xs, ys, cs = [], [], []
+    for s, e in zip(starts, ends):
+        k = e - s
+        if k < 2:
+            continue
+        nb = b[s:e]
+        iu, ju = np.triu_indices(k, 1)
+        xs.append(nb[iu])
+        ys.append(nb[ju])
+        cs.append(np.full(len(iu), a[s]))
+    if not xs:
+        return None
+    return pa.table(
+        {
+            "x": pa.array(np.concatenate(xs).astype(np.int64)),
+            "y": pa.array(np.concatenate(ys).astype(np.int64)),
+            "corner": pa.array(np.concatenate(cs).astype(np.int64)),
+        }
     )
 
 
 def triangle_corners(oriented: ray.data.Dataset) -> ray.data.Dataset:
-    """Triangle rows (corner, x, y): one row per triangle, found at its
-    lowest-rank corner; closure via hash join on (a, b).
+    """Triangle rows (x, y, corner): one row per triangle, found at its
+    lowest-rank corner; closure via the (a, b) hash-exchange join.
 
     ``oriented`` is materialized: it feeds both the wedge branch and the
-    closure probe side, and forking an unmaterialized join lineage both
-    recomputes the two degree joins and trips Ray 2.49's hash-shuffle join
-    planner (schema resolution on the forked branch).  It is O(m) — the same
-    footprint the BSP engine pins for the iterative kernels.
+    closure probe side (and re-deriving would redo the two degree joins).
     """
     oriented = oriented.materialize()
+    P = max(2, min(64, int(ray.cluster_resources().get("CPU", 8))))
+    slices = partition_refs(oriented, ["a"], P)
+    wedge_refs = [_wedges_part.remote(*[s[p] for s in slices]) for p in range(P)]
+    keep = [r for r, ok in zip(wedge_refs, ray.get([_nonnull.remote(w) for w in wedge_refs])) if ok]
     wedge_schema = pa.schema([("x", pa.int64()), ("y", pa.int64()), ("corner", pa.int64())])
-    wedges = oriented.groupby("a").map_groups(_wedges_group, batch_format="pandas")
-    wedges = enforce_schema(wedges, wedge_schema)
-    if wedges.count() == 0:
-        # Ray 2.49 hash-join raises on an empty left input; short-circuit
+    if not keep:
         return ray.data.from_arrow(wedge_schema.empty_table())
+    wedges = ray.data.from_arrow_refs(keep)
     edge_keys = oriented.select_columns(["a", "b"])
-    nparts = 8
-    closed = wedges.join(
-        edge_keys,
-        join_type="inner",
-        num_partitions=nparts,
-        on=("x", "y"),
-        right_on=("a", "b"),
+    return exchange_join(
+        wedges, edge_keys, left_on=["x", "y"], right_on=["a", "b"], join_type="left semi"
     )
-    return closed
+
+
+@ray.remote
+def _nonnull(t) -> bool:
+    return t is not None
 
 
 def triangles_per_vertex(
@@ -188,25 +206,17 @@ def local_clustering_coefficient(
     """
     deg = undirected_degrees(canon).materialize()
     tri = triangles_per_vertex(canon, num_nodes, deg).materialize()
-    if tri.count() == 0:  # triangle-free: avoid empty-side join (Ray 2.49 bug)
-        return deg.map_batches(
-            lambda t: pa.table(
-                {
-                    "v": t["v"],
-                    "deg": t["deg"],
-                    "tri": pa.array(np.zeros(t.num_rows, np.int64)),
-                    "lcc": pa.array(np.zeros(t.num_rows, np.float64)),
-                }
-            ),
-            batch_format="pyarrow",
-        )
-    nparts = _join_parts(num_nodes)
-    joined = deg.join(tri, join_type="left_outer", num_partitions=nparts, on=("v",))
+    joined = exchange_join(
+        deg, tri, left_on=["v"], join_type="left outer"
+    )
 
     def score(t: pa.Table) -> pa.Table:
         d = t["deg"].to_numpy(zero_copy_only=False).astype(np.float64)
-        tr = t["tri"].to_numpy(zero_copy_only=False)
-        tr = np.where(np.isnan(tr.astype(np.float64)), 0.0, tr).astype(np.float64)
+        if "tri" in t.column_names:
+            tr = t["tri"].to_numpy(zero_copy_only=False).astype(np.float64)
+            tr = np.where(np.isnan(tr), 0.0, tr)
+        else:  # left-outer against an empty triangle set
+            tr = np.zeros(len(d))
         lcc = np.zeros(len(d))
         mask = d >= 2
         lcc[mask] = 2.0 * tr[mask] / (d[mask] * (d[mask] - 1.0))
