@@ -46,18 +46,18 @@ from networkit_ray.common.hashing import vpart
 
 
 def default_num_parts(num_edges: int | None = None) -> int:
-    """Partition count: capped by CPUs, scaled to ~3M edges per partition.
+    """Partition count: capped by CPUs, scaled to ~2M edges per partition.
 
     Per-superstep overhead is O(P²) exchange objects + 2P tasks; with tiny
     per-partition compute, oversized P makes fixed task overhead dominate
     (measured: scale-20 R-MAT ran FASTER at P=8 than P=32 on 32 CPUs).  At
-    100 TB scale num_edges/3M hits the CPU cap and P = cluster parallelism.
+    100 TB scale num_edges/2M hits the CPU cap and P = cluster parallelism.
     """
     n_cpus = int(ray.cluster_resources().get("CPU", 8))
     cap = max(2, min(64, n_cpus))
     if num_edges is None:
         return cap
-    return max(2, min(cap, -(-num_edges // 3_000_000)))
+    return max(2, min(cap, -(-num_edges // 2_000_000)))
 
 
 @ray.remote
