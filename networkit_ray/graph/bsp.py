@@ -99,8 +99,52 @@ def _shuffle_edges(t: pa.Table, num_parts: int, weighted: bool) -> tuple:
     return tuple(out)
 
 
+def _make_chunks(
+    group_starts: np.ndarray,
+    uniq_dst_local: np.ndarray,
+    dst_part_per_group: np.ndarray,
+    num_edges: int,
+    num_parts: int,
+    chunk_size: int,
+) -> list[dict]:
+    """Split a block's grouped edge range into ~chunk_size-edge chunks.
+
+    This is the explicit skew control: a partition that owns web-hub
+    vertices (or any over-full partition) is processed by MULTIPLE map tasks
+    per superstep — the distributed analog of splitting a hot vertex into
+    virtual sub-vertices with salted partial aggregates; the reduce side
+    already combines any number of partials per destination, so correctness
+    is unaffected by the chunk count (tested).  Chunk boundaries land on
+    (dst_part, dst_local) group boundaries so per-chunk reduceat stays exact.
+    """
+    if num_edges <= chunk_size + chunk_size // 2 or not len(group_starts):
+        return []
+    edge_ends = np.append(group_starts[1:], num_edges)
+    chunks = []
+    g0 = 0
+    while g0 < len(group_starts):
+        start_edge = group_starts[g0]
+        g1 = int(np.searchsorted(edge_ends, start_edge + chunk_size, side="left")) + 1
+        g1 = min(g1, len(group_starts))
+        end_edge = int(edge_ends[g1 - 1])
+        gs_abs = group_starts[g0:g1]
+        dstp = dst_part_per_group[g0:g1]
+        gb = np.searchsorted(dstp, np.arange(num_parts + 1))
+        chunks.append(
+            {
+                "start": int(start_edge),
+                "end": end_edge,
+                "gs_rel": (gs_abs - start_edge).astype(np.int64),
+                "uniq": uniq_dst_local[g0:g1],
+                "gb": gb,
+            }
+        )
+        g0 = g1
+    return chunks
+
+
 @ray.remote
-def _build_block(part: int, vids: np.ndarray, num_parts: int, all_vids: list, *slices) -> dict:
+def _build_block(part: int, vids: np.ndarray, num_parts: int, all_vids: list, chunk_size: int, *slices) -> dict:
     """Assemble partition ``part``'s CSR block from its shuffle slices.
 
     Pre-computes everything per-edge that is superstep-invariant: local src
@@ -154,7 +198,13 @@ def _build_block(part: int, vids: np.ndarray, num_parts: int, all_vids: list, *s
         uniq_dst_local = np.empty(0, np.int64)
         group_bounds = np.zeros(num_parts + 1, np.int64)
 
+    chunks = _make_chunks(
+        group_starts, uniq_dst_local, dp_sorted[group_starts] if len(group_starts) else np.empty(0, np.int64),
+        len(dl_sorted), num_parts, chunk_size,
+    )
+
     return {
+        "chunks": chunks,
         "part": part,
         "vids": vids,
         "indptr": indptr,
@@ -181,9 +231,32 @@ class PGraph:
     vid_refs: list  # P refs → sorted uint64 vertex ids per partition
     block_refs: list  # P refs → CSR block dicts (see _build_block)
     weighted: bool
+    chunk_counts: list | None = None  # per-partition map-task count (skew splitting)
 
     def part_sizes(self) -> list[int]:
         return [len(v) for v in ray.get(self.vid_refs)]
+
+    def map_units(self) -> list[tuple[int, int]]:
+        """(partition, chunk) pairs — one map task per unit per superstep.
+
+        chunk = -1 means the whole partition (no skew splitting needed).
+        """
+        if self.chunk_counts is None:
+            self.chunk_counts = ray.get(
+                [_block_chunk_count.remote(b) for b in self.block_refs]
+            )
+        units = []
+        for p, c in enumerate(self.chunk_counts):
+            if c == 0:
+                units.append((p, -1))
+            else:
+                units.extend((p, i) for i in range(c))
+        return units
+
+
+@ray.remote
+def _block_chunk_count(block: dict) -> int:
+    return len(block["chunks"])
 
 
 def build_pgraph(
@@ -192,27 +265,32 @@ def build_pgraph(
     *,
     num_parts: int | None = None,
     weighted: bool = False,
+    chunk_size: int | None = None,
 ) -> PGraph:
     """Build the partitioned CSR representation of an edge Dataset.
 
     ``edges``: (src, dst[, w]) — directed as given; pass a symmetrized table
     for undirected kernels.  ``num_nodes``: dense universe 0..num_nodes-1
     (hash-derived sparse universes go through compact_ids first or pass an
-    explicit vertex Dataset — see build.compact_ids).
+    explicit vertex Dataset — see build.compact_ids).  ``chunk_size``
+    overrides the skew-splitting threshold (tests; default ≈ mean edge load).
     """
     edge_refs = edges.to_arrow_refs()
-    if num_parts:
-        P = num_parts
-    else:
-        m = sum(ray.get([_block_rows.remote(r) for r in edge_refs]))
-        P = default_num_parts(m)
+    m = sum(ray.get([_block_rows.remote(r) for r in edge_refs]))
+    P = num_parts if num_parts else default_num_parts(m)
+    # skew splitting: a partition gets multiple map tasks once it exceeds
+    # ~1.5× the mean edge load (hot web-hub sources concentrate out-edges)
+    if chunk_size is None:
+        chunk_size = max(200_000, -(-m // P))
     vid_refs = list(_dense_vids.options(num_returns=P).remote(num_nodes, P))
     slice_refs = [
         _shuffle_edges.options(num_returns=P).remote(r, P, weighted) for r in edge_refs
     ]
     all_vids_ref = ray.put(ray.get(vid_refs))  # list of P arrays, fetched per build task
     block_refs = [
-        _build_block.remote(p, vid_refs[p], P, all_vids_ref, *[s[p] for s in slice_refs])
+        _build_block.remote(
+            p, vid_refs[p], P, all_vids_ref, chunk_size, *[s[p] for s in slice_refs]
+        )
         for p in range(P)
     ]
     return PGraph(P, num_nodes, vid_refs, block_refs, weighted)
@@ -232,33 +310,39 @@ def state_to_dataset(g: PGraph, state_refs: list, col: str) -> ray.data.Dataset:
     return ray.data.from_arrow_refs(refs)
 
 
-def aggregate_messages(block: dict, edge_values: np.ndarray) -> list[tuple[np.ndarray, np.ndarray]]:
-    """Sum ``edge_values`` per destination vertex, split by destination partition.
+def chunk_edge_index(block: dict, chunk: int) -> np.ndarray:
+    """Original-order edge indices handled by (block, chunk)."""
+    if chunk < 0:
+        return block["edge_order"]
+    c = block["chunks"][chunk]
+    return block["edge_order"][c["start"] : c["end"]]
 
-    Returns, for each target partition q, (uniq_dst_local, sums).  Uses the
-    block's precomputed grouped ordering — O(E) adds, no sort.
-    """
+
+def _reduceat_messages(block: dict, edge_values_ordered: np.ndarray, chunk: int, op) -> list:
+    """Shared grouped-aggregation core; ``edge_values_ordered`` is already in
+    the (chunk's) grouped edge order."""
     P = len(block["part_bounds"]) - 1
-    gs = block["group_starts"]
+    if chunk < 0:
+        gs, uniq, gb = block["group_starts"], block["uniq_dst_local"], block["group_bounds"]
+    else:
+        c = block["chunks"][chunk]
+        gs, uniq, gb = c["gs_rel"], c["uniq"], c["gb"]
     if not len(gs):
         empty = np.empty(0, np.int64), np.empty(0, np.float64)
         return [empty] * P
-    vals_ordered = edge_values[block["edge_order"]]
-    sums = np.add.reduceat(vals_ordered, gs)
-    gb = block["group_bounds"]
-    uniq = block["uniq_dst_local"]
-    return [(uniq[gb[q] : gb[q + 1]], sums[gb[q] : gb[q + 1]]) for q in range(P)]
+    agg = op.reduceat(edge_values_ordered, gs)
+    return [(uniq[gb[q] : gb[q + 1]], agg[gb[q] : gb[q + 1]]) for q in range(P)]
 
 
-def min_messages(block: dict, edge_values: np.ndarray) -> list[tuple[np.ndarray, np.ndarray]]:
-    """Min of ``edge_values`` per destination vertex, split by partition."""
-    P = len(block["part_bounds"]) - 1
-    gs = block["group_starts"]
-    if not len(gs):
-        empty = np.empty(0, np.int64), np.empty(0, edge_values.dtype)
-        return [empty] * P
-    vals_ordered = edge_values[block["edge_order"]]
-    mins = np.minimum.reduceat(vals_ordered, gs)
-    gb = block["group_bounds"]
-    uniq = block["uniq_dst_local"]
-    return [(uniq[gb[q] : gb[q + 1]], mins[gb[q] : gb[q + 1]]) for q in range(P)]
+def aggregate_messages(block: dict, edge_values_ordered: np.ndarray, chunk: int = -1) -> list:
+    """Sum per destination vertex, split by destination partition.
+
+    ``edge_values_ordered`` must be indexed by :func:`chunk_edge_index`
+    (grouped order).  O(E) adds via reduceat — no per-superstep sort.
+    """
+    return _reduceat_messages(block, edge_values_ordered, chunk, np.add)
+
+
+def min_messages(block: dict, edge_values_ordered: np.ndarray, chunk: int = -1) -> list:
+    """Min per destination vertex, split by destination partition."""
+    return _reduceat_messages(block, edge_values_ordered, chunk, np.minimum)

@@ -30,7 +30,7 @@ import ray
 import ray.data
 
 from networkit_ray.graph import bsp
-from networkit_ray.graph.bsp import PGraph, build_pgraph, min_messages
+from networkit_ray.graph.bsp import PGraph, build_pgraph, chunk_edge_index, min_messages
 from networkit_ray.state import checkpoint as ckpt
 
 _SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)  # = "none" (Globals.hpp:31), no message
@@ -42,12 +42,13 @@ def _cc_init(vids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 @ray.remote
-def _cc_map(block: dict, state: tuple) -> tuple:
+def _cc_map(block: dict, state: tuple, chunk: int) -> tuple:
     labels, active = state
-    per_edge = labels[block["src_local"]]
+    src_local = block["src_local"][chunk_edge_index(block, chunk)]
+    per_edge = labels[src_local]
     if not active.all():
-        per_edge = np.where(active[block["src_local"]], per_edge, _SENTINEL)
-    return tuple(min_messages(block, per_edge))
+        per_edge = np.where(active[src_local], per_edge, _SENTINEL)
+    return tuple(min_messages(block, per_edge, chunk))
 
 
 @ray.remote(num_returns=2)
@@ -87,14 +88,15 @@ def connected_components_refs(
         state = [_cc_init.remote(g.vid_refs[p]) for p in range(P)]
 
     iteration = start_iter
+    units = g.map_units()
     while iteration < max_iterations:
         map_out = [
-            _cc_map.options(num_returns=P).remote(g.block_refs[p], state[p])
-            for p in range(P)
+            _cc_map.options(num_returns=P).remote(g.block_refs[p], state[p], c)
+            for p, c in units
         ]
         new_state, count_refs = [], []
         for q in range(P):
-            s, c = _cc_reduce.remote(state[q], *[map_out[p][q] for p in range(P)])
+            s, c = _cc_reduce.remote(state[q], *[mo[q] for mo in map_out])
             new_state.append(s)
             count_refs.append(c)
         changed = sum(ray.get(count_refs))

@@ -28,7 +28,12 @@ import ray
 import ray.data
 
 from networkit_ray.graph import bsp
-from networkit_ray.graph.bsp import PGraph, aggregate_messages, build_pgraph
+from networkit_ray.graph.bsp import (
+    PGraph,
+    aggregate_messages,
+    build_pgraph,
+    chunk_edge_index,
+)
 from networkit_ray.state import checkpoint as ckpt
 
 
@@ -50,9 +55,10 @@ def _pr_init(vids: np.ndarray, n: int) -> np.ndarray:
 
 
 @ray.remote
-def _pr_map(block: dict, coef: np.ndarray, scores: np.ndarray) -> tuple:
-    vals = scores[block["src_local"]] * coef
-    return tuple(aggregate_messages(block, vals))
+def _pr_map(block: dict, coef: np.ndarray, scores: np.ndarray, chunk: int) -> tuple:
+    idx = chunk_edge_index(block, chunk)
+    vals = scores[block["src_local"][idx]] * coef[idx]
+    return tuple(aggregate_messages(block, vals, chunk))
 
 
 @ray.remote(num_returns=2)
@@ -111,15 +117,18 @@ def pagerank_refs(
     iteration = start_iter
     residual = float("inf")
     max_it = max_iterations if max_iterations is not None else 10**9
+    units = g.map_units()
     while iteration < max_it:
         map_out = [
-            _pr_map.options(num_returns=P).remote(g.block_refs[p], coef_refs[p], scores[p])
-            for p in range(P)
+            _pr_map.options(num_returns=P).remote(
+                g.block_refs[p], coef_refs[p], scores[p], c
+            )
+            for p, c in units
         ]
         new_scores, stat_refs = [], []
         for q in range(P):
             s, st = _pr_reduce.remote(
-                scores[q], damp, n, *[map_out[p][q] for p in range(P)]
+                scores[q], damp, n, *[mo[q] for mo in map_out]
             )
             new_scores.append(s)
             stat_refs.append(st)

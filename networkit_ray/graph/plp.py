@@ -43,17 +43,30 @@ def _plp_init(vids: np.ndarray) -> np.ndarray:
 
 
 @ray.remote
-def _plp_map(block: dict, labels: np.ndarray) -> tuple:
+def _plp_map(block: dict, labels: np.ndarray, chunk: int) -> tuple:
     """Per target partition: (dst_local, label, wsum) partial histograms."""
+    from networkit_ray.graph.bsp import chunk_edge_index
+
     P = len(block["part_bounds"]) - 1
-    order = block["edge_order"]
+    order = chunk_edge_index(block, chunk)
     if not len(order):
         empty = (np.empty(0, np.int64), np.empty(0, np.uint64), np.empty(0, np.float64))
         return tuple([empty] * P)
-    lab = labels[block["src_local"]][order]
+    lab = labels[block["src_local"][order]]
     dl = block["dst_local"][order]
     w = block["w"][order] if block["w"] is not None else np.ones(len(order), np.float64)
-    pb = block["part_bounds"]
+    if chunk < 0:
+        pb = block["part_bounds"]
+    else:
+        # per-target-part edge boundaries within the chunk: first edge of the
+        # first group of each part (groups are part-sorted and contiguous)
+        c = block["chunks"][chunk]
+        gs, gb = c["gs_rel"], c["gb"]
+        n_edges = c["end"] - c["start"]
+        pb = np.array(
+            [gs[gb[q]] if gb[q] < len(gs) else n_edges for q in range(P)] + [n_edges],
+            dtype=np.int64,
+        )
     out = []
     for q in range(P):
         s, e = pb[q], pb[q + 1]
@@ -132,15 +145,16 @@ def plp_refs(
     timing = []
     import time
 
+    units = g.map_units()
     while iteration < max_iterations:
         t0 = time.perf_counter()
         map_out = [
-            _plp_map.options(num_returns=P).remote(g.block_refs[p], labels[p])
-            for p in range(P)
+            _plp_map.options(num_returns=P).remote(g.block_refs[p], labels[p], c)
+            for p, c in units
         ]
         new_labels, count_refs = [], []
         for q in range(P):
-            s, c = _plp_reduce.remote(labels[q], *[map_out[p][q] for p in range(P)])
+            s, c = _plp_reduce.remote(labels[q], *[mo[q] for mo in map_out])
             new_labels.append(s)
             count_refs.append(c)
         n_updated = sum(ray.get(count_refs))

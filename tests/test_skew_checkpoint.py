@@ -1,0 +1,115 @@
+"""Skew splitting (chunked map tasks) and checkpoint/resume for all kernels."""
+
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from networkit_ray.graph import bsp, ref
+from networkit_ray.graph.bsp import build_pgraph, state_to_dataset
+from networkit_ray.graph.components import connected_components_refs
+from networkit_ray.graph.pagerank import pagerank_refs
+from networkit_ray.graph.plp import plp_refs
+
+
+def ds_of(arr):
+    arr = np.asarray(arr, dtype=np.int64)
+    return ray.data.from_arrow(pa.table({"src": arr[:, 0], "dst": arr[:, 1]}))
+
+
+def hub_graph(n_hub_out=3000, n_side=200, seed=5):
+    """One hot source vertex (web-hub skew) + random background edges."""
+    rng = np.random.default_rng(seed)
+    hub = np.column_stack([np.zeros(n_hub_out, np.int64), 1 + np.arange(n_hub_out)])
+    n = n_hub_out + n_side + 1
+    bg = rng.integers(1, n, size=(4 * n_side, 2))
+    bg = bg[bg[:, 0] != bg[:, 1]]
+    edges = np.unique(np.vstack([hub, bg]), axis=0)
+    return edges, n
+
+
+class TestSkewSplitting:
+    def test_chunked_matches_unchunked(self):
+        edges, n = hub_graph()
+        sym = np.unique(np.vstack([edges, edges[:, ::-1]]), axis=0)
+
+        g_plain = build_pgraph(ds_of(edges), n, num_parts=4)
+        g_chunk = build_pgraph(ds_of(edges), n, num_parts=4, chunk_size=400)
+        units = g_chunk.map_units()
+        assert len(units) > g_chunk.num_parts, "hub partition must split into chunks"
+
+        for kwargs in ({"tol": 1e-12}, {"tol": 0.0, "max_iterations": 7}):
+            a, _ = pagerank_refs(g_plain, **kwargs)
+            b, _ = pagerank_refs(g_chunk, **kwargs)
+            pa_ = state_to_dataset(g_plain, a, "score").to_pandas().sort_values("v")
+            pb = state_to_dataset(g_chunk, b, "score").to_pandas().sort_values("v")
+            np.testing.assert_allclose(
+                pa_["score"].to_numpy(), pb["score"].to_numpy(), atol=1e-15
+            )
+
+        gs_plain = build_pgraph(ds_of(sym), n, num_parts=4)
+        gs_chunk = build_pgraph(ds_of(sym), n, num_parts=4, chunk_size=500)
+        assert len(gs_chunk.map_units()) > gs_chunk.num_parts
+        la, _ = connected_components_refs(gs_plain)
+        lb, _ = connected_components_refs(gs_chunk)
+        assert np.array_equal(
+            state_to_dataset(gs_plain, la, "label").to_pandas().sort_values("v")["label"].to_numpy(),
+            state_to_dataset(gs_chunk, lb, "label").to_pandas().sort_values("v")["label"].to_numpy(),
+        )
+
+        pa_l, _ = plp_refs(gs_plain, update_threshold=0, max_iterations=10)
+        pb_l, _ = plp_refs(gs_chunk, update_threshold=0, max_iterations=10)
+        assert np.array_equal(
+            state_to_dataset(gs_plain, pa_l, "label").to_pandas().sort_values("v")["label"].to_numpy(),
+            state_to_dataset(gs_chunk, pb_l, "label").to_pandas().sort_values("v")["label"].to_numpy(),
+        )
+
+
+class TestCheckpointResume:
+    def _graph(self):
+        rng = np.random.default_rng(11)
+        e = np.unique(rng.integers(0, 100, size=(500, 2)), axis=0)
+        e = e[e[:, 0] != e[:, 1]]
+        sym = np.unique(np.vstack([e, e[:, ::-1]]), axis=0)
+        return e, sym, 100
+
+    def test_pagerank_resume_across_partition_counts(self, tmp_path):
+        e, _, n = self._graph()
+        ck = str(tmp_path / "pr")
+        g4 = build_pgraph(ds_of(e), n, num_parts=4)
+        pagerank_refs(g4, tol=0.0, max_iterations=6, checkpoint_dir=ck, checkpoint_every=3)
+        full, _ = pagerank_refs(g4, tol=0.0, max_iterations=12)
+        expect = state_to_dataset(g4, full, "score").to_pandas().sort_values("v")["score"].to_numpy()
+        g3 = build_pgraph(ds_of(e), n, num_parts=3)
+        resumed, info = pagerank_refs(
+            g3, tol=0.0, max_iterations=12, checkpoint_dir=ck, resume=True
+        )
+        assert info["iterations"] == 12
+        got = state_to_dataset(g3, resumed, "score").to_pandas().sort_values("v")["score"].to_numpy()
+        np.testing.assert_allclose(got, expect, atol=1e-15)
+
+    def test_cc_resume(self, tmp_path):
+        _, sym, n = self._graph()
+        ck = str(tmp_path / "cc")
+        g = build_pgraph(ds_of(sym), n, num_parts=3)
+        connected_components_refs(g, max_iterations=2, checkpoint_dir=ck, checkpoint_every=2)
+        resumed, info = connected_components_refs(g, checkpoint_dir=ck, resume=True)
+        got = state_to_dataset(g, resumed, "label").to_pandas().sort_values("v")["label"].to_numpy()
+        expect = ref.components_ref(sym, n)
+        assert np.array_equal(got, expect)
+
+    def test_plp_resume(self, tmp_path):
+        _, sym, n = self._graph()
+        ck = str(tmp_path / "plp")
+        g = build_pgraph(ds_of(sym), n, num_parts=3)
+        plp_refs(g, update_threshold=0, max_iterations=4, checkpoint_dir=ck, checkpoint_every=4)
+        resumed, info = plp_refs(
+            g, update_threshold=0, max_iterations=12, checkpoint_dir=ck, resume=True
+        )
+        full, _ = plp_refs(g, update_threshold=0, max_iterations=12)
+        assert np.array_equal(
+            state_to_dataset(g, resumed, "label").to_pandas().sort_values("v")["label"].to_numpy(),
+            state_to_dataset(g, full, "label").to_pandas().sort_values("v")["label"].to_numpy(),
+        )
