@@ -418,6 +418,59 @@ def q_rmat_edges(sf_dir):
     return edges
 
 
+def q_weighted_degree(sf_dir):
+    import pyarrow.compute as pc
+
+    from networkit_ray.graph.build import weighted_degree_table
+
+    edges, _ = _derived(sf_dir)
+
+    def add_w(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy(zero_copy_only=False)
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        w = ((src + dst) % 7 + 1).astype(np.float64)
+        return t.append_column("w", pa.array(w))
+
+    weighted = edges.map_batches(add_w, batch_format="pyarrow")
+    return weighted_degree_table(weighted)
+
+
+def q_katz(sf_dir):
+    from networkit_ray.graph.centrality import katz
+
+    edges, n = _derived(sf_dir)
+    scores, _ = katz(edges, n, alpha=0.05, beta=1.0, tol=0.0, max_iterations=20)
+    return _round_col(scores, "score", 8)
+
+
+def q_eigenvector(sf_dir):
+    from networkit_ray.graph.centrality import eigenvector
+
+    sym, n = _sym(sf_dir)
+    scores, _ = eigenvector(sym, n, max_iterations=20)
+    return _round_col(scores, "score", 8)
+
+
+def q_bfs_distances(sf_dir):
+    from networkit_ray.graph.bfs import bfs_distances
+
+    edges, n = _derived(sf_dir)
+    d, _ = bfs_distances(edges, n, 0)
+    return d
+
+
+def q_global_clustering(sf_dir):
+    from networkit_ray.common.hashing import round_half_away
+    from networkit_ray.graph.triangles import triangle_count, undirected_degrees
+
+    canon, n = _canon(sf_dir)
+    tri = triangle_count(canon, n)
+    deg = undirected_degrees(canon).to_pandas()["deg"].to_numpy()
+    wedges = float((deg * (deg - 1) // 2).sum())
+    gcc = 3.0 * tri / wedges if wedges else 0.0
+    return pa.table({"global_cc": pa.array(round_half_away([gcc], 8))})
+
+
 # ------- events
 def q_tumbling_window(sf_dir):
     import ray.data
@@ -483,6 +536,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lcc": q_lcc,
         "assortativity": q_assortativity,
         "partition_intersection": q_partition_intersection,
+        "weighted_degree": q_weighted_degree,
+        "katz": q_katz,
+        "eigenvector": q_eigenvector,
+        "bfs_distances": q_bfs_distances,
+        "global_clustering": q_global_clustering,
         "web_text_roundtrip": q_web_text_roundtrip,
         "web_edges": q_web_edges,
         "web_pagerank": q_web_pagerank,
@@ -528,6 +586,42 @@ def _pagerank_sql(edges_sql: str, iters: int) -> str:
         body
         + f"\nSELECT v, ROUND(score / (SELECT SUM(score) FROM s{iters}), 8) AS score FROM s{iters}"
     )
+
+
+def _katz_sql(edges_sql: str, nodes_sql: str, iters: int, alpha: float, beta: float) -> str:
+    parts = [
+        f"WITH e AS MATERIALIZED ({edges_sql})",
+        f"nodes AS MATERIALIZED ({nodes_sql})",
+        "s0 AS MATERIALIZED (SELECT v, 1.0/(SELECT COUNT(*) FROM nodes) AS score FROM nodes)",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"s{k} AS MATERIALIZED (SELECT nodes.v, {beta} + {alpha}*COALESCE(m.inc, 0) AS score "
+            f"FROM nodes LEFT JOIN (SELECT e.dst AS v, SUM(p.score) AS inc "
+            f"FROM e JOIN s{k-1} p ON p.v = e.src GROUP BY e.dst) m ON m.v = nodes.v)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT v, ROUND(score / (SELECT SQRT(SUM(score*score)) FROM s{iters}), 8) AS score FROM s{iters}"
+    )
+
+
+def _eigen_sql(edges_sql: str, nodes_sql: str, iters: int) -> str:
+    parts = [
+        f"WITH e AS MATERIALIZED ({edges_sql})",
+        f"nodes AS MATERIALIZED ({nodes_sql})",
+        "s0 AS MATERIALIZED (SELECT v, 1.0/(SELECT COUNT(*) FROM nodes) AS score FROM nodes)",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"r{k} AS MATERIALIZED (SELECT nodes.v, COALESCE(m.inc, 0) AS score "
+            f"FROM nodes LEFT JOIN (SELECT e.dst AS v, SUM(p.score) AS inc "
+            f"FROM e JOIN s{k-1} p ON p.v = e.src GROUP BY e.dst) m ON m.v = nodes.v)"
+        )
+        parts.append(
+            f"s{k} AS MATERIALIZED (SELECT v, score / (SELECT SQRT(SUM(score*score)) FROM r{k}) AS score FROM r{k})"
+        )
+    return ",\n".join(parts) + f"\nSELECT v, ROUND(score, 8) AS score FROM s{iters}"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -643,6 +737,41 @@ def oracle_sql() -> dict[str, str]:
                        CAST(c_custkey % 4 AS BIGINT) AS l2
                 FROM customer)
             SELECT v, CAST(DENSE_RANK() OVER (ORDER BY l1, l2) - 1 AS BIGINT) AS label FROM pairs
+        """,
+        "weighted_degree": f"""
+            SELECT src AS v, CAST(SUM((src + dst) % 7 + 1) AS DOUBLE) AS wdeg
+            FROM ({DERIVED_EDGES_SQL}) GROUP BY src
+        """,
+        "katz": _katz_sql(
+            DERIVED_EDGES_SQL,
+            "SELECT CAST(c_custkey AS BIGINT) AS v FROM customer",
+            20, 0.05, 1.0,
+        ),
+        "eigenvector": _eigen_sql(
+            SYMMETRIC_EDGES_SQL,
+            "SELECT CAST(c_custkey AS BIGINT) AS v FROM customer",
+            20,
+        ),
+        "bfs_distances": f"""
+            WITH RECURSIVE e AS MATERIALIZED ({DERIVED_EDGES_SQL}),
+            nodes AS (SELECT CAST(c_custkey AS BIGINT) AS v FROM customer),
+            r(v, d) AS (
+                SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+                UNION
+                SELECT e.dst, r.d + 1 FROM r JOIN e ON e.src = r.v WHERE r.d < 64
+            )
+            SELECT n.v, CAST(COALESCE(m.d, -1) AS BIGINT) AS dist
+            FROM nodes n LEFT JOIN (SELECT v, MIN(d) AS d FROM r GROUP BY v) m ON m.v = n.v
+        """,
+        "global_clustering": f"""
+            WITH ce AS MATERIALIZED ({CANONICAL_EDGES_SQL}),
+            deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+                SELECT src AS v FROM ce UNION ALL SELECT dst FROM ce) GROUP BY v),
+            tri AS (SELECT COUNT(*) AS t FROM ce e1
+                    JOIN ce e2 ON e2.src = e1.dst
+                    JOIN ce e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+            wed AS (SELECT SUM(deg * (deg - 1) // 2) AS w FROM deg)
+            SELECT ROUND(3.0 * (SELECT t FROM tri) / (SELECT w FROM wed), 8) AS global_cc
         """,
         "web_text_roundtrip": "SELECT doc_id, text FROM documents",
         "web_edges": WEB_EDGES_SQL,

@@ -1,0 +1,99 @@
+"""BFS hop distances as min-plus supersteps on the BSP engine.
+
+Frontier expansion (networkit/cpp/distance/BFS.cpp) re-expressed exactly
+like hash-min connected components (SURVEY.md §2.12: "BFS = frontier
+expansion ≙ iterative semi-join + distance-min aggregate"): state is the
+tentative distance (∞ sentinel = unreached), each superstep pushes
+dist[src]+1 along out-edges and min-reduces per destination; only vertices
+whose distance changed broadcast next round.  Terminates when no distance
+improves — exactly eccentricity(source) supersteps.
+
+Unreachable vertices keep distance -1 in the output (matching the
+convention of returning no path).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import ray
+import ray.data
+
+from networkit_ray.graph import bsp
+from networkit_ray.graph.bsp import PGraph, build_pgraph, chunk_edge_index, min_messages
+
+_INF = np.uint64(0xFFFFFFFFFFFFFF)  # large sentinel; +1 never overflows uint64
+
+
+@ray.remote
+def _bfs_init(vids: np.ndarray, source: int) -> tuple[np.ndarray, np.ndarray]:
+    dist = np.full(len(vids), _INF, dtype=np.uint64)
+    active = np.zeros(len(vids), dtype=bool)
+    pos = np.searchsorted(vids, np.uint64(source))
+    if pos < len(vids) and vids[pos] == np.uint64(source):
+        dist[pos] = 0
+        active[pos] = True
+    return dist, active
+
+
+@ray.remote
+def _bfs_map(block: dict, state: tuple, chunk: int) -> tuple:
+    dist, active = state
+    src_local = block["src_local"][chunk_edge_index(block, chunk)]
+    per_edge = np.where(active[src_local], dist[src_local] + np.uint64(1), _INF)
+    return tuple(min_messages(block, per_edge, chunk))
+
+
+@ray.remote(num_returns=2)
+def _bfs_reduce(state: tuple, *partials):
+    dist, _ = state
+    new = dist.copy()
+    for idx, mins in partials:
+        if len(idx):
+            np.minimum.at(new, idx, mins)
+    changed = new < dist
+    return (new, changed), int(changed.sum())
+
+
+@ray.remote
+def _bfs_out(state: tuple) -> np.ndarray:
+    dist = state[0]
+    out = dist.astype(np.int64)
+    out[dist >= _INF] = -1
+    return out
+
+
+def bfs_distances(
+    edges: ray.data.Dataset,
+    num_nodes: int,
+    source: int,
+    *,
+    num_parts: int | None = None,
+    max_iterations: int = 10**9,
+) -> tuple[ray.data.Dataset, dict]:
+    """(v, dist) hop distances from ``source`` (-1 = unreachable).
+
+    ``edges`` gives the traversal direction; pass the symmetrized table for
+    undirected BFS.
+    """
+    g = build_pgraph(edges, num_nodes, num_parts=num_parts)
+    P = g.num_parts
+    state = [_bfs_init.remote(g.vid_refs[p], source) for p in range(P)]
+    units = g.map_units()
+    it = 0
+    while it < max_iterations:
+        map_out = [
+            _bfs_map.options(num_returns=P).remote(g.block_refs[p], state[p], c)
+            for p, c in units
+        ]
+        new_state, count_refs = [], []
+        for q in range(P):
+            s, c = _bfs_reduce.remote(state[q], *[mo[q] for mo in map_out])
+            new_state.append(s)
+            count_refs.append(c)
+        changed = sum(ray.get(count_refs))
+        state = new_state
+        it += 1
+        if changed == 0:
+            break
+    dists = [_bfs_out.remote(s) for s in state]
+    return bsp.state_to_dataset(g, dists, "dist"), {"iterations": it}

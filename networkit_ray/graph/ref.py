@@ -136,3 +136,51 @@ def lcc_ref(canon_edges: np.ndarray, n: int) -> np.ndarray:
     mask = deg >= 2
     out[mask] = 2.0 * tri[mask] / (deg[mask] * (deg[mask] - 1.0))
     return out
+
+
+def katz_ref(
+    edges: np.ndarray,
+    n: int,
+    alpha: float = 0.1,
+    beta: float = 1.0,
+    max_iterations: int = 30,
+) -> np.ndarray:
+    """Fixed-iteration Katz, L2-normalized (engine/SQL twin)."""
+    src, dst = edges[:, 0], edges[:, 1]
+    x = np.full(n, 1.0 / n)
+    for _ in range(max_iterations):
+        new = np.full(n, beta)
+        np.add.at(new, dst, alpha * x[src])
+        x = new
+    return x / np.linalg.norm(x)
+
+
+def eigenvector_ref(sym_edges: np.ndarray, n: int, max_iterations: int = 30) -> np.ndarray:
+    """Power iteration with per-step L2 normalization."""
+    src, dst = sym_edges[:, 0], sym_edges[:, 1]
+    x = np.full(n, 1.0 / n)
+    for _ in range(max_iterations):
+        new = np.zeros(n)
+        np.add.at(new, dst, x[src])
+        norm = np.linalg.norm(new)
+        x = new / norm if norm > 0 else new
+    return x
+
+
+def bfs_ref(edges: np.ndarray, n: int, source: int) -> np.ndarray:
+    """Hop distances along directed edges; -1 unreachable."""
+    from collections import deque
+
+    adj = [[] for _ in range(n)]
+    for u, v in edges:
+        adj[int(u)].append(int(v))
+    dist = np.full(n, -1, dtype=np.int64)
+    dist[source] = 0
+    dq = deque([source])
+    while dq:
+        u = dq.popleft()
+        for v in adj[u]:
+            if dist[v] < 0:
+                dist[v] = dist[u] + 1
+                dq.append(v)
+    return dist

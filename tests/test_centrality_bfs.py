@@ -1,0 +1,64 @@
+"""Katz / eigenvector / BFS kernels vs numpy oracles."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from networkit_ray.graph import ref
+from networkit_ray.graph.bfs import bfs_distances
+from networkit_ray.graph.centrality import eigenvector, katz
+
+
+def ds_of(arr):
+    arr = np.asarray(arr, dtype=np.int64)
+    return ray.data.from_arrow(pa.table({"src": arr[:, 0], "dst": arr[:, 1]}))
+
+
+def rand_graph(n, m, seed):
+    rng = np.random.default_rng(seed)
+    e = np.unique(rng.integers(0, n, size=(m, 2)), axis=0)
+    return e[e[:, 0] != e[:, 1]]
+
+
+class TestKatz:
+    def test_fixed_iters_vs_ref(self):
+        e = rand_graph(60, 300, 2)
+        scores, info = katz(ds_of(e), 60, alpha=0.05, tol=0.0, max_iterations=25, num_parts=3)
+        got = scores.to_pandas().sort_values("v")["score"].to_numpy()
+        expect = ref.katz_ref(e, 60, alpha=0.05, max_iterations=25)
+        np.testing.assert_allclose(got, expect, atol=1e-12)
+
+    def test_convergence(self):
+        e = rand_graph(40, 200, 3)
+        scores, info = katz(ds_of(e), 40, alpha=0.05, tol=1e-12)
+        got = scores.to_pandas().sort_values("v")["score"].to_numpy()
+        assert got.min() > 0
+        assert np.linalg.norm(got) == pytest.approx(1.0, abs=1e-9)
+
+
+class TestEigenvector:
+    def test_vs_ref(self):
+        e = rand_graph(50, 400, 4)
+        sym = np.unique(np.vstack([e, e[:, ::-1]]), axis=0)
+        scores, _ = eigenvector(ds_of(sym), 50, max_iterations=40, num_parts=3)
+        got = scores.to_pandas().sort_values("v")["score"].to_numpy()
+        expect = ref.eigenvector_ref(sym, 50, max_iterations=40)
+        np.testing.assert_allclose(got, expect, atol=1e-10)
+
+
+class TestBFS:
+    def test_path_graph(self):
+        e = np.array([[i, i + 1] for i in range(9)])
+        d, info = bfs_distances(ds_of(e), 10, 0, num_parts=2)
+        got = d.to_pandas().sort_values("v")["dist"].to_numpy()
+        assert list(got) == list(range(10))
+        assert info["iterations"] == 10  # 9 improving + 1 fixpoint check
+
+    def test_random_vs_ref_with_unreachable(self):
+        e = rand_graph(80, 160, 6)
+        d, _ = bfs_distances(ds_of(e), 80, 3, num_parts=3)
+        got = d.to_pandas().sort_values("v")["dist"].to_numpy()
+        expect = ref.bfs_ref(e, 80, 3)
+        assert np.array_equal(got, expect)
+        assert (expect == -1).any()  # fixture really exercises unreachable
