@@ -17,10 +17,11 @@ deterministic synchronous (Jacobi) schedule; the fixed point is identical
 superstep-invariant grouped min-aggregation stays O(E) with no re-sort.
 
 The reference's 8-iteration coarsening fallback (:50,82 →
-ParallelPartitionCoarsening) is a constant-factor optimization for
-high-diameter graphs; here each superstep is one P×P exchange and the label
-table stays partitioned, so we run plain hash-min to convergence (a
-contraction fallback can be layered on the same engine later).
+ParallelPartitionCoarsening) addresses high-diameter graphs; the distributed
+equivalent here is POINTER JUMPING (label[u] ← label[label[u]] to fixpoint
+after every edge round once ``shortcut_after`` rounds pass) — O(log²)
+rounds on road-network-like diameters instead of O(diameter), with the
+identical component-min fixed point.
 """
 
 from __future__ import annotations
@@ -29,6 +30,7 @@ import numpy as np
 import ray
 import ray.data
 
+from networkit_ray.common.hashing import vpart
 from networkit_ray.graph import bsp
 from networkit_ray.graph.bsp import PGraph, build_pgraph, chunk_edge_index, min_messages
 from networkit_ray.state import checkpoint as ckpt
@@ -62,14 +64,84 @@ def _cc_reduce(state: tuple, *partials):
     return (new, changed), int(changed.sum())
 
 
+# ---- pointer-jumping shortcut phase (label[u] ← label[label[u]]) ----------
+# High-diameter graphs (road networks, chains) make plain hash-min take
+# O(diameter) supersteps; interleaving pointer jumping halves label-chain
+# lengths every round → O(log² n) total.  A shortcut round is a pull over
+# the label forest: partition p asks vpart(x) for label[x] for every
+# distinct x = label[u] it holds (two small task waves, state-sized not
+# edge-sized).  This replaces the reference's coarsening recursion
+# (ParallelConnectedComponents.cpp:82-94) with the standard shortcutting
+# technique; converged labels are identical (component min ids).
+
+
+@ray.remote
+def _sc_request(state: tuple, num_parts: int) -> tuple:
+    labels, _ = state
+    want = np.unique(labels)
+    parts = vpart(want, num_parts)
+    order = np.argsort(parts, kind="stable")
+    bounds = np.searchsorted(parts[order], np.arange(num_parts + 1))
+    w = want[order]
+    return tuple(w[bounds[q] : bounds[q + 1]] for q in range(num_parts))
+
+
+@ray.remote
+def _sc_respond(vids: np.ndarray, state: tuple, *requests) -> tuple:
+    labels, _ = state
+    out = []
+    for req in requests:
+        idx = np.searchsorted(vids, req)
+        out.append(labels[idx])
+    return tuple(out)
+
+
+@ray.remote(num_returns=2)
+def _sc_apply(state: tuple, nq: int, *arrs):
+    """arrs[:nq] = the request slices this partition sent, arrs[nq:] = the
+    matching responses (varargs so Ray dereferences every slice)."""
+    labels, active = state
+    keys = np.concatenate(arrs[:nq])
+    vals = np.concatenate(arrs[nq:])
+    order = np.argsort(keys)
+    keys, vals = keys[order], vals[order]
+    new = np.minimum(labels, vals[np.searchsorted(keys, labels)])
+    changed = new < labels
+    return (new, active | changed), int(changed.sum())
+
+
+def _shortcut_round(g: PGraph, state: list) -> tuple[list, int]:
+    """One pointer-jumping round over the label forest; returns (state, changed)."""
+    P = g.num_parts
+    reqs = [_sc_request.options(num_returns=P).remote(state[p], P) for p in range(P)]
+    resp = [
+        _sc_respond.options(num_returns=P).remote(
+            g.vid_refs[q], state[q], *[reqs[p][q] for p in range(P)]
+        )
+        for q in range(P)
+    ]
+    new_state, count_refs = [], []
+    for p in range(P):
+        s, c = _sc_apply.remote(
+            state[p], P, *[reqs[p][q] for q in range(P)], *[resp[q][p] for q in range(P)]
+        )
+        new_state.append(s)
+        count_refs.append(c)
+    return new_state, sum(ray.get(count_refs))
+
+
 def connected_components_refs(
     g: PGraph,
     *,
     max_iterations: int = 10**9,
+    shortcut_after: int = 4,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 4,
     resume: bool = False,
 ) -> tuple[list, dict]:
+    """Hash-min supersteps; past ``shortcut_after`` un-converged rounds,
+    each edge round is followed by pointer jumping to fixpoint (see
+    _shortcut_round) so high-diameter graphs converge in O(log²) rounds."""
     P = g.num_parts
     state = None
     start_iter = 0
@@ -88,6 +160,7 @@ def connected_components_refs(
         state = [_cc_init.remote(g.vid_refs[p]) for p in range(P)]
 
     iteration = start_iter
+    total_jumps = 0
     units = g.map_units()
     while iteration < max_iterations:
         map_out = [
@@ -102,17 +175,27 @@ def connected_components_refs(
         changed = sum(ray.get(count_refs))
         state = new_state
         iteration += 1
+        jumps = 0
+        if iteration >= shortcut_after:
+            while True:
+                state, sc_changed = _shortcut_round(g, state)
+                jumps += 1
+                total_jumps += 1
+                if sc_changed == 0:
+                    break
         if checkpoint_dir and iteration % checkpoint_every == 0:
             labels_only = [_state_labels.remote(s) for s in state]
             ckpt.save(
                 checkpoint_dir, "components", iteration, g, labels_only, "label",
                 {"changed": changed},
             )
-        if changed == 0:
+        if changed == 0 and (iteration < shortcut_after or jumps == 1):
+            # edge fixpoint, and (if shortcutting) the final jump confirmed
+            # the label forest is flat
             break
 
     labels = [_state_labels.remote(s) for s in state]
-    return labels, {"iterations": iteration}
+    return labels, {"iterations": iteration, "jumps": total_jumps}
 
 
 @ray.remote

@@ -74,7 +74,15 @@ def _plp_map(block: dict, labels: np.ndarray, chunk: int) -> tuple:
             out.append((np.empty(0, np.int64), np.empty(0, np.uint64), np.empty(0, np.float64)))
             continue
         dq, lq, wq = dl[s:e], lab[s:e], w[s:e]
-        o2 = np.lexsort((lq, dq))  # dq already sorted; group by (dst, label)
+        # group by (dst, label): pack into one sort key when it fits int64
+        # (labels are vertex ids < n; dst_local < n_q) — a single-key argsort
+        # is ~2× a two-key lexsort; fall back to lexsort otherwise
+        max_l = int(lq.max()) if len(lq) else 0
+        if max_l < 2**31 and dq[-1] < 2**31:
+            key = dq.astype(np.int64) * (max_l + 1) + lq.astype(np.int64)
+            o2 = np.argsort(key, kind="stable")
+        else:
+            o2 = np.lexsort((lq, dq))
         dq, lq, wq = dq[o2], lq[o2], wq[o2]
         change = np.empty(len(dq), dtype=bool)
         change[0] = True
@@ -93,7 +101,11 @@ def _plp_reduce(labels: np.ndarray, *partials):
     d = np.concatenate(ds)
     l = np.concatenate([p[1] for p in partials if len(p[0])])
     w = np.concatenate([p[2] for p in partials if len(p[0])])
-    o = np.lexsort((l, d))
+    max_l = int(l.max()) if len(l) else 0
+    if max_l < 2**31 and int(d.max()) < 2**31:
+        o = np.argsort(d.astype(np.int64) * (max_l + 1) + l.astype(np.int64), kind="stable")
+    else:
+        o = np.lexsort((l, d))
     d, l, w = d[o], l[o], w[o]
     change = np.empty(len(d), dtype=bool)
     change[0] = True

@@ -62,3 +62,33 @@ class TestBFS:
         expect = ref.bfs_ref(e, 80, 3)
         assert np.array_equal(got, expect)
         assert (expect == -1).any()  # fixture really exercises unreachable
+
+
+class TestCCCoarsening:
+    def test_long_path_converges_fast(self):
+        # path graph: diameter 1500 — plain hash-min needs ~1500 supersteps;
+        # pointer jumping converges in O(log²)
+        from networkit_ray.graph.components import connected_components
+
+        N = 1500
+        e = np.array([[i, i + 1] for i in range(N - 1)])
+        sym = np.vstack([e, e[:, ::-1]])
+        labels, info = connected_components(ds_of(sym), N, num_parts=3)
+        got = labels.to_pandas().sort_values("v")["label"].to_numpy()
+        assert (got == 0).all()
+        assert info["iterations"] <= 30, info
+        assert info.get("jumps", 0) >= 2
+
+    def test_multi_component_with_coarsening(self):
+        from networkit_ray.graph import ref
+        from networkit_ray.graph.components import connected_components
+
+        # two long paths + isolated vertices
+        a = np.array([[i, i + 1] for i in range(0, 399)])
+        b = np.array([[i, i + 1] for i in range(500, 899)])
+        e = np.vstack([a, b])
+        sym = np.vstack([e, e[:, ::-1]])
+        labels, info = connected_components(ds_of(sym), 1000, num_parts=2)
+        got = labels.to_pandas().sort_values("v")["label"].to_numpy()
+        expect = ref.components_ref(sym, 1000)
+        assert np.array_equal(got, expect)
