@@ -459,6 +459,14 @@ def q_bfs_distances(sf_dir):
     return d
 
 
+def q_core_decomposition(sf_dir):
+    from networkit_ray.graph.core import core_decomposition
+
+    sym, n = _sym(sf_dir)
+    cores, _ = core_decomposition(sym, n)
+    return cores
+
+
 def q_global_clustering(sf_dir):
     from networkit_ray.common.hashing import round_half_away
     from networkit_ray.graph.triangles import triangle_count, undirected_degrees
@@ -541,6 +549,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eigenvector": q_eigenvector,
         "bfs_distances": q_bfs_distances,
         "global_clustering": q_global_clustering,
+        "core_decomposition": q_core_decomposition,
         "web_text_roundtrip": q_web_text_roundtrip,
         "web_edges": q_web_edges,
         "web_pagerank": q_web_pagerank,

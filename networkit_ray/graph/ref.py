@@ -184,3 +184,51 @@ def bfs_ref(edges: np.ndarray, n: int, source: int) -> np.ndarray:
                 dist[v] = dist[u] + 1
                 dq.append(v)
     return dist
+
+
+def pagerank_weighted_ref(
+    edges: np.ndarray,
+    w: np.ndarray,
+    n: int,
+    damp: float = 0.85,
+    max_iterations: int = 30,
+) -> np.ndarray:
+    """Weighted PageRank, fixed iterations, divide-by-sum normalization."""
+    src, dst = edges[:, 0], edges[:, 1]
+    wdeg = np.zeros(n)
+    np.add.at(wdeg, src, w)
+    scores = np.full(n, 1.0 / n)
+    for _ in range(max_iterations):
+        contrib = scores[src] * w / wdeg[src]
+        new = np.full(n, (1.0 - damp) / n)
+        np.add.at(new, dst, damp * contrib)
+        scores = new
+    return scores / scores.sum()
+
+
+def core_ref(sym_edges: np.ndarray, n: int) -> np.ndarray:
+    """Core numbers by sequential peeling (CoreDecomposition semantics)."""
+    deg = np.zeros(n, dtype=np.int64)
+    adj = [[] for _ in range(n)]
+    for u, v in sym_edges:
+        adj[int(u)].append(int(v))
+    for u, v in sym_edges:
+        deg[int(u)] += 1
+    core = np.zeros(n, dtype=np.int64)
+    removed = np.zeros(n, dtype=bool)
+    k = 1
+    remaining = n
+    while remaining > 0:
+        while True:
+            low = [u for u in range(n) if not removed[u] and deg[u] < k]
+            if not low:
+                break
+            for u in low:
+                core[u] = k - 1
+                removed[u] = True
+                remaining -= 1
+                for v in adj[u]:
+                    if not removed[v]:
+                        deg[v] -= 1
+        k += 1
+    return core

@@ -92,3 +92,32 @@ class TestCCCoarsening:
         got = labels.to_pandas().sort_values("v")["label"].to_numpy()
         expect = ref.components_ref(sym, 1000)
         assert np.array_equal(got, expect)
+
+
+class TestCoreDecomposition:
+    def test_vs_ref(self):
+        from networkit_ray.graph import ref
+        from networkit_ray.graph.core import core_decomposition
+
+        rng = np.random.default_rng(13)
+        e = np.unique(rng.integers(0, 50, size=(260, 2)), axis=0)
+        e = e[e[:, 0] != e[:, 1]]
+        sym = np.unique(np.vstack([e, e[:, ::-1]]), axis=0)
+        cores, info = core_decomposition(ds_of(sym), 50)
+        got = cores.to_pandas().sort_values("v")
+        assert len(got) == 50
+        expect = ref.core_ref(sym, 50)
+        assert np.array_equal(got["core"].to_numpy(), expect)
+        assert info["max_core"] == expect.max()
+
+    def test_clique_plus_tail(self):
+        from networkit_ray.graph.core import core_decomposition
+
+        # K5 (core 4) with a pendant path (core 1)
+        k5 = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+        tail = [(4, 5), (5, 6), (6, 7)]
+        e = np.array(k5 + tail)
+        sym = np.vstack([e, e[:, ::-1]])
+        cores, _ = core_decomposition(ds_of(sym), 8)
+        got = cores.to_pandas().sort_values("v")["core"].to_numpy()
+        assert list(got) == [4, 4, 4, 4, 4, 1, 1, 1]
