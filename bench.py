@@ -174,9 +174,9 @@ def run_scaling() -> None:
     for ncpu in (8, 32):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         # strong-scaling evidence needs enough per-superstep compute that
-        # parallelism, not fixed task overhead, is the bottleneck: scale-22
-        # R-MAT (4.2M vertices / 67M edges) unless the caller overrides
-        env.setdefault("GRAFT_RMAT_SCALE", "22")
+        # parallelism, not fixed task overhead, is the bottleneck: scale-23
+        # R-MAT (8.4M vertices / 134M edges) unless the caller overrides
+        env.setdefault("GRAFT_RMAT_SCALE", "23")
         log(f"--- scaling run: num_cpus={ncpu} ---")
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],

@@ -85,9 +85,14 @@ def read_metis(path: str) -> tuple[ray.data.Dataset, int]:
 
 
 def write_edge_list(edges: ray.data.Dataset, out_dir: str, *, sep: str = " ") -> None:
-    """Serialize an edge Dataset as text edge-list part files."""
+    """Serialize an edge Dataset as headerless text edge-list part files
+    (EdgeListWriter format: one ``u<sep>v[<sep>w]`` line per edge)."""
+    import os
 
-    def fmt(t: pa.Table) -> pa.Table:
+    os.makedirs(out_dir, exist_ok=True)
+
+    @ray.remote
+    def write_part(t: pa.Table, path: str) -> int:
         src = t["src"].to_pylist()
         dst = t["dst"].to_pylist()
         if "w" in t.column_names:
@@ -95,6 +100,16 @@ def write_edge_list(edges: ray.data.Dataset, out_dir: str, *, sep: str = " ") ->
             lines = [f"{a}{sep}{b}{sep}{w}" for a, b, w in zip(src, dst, ws)]
         else:
             lines = [f"{a}{sep}{b}" for a, b in zip(src, dst)]
-        return pa.table({"text": pa.array(lines, pa.string())})
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("\n".join(lines) + ("\n" if lines else ""))
+        os.replace(tmp, path)
+        return len(lines)
 
-    edges.map_batches(fmt, batch_format="pyarrow").write_csv(out_dir)
+    refs = edges.to_arrow_refs()
+    ray.get(
+        [
+            write_part.remote(r, os.path.join(out_dir, f"part-{i:05d}.txt"))
+            for i, r in enumerate(refs)
+        ]
+    )
