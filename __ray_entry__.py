@@ -467,6 +467,15 @@ def q_core_decomposition(sf_dir):
     return cores
 
 
+def q_approx_closeness(sf_dir):
+    from networkit_ray.graph.closeness import approx_harmonic_closeness
+
+    sym, n = _sym(sf_dir)
+    out, _ = approx_harmonic_closeness(sym, n, sample=8)
+    out = _round_col(out, "harmonic", 8)
+    return _round_col(out, "closeness", 8)
+
+
 def q_global_clustering(sf_dir):
     from networkit_ray.common.hashing import round_half_away
     from networkit_ray.graph.triangles import triangle_count, undirected_degrees
@@ -550,6 +559,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_distances": q_bfs_distances,
         "global_clustering": q_global_clustering,
         "core_decomposition": q_core_decomposition,
+        "approx_closeness": q_approx_closeness,
         "web_text_roundtrip": q_web_text_roundtrip,
         "web_edges": q_web_edges,
         "web_pagerank": q_web_pagerank,

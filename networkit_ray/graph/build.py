@@ -32,18 +32,6 @@ import ray.data
 from ray.data.aggregate import Count, Sum
 
 
-def _batch_unique_pairs(t: pa.Table) -> pa.Table:
-    """Per-batch partial dedup of (src, dst) — combiner before the shuffle."""
-    return t.group_by(["src", "dst"]).aggregate([])
-
-
-def _dedup_parts() -> int:
-    try:
-        return max(4, min(128, int(ray.cluster_resources().get("CPU", 8)) * 2))
-    except Exception:
-        return 16
-
-
 def dedup_edges(edges: ray.data.Dataset) -> ray.data.Dataset:
     """Exact (src, dst) dedup via the raw-task hash exchange.
 

@@ -1,0 +1,104 @@
+"""Sampled harmonic / closeness centrality approximation.
+
+Reference family: centrality/ApproxCloseness.cpp, HarmonicCloseness — BFS
+fan-outs from sampled pivots averaged into per-vertex estimates (the
+sketch-aggregate pattern of SURVEY.md §2.5).  Here each pivot runs one
+min-plus BFS on the pinned BSP graph (graph/bfs.py machinery), and the
+per-vertex estimates combine the pivot distance columns:
+
+    harmonic(u) ≈ (n/s) · Σ_{p in pivots, d(p,u)>0} 1/d(p,u)
+        (estimator of Σ_all 1/d; exact when s = n)
+    closeness(u) ≈ s·(n-1) / (n·Σ_p d(p,u))   over reached pivots
+        (Eppstein–Wang-style; equals (n-1)/Σd exactly when s = n on a
+        connected graph; on disconnected graphs the sum covers reached
+        pivots only, matching the reference's reachable-set convention)
+
+Pivots are the ``s`` smallest hash64-ranked vertex ids — deterministic at
+any parallelism (the reference samples with its seeded PRNG; tests there
+assert estimator properties, not exact values).  With s = n (all pivots, on
+an undirected graph) the harmonic estimate is exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import ray
+import ray.data
+
+from networkit_ray.common.hashing import vpart
+from networkit_ray.graph import bsp
+from networkit_ray.graph.bfs import _bfs_init, _bfs_map, _bfs_reduce, _bfs_out
+from networkit_ray.graph.bsp import PGraph, build_pgraph
+
+
+def _pivots(num_nodes: int, sample: int, seed: int) -> np.ndarray:
+    """Deterministic pivot sample: smallest multiplicative-hash ranks."""
+    ids = np.arange(num_nodes, dtype=np.uint64)
+    rank = (ids + np.uint64(seed)) * np.uint64(0x9E3779B97F4A7C15)
+    return np.sort(ids[np.argsort(rank)[:sample]]).astype(np.int64)
+
+
+def _bfs_refs(g: PGraph, source: int) -> list:
+    P = g.num_parts
+    state = [_bfs_init.remote(g.vid_refs[p], source) for p in range(P)]
+    units = g.map_units()
+    while True:
+        map_out = [
+            _bfs_map.options(num_returns=P).remote(g.block_refs[p], state[p], c)
+            for p, c in units
+        ]
+        new_state, counts = [], []
+        for q in range(P):
+            s, c = _bfs_reduce.remote(state[q], *[mo[q] for mo in map_out])
+            new_state.append(s)
+            counts.append(c)
+        changed = sum(ray.get(counts))
+        state = new_state
+        if changed == 0:
+            break
+    return [_bfs_out.remote(s) for s in state]
+
+
+@ray.remote
+def _combine(n: int, s: int, *dist_cols) -> tuple[np.ndarray, np.ndarray]:
+    d = np.stack(dist_cols)  # (s, n_p) int64, -1 unreachable
+    pos = d > 0
+    harm = np.where(pos, 1.0 / np.where(pos, d, 1), 0.0).sum(axis=0) * n / s
+    tot = np.where(d > 0, d, 0).sum(axis=0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        clo = np.where(tot > 0, s * (n - 1) / (n * tot), 0.0)
+    return harm, clo
+
+
+def approx_harmonic_closeness(
+    sym_edges: ray.data.Dataset,
+    num_nodes: int,
+    *,
+    sample: int = 16,
+    seed: int = 42,
+    num_parts: int | None = None,
+) -> tuple[ray.data.Dataset, dict]:
+    """(v, harmonic, closeness) sampled estimates over an undirected graph."""
+    g = build_pgraph(sym_edges, num_nodes, num_parts=num_parts)
+    sample = min(sample, num_nodes)
+    pivots = _pivots(num_nodes, sample, seed)
+    per_pivot = [_bfs_refs(g, int(p)) for p in pivots]
+
+    import pyarrow as pa
+
+    @ray.remote
+    def to_table(vids, harm_clo) -> pa.Table:
+        harm, clo = harm_clo
+        return pa.table(
+            {
+                "v": pa.array(vids.astype(np.int64)),
+                "harmonic": pa.array(harm),
+                "closeness": pa.array(clo),
+            }
+        )
+
+    out_refs = []
+    for p in range(g.num_parts):
+        combined = _combine.remote(num_nodes, sample, *[pp[p] for pp in per_pivot])
+        out_refs.append(to_table.remote(g.vid_refs[p], combined))
+    return ray.data.from_arrow_refs(out_refs), {"pivots": pivots.tolist()}

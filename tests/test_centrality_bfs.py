@@ -121,3 +121,36 @@ class TestCoreDecomposition:
         cores, _ = core_decomposition(ds_of(sym), 8)
         got = cores.to_pandas().sort_values("v")["core"].to_numpy()
         assert list(got) == [4, 4, 4, 4, 4, 1, 1, 1]
+
+
+class TestApproxCloseness:
+    def test_full_sample_is_exact_harmonic(self):
+        from networkit_ray.graph import ref
+        from networkit_ray.graph.closeness import approx_harmonic_closeness
+
+        rng = np.random.default_rng(21)
+        e = np.unique(rng.integers(0, 30, size=(120, 2)), axis=0)
+        e = e[e[:, 0] != e[:, 1]]
+        sym = np.unique(np.vstack([e, e[:, ::-1]]), axis=0)
+        n = 30
+        out, info = approx_harmonic_closeness(ds_of(sym), n, sample=n)
+        got = out.to_pandas().sort_values("v")
+        # exact harmonic via all-pairs BFS
+        exact = np.zeros(n)
+        for s in range(n):
+            d = ref.bfs_ref(sym, n, s)
+            pos = d > 0
+            exact[pos] += 1.0 / d[pos]
+        # estimator of sum over sources of 1/d(s,u); exact at s=n
+        np.testing.assert_allclose(got["harmonic"].to_numpy(), exact, atol=1e-12)
+
+    def test_sampled_estimates_bounded(self):
+        from networkit_ray.graph.closeness import approx_harmonic_closeness
+
+        e = np.array([[i, i + 1] for i in range(29)])
+        sym = np.vstack([e, e[:, ::-1]])
+        out, info = approx_harmonic_closeness(ds_of(sym), 30, sample=8)
+        df = out.to_pandas()
+        assert len(df) == 30
+        assert len(info["pivots"]) == 8
+        assert (df["closeness"] >= 0).all() and (df["closeness"] <= 1.0).all()
