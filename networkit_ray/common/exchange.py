@@ -49,8 +49,15 @@ def _chunks(refs: list, k: int) -> list[list]:
     return [refs[i : i + step] for i in range(0, len(refs), step)]
 
 
+def _group_agg(t: pa.Table, key_cols: list[str], aggs: list[tuple]) -> pa.Table:
+    out = t.group_by(key_cols).aggregate(aggs)
+    # group_by names aggregated columns "<col>_<fn>"; restore the originals
+    # so the output schema matches the input (keys come first in the result).
+    return out.rename_columns(key_cols + [c for c, _ in aggs])
+
+
 @ray.remote
-def _ex_map(key_cols: list[str], num_parts: int, pre_unique: bool, *tables) -> tuple:
+def _ex_map(key_cols: list[str], num_parts: int, pre_unique, *tables) -> tuple:
     ts = [
         t
         for t in tables
@@ -59,8 +66,8 @@ def _ex_map(key_cols: list[str], num_parts: int, pre_unique: bool, *tables) -> t
     if not ts:
         return tuple([None] * num_parts)
     t = pa.concat_tables(ts, promote_options="default")
-    if pre_unique:
-        t = t.group_by(key_cols).aggregate([])  # per-task combiner
+    if pre_unique is not None:
+        t = _group_agg(t, key_cols, pre_unique)  # per-task combiner
     parts = vpart(_key_hash(t, key_cols), num_parts)
     order = np.argsort(parts, kind="stable")
     bounds = np.searchsorted(parts[order], np.arange(num_parts + 1))
@@ -74,12 +81,14 @@ def _ex_map(key_cols: list[str], num_parts: int, pre_unique: bool, *tables) -> t
 
 
 @ray.remote
-def _ex_unique(key_cols: list[str], schema: pa.Schema, *tables) -> pa.Table:
+def _ex_unique(
+    key_cols: list[str], schema: pa.Schema, aggs: list[tuple], *tables
+) -> pa.Table:
     ts = [t for t in tables if t is not None]
     if not ts:
         return schema.empty_table()
     t = pa.concat_tables(ts, promote_options="default")
-    return t.group_by(key_cols).aggregate([])
+    return _group_agg(t, key_cols, aggs)
 
 
 def partition_refs(
@@ -87,9 +96,14 @@ def partition_refs(
     key_cols: list[str],
     num_parts: int,
     *,
-    pre_unique: bool = False,
+    pre_unique: list[tuple] | None = None,
 ) -> list[list]:
-    """Hash-partition a Dataset by key; returns [map_task][partition] refs."""
+    """Hash-partition a Dataset by key; returns [map_task][partition] refs.
+
+    ``pre_unique`` — when not None, each map task runs a per-task combiner
+    ``group_by(key_cols).aggregate(pre_unique)`` before the exchange (pass
+    ``[]`` for plain distinct; aggregates must be associative: sum/min/max).
+    """
     refs = ds.to_arrow_refs()
     groups = _chunks(refs, num_parts)
     return [
@@ -101,14 +115,37 @@ def partition_refs(
 
 
 def exchange_unique(
-    ds: ray.data.Dataset, key_cols: list[str], *, num_parts: int | None = None
+    ds: ray.data.Dataset,
+    key_cols: list[str],
+    *,
+    num_parts: int | None = None,
+    agg: list[tuple] | None = None,
 ) -> ray.data.Dataset:
-    """Distinct rows of ``key_cols`` via the raw-task hash exchange."""
+    """Distinct rows of ``key_cols`` via the raw-task hash exchange.
+
+    Non-key columns must either be covered by ``agg`` (associative pyarrow
+    aggregates, e.g. ``[("w", "sum")]``) or absent — silently dropping a
+    weight column is a bug, so extra columns fail loudly.
+    """
     P = num_parts or _default_parts()
-    schema = pa.schema([(c, pa.int64()) for c in key_cols])
-    slices = partition_refs(ds, key_cols, P, pre_unique=True)
+    in_schema = ds.schema().base_schema
+    extra = [c for c in in_schema.names if c not in key_cols]
+    agg = agg or []
+    covered = [c for c, _ in agg]
+    if set(extra) != set(covered):
+        raise ValueError(
+            f"exchange_unique: non-key columns {extra} must be aggregated "
+            f"explicitly (agg covers {covered})"
+        )
+    # Empty partitions must carry the same schema as real ones (mixed
+    # int64/uint64 block schemas crash downstream concat/joins).
+    schema = pa.schema(
+        [in_schema.field(c) for c in key_cols] + [in_schema.field(c) for c in covered]
+    )
+    slices = partition_refs(ds, key_cols, P, pre_unique=agg)
     out = [
-        _ex_unique.remote(key_cols, schema, *[s[p] for s in slices]) for p in range(P)
+        _ex_unique.remote(key_cols, schema, agg, *[s[p] for s in slices])
+        for p in range(P)
     ]
     return ray.data.from_arrow_refs(out)
 

@@ -34,8 +34,12 @@ def enforce_schema(ds: ray.data.Dataset, schema: pa.Schema) -> ray.data.Dataset:
     mat = fixed.materialize()
 
     @ray.remote
-    def _rows(t: pa.Table) -> int:
-        return t.num_rows
+    def _rows(t) -> int:
+        # Ray 2.49 passes 0-row blocks through map_batches UNCONVERTED, so an
+        # empty block emitted by map_groups(batch_format="pandas") arrives
+        # here still as a pandas DataFrame.  len() counts rows for both
+        # pa.Table and pd.DataFrame.
+        return len(t)
 
     refs = mat.to_arrow_refs()
     keep = [r for r, n in zip(refs, ray.get([_rows.remote(r) for r in refs])) if n > 0]

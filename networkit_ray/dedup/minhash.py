@@ -11,14 +11,14 @@ Pipeline shape (all Dataset-native, one shuffle per wide step):
 4. optional clustering: verified pairs form an edge table; the hash-min CC
    kernel (graph/components.py) assigns each near-dup group its min doc_id.
 
-Determinism: all hashing is seeded blake2b/affine-uint64; results are
-independent of partitioning and parallelism.
+All hashing is whole-batch vectorized (see dedup/tokenize.py): Arrow C++
+tokenization, siphash token hashes, numpy shingle folds, and a chunked
+``np.minimum.reduceat`` for the H×S affine-permutation minimum — no Python
+loop touches a token or shingle.  Results are seeded and independent of
+partitioning and parallelism.
 """
 
 from __future__ import annotations
-
-import hashlib
-import re
 
 import numpy as np
 import pandas as pd
@@ -26,22 +26,12 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Count
 
-_WORD_RE = re.compile(r"[A-Za-z0-9_]+")
-
-
-def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    words = [w.lower() for w in _WORD_RE.findall(text)]
-    if len(words) < k:
-        joined = " ".join(words) or "\x00"
-        grams = [joined]
-    else:
-        grams = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
-    out = np.empty(len(grams), dtype=np.uint64)
-    for i, g in enumerate(grams):
-        out[i] = int.from_bytes(
-            hashlib.blake2b(g.encode("utf-8"), digest_size=8).digest(), "little"
-        )
-    return np.unique(out)
+from networkit_ray.dedup.tokenize import (
+    _GOLD,
+    _splitmix,
+    shingle_hashes_batch,
+    shingle_sets,
+)
 
 
 def _perm_params(num_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
@@ -51,11 +41,30 @@ def _perm_params(num_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+def minhash_signatures_batch(
+    texts: pa.Array | pa.ChunkedArray, a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """(n_docs, H) uint64 signatures, vectorized over the whole batch.
+
+    The H×S value matrix is computed in chunks of 8 hash functions to bound
+    peak memory at 8 × total_shingles × 8 bytes regardless of batch size.
+    """
+    sh, starts = shingle_hashes_batch(texts)
+    H, n, S = len(a), len(starts), len(sh)
+    sig = np.empty((H, n), dtype=np.uint64)
+    for h0 in range(0, H, 8):
+        ah, bh = a[h0 : h0 + 8], b[h0 : h0 + 8]
+        vals = ah[:, None] * sh[None, :] + bh[:, None]
+        # one flat reduceat over all (hash, doc) segments beats a 2D
+        # axis-reduceat by ~1.5× (fewer per-segment dispatches)
+        st = (starts[None, :] + (np.arange(len(ah)) * S)[:, None]).ravel()
+        sig[h0 : h0 + 8] = np.minimum.reduceat(vals.ravel(), st).reshape(len(ah), n)
+    return np.ascontiguousarray(sig.T)
+
+
 def minhash_signature(text: str, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    sh = _shingle_hashes(text)
-    # (H, S) affine permutations in uint64 wrap-around arithmetic
-    vals = a[:, None] * sh[None, :] + b[:, None]
-    return vals.min(axis=1)
+    """Single-document signature (test/debug convenience)."""
+    return minhash_signatures_batch(pa.array([text]), a, b)[0]
 
 
 def band_rows(
@@ -70,24 +79,19 @@ def band_rows(
     a, b = _perm_params(num_hashes, seed)
 
     def f(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        texts = t["text"].to_pylist()
-        out_id, out_band, out_hash = [], [], []
-        for did, tx in zip(ids, texts):
-            sig = minhash_signature(tx, a, b)
-            for bi in range(bands):
-                chunk = sig[bi * r : (bi + 1) * r]
-                h = int.from_bytes(
-                    hashlib.blake2b(chunk.tobytes(), digest_size=8).digest(), "little"
-                )
-                out_id.append(int(did))
-                out_band.append(bi)
-                out_hash.append(h - 2**63)  # int64 range
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sig = minhash_signatures_batch(t["text"], a, b)  # (n, H)
+        n = len(ids)
+        s3 = sig.reshape(n, bands, r)
+        bh = s3[:, :, 0].copy()
+        for j in range(1, r):
+            bh = (bh * _GOLD) ^ s3[:, :, j]
+        bh = np.ascontiguousarray(_splitmix(bh)).view(np.int64)  # (n, bands)
         return pa.table(
             {
-                "doc_id": pa.array(out_id, pa.int64()),
-                "band": pa.array(out_band, pa.int64()),
-                "band_hash": pa.array(out_hash, pa.int64()),
+                "doc_id": pa.array(np.repeat(ids, bands)),
+                "band": pa.array(np.tile(np.arange(bands, dtype=np.int64), n)),
+                "band_hash": pa.array(bh.reshape(-1)),
             }
         )
 
@@ -119,17 +123,18 @@ def candidate_pairs(
         return pd.DataFrame({"a": ids[iu], "b": ids[ju]})
 
     cand = rows.groupby(["band", "band_hash"]).map_groups(pairs, batch_format="pandas")
-    from networkit_ray.graph.triangles import enforce_schema
+    from networkit_ray.common.schema import enforce_schema
 
     cand = enforce_schema(cand, pa.schema([("a", pa.int64()), ("b", pa.int64())]))
     return cand.groupby(["a", "b"]).aggregate(Count(alias_name="_c")).drop_columns(["_c"])
 
 
 def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
-    sa, sb = set(_shingle_hashes(text_a, k)), set(_shingle_hashes(text_b, k))
-    if not sa and not sb:
-        return 1.0
-    return len(sa & sb) / len(sa | sb)
+    sets = shingle_sets(pa.array([text_a, text_b]), k)
+    sa, sb = sets[0], sets[1]
+    inter = np.intersect1d(sa, sb, assume_unique=True).size
+    union = sa.size + sb.size - inter
+    return inter / union if union else 1.0
 
 
 def near_dup_pairs(
@@ -141,7 +146,9 @@ def near_dup_pairs(
     seed: int = 42,
 ) -> ray.data.Dataset:
     """Verified near-duplicate pairs (a, b, jaccard ≥ threshold)."""
-    cand = candidate_pairs(docs, num_hashes=num_hashes, bands=bands, seed=seed)
+    # materialize: the emptiness check would otherwise re-execute the whole
+    # LSH pipeline when the verify joins consume `cand` again
+    cand = candidate_pairs(docs, num_hashes=num_hashes, bands=bands, seed=seed).materialize()
     if cand.count() == 0:
         return ray.data.from_arrow(
             pa.schema(
@@ -159,10 +166,17 @@ def near_dup_pairs(
     j2 = exchange_join(j1, texts, left_on=["b"], right_on=["doc_id"])
 
     def verify(t: pa.Table) -> pa.Table:
-        ja = np.array(
-            [jaccard(x, y) for x, y in zip(t["text_a"].to_pylist(), t["text"].to_pylist())],
-            dtype=np.float64,
+        n = t.num_rows
+        both = pa.concat_arrays(
+            [t["text_a"].combine_chunks(), t["text"].combine_chunks()]
         )
+        sets = shingle_sets(both)  # batch-vectorized shingle hashing
+        ja = np.empty(n, dtype=np.float64)
+        for i in range(n):
+            sa, sb = sets[i], sets[n + i]
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - inter
+            ja[i] = inter / union if union else 1.0
         out = pa.table({"a": t["a"], "b": t["b"], "jaccard": pa.array(ja)})
         return out.filter(pa.compute.greater_equal(out["jaccard"], threshold))
 
@@ -186,7 +200,7 @@ def near_dup_clusters(
     pairs = near_dup_pairs(docs, threshold=threshold, **kw).select_columns(["a", "b"])
     pairs = pairs.map_batches(
         lambda t: pa.table({"src": t["a"], "dst": t["b"]}), batch_format="pyarrow"
-    )
+    ).materialize()
     if pairs.count() == 0:
         return docs.map_batches(
             lambda t: pa.table({"doc_id": t["doc_id"], "cluster": t["doc_id"]}),

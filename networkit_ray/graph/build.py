@@ -32,7 +32,9 @@ import ray.data
 from ray.data.aggregate import Count, Sum
 
 
-def dedup_edges(edges: ray.data.Dataset) -> ray.data.Dataset:
+def dedup_edges(
+    edges: ray.data.Dataset, *, agg: list[tuple] | None = None
+) -> ray.data.Dataset:
     """Exact (src, dst) dedup via the raw-task hash exchange.
 
     Per-block partial unique (combiner) → split by key hash with
@@ -42,10 +44,16 @@ def dedup_edges(edges: ray.data.Dataset) -> ray.data.Dataset:
     millions of 1-row groups — measured ~50× slower), and the Dataset-level
     bucketed ``groupby.map_groups`` still paid the full hash-shuffle cost;
     the raw exchange is the same pattern the BSP build uses.
+
+    ``agg`` carries non-key columns through the dedup with an associative
+    pyarrow aggregate per column (e.g. ``[("w", "sum")]`` merges parallel
+    edges by summing weights, the reference's ``removeMultiEdges`` +
+    ``increaseWeight`` semantics).  Extra columns without an agg fail loudly
+    rather than being dropped.
     """
     from networkit_ray.common.exchange import exchange_unique
 
-    return exchange_unique(edges, ["src", "dst"])
+    return exchange_unique(edges, ["src", "dst"], agg=agg)
 
 
 def drop_self_loops(edges: ray.data.Dataset) -> ray.data.Dataset:
@@ -67,10 +75,12 @@ def transpose(edges: ray.data.Dataset) -> ray.data.Dataset:
     return edges.map_batches(swap, batch_format="pyarrow")
 
 
-def symmetrize(edges: ray.data.Dataset, *, deduped: bool = True) -> ray.data.Dataset:
+def symmetrize(
+    edges: ray.data.Dataset, *, deduped: bool = True, agg: list[tuple] | None = None
+) -> ray.data.Dataset:
     """Both directions present once — undirected adjacency in edge-table form."""
     both = edges.union(transpose(edges))
-    return dedup_edges(both) if deduped else both
+    return dedup_edges(both, agg=agg) if deduped else both
 
 
 def canonicalize(edges: ray.data.Dataset) -> ray.data.Dataset:
