@@ -482,8 +482,20 @@ def q_global_clustering(sf_dir):
 
     canon, n = _canon(sf_dir)
     tri = triangle_count(canon, n)
-    deg = undirected_degrees(canon).to_pandas()["deg"].to_numpy()
-    wedges = float((deg * (deg - 1) // 2).sum())
+    # wedge count stays distributed: per-batch deg*(deg-1)/2 + Dataset sum
+    # (never pull the O(n) degree table to the driver)
+    wedges = float(
+        undirected_degrees(canon)
+        .map_batches(
+            lambda t: pa.table(
+                {"_w": pa.compute.multiply(
+                    t["deg"], pa.compute.subtract(t["deg"], 1))}
+            ),
+            batch_format="pyarrow",
+        )
+        .sum("_w")
+        / 2.0
+    )
     gcc = 3.0 * tri / wedges if wedges else 0.0
     return pa.table({"global_cc": pa.array(round_half_away([gcc], 8))})
 
@@ -709,7 +721,7 @@ def oracle_sql() -> dict[str, str]:
             FROM ({DERIVED_EDGES_SQL})
         """,
         "transpose": f"SELECT dst AS src, src AS dst FROM ({DERIVED_EDGES_SQL})",
-        "subgraph": f"SELECT src, dst FROM ({DERIVED_EDGES_SQL}) WHERE src < {n_customers} / 2 AND dst < {n_customers} / 2",
+        "subgraph": f"SELECT src, dst FROM ({DERIVED_EDGES_SQL}) WHERE src < {n_customers} // 2 AND dst < {n_customers} // 2",
         "compact_ids": f"""
             SELECT v, CAST(ROW_NUMBER() OVER (ORDER BY v) - 1 AS BIGINT) AS idx FROM (
                 SELECT DISTINCT src AS v FROM ({DERIVED_EDGES_SQL})
@@ -777,7 +789,10 @@ def oracle_sql() -> dict[str, str]:
             r(v, d) AS (
                 SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
                 UNION
-                SELECT e.dst, r.d + 1 FROM r JOIN e ON e.src = r.v WHERE r.d < 64
+                -- cap must exceed any plausible eccentricity of the derived graph;
+                -- the engine iterates to fixpoint, so an undershoot here would
+                -- be a spurious oracle mismatch, not an engine bug
+                SELECT e.dst, r.d + 1 FROM r JOIN e ON e.src = r.v WHERE r.d < 4096
             )
             SELECT n.v, CAST(COALESCE(m.d, -1) AS BIGINT) AS dist
             FROM nodes n LEFT JOIN (SELECT v, MIN(d) AS d FROM r GROUP BY v) m ON m.v = n.v

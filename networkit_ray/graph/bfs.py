@@ -26,12 +26,13 @@ _INF = np.uint64(0xFFFFFFFFFFFFFF)  # large sentinel; +1 never overflows uint64
 
 @ray.remote
 def _bfs_init(vids: np.ndarray, source: int) -> tuple[np.ndarray, np.ndarray]:
+    # vids are permuted (unsorted), aligned with the local state index
     dist = np.full(len(vids), _INF, dtype=np.uint64)
     active = np.zeros(len(vids), dtype=bool)
-    pos = np.searchsorted(vids, np.uint64(source))
-    if pos < len(vids) and vids[pos] == np.uint64(source):
-        dist[pos] = 0
-        active[pos] = True
+    hit = np.flatnonzero(vids == np.uint64(source))
+    if len(hit):
+        dist[hit[0]] = 0
+        active[hit[0]] = True
     return dist, active
 
 

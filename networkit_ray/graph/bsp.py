@@ -5,11 +5,22 @@ a shared-memory adjacency (e.g. networkit/cpp/centrality/PageRank.cpp:54-64,
 community/PLP.cpp:77-107).  The distributed re-expression is bulk-synchronous
 supersteps over hash-partitioned CSR blocks:
 
-- edges are hash-partitioned by ``vpart(src)`` into P CSR blocks, built ONCE
+- the dense vertex universe 0..n-1 is partitioned by PERMUTED round-robin:
+  vertex v lives in partition π(v) % P at local index π(v) // P, where π
+  is a seeded bijective bit-mixer (see "placement permutation" below).
+  Both maps are O(1) vectorized arithmetic, so the build NEVER ships
+  vertex-id lookup tables anywhere (round 1 materialized the whole
+  universe on the driver: ~8 TB at 10^12 vertices; now nothing
+  vertex-sized ever reaches the driver), and π spreads the structured
+  hotness of dense id spaces (R-MAT low bits, crawl-order high bits) so
+  per-partition edge loads stay balanced.  Partition sizes are balanced
+  to ±1 by construction; residual EDGE skew (single hot sources) is
+  absorbed by chunked map units, not by the vertex map;
+- edges are partitioned by partition(src) into P CSR blocks, built ONCE
   and pinned in the Ray object store (consumed by every superstep — never
   re-read from Parquet, never re-shuffled);
-- vertex state is partitioned by ``vpart(v)`` with the same hash, so the
-  "gather state along out-edges" join is partition-local (zero shuffle);
+- vertex state is partitioned by the same map, so the "gather state
+  along out-edges" join is partition-local (zero shuffle);
 - each superstep: P map tasks compute per-destination partial aggregates
   (combiner — the message to partition q is at most one value per distinct
   destination vertex, so hub in-degree skew is absorbed in the combiners,
@@ -28,21 +39,20 @@ cannot pin the CSR layout between iterations.  This module is the documented
 escape hatch; everything non-iterative in the engine stays on Datasets.
 
 Partitioning assumption (documented per the custom-operator contract): all
-placement — CSR blocks, state, message routing — uses the single hash
-``common.hashing.vpart``; results are invariant to P and to ``num_cpus``
+placement — CSR blocks, state, message routing — uses the single range map
+:func:`vowner`/:func:`vlocal`; results are invariant to P and to ``num_cpus``
 (tested), because per-superstep aggregation is exact, not approximate.
 """
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import numpy as np
 import pyarrow as pa
 import ray
 import ray.data
-
-from networkit_ray.common.hashing import vpart
 
 
 def default_num_parts(num_edges: int | None = None) -> int:
@@ -52,12 +62,114 @@ def default_num_parts(num_edges: int | None = None) -> int:
     per-partition compute, oversized P makes fixed task overhead dominate
     (measured: scale-20 R-MAT ran FASTER at P=8 than P=32 on 32 CPUs).  At
     100 TB scale num_edges/2M hits the CPU cap and P = cluster parallelism.
+
+    Deployment knob: the cap defaults to 64 (sandbox-tuned: the exchange is
+    O(P²) object-store slices) and is raised per cluster via the
+    ``NKR_MAX_PARTS`` environment variable — e.g. 256 nodes × 16 slots →
+    ``NKR_MAX_PARTS=4096``.  A P=128 build is covered by tests.
     """
     n_cpus = int(ray.cluster_resources().get("CPU", 8))
-    cap = max(2, min(64, n_cpus))
+    max_parts = int(os.environ.get("NKR_MAX_PARTS", "64"))
+    cap = max(2, min(max_parts, n_cpus))
     if num_edges is None:
         return cap
     return max(2, min(cap, -(-num_edges // 2_000_000)))
+
+
+# ---- placement permutation -------------------------------------------------
+# Dense graph ids carry structure that both contiguous-range and plain-modulo
+# assignment turn into load skew: R-MAT hotness lives in the LOW bits (v % P
+# with P=16 put 32% of scale-20 edges in one partition — measured), crawl
+# order lives in the HIGH bits.  Placement therefore goes through a seeded
+# BIJECTIVE bit-mixing permutation π on [0, 2^k) (xorshift-multiply rounds,
+# each invertible mod 2^k) with cycle-walking down to [0, n): vertex v lives
+# in partition π(v) % P at local index π(v) // P.  Both maps stay O(1)
+# vectorized arithmetic — no lookup tables ever cross the network — and the
+# permutation touches only build-time and state-sized paths, never the
+# per-superstep inner loops (src_local/dst_local are precomputed in the CSR).
+
+_MIX_A = np.uint64(0x9E3779B97F4A7C15)  # odd → invertible mod 2^k
+_MIX_B = np.uint64(0xBF58476D1CE4E5B9)  # odd (splitmix64 constant)
+_MIX_A_INV = np.uint64(pow(0x9E3779B97F4A7C15, -1, 1 << 64))
+_MIX_B_INV = np.uint64(pow(0xBF58476D1CE4E5B9, -1, 1 << 64))
+
+
+def _dom_bits(num_nodes: int) -> int:
+    return max(1, (num_nodes - 1).bit_length()) if num_nodes > 1 else 1
+
+
+def _unxorshift(u: np.ndarray, s: np.uint64, k: int) -> np.ndarray:
+    x = u.copy()
+    for _ in range(-(-k // int(s))):
+        x = u ^ (x >> s)
+    return x
+
+
+def _mix_fwd(u: np.ndarray, k: int) -> np.ndarray:
+    mask = np.uint64((1 << k) - 1)
+    s = np.uint64(max(1, k // 2))
+    u = u & mask
+    u ^= u >> s
+    u = (u * _MIX_A) & mask
+    u ^= u >> s
+    u = (u * _MIX_B) & mask
+    u ^= u >> s
+    return u
+
+
+def _mix_inv(u: np.ndarray, k: int) -> np.ndarray:
+    mask = np.uint64((1 << k) - 1)
+    s = np.uint64(max(1, k // 2))
+    u = _unxorshift(u & mask, s, k)
+    u = (u * _MIX_B_INV) & mask
+    u = _unxorshift(u, s, k)
+    u = (u * _MIX_A_INV) & mask
+    u = _unxorshift(u, s, k)
+    return u
+
+
+def vperm(v: np.ndarray, num_nodes: int) -> np.ndarray:
+    """π(v) — bijection on [0, num_nodes); cycle-walks the 2^k mixer."""
+    k = _dom_bits(num_nodes)
+    u = _mix_fwd(np.asarray(v).astype(np.uint64), k)
+    bad = u >= num_nodes
+    while bad.any():  # expected <2 rounds (2^k < 2n); deterministic
+        u[bad] = _mix_fwd(u[bad], k)
+        bad = u >= num_nodes
+    return u
+
+
+def vperm_inv(u: np.ndarray, num_nodes: int) -> np.ndarray:
+    """π⁻¹(u) — inverse cycle-walk with the inverse mixer."""
+    k = _dom_bits(num_nodes)
+    v = _mix_inv(np.asarray(u).astype(np.uint64), k)
+    bad = v >= num_nodes
+    while bad.any():
+        v[bad] = _mix_inv(v[bad], k)
+        bad = v >= num_nodes
+    return v
+
+
+def vowner(v: np.ndarray, num_nodes: int, num_parts: int) -> np.ndarray:
+    """Owning partition per dense vertex id (permuted round-robin, O(1))."""
+    return (vperm(v, num_nodes) % np.uint64(num_parts)).astype(np.int64)
+
+
+def vlocal(v: np.ndarray, num_nodes: int, num_parts: int) -> np.ndarray:
+    """Local state index per dense vertex id within its owner (O(1))."""
+    return (vperm(v, num_nodes) // np.uint64(num_parts)).astype(np.int64)
+
+
+def vplace(v: np.ndarray, num_nodes: int, num_parts: int) -> tuple[np.ndarray, np.ndarray]:
+    """(owner, local) with a single permutation pass."""
+    u = vperm(v, num_nodes)
+    P = np.uint64(num_parts)
+    return (u % P).astype(np.int64), (u // P).astype(np.int64)
+
+
+def part_size(num_nodes: int, part: int, num_parts: int) -> int:
+    """Number of vertices owned by ``part`` (= len(range(part, n, P)))."""
+    return max(0, (num_nodes - part + num_parts - 1) // num_parts)
 
 
 @ray.remote
@@ -66,19 +178,20 @@ def _block_rows(t: pa.Table) -> int:
 
 
 @ray.remote
-def _dense_vids(n: int, num_parts: int) -> tuple[np.ndarray, ...]:
-    """Vertex-id slices for a dense 0..n-1 universe, split by vpart."""
-    ids = np.arange(n, dtype=np.uint64)
-    parts = vpart(ids, num_parts)
-    order = np.argsort(parts, kind="stable")
-    sorted_ids = ids[order]
-    bounds = np.searchsorted(parts[order], np.arange(num_parts + 1))
-    return tuple(np.sort(sorted_ids[bounds[p] : bounds[p + 1]]) for p in range(num_parts))
+def _mod_vids(part: int, num_nodes: int, num_parts: int) -> np.ndarray:
+    """Partition vertex-id slice — generated in-place, never shipped.
+
+    UNSORTED: vids[i] = π⁻¹(part + i · num_parts), aligned with the local
+    state index i.
+    """
+    return vperm_inv(
+        np.arange(part, num_nodes, num_parts, dtype=np.uint64), num_nodes
+    )
 
 
 @ray.remote
-def _shuffle_edges(t: pa.Table, num_parts: int, weighted: bool) -> tuple:
-    """Split one Arrow edge block by vpart(src) → P (src, dst[, w]) slices.
+def _shuffle_edges(t: pa.Table, num_nodes: int, num_parts: int, weighted: bool) -> tuple:
+    """Split one Arrow edge block by owner(src) → P (src, dst[, w]) slices.
 
     0-row blocks can arrive with a stale schema (Ray passes empty blocks
     through map_batches untouched); treat them as empty edge sets.
@@ -89,12 +202,12 @@ def _shuffle_edges(t: pa.Table, num_parts: int, weighted: bool) -> tuple:
     src = t["src"].to_numpy(zero_copy_only=False).astype(np.uint64)
     dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.uint64)
     w = t["w"].to_numpy(zero_copy_only=False).astype(np.float64) if weighted else None
-    parts = vpart(src, num_parts)
+    parts = vowner(src, num_nodes, num_parts)
     order = np.argsort(parts, kind="stable")
-    bounds = np.searchsorted(parts[order], np.arange(num_parts + 1))
+    part_edges = np.searchsorted(parts[order], np.arange(num_parts + 1))
     out = []
     for p in range(num_parts):
-        sl = order[bounds[p] : bounds[p + 1]]
+        sl = order[part_edges[p] : part_edges[p + 1]]
         out.append((src[sl], dst[sl], w[sl] if w is not None else None))
     return tuple(out)
 
@@ -144,15 +257,20 @@ def _make_chunks(
 
 
 @ray.remote
-def _build_block(part: int, vids: np.ndarray, num_parts: int, all_vids: list, chunk_size: int, *slices) -> dict:
+def _build_block(part: int, num_nodes: int, num_parts: int, chunk_size: int, *slices) -> dict:
     """Assemble partition ``part``'s CSR block from its shuffle slices.
 
     Pre-computes everything per-edge that is superstep-invariant: local src
     index expansion, destination partition + local index, and the grouped
     ordering (sorted by (dst_part, dst_local)) that lets every superstep
     aggregate messages with one ``np.add.reduceat`` — no per-superstep sort
-    for the sum/min kernels.
+    for the sum/min kernels.  All id→partition / id→local maps are O(1)
+    modulo arithmetic — no vertex-id lookup tables cross the network.
     """
+    n_v = part_size(num_nodes, part, num_parts)
+    vids = vperm_inv(
+        np.arange(part, num_nodes, num_parts, dtype=np.uint64), num_nodes
+    )
     srcs = [s for s, _, _ in slices if len(s)]
     dsts = [d for _, d, _ in slices if len(d)]
     ws = [w for s, _, w in slices if w is not None and len(s)]
@@ -160,9 +278,8 @@ def _build_block(part: int, vids: np.ndarray, num_parts: int, all_vids: list, ch
     dst = np.concatenate(dsts) if dsts else np.empty(0, np.uint64)
     w = np.concatenate(ws) if ws else None
 
-    n_v = len(vids)
     # CSR over owned vertices, rows sorted by local src index
-    src_local = np.searchsorted(vids, src)
+    src_local = vlocal(src, num_nodes, num_parts)
     order = np.argsort(src_local, kind="stable")
     src_local = src_local[order]
     dst = dst[order]
@@ -172,12 +289,7 @@ def _build_block(part: int, vids: np.ndarray, num_parts: int, all_vids: list, ch
     np.add.at(indptr, src_local + 1, 1)
     np.cumsum(indptr, out=indptr)
 
-    dst_part = vpart(dst, num_parts)
-    dst_local = np.empty(len(dst), dtype=np.int64)
-    for q in range(num_parts):
-        mask = dst_part == q
-        if mask.any():
-            dst_local[mask] = np.searchsorted(all_vids[q], dst[mask])
+    dst_part, dst_local = vplace(dst, num_nodes, num_parts)
 
     # superstep-invariant grouped ordering by (dst_part, dst_local)
     edge_order = np.lexsort((dst_local, dst_part))
@@ -224,7 +336,7 @@ def _build_block(part: int, vids: np.ndarray, num_parts: int, all_vids: list, ch
 
 @dataclass
 class PGraph:
-    """A hash-partitioned graph pinned in the object store."""
+    """A round-robin-partitioned graph pinned in the object store."""
 
     num_parts: int
     num_nodes: int
@@ -234,7 +346,7 @@ class PGraph:
     chunk_counts: list | None = None  # per-partition map-task count (skew splitting)
 
     def part_sizes(self) -> list[int]:
-        return [len(v) for v in ray.get(self.vid_refs)]
+        return [part_size(self.num_nodes, p, self.num_parts) for p in range(self.num_parts)]
 
     def map_units(self) -> list[tuple[int, int]]:
         """(partition, chunk) pairs — one map task per unit per superstep.
@@ -282,15 +394,13 @@ def build_pgraph(
     # ~1.5× the mean edge load (hot web-hub sources concentrate out-edges)
     if chunk_size is None:
         chunk_size = max(200_000, -(-m // P))
-    vid_refs = list(_dense_vids.options(num_returns=P).remote(num_nodes, P))
+    vid_refs = [_mod_vids.remote(p, num_nodes, P) for p in range(P)]
     slice_refs = [
-        _shuffle_edges.options(num_returns=P).remote(r, P, weighted) for r in edge_refs
+        _shuffle_edges.options(num_returns=P).remote(r, num_nodes, P, weighted)
+        for r in edge_refs
     ]
-    all_vids_ref = ray.put(ray.get(vid_refs))  # list of P arrays, fetched per build task
     block_refs = [
-        _build_block.remote(
-            p, vid_refs[p], P, all_vids_ref, chunk_size, *[s[p] for s in slice_refs]
-        )
+        _build_block.remote(p, num_nodes, P, chunk_size, *[s[p] for s in slice_refs])
         for p in range(P)
     ]
     return PGraph(P, num_nodes, vid_refs, block_refs, weighted)

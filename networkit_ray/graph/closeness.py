@@ -25,7 +25,6 @@ import numpy as np
 import ray
 import ray.data
 
-from networkit_ray.common.hashing import vpart
 from networkit_ray.graph import bsp
 from networkit_ray.graph.bfs import _bfs_init, _bfs_map, _bfs_reduce, _bfs_out
 from networkit_ray.graph.bsp import PGraph, build_pgraph

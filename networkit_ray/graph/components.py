@@ -30,7 +30,6 @@ import numpy as np
 import ray
 import ray.data
 
-from networkit_ray.common.hashing import vpart
 from networkit_ray.graph import bsp
 from networkit_ray.graph.bsp import PGraph, build_pgraph, chunk_edge_index, min_messages
 from networkit_ray.state import checkpoint as ckpt
@@ -68,7 +67,7 @@ def _cc_reduce(state: tuple, *partials):
 # High-diameter graphs (road networks, chains) make plain hash-min take
 # O(diameter) supersteps; interleaving pointer jumping halves label-chain
 # lengths every round → O(log² n) total.  A shortcut round is a pull over
-# the label forest: partition p asks vpart(x) for label[x] for every
+# the label forest: partition p asks owner(x) for label[x] for every
 # distinct x = label[u] it holds (two small task waves, state-sized not
 # edge-sized).  This replaces the reference's coarsening recursion
 # (ParallelConnectedComponents.cpp:82-94) with the standard shortcutting
@@ -76,24 +75,22 @@ def _cc_reduce(state: tuple, *partials):
 
 
 @ray.remote
-def _sc_request(state: tuple, num_parts: int) -> tuple:
+def _sc_request(state: tuple, num_nodes: int, num_parts: int) -> tuple:
     labels, _ = state
     want = np.unique(labels)
-    parts = vpart(want, num_parts)
+    parts = bsp.vowner(want, num_nodes, num_parts)
     order = np.argsort(parts, kind="stable")
-    bounds = np.searchsorted(parts[order], np.arange(num_parts + 1))
+    cut = np.searchsorted(parts[order], np.arange(num_parts + 1))
     w = want[order]
-    return tuple(w[bounds[q] : bounds[q + 1]] for q in range(num_parts))
+    return tuple(w[cut[q] : cut[q + 1]] for q in range(num_parts))
 
 
 @ray.remote
-def _sc_respond(vids: np.ndarray, state: tuple, *requests) -> tuple:
+def _sc_respond(num_nodes: int, num_parts: int, state: tuple, *requests) -> tuple:
     labels, _ = state
-    out = []
-    for req in requests:
-        idx = np.searchsorted(vids, req)
-        out.append(labels[idx])
-    return tuple(out)
+    return tuple(
+        labels[bsp.vlocal(req, num_nodes, num_parts)] for req in requests
+    )
 
 
 @ray.remote(num_returns=2)
@@ -113,10 +110,13 @@ def _sc_apply(state: tuple, nq: int, *arrs):
 def _shortcut_round(g: PGraph, state: list) -> tuple[list, int]:
     """One pointer-jumping round over the label forest; returns (state, changed)."""
     P = g.num_parts
-    reqs = [_sc_request.options(num_returns=P).remote(state[p], P) for p in range(P)]
+    reqs = [
+        _sc_request.options(num_returns=P).remote(state[p], g.num_nodes, P)
+        for p in range(P)
+    ]
     resp = [
         _sc_respond.options(num_returns=P).remote(
-            g.vid_refs[q], state[q], *[reqs[p][q] for p in range(P)]
+            g.num_nodes, P, state[q], *[reqs[p][q] for p in range(P)]
         )
         for q in range(P)
     ]

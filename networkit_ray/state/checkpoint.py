@@ -13,8 +13,8 @@ manifest leaves a dangling iter directory that is simply ignored/overwritten —
 writes are idempotent.
 
 If the resuming run uses the same partition count, each partition reads
-exactly its own file; a run with a different P re-shards by ``vpart`` (the
-files are small vertex tables, re-sharding is one pass).
+exactly its own file; a run with a different P re-shards by the new graph's
+range bounds (the files are small vertex tables, re-sharding is one pass).
 """
 
 from __future__ import annotations
@@ -27,8 +27,6 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 import ray
-
-from networkit_ray.common.hashing import vpart
 
 
 @ray.remote
@@ -97,18 +95,26 @@ def _load_part_direct(path: str, col: str) -> np.ndarray:
 
 
 @ray.remote
-def _load_part_reshard(paths: list, col: str, part: int, num_parts: int, vids: np.ndarray) -> np.ndarray:
-    pieces_v, pieces_x = [], []
+def _load_part_reshard(
+    paths: list, col: str, part: int, num_nodes: int, num_parts: int, n_expect: int
+) -> np.ndarray:
+    from networkit_ray.graph.bsp import vplace
+
+    pieces_u, pieces_x = [], []
     for p in paths:
         t = pq.read_table(p)
         v = t["v"].to_numpy().astype(np.uint64)
-        mask = vpart(v, num_parts) == part
-        pieces_v.append(v[mask])
+        owner, local = vplace(v, num_nodes, num_parts)
+        mask = owner == part
+        pieces_u.append(local[mask])
         pieces_x.append(t[col].to_numpy()[mask])
-    v = np.concatenate(pieces_v)
+    u = np.concatenate(pieces_u)
     x = np.concatenate(pieces_x)
-    order = np.argsort(v)
-    assert np.array_equal(v[order], vids), "checkpoint vertex set mismatch"
+    order = np.argsort(u)  # local-index order = state array order
+    u = u[order]
+    assert len(u) == n_expect and (len(u) == 0 or (u[0] == 0 and u[-1] == n_expect - 1)), (
+        "checkpoint vertex set mismatch"
+    )
     return x[order]
 
 
@@ -121,9 +127,14 @@ def load_latest(base_dir: str, tag: str, g) -> tuple[list, dict] | None:
     if m["num_parts"] == g.num_parts and m["num_nodes"] == g.num_nodes:
         refs = [_load_part_direct.remote(f["path"], col) for f in m["files"]]
     else:
+        from networkit_ray.graph.bsp import part_size
+
         paths = [f["path"] for f in m["files"]]
         refs = [
-            _load_part_reshard.remote(paths, col, p, g.num_parts, g.vid_refs[p])
+            _load_part_reshard.remote(
+                paths, col, p, g.num_nodes, g.num_parts,
+                part_size(g.num_nodes, p, g.num_parts),
+            )
             for p in range(g.num_parts)
         ]
     return refs, m

@@ -52,6 +52,19 @@ class TestConnectedComponents:
             got = labels.to_pandas().sort_values("v")["label"].to_numpy()
             assert np.array_equal(got, expect)
 
+    def test_p128_build(self):
+        """P far above the CPU count (and above the old hard cap of 64) —
+        the range-partitioned build ships no vertex lookup tables, so large
+        P must work; many partitions own few or zero vertices."""
+        rng = np.random.default_rng(11)
+        e = np.unique(rng.integers(0, 200, size=(600, 2)), axis=0)
+        e = e[e[:, 0] != e[:, 1]]
+        s = sym(e)
+        expect = ref.components_ref(s, 200)
+        labels, _ = connected_components(edges_ds(s), 200, num_parts=128)
+        got = labels.to_pandas().sort_values("v")["label"].to_numpy()
+        assert np.array_equal(got, expect)
+
 
 class TestPageRank:
     def test_line3_closed_form(self):
