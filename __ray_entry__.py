@@ -218,6 +218,26 @@ def q_plp_communities(sf_dir):
     return labels
 
 
+def q_louvain(sf_dir):
+    from networkit_ray.graph.louvain import louvain
+
+    sym, n = _sym(sf_dir)
+    labels, _ = louvain(sym, n)
+    return labels
+
+
+def q_louvain_modularity(sf_dir):
+    from networkit_ray.common.hashing import round_half_away
+    from networkit_ray.graph.louvain import louvain
+    from networkit_ray.graph.quality import modularity
+
+    sym, n = _sym(sf_dir)
+    canon, _ = _canon(sf_dir)
+    labels, _ = louvain(sym, n)
+    q = modularity(canon, labels, n)
+    return pa.table({"modularity": pa.array(round_half_away([q], 8))})
+
+
 def q_modularity(sf_dir):
     import ray.data
 
@@ -235,6 +255,62 @@ def q_modularity(sf_dir):
     )
     q = modularity(canon, labels, n)
     return pa.table({"modularity": pa.array(round_half_away([q], 8))})
+
+
+def _mod_labels(n, k):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "v": pa.array(np.arange(n, dtype=np.int64)),
+                "label": pa.array(np.arange(n, dtype=np.int64) % k),
+            }
+        )
+    )
+
+
+def q_coverage(sf_dir):
+    from networkit_ray.common.hashing import round_half_away
+    from networkit_ray.graph.quality import coverage
+
+    canon, n = _canon(sf_dir)
+    c = coverage(canon, _mod_labels(n, 10))
+    return pa.table({"coverage": pa.array(round_half_away([c], 8))})
+
+
+def q_edge_cut(sf_dir):
+    from networkit_ray.graph.quality import edge_cut
+
+    canon, n = _canon(sf_dir)
+    c = edge_cut(canon, _mod_labels(n, 10))
+    return pa.table({"edge_cut": pa.array([c], pa.int64())})
+
+
+def q_conductance(sf_dir):
+    from networkit_ray.graph.quality import conductance_table
+
+    canon, n = _canon(sf_dir)
+    out = conductance_table(canon, _mod_labels(n, 10))
+    return _round_col(out, "conductance", 8).sort("label")
+
+
+def q_nmi(sf_dir):
+    from networkit_ray.common.hashing import round_half_away
+    from networkit_ray.graph.quality import nmi
+
+    _, n = _canon(sf_dir)
+    v = nmi(_mod_labels(n, 10), _mod_labels(n, 7), n)
+    return pa.table({"nmi": pa.array(round_half_away([v], 8))})
+
+
+def q_ari(sf_dir):
+    from networkit_ray.common.hashing import round_half_away
+    from networkit_ray.graph.quality import ari
+
+    _, n = _canon(sf_dir)
+    v = ari(_mod_labels(n, 10), _mod_labels(n, 7), n)
+    return pa.table({"ari": pa.array(round_half_away([v], 8))})
 
 
 def q_triangle_count(sf_dir):
@@ -559,7 +635,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cc_sizes": q_cc_sizes,
         "num_components": q_num_components,
         "plp_communities": q_plp_communities,
+        "louvain": q_louvain,
+        "louvain_modularity": q_louvain_modularity,
         "modularity": q_modularity,
+        "coverage": q_coverage,
+        "edge_cut": q_edge_cut,
+        "conductance": q_conductance,
+        "nmi": q_nmi,
+        "ari": q_ari,
         "triangle_count": q_triangle_count,
         "triangles_per_vertex": q_triangles_per_vertex,
         "lcc": q_lcc,
@@ -745,6 +828,58 @@ def oracle_sql() -> dict[str, str]:
             vols AS (SELECT l.label, SUM(d.deg) AS vol FROM deg d JOIN lab l ON l.v = d.v GROUP BY l.label)
             SELECT ROUND((SELECT c FROM intra) / (SELECT m FROM m) - SUM(POWER(vol / (2 * (SELECT m FROM m)), 2)), 8) AS modularity
             FROM vols
+        """,
+        "coverage": f"""
+            WITH ce AS ({CANONICAL_EDGES_SQL}),
+            lab AS (SELECT CAST(c_custkey AS BIGINT) AS v, CAST(c_custkey % 10 AS BIGINT) AS label FROM customer)
+            SELECT ROUND(
+              CAST(SUM(CASE WHEN l1.label = l2.label THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 8) AS coverage
+            FROM ce JOIN lab l1 ON l1.v = ce.src JOIN lab l2 ON l2.v = ce.dst
+        """,
+        "edge_cut": f"""
+            WITH ce AS ({CANONICAL_EDGES_SQL}),
+            lab AS (SELECT CAST(c_custkey AS BIGINT) AS v, CAST(c_custkey % 10 AS BIGINT) AS label FROM customer)
+            SELECT CAST(SUM(CASE WHEN l1.label <> l2.label THEN 1 ELSE 0 END) AS BIGINT) AS edge_cut
+            FROM ce JOIN lab l1 ON l1.v = ce.src JOIN lab l2 ON l2.v = ce.dst
+        """,
+        "conductance": f"""
+            WITH ce AS ({CANONICAL_EDGES_SQL}),
+            lab AS (SELECT CAST(c_custkey AS BIGINT) AS v, CAST(c_custkey % 10 AS BIGINT) AS label FROM customer),
+            m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM ce),
+            el AS (SELECT l1.label AS ls, l2.label AS ld FROM ce JOIN lab l1 ON l1.v = ce.src JOIN lab l2 ON l2.v = ce.dst),
+            cuts AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS cut FROM (
+                SELECT ls AS label FROM el WHERE ls <> ld
+                UNION ALL SELECT ld FROM el WHERE ls <> ld) GROUP BY label),
+            deg AS (SELECT v, COUNT(*) AS deg FROM (SELECT src AS v FROM ce UNION ALL SELECT dst FROM ce) GROUP BY v),
+            vols AS (SELECT l.label, CAST(SUM(d.deg) AS BIGINT) AS vol FROM deg d JOIN lab l ON l.v = d.v GROUP BY l.label)
+            SELECT v.label, COALESCE(c.cut, 0) AS cut, v.vol,
+                   ROUND(CASE WHEN LEAST(CAST(v.vol AS DOUBLE), 2 * (SELECT m FROM m) - v.vol) > 0
+                         THEN COALESCE(c.cut, 0) / LEAST(CAST(v.vol AS DOUBLE), 2 * (SELECT m FROM m) - v.vol)
+                         ELSE 0.0 END, 8) AS conductance
+            FROM vols v LEFT JOIN cuts c ON c.label = v.label ORDER BY v.label
+        """,
+        "nmi": f"""
+            WITH lab AS (SELECT CAST(c_custkey % 10 AS BIGINT) AS l1, CAST(c_custkey % 7 AS BIGINT) AS l2 FROM customer),
+            n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM lab),
+            cells AS (SELECT l1, l2, CAST(COUNT(*) AS DOUBLE) AS nij FROM lab GROUP BY l1, l2),
+            am AS (SELECT l1, SUM(nij) AS a FROM cells GROUP BY l1),
+            bm AS (SELECT l2, SUM(nij) AS b FROM cells GROUP BY l2),
+            info AS (SELECT SUM((c.nij / (SELECT n FROM n)) * LN(c.nij * (SELECT n FROM n) / (am.a * bm.b))) AS i
+                     FROM cells c JOIN am ON am.l1 = c.l1 JOIN bm ON bm.l2 = c.l2),
+            h1 AS (SELECT -SUM((a / (SELECT n FROM n)) * LN(a / (SELECT n FROM n))) AS h FROM am),
+            h2 AS (SELECT -SUM((b / (SELECT n FROM n)) * LN(b / (SELECT n FROM n))) AS h FROM bm)
+            SELECT ROUND(2 * (SELECT i FROM info) / ((SELECT h FROM h1) + (SELECT h FROM h2)), 8) AS nmi
+        """,
+        "ari": f"""
+            WITH lab AS (SELECT CAST(c_custkey % 10 AS BIGINT) AS l1, CAST(c_custkey % 7 AS BIGINT) AS l2 FROM customer),
+            n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM lab),
+            cells AS (SELECT l1, l2, CAST(COUNT(*) AS DOUBLE) AS nij FROM lab GROUP BY l1, l2),
+            s_ij AS (SELECT SUM(nij * (nij - 1) / 2) AS s FROM cells),
+            s_a AS (SELECT SUM(a * (a - 1) / 2) AS s FROM (SELECT SUM(nij) AS a FROM cells GROUP BY l1)),
+            s_b AS (SELECT SUM(b * (b - 1) / 2) AS s FROM (SELECT SUM(nij) AS b FROM cells GROUP BY l2)),
+            c2n AS (SELECT n * (n - 1) / 2 AS c FROM n)
+            SELECT ROUND(((SELECT s FROM s_ij) - (SELECT s FROM s_a) * (SELECT s FROM s_b) / (SELECT c FROM c2n))
+                 / (0.5 * ((SELECT s FROM s_a) + (SELECT s FROM s_b)) - (SELECT s FROM s_a) * (SELECT s FROM s_b) / (SELECT c FROM c2n)), 8) AS ari
         """,
         "triangle_count": f"SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles FROM ({tri_corners})",
         "triangles_per_vertex": tri_sql,

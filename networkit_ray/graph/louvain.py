@@ -100,14 +100,15 @@ def _lv_gather(num_nodes: int, num_parts: int, labels: np.ndarray, *partials) ->
     d = np.concatenate([d, np.arange(n_v, dtype=np.int64)])
     c = np.concatenate([c, labels])
     w = np.concatenate([w, np.zeros(n_v, np.float64)])
-    o = np.lexsort((c, d))
-    d, c, w = d[o], c[o], w[o]
-    newg = np.empty(len(d), dtype=bool)
-    newg[0] = True
-    newg[1:] = (d[1:] != d[:-1]) | (c[1:] != c[:-1])
-    starts = np.flatnonzero(newg)
-    d, c = d[starts], c[starts]
-    w = np.add.reduceat(w, starts)
+    if len(d):
+        o = np.lexsort((c, d))
+        d, c, w = d[o], c[o], w[o]
+        newg = np.empty(len(d), dtype=bool)
+        newg[0] = True
+        newg[1:] = (d[1:] != d[:-1]) | (c[1:] != c[:-1])
+        starts = np.flatnonzero(newg)
+        d, c = d[starts], c[starts]
+        w = np.add.reduceat(w, starts)
 
     uniq, inv = np.unique(c, return_inverse=True)
     owner, loc = bsp.vplace(uniq, num_nodes, num_parts)
@@ -131,6 +132,7 @@ def _lv_apply(
     cand: dict,
     labels: np.ndarray,
     degw: np.ndarray,
+    vids: np.ndarray,
     num_nodes: int,
     num_parts: int,
     parity: int,
@@ -172,11 +174,14 @@ def _lv_apply(
     best_g[dd[heads]] = gg[heads]
 
     move = (best_g > 1e-12) & (best_c != labels)
-    # parity gate on the LOCAL index: placement is permuted, so local-index
-    # parity is pseudorandom w.r.t. the original adjacency — an effective
-    # 2-coloring that suppresses synchronous swap oscillation
-    i = np.arange(len(labels), dtype=np.int64)
-    move &= ((i + parity) & 1) == 0
+    # parity gate on a multiplicative-hash bit of the ORIGINAL vertex id:
+    # partition-count-invariant (depends only on v) and pseudorandom w.r.t.
+    # the adjacency — an effective 2-coloring that suppresses synchronous
+    # swap oscillation; alternates each round so both halves get to move
+    color = (
+        (vids * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(63)
+    ).astype(np.int64)
+    move &= color == parity
     n_moves = int(move.sum())
     new_labels = labels.copy()
     new_labels[move] = best_c[move]
@@ -247,9 +252,10 @@ def _local_move_refs(
                 gather[p][P],
                 labels[p],
                 degw[p],
+                g.vid_refs[p],
                 g.num_nodes,
                 P,
-                (rnd + p) & 1,
+                rnd & 1,
                 m,
                 gamma,
                 *[resp[q][p] for q in range(P)],
@@ -275,7 +281,57 @@ def _local_move_refs(
 
 
 def _labels_dataset(g: PGraph, label_refs: list) -> ray.data.Dataset:
-    return bsp.state_to_dataset(g, label_refs, "label")
+    import pyarrow.compute as pc
+
+    return bsp.state_to_dataset(g, label_refs, "label").map_batches(
+        lambda t: pa.table(
+            {"v": t["v"], "label": pc.cast(t["label"], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _as_map(ds: ray.data.Dataset, key: str, val: str) -> ray.data.Dataset:
+    """Rename (key, val) columns to the (u, orig) map convention."""
+    return ds.map_batches(
+        lambda t: pa.table({"u": t[key], "orig": t[val]}),
+        batch_format="pyarrow",
+    )
+
+
+def _translate(
+    ds: ray.data.Dataset, col: str, map_ds: ray.data.Dataset
+) -> ray.data.Dataset:
+    """Replace ``ds[col]`` through the (u → orig) map; unmapped values keep
+    their current id (left outer join, state-sized)."""
+    import pyarrow.compute as pc
+
+    from networkit_ray.common.exchange import exchange_join
+
+    # internal column names can collide with ds's (e.g. translating a map
+    # through another map) — rename to reserved temporaries first
+    mp = map_ds.map_batches(
+        lambda t: pa.table({"__tk": t["u"], "__tv": t["orig"]}),
+        batch_format="pyarrow",
+    )
+    j = exchange_join(ds, mp, left_on=[col], right_on=["__tk"], join_type="left outer")
+
+    def fix(t: pa.Table) -> pa.Table:
+        cols = {}
+        for name in t.column_names:
+            if name == "__tv":
+                continue
+            if name == col and "__tv" in t.column_names:
+                cols[name] = pc.if_else(
+                    pc.is_valid(t["__tv"]),
+                    pc.cast(t["__tv"], t[col].type),
+                    t[col],
+                )
+            else:
+                cols[name] = t[name]
+        return pa.table(cols)
+
+    return j.map_batches(fix, batch_format="pyarrow")
 
 
 def _coarsen(
@@ -377,7 +433,12 @@ def louvain(
         )
     cur_edges = sym_edges.materialize()
     cur_n = num_nodes
-    fine_labels: ray.data.Dataset | None = None  # (v, label) in ORIGINAL ids
+    # fine_labels: (v, label) where BOTH columns are ORIGINAL vertex ids —
+    # keeping one id space end-to-end avoids any dense-id/label ambiguity
+    fine_labels: ray.data.Dataset | None = None
+    # cur_repr: (u, orig) — current-level dense vertex id → original
+    # representative id; None means the current space IS the original space
+    cur_repr: ray.data.Dataset | None = None
     info: dict = {"levels": [], "rounds": 0}
 
     for level in range(max_levels):
@@ -398,28 +459,19 @@ def louvain(
         info["rounds"] += 1
         lab_ds = _labels_dataset(g, label_refs).materialize()
 
-        if fine_labels is None:
-            fine_labels = lab_ds
+        # translate this level's (u → c) assignment into original-id space
+        if cur_repr is None:
+            lab_orig = lab_ds
         else:
-            # translate: fine (v, label=c_prev_dense) ⋈ lab_ds (v=c_prev_dense)
-            from networkit_ray.common.exchange import exchange_join
+            t1 = _translate(lab_ds, "v", cur_repr)
+            lab_orig = _translate(t1, "label", cur_repr).materialize()
 
-            j = exchange_join(
-                fine_labels, lab_ds, left_on=["label"], right_on=["v"],
-                join_type="left outer",
-            )
-            fine_labels = j.map_batches(
-                lambda t: pa.table(
-                    {
-                        "v": t["v"],
-                        "label": pc.if_else(
-                            pc.is_valid(t["label_r"] if "label_r" in t.column_names else t["label"]),
-                            t["label_r"] if "label_r" in t.column_names else t["label"],
-                            t["label"],
-                        ),
-                    }
-                ),
-                batch_format="pyarrow",
+        if fine_labels is None:
+            fine_labels = lab_orig
+        else:
+            # compose: fine.label (an original rep id) → its new rep
+            fine_labels = _translate(
+                fine_labels, "label", _as_map(lab_orig, "v", "label")
             ).materialize()
         if moves == 0:
             break
@@ -427,31 +479,17 @@ def louvain(
         coarse_dense, mapping, n_coarse = _coarsen(cur_edges, lab_ds)
         if n_coarse >= cur_n or n_coarse == 0:
             break
-        # translate fine labels (community ids) → representative chain keeps
-        # fine_labels in the CURRENT level's id space; convert to dense ids
-        # for the next level
-        from networkit_ray.common.exchange import exchange_join
-
-        j = exchange_join(
-            fine_labels, mapping, left_on=["label"], right_on=["v"],
-            join_type="left outer",
-        )
-        fine_labels = j.map_batches(
-            lambda t: pa.table(
-                {
-                    "v": t["v"],
-                    "label": pc.if_else(
-                        pc.is_valid(t["idx"]), t["idx"], t["label"]
-                    ),
-                }
-            ),
+        # next level's representative map: dense idx → original id
+        inv_map = mapping.map_batches(
+            lambda t: pa.table({"u": t["idx"], "orig": t["v"]}),
             batch_format="pyarrow",
-        ).materialize()
+        )
+        if cur_repr is not None:
+            inv_map = _translate(inv_map, "orig", cur_repr)
+        cur_repr = inv_map.materialize()
         cur_edges = coarse_dense
         cur_n = n_coarse
 
-    # final labels are in the last level's id space; they are stable,
-    # deterministic community ids — normalize to int64
     out = fine_labels.map_batches(
         lambda t: pa.table(
             {

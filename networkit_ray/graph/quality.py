@@ -2,13 +2,23 @@
 
 - :func:`modularity` — community/Modularity.cpp:26-87 + Coverage.cpp:14-40:
   Q = coverage − Σ_c (vol_c / 2m)², coverage = intra-community edge fraction.
+- :func:`coverage` / :func:`edge_cut` — community/Coverage.cpp:14-40,
+  community/EdgeCut.cpp: intra-edge fraction / inter-edge count.
+- :func:`conductance_table` — community/IsolatedInterpartitionConductance.cpp
+  semantics: per cluster C, cut(C) / min(vol(C), 2m − vol(C)).
+- :func:`nmi` / :func:`ari` — community/NMIDistance.cpp,
+  community/AdjustedRandMeasure.cpp: information-theoretic / pair-counting
+  partition similarity from the (l1, l2) confusion counts.
 - :func:`assortativity` — correlation/Assortativity.cpp:1-110: Pearson
   correlation of endpoint degrees over the symmetrized edge list.
 - :func:`subset_sizes` / :func:`num_subsets` — structures/Partition.hpp:221-250.
 - :func:`partition_intersection` — community/PartitionIntersection.cpp:16:
   meet of two partitions, relabeled densely by ascending (label1, label2).
 
-All are Dataset joins + aggregates (no BSP; non-iterative).
+All are Dataset joins + aggregates (no BSP; non-iterative).  The confusion
+matrix for NMI/ARI is k1×k2 COUNTS (one groupby over the vertex table), so
+the driver-side entropy/combinatorics math is community-count-sized, never
+vertex-sized.
 """
 
 from __future__ import annotations
@@ -58,6 +68,149 @@ def modularity(
     )
     expected = sq.sum("s")
     return intra / m - expected
+
+
+def _edge_labels(
+    canon: ray.data.Dataset, labels: ray.data.Dataset
+) -> ray.data.Dataset:
+    """Attach both endpoint labels to each canonical edge → (ls, ld)."""
+    e1 = exchange_join(canon, labels, left_on=["src"], right_on=["v"])
+    e1 = e1.map_batches(
+        lambda t: pa.table({"dst": t["dst"], "ls": t["label"]}),
+        batch_format="pyarrow",
+    )
+    e2 = exchange_join(e1, labels, left_on=["dst"], right_on=["v"])
+    return e2.map_batches(
+        lambda t: pa.table({"ls": t["ls"], "ld": t["label"]}),
+        batch_format="pyarrow",
+    )
+
+
+def coverage(canon: ray.data.Dataset, labels: ray.data.Dataset) -> float:
+    """Intra-community edge fraction (Coverage.cpp:14-40)."""
+    el = _edge_labels(canon, labels).materialize()
+    m = el.count()
+    if m == 0:
+        return 1.0
+    intra = el.map_batches(
+        lambda t: t.filter(pc.equal(t["ls"], t["ld"])), batch_format="pyarrow"
+    ).count()
+    return intra / m
+
+
+def edge_cut(canon: ray.data.Dataset, labels: ray.data.Dataset) -> int:
+    """Number of inter-community edges (community/EdgeCut.cpp)."""
+    el = _edge_labels(canon, labels).materialize()
+    return el.count() - el.map_batches(
+        lambda t: t.filter(pc.equal(t["ls"], t["ld"])), batch_format="pyarrow"
+    ).count()
+
+
+def conductance_table(
+    canon: ray.data.Dataset, labels: ray.data.Dataset
+) -> ray.data.Dataset:
+    """(label, cut, vol, conductance) per cluster.
+
+    conductance(C) = cut(C) / min(vol(C), 2m − vol(C)); clusters whose
+    denominator is 0 (empty or whole-graph) get conductance 0 — the
+    IsolatedInterpartitionConductance convention.
+    """
+    m = canon.count()
+    el = _edge_labels(canon, labels).materialize()
+    inter = el.map_batches(
+        lambda t: t.filter(pc.not_equal(t["ls"], t["ld"])), batch_format="pyarrow"
+    )
+    # each inter edge contributes 1 to BOTH endpoint clusters' cuts
+    cuts = (
+        inter.map_batches(
+            lambda t: pa.table(
+                {
+                    "label": pa.concat_arrays(
+                        [t["ls"].combine_chunks(), t["ld"].combine_chunks()]
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("label")
+        .aggregate(Count(alias_name="cut"))
+    )
+    deg = undirected_degrees(canon)
+    dl = exchange_join(deg, labels, left_on=["v"])
+    vols = dl.groupby("label").aggregate(Sum("deg", alias_name="vol")).materialize()
+    j = exchange_join(vols, cuts, left_on=["label"], join_type="left outer")
+
+    def final(t: pa.Table) -> pa.Table:
+        vol = t["vol"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cut = (
+            t["cut"].to_numpy(zero_copy_only=False).astype(np.float64)
+            if "cut" in t.column_names
+            else np.zeros(len(vol))
+        )
+        cut = np.where(np.isnan(cut), 0.0, cut)
+        denom = np.minimum(vol, 2.0 * m - vol)
+        cond = np.where(denom > 0, cut / np.maximum(denom, 1.0), 0.0)
+        return pa.table(
+            {
+                "label": t["label"],
+                "cut": pa.array(cut.astype(np.int64)),
+                "vol": pa.array(vol.astype(np.int64)),
+                "conductance": pa.array(cond),
+            }
+        )
+
+    return j.map_batches(final, batch_format="pyarrow")
+
+
+def _confusion(labels1: ray.data.Dataset, labels2: ray.data.Dataset):
+    """k1×k2 confusion counts + marginals (small driver-side arrays)."""
+    l2r = labels2.map_batches(
+        lambda t: pa.table({"v": t["v"], "label2": t["label"]}), batch_format="pyarrow"
+    )
+    j = exchange_join(labels1, l2r, left_on=["v"])
+    cells = (
+        j.groupby(["label", "label2"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    nij = cells["n"].to_numpy().astype(np.float64)
+    ai = cells.groupby("label")["n"].sum().to_numpy().astype(np.float64)
+    bj = cells.groupby("label2")["n"].sum().to_numpy().astype(np.float64)
+    # per-cell marginals aligned with nij
+    am = cells.groupby("label")["n"].transform("sum").to_numpy().astype(np.float64)
+    bm = cells.groupby("label2")["n"].transform("sum").to_numpy().astype(np.float64)
+    return nij, ai, bj, am, bm
+
+
+def nmi(labels1: ray.data.Dataset, labels2: ray.data.Dataset, num_nodes: int) -> float:
+    """Normalized mutual information, 2·I/(H1+H2) (NMIDistance.cpp returns
+    the dissimilarity 1 − NMI; this returns the similarity)."""
+    nij, ai, bj, am, bm = _confusion(labels1, labels2)
+    n = float(num_nodes)
+    info = float(np.sum((nij / n) * np.log((nij * n) / (am * bm))))
+    h1 = -float(np.sum((ai / n) * np.log(ai / n)))
+    h2 = -float(np.sum((bj / n) * np.log(bj / n)))
+    if h1 + h2 == 0.0:
+        return 1.0
+    return 2.0 * info / (h1 + h2)
+
+
+def ari(labels1: ray.data.Dataset, labels2: ray.data.Dataset, num_nodes: int) -> float:
+    """Adjusted Rand index (AdjustedRandMeasure.cpp returns 1 − ARI)."""
+
+    def c2(x):
+        return x * (x - 1.0) / 2.0
+
+    nij, ai, bj, _, _ = _confusion(labels1, labels2)
+    n = float(num_nodes)
+    sum_ij = float(np.sum(c2(nij)))
+    sum_a = float(np.sum(c2(ai)))
+    sum_b = float(np.sum(c2(bj)))
+    expected = sum_a * sum_b / c2(n)
+    max_index = 0.5 * (sum_a + sum_b)
+    if max_index == expected:
+        return 1.0
+    return (sum_ij - expected) / (max_index - expected)
 
 
 def assortativity(sym_edges: ray.data.Dataset, num_nodes: int) -> float:

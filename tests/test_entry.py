@@ -79,6 +79,8 @@ def test_queries_oracles_consistent():
         "approx_closeness",
         "core_decomposition",
         "plp_communities",
+        "louvain",
+        "louvain_modularity",
         "langid",
         "minhash_near_dups",
         "simhash_near_dups",

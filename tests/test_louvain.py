@@ -1,0 +1,70 @@
+"""Louvain/PLM: planted-partition recovery, modularity vs PLP, determinism."""
+
+import numpy as np
+import ray.data
+
+from networkit_ray.graph.build import canonicalize, symmetrize, transpose
+from networkit_ray.graph.louvain import louvain
+from networkit_ray.graph.plp import plp
+from networkit_ray.graph.quality import modularity
+from networkit_ray.sources.synth import planted_partition
+
+
+class TestLouvain:
+    def test_planted_partition_recovery(self):
+        canon, truth = planted_partition(120, 4, p_in=0.7, p_out=0.05)
+        canon = canon.materialize()
+        sym = symmetrize(canon).materialize()
+        labels, info = louvain(sym, 120, num_parts=4)
+        got = labels.to_pandas().sort_values("v")["label"].to_numpy()
+        assert len(got) == 120
+        # exact recovery: communities == planted classes
+        for c in range(4):
+            idx = np.flatnonzero(truth == c)
+            assert len(np.unique(got[idx])) == 1
+        assert len(np.unique(got)) == 4
+        # labels are original-vertex representatives: each label is a member
+        for lab in np.unique(got):
+            assert got[lab] == lab
+
+    def test_modularity_geq_plp(self):
+        """PLM is the reference fork's headline family precisely because it
+        beats plain LP on modularity (PLM.cpp benchmark rows)."""
+        canon, _ = planted_partition(150, 5, p_in=0.5, p_out=0.1, seed=13)
+        canon = canon.materialize()
+        sym = symmetrize(canon).materialize()
+        lv, _ = louvain(sym, 150, num_parts=3)
+        pl, _ = plp(sym, 150, num_parts=3, update_threshold=0)
+        q_lv = modularity(canon, lv, 150)
+        q_plp = modularity(canon, pl, 150)
+        assert q_lv >= q_plp - 1e-9
+        assert q_lv > 0.1
+
+    def test_deterministic_across_parallelism(self):
+        canon, _ = planted_partition(100, 4, p_in=0.6, p_out=0.08, seed=3)
+        sym = symmetrize(canon.materialize()).materialize()
+        a, _ = louvain(sym, 100, num_parts=2)
+        b, _ = louvain(sym, 100, num_parts=7)
+        ga = a.to_pandas().sort_values("v")["label"].to_numpy()
+        gb = b.to_pandas().sort_values("v")["label"].to_numpy()
+        assert np.array_equal(ga, gb)
+
+    def test_weighted_and_isolated(self):
+        """Two triangles joined by a weak bridge + an isolated vertex."""
+        import pyarrow as pa
+
+        e = np.array(
+            [[0, 1], [1, 2], [0, 2], [3, 4], [4, 5], [3, 5], [2, 3]],
+            dtype=np.int64,
+        )
+        w = np.array([5.0, 5.0, 5.0, 5.0, 5.0, 5.0, 0.1])
+        ds = ray.data.from_arrow(
+            pa.table({"src": e[:, 0], "dst": e[:, 1], "w": w})
+        )
+        sym = symmetrize(ds, agg=[("w", "sum")]).materialize()
+        labels, _ = louvain(sym, 7, num_parts=2, weighted=True)
+        got = labels.to_pandas().sort_values("v")["label"].to_numpy()
+        assert got[0] == got[1] == got[2]
+        assert got[3] == got[4] == got[5]
+        assert got[0] != got[3]
+        assert got[6] == 6  # isolated vertex keeps its singleton label
