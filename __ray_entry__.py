@@ -210,6 +210,22 @@ def q_num_components(sf_dir):
     return pa.table({"n_components": pa.array([num_subsets(labels)], pa.int64())})
 
 
+def q_scc(sf_dir):
+    from networkit_ray.graph.scc import strongly_connected_components
+
+    edges, n = _derived(sf_dir)
+    labels, _ = strongly_connected_components(edges, n)
+    return labels
+
+
+def q_wcc(sf_dir):
+    from networkit_ray.graph.scc import weakly_connected_components
+
+    edges, n = _derived(sf_dir)
+    labels, _ = weakly_connected_components(edges, n)
+    return labels
+
+
 def q_plp_communities(sf_dir):
     from networkit_ray.graph.plp import plp
 
@@ -494,12 +510,9 @@ def q_rmat_edges(sf_dir):
     return edges
 
 
-def q_weighted_degree(sf_dir):
-    import pyarrow.compute as pc
-
-    from networkit_ray.graph.build import weighted_degree_table
-
-    edges, _ = _derived(sf_dir)
+def _weighted_derived(sf_dir):
+    """Derived graph with deterministic w = (src+dst)%7+1 (both sides)."""
+    edges, n = _derived(sf_dir)
 
     def add_w(t: pa.Table) -> pa.Table:
         src = t["src"].to_numpy(zero_copy_only=False)
@@ -507,8 +520,22 @@ def q_weighted_degree(sf_dir):
         w = ((src + dst) % 7 + 1).astype(np.float64)
         return t.append_column("w", pa.array(w))
 
-    weighted = edges.map_batches(add_w, batch_format="pyarrow")
+    return edges.map_batches(add_w, batch_format="pyarrow"), n
+
+
+def q_weighted_degree(sf_dir):
+    from networkit_ray.graph.build import weighted_degree_table
+
+    weighted, _ = _weighted_derived(sf_dir)
     return weighted_degree_table(weighted)
+
+
+def q_sssp_distances(sf_dir):
+    from networkit_ray.graph.bfs import sssp_distances
+
+    weighted, n = _weighted_derived(sf_dir)
+    dists, _ = sssp_distances(weighted, n, source=0)
+    return _round_col(dists, "dist", 8)
 
 
 def q_katz(sf_dir):
@@ -635,6 +662,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cc_sizes": q_cc_sizes,
         "num_components": q_num_components,
         "plp_communities": q_plp_communities,
+        "scc": q_scc,
+        "wcc": q_wcc,
         "louvain": q_louvain,
         "louvain_modularity": q_louvain_modularity,
         "modularity": q_modularity,
@@ -652,6 +681,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "katz": q_katz,
         "eigenvector": q_eigenvector,
         "bfs_distances": q_bfs_distances,
+        "sssp_distances": q_sssp_distances,
         "global_clustering": q_global_clustering,
         "core_decomposition": q_core_decomposition,
         "approx_closeness": q_approx_closeness,
@@ -699,6 +729,30 @@ def _pagerank_sql(edges_sql: str, iters: int) -> str:
     return (
         body
         + f"\nSELECT v, ROUND(score / (SELECT SUM(score) FROM s{iters}), 8) AS score FROM s{iters}"
+    )
+
+
+def _sssp_sql(weighted_edges_sql: str, nodes_sql: str, iters: int, source: int = 0) -> str:
+    """Chained min-plus relaxation CTE — exact twin of sssp_distances run to
+    fixpoint, provided ``iters`` ≥ the longest shortest-path hop count
+    (extra rounds are no-ops under LEAST).  1e18 plays ∞; -1.0 = unreachable."""
+    parts = [
+        f"WITH e AS MATERIALIZED ({weighted_edges_sql})",
+        f"nodes AS MATERIALIZED ({nodes_sql})",
+        f"d0 AS MATERIALIZED (SELECT v, CASE WHEN v = {source} THEN 0.0 ELSE 1e18 END AS d FROM nodes)",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"d{k} AS MATERIALIZED (SELECT nodes.v, LEAST(p.d, COALESCE(m.best, 1e18)) AS d "
+            f"FROM nodes JOIN d{k-1} p ON p.v = nodes.v "
+            f"LEFT JOIN (SELECT e.dst AS v, MIN(p2.d + e.w) AS best "
+            f"FROM e JOIN d{k-1} p2 ON p2.v = e.src WHERE p2.d < 1e17 "
+            f"GROUP BY e.dst) m ON m.v = nodes.v)"
+        )
+    body = ",\n".join(parts)
+    return (
+        body
+        + f"\nSELECT v, ROUND(CASE WHEN d >= 1e17 THEN -1.0 ELSE d END, 8) AS dist FROM d{iters}"
     )
 
 
@@ -817,6 +871,21 @@ def oracle_sql() -> dict[str, str]:
             FROM ({pr}) QUALIFY rank <= 10
         """,
         "connected_components": cc_sql,
+        "scc": f"""
+            WITH RECURSIVE e AS MATERIALIZED ({DERIVED_EDGES_SQL}),
+            nodes AS (SELECT CAST(c_custkey AS BIGINT) AS v FROM customer),
+            r(s, d) AS (
+                SELECT v, v FROM nodes
+                UNION
+                SELECT r.s, e.dst FROM r JOIN e ON e.src = r.d
+            )
+            -- r = forward reachability closure; SCC label = min mutually
+            -- reachable id
+            SELECT a.s AS v, MIN(a.d) AS label
+            FROM r a JOIN r b ON b.s = a.d AND b.d = a.s
+            GROUP BY a.s
+        """,
+        "wcc": cc_sql,
         "cc_sizes": f"SELECT label, CAST(COUNT(*) AS BIGINT) AS size FROM ({cc_sql}) GROUP BY label",
         "num_components": f"SELECT CAST(COUNT(DISTINCT label) AS BIGINT) AS n_components FROM ({cc_sql})",
         "modularity": f"""
@@ -917,6 +986,11 @@ def oracle_sql() -> dict[str, str]:
             SYMMETRIC_EDGES_SQL,
             "SELECT CAST(c_custkey AS BIGINT) AS v FROM customer",
             20,
+        ),
+        "sssp_distances": _sssp_sql(
+            f"SELECT src, dst, CAST((src + dst) % 7 + 1 AS DOUBLE) AS w FROM ({DERIVED_EDGES_SQL})",
+            "SELECT CAST(c_custkey AS BIGINT) AS v FROM customer",
+            40,
         ),
         "bfs_distances": f"""
             WITH RECURSIVE e AS MATERIALIZED ({DERIVED_EDGES_SQL}),

@@ -1,4 +1,4 @@
-"""Edge-list / METIS readers and writers (conformance surface).
+"""Edge-list / METIS / SNAP / KONECT readers and writers.
 
 Parquet is this engine's native graph format (the analog of the reference's
 NetworkitBinary chunked format, io/NetworkitBinaryGraph.md); these readers
@@ -9,11 +9,26 @@ cover the reference's text formats for fixture conformance:
   comment prefix, ``first_node`` offset, weight sniffing from the first data
   line; distributed via ``read_text`` + vectorized parse (the mmap parse of
   the reference maps to Arrow CSV blocks).
+- :func:`read_edge_list_keyed` — the reference's ``continuous=false``
+  string→id map (EdgeListReader.cpp:30-35,75-83).  A serial id map cannot
+  scale, so keys get stable ``hash64`` ids and are then compacted to a
+  dense 0..n-1 universe (sorted-hash order — deterministic across runs,
+  partitioning, and cluster sizes).
+- :func:`read_snap` — SNAPGraphReader (io/SNAPGraphReader.cpp:20-80):
+  ``#`` comments, arbitrary integer ids remapped to consecutive
+  (:44-51), duplicate edges dropped.
+- :func:`read_konect` — KONECTGraphReader (io/KONECTGraphReader.cpp):
+  ``%`` comments/format header, 1-based ids, optional weight column.
 - :func:`read_metis` — METISGraphReader (io/METISGraphReader.cpp:20-118):
   line *i* lists the 1-based neighbors of node *i-1*; the line-number ⇒
   node-id coupling makes this inherently sequential, so it parses in ONE
   task (conformance fixtures only — not a scale path).
-- :func:`write_edge_list` — EdgeListWriter (io/EdgeListWriter.cpp:15-43).
+- :func:`write_edge_list` — EdgeListWriter (io/EdgeListWriter.cpp:15-43);
+  :func:`write_snap` — SNAPGraphWriter (io/SNAPGraphWriter.cpp);
+  :func:`write_metis` — METISGraphWriter (io/METISGraphWriter.cpp:17-58,
+  single-task for the same line-number reason as the reader).
+- :func:`read_graph` / :func:`write_graph` — the ``readGraph``/
+  ``writeGraph`` format dispatch of networkit/graphio.py.
 """
 
 from __future__ import annotations
@@ -59,6 +74,126 @@ def read_edge_list(
         return pa.table(cols)
 
     return lines.map_batches(parse, batch_format="pyarrow")
+
+
+def read_edge_list_keyed(
+    path: str,
+    *,
+    sep: str = None,
+    comment: str = "#",
+    weighted: bool | None = None,
+    compact: bool = True,
+) -> tuple[ray.data.Dataset, ray.data.Dataset]:
+    """String-keyed edge list → (edges, mapping).
+
+    Keys are hashed with the stable ``hash64`` (EdgeListReader's serial
+    string→id map is inherently sequential; stable hashing is the scale
+    path, the same scheme the web extractor uses for urls).  With
+    ``compact=True`` ids are then remapped to dense 0..n-1 in ascending
+    hash order and ``mapping`` is (key: string, v: int64); otherwise ids
+    are the raw hashes and ``mapping`` is (key, v=hash).  A 64-bit hash
+    collision merges two vertices (birthday bound ≈ k²/2⁶⁵ — ~3% chance of
+    ONE collision anywhere at 10⁹ keys); detect by comparing the mapping
+    row count against a distinct-key count when that matters.
+    """
+    from networkit_ray.common.hashing import hash64_array
+
+    lines = ray.data.read_text(path)
+
+    def parse(t: pa.Table) -> pa.Table:
+        sk, dk, w = [], [], []
+        for line in t["text"].to_pylist():
+            s = line.strip()
+            if not s or s.startswith(comment):
+                continue
+            parts = s.split(sep)
+            sk.append(parts[0])
+            dk.append(parts[1])
+            if weighted or (weighted is None and len(parts) > 2):
+                w.append(float(parts[2]))
+        h1 = hash64_array(sk).view(np.int64)
+        h2 = hash64_array(dk).view(np.int64)
+        cols = {
+            "src": pa.array(h1),
+            "dst": pa.array(h2),
+            "skey": pa.array(sk, pa.string()),
+            "dkey": pa.array(dk, pa.string()),
+        }
+        if w:
+            cols["w"] = pa.array(np.asarray(w, np.float64))
+        return pa.table(cols)
+
+    parsed = lines.map_batches(parse, batch_format="pyarrow").materialize()
+    keys = parsed.map_batches(
+        lambda t: pa.table(
+            {
+                "h": pa.concat_arrays(
+                    [t["src"].combine_chunks(), t["dst"].combine_chunks()]
+                ),
+                "key": pa.concat_arrays(
+                    [t["skey"].combine_chunks(), t["dkey"].combine_chunks()]
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    from ray.data.aggregate import Min
+
+    key_map = keys.groupby("h").aggregate(Min("key", alias_name="key"))
+    edge_cols = ["src", "dst"] + (["w"] if "w" in parsed.schema().names else [])
+    edges = parsed.select_columns(edge_cols)
+    if not compact:
+        mapping = key_map.map_batches(
+            lambda t: pa.table({"key": t["key"], "v": t["h"]}),
+            batch_format="pyarrow",
+        )
+        return edges, mapping
+    from networkit_ray.common.exchange import exchange_join
+    from networkit_ray.graph.build import compact_ids
+
+    id_map, remapped = compact_ids(edges.select_columns(["src", "dst"]))
+    if "w" in edge_cols:
+        # re-run the remap keeping w (compact_ids drops non-key columns)
+        e1 = exchange_join(edges, id_map, left_on=["src"], right_on=["v"])
+        e1 = e1.map_batches(
+            lambda t: pa.table({"si": t["idx"], "dst": t["dst"], "w": t["w"]}),
+            batch_format="pyarrow",
+        )
+        e2 = exchange_join(e1, id_map, left_on=["dst"], right_on=["v"])
+        remapped = e2.map_batches(
+            lambda t: pa.table({"src": t["si"], "dst": t["idx"], "w": t["w"]}),
+            batch_format="pyarrow",
+        )
+    km = exchange_join(key_map, id_map, left_on=["h"], right_on=["v"])
+    mapping = km.map_batches(
+        lambda t: pa.table({"key": t["key"], "v": t["idx"]}),
+        batch_format="pyarrow",
+    )
+    return remapped, mapping
+
+
+def read_snap(path: str) -> tuple[ray.data.Dataset, ray.data.Dataset, int]:
+    """SNAP text graph → (remapped edges, mapping(orig:int64, v:int64), n).
+
+    Arbitrary (non-continuous) integer ids are remapped to consecutive
+    0..n-1 in ascending original-id order (SNAPGraphReader.cpp:44-51);
+    duplicate edges are dropped.
+    """
+    from networkit_ray.graph.build import compact_ids, dedup_edges
+
+    raw = read_edge_list(path, comment="#")
+    id_map, remapped = compact_ids(raw.select_columns(["src", "dst"]))
+    mapping = id_map.map_batches(
+        lambda t: pa.table({"orig": t["v"], "v": t["idx"]}),
+        batch_format="pyarrow",
+    ).materialize()
+    edges = dedup_edges(remapped).materialize()
+    return edges, mapping, mapping.count()
+
+
+def read_konect(path: str) -> ray.data.Dataset:
+    """KONECT out.* file: ``%`` comments, 1-based ids, optional weight."""
+    return read_edge_list(path, comment="%", first_node=1)
 
 
 def read_metis(path: str) -> tuple[ray.data.Dataset, int]:
@@ -113,3 +248,80 @@ def write_edge_list(edges: ray.data.Dataset, out_dir: str, *, sep: str = " ") ->
             for i, r in enumerate(refs)
         ]
     )
+
+
+def write_snap(edges: ray.data.Dataset, out_dir: str) -> None:
+    """SNAPGraphWriter format: ``# Nodes/Edges`` comment header then
+    tab-separated directed edge lines (io/SNAPGraphWriter.cpp)."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    m = edges.count()
+    src_max = edges.max("src")
+    dst_max = edges.max("dst")
+    n = int(max(src_max or 0, dst_max or 0)) + 1
+    header = f"# Directed graph\n# Nodes: {n} Edges: {m}\n"
+    with open(os.path.join(out_dir, "header.txt"), "w") as f:
+        f.write(header)
+    write_edge_list(edges, out_dir, sep="\t")
+
+
+def write_metis(
+    sym_edges: ray.data.Dataset, num_nodes: int, path: str
+) -> None:
+    """METISGraphWriter (io/METISGraphWriter.cpp:17-58): header ``n m``,
+    then line i = 1-based neighbors of node i-1.
+
+    Single-task serialization (line number ⇒ node id), conformance only.
+    """
+    t = pa.concat_tables(
+        list(sym_edges.select_columns(["src", "dst"]).iter_batches(batch_format="pyarrow"))
+    )
+    src = t["src"].to_numpy(zero_copy_only=False)
+    dst = t["dst"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((dst, src))
+    src, dst = src[order], dst[order]
+    m = len(src) // 2  # symmetric table: each undirected edge twice
+    bounds = np.searchsorted(src, np.arange(num_nodes + 1))
+    lines = [f"{num_nodes} {m}"]
+    for i in range(num_nodes):
+        lines.append(" ".join(str(x + 1) for x in dst[bounds[i] : bounds[i + 1]]))
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    import os
+
+    os.replace(tmp, path)
+
+
+def read_graph(path: str, fmt: str, **kw):
+    """readGraph format dispatch (networkit/graphio.py Format enum)."""
+    fmt = fmt.lower()
+    if fmt in ("edgelist", "edgelisttab", "edgelistspace"):
+        return read_edge_list(path, **kw)
+    if fmt == "edgelistkeyed":
+        return read_edge_list_keyed(path, **kw)
+    if fmt == "snap":
+        return read_snap(path, **kw)
+    if fmt == "konect":
+        return read_konect(path, **kw)
+    if fmt == "metis":
+        return read_metis(path, **kw)
+    if fmt == "parquet":
+        return ray.data.read_parquet(path, **kw)
+    raise ValueError(f"unknown graph format: {fmt}")
+
+
+def write_graph(edges: ray.data.Dataset, path: str, fmt: str, **kw) -> None:
+    """writeGraph format dispatch."""
+    fmt = fmt.lower()
+    if fmt in ("edgelist", "edgelisttab", "edgelistspace"):
+        sep = "\t" if fmt == "edgelisttab" else " "
+        return write_edge_list(edges, path, sep=kw.pop("sep", sep), **kw)
+    if fmt == "snap":
+        return write_snap(edges, path, **kw)
+    if fmt == "metis":
+        return write_metis(edges, kw.pop("num_nodes"), path, **kw)
+    if fmt == "parquet":
+        return edges.write_parquet(path, **kw)
+    raise ValueError(f"unknown graph format: {fmt}")

@@ -154,3 +154,58 @@ class TestApproxCloseness:
         assert len(df) == 30
         assert len(info["pivots"]) == 8
         assert (df["closeness"] >= 0).all() and (df["closeness"] <= 1.0).all()
+
+
+class TestSSSP:
+    def test_weighted_golden(self):
+        import pyarrow as pa
+        import ray.data
+
+        from networkit_ray.graph.bfs import sssp_distances
+
+        # 0→1 (w5), 0→2 (w1), 2→1 (w1): shortest 0→1 is 2.0 via 2
+        t = pa.table(
+            {
+                "src": pa.array([0, 0, 2], pa.int64()),
+                "dst": pa.array([1, 2, 1], pa.int64()),
+                "w": [5.0, 1.0, 1.0],
+            }
+        )
+        d, info = sssp_distances(ray.data.from_arrow(t), 4, source=0)
+        got = d.to_pandas().sort_values("v")["dist"].tolist()
+        assert got == [0.0, 2.0, 1.0, -1.0]
+
+    def test_vs_scipy_free_reference(self):
+        import pyarrow as pa
+        import ray.data
+
+        from networkit_ray.graph.bfs import sssp_distances
+
+        rng = np.random.default_rng(9)
+        n = 30
+        e = np.unique(rng.integers(0, n, size=(120, 2)), axis=0)
+        e = e[e[:, 0] != e[:, 1]]
+        w = ((e[:, 0] + e[:, 1]) % 5 + 1).astype(np.float64)
+        # Bellman-Ford reference
+        INF = np.inf
+        dist = np.full(n, INF)
+        dist[0] = 0.0
+        for _ in range(n):
+            nd = dist.copy()
+            np.minimum.at(nd, e[:, 1], dist[e[:, 0]] + w)
+            if np.array_equal(
+                np.nan_to_num(nd, posinf=-1), np.nan_to_num(dist, posinf=-1)
+            ):
+                break
+            dist = nd
+        exp = np.where(np.isfinite(dist), dist, -1.0)
+        t = pa.table(
+            {
+                "src": pa.array(e[:, 0], pa.int64()),
+                "dst": pa.array(e[:, 1], pa.int64()),
+                "w": w,
+            }
+        )
+        d, _ = sssp_distances(ray.data.from_arrow(t), n, source=0, num_parts=3)
+        got = d.to_pandas().sort_values("v")["dist"].to_numpy()
+        np.testing.assert_allclose(got, exp)

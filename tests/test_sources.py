@@ -59,3 +59,98 @@ class TestGenerators:
         assert same.all()
         # three k-cliques of 20
         assert len(df) == 3 * (20 * 19 // 2)
+
+
+class TestKeyedAndFormats:
+    def test_read_edge_list_keyed_compact(self, tmp_path):
+        from networkit_ray.sources.edgelist import read_edge_list_keyed
+
+        p = tmp_path / "keyed.txt"
+        p.write_text(
+            "# comment\n"
+            "alpha beta\n"
+            "beta gamma\n"
+            "alpha gamma\n"
+            "gamma alpha\n"
+        )
+        edges, mapping = read_edge_list_keyed(str(p))
+        mp = mapping.to_pandas().sort_values("v")
+        assert len(mp) == 3  # three distinct keys
+        assert sorted(mp["key"]) == ["alpha", "beta", "gamma"]
+        assert sorted(mp["v"]) == [0, 1, 2]
+        e = edges.to_pandas()
+        assert len(e) == 4
+        # edge count per key matches the file via the mapping
+        key_of = dict(zip(mp["v"], mp["key"]))
+        got = sorted((key_of[a], key_of[b]) for a, b in zip(e["src"], e["dst"]))
+        assert got == sorted(
+            [("alpha", "beta"), ("beta", "gamma"), ("alpha", "gamma"), ("gamma", "alpha")]
+        )
+
+    def test_read_edge_list_keyed_weighted(self, tmp_path):
+        from networkit_ray.sources.edgelist import read_edge_list_keyed
+
+        p = tmp_path / "kw.txt"
+        p.write_text("x y 2.5\ny z 1.0\n")
+        edges, mapping = read_edge_list_keyed(str(p))
+        e = edges.to_pandas()
+        assert sorted(e["w"]) == [1.0, 2.5]
+
+    def test_read_snap_remap(self, tmp_path):
+        from networkit_ray.sources.edgelist import read_snap
+
+        p = tmp_path / "snap.txt"
+        # non-continuous ids with a duplicate edge
+        p.write_text("# SNAP\n100 205\n205 999\n100 205\n999 100\n")
+        edges, mapping, n = read_snap(str(p))
+        assert n == 3
+        mp = mapping.to_pandas().sort_values("orig")
+        assert list(mp["orig"]) == [100, 205, 999]
+        assert list(mp["v"]) == [0, 1, 2]  # ascending original order
+        e = edges.to_pandas()
+        assert len(e) == 3  # duplicate dropped
+        got = sorted(zip(e["src"], e["dst"]))
+        assert got == [(0, 1), (1, 2), (2, 0)]
+
+    def test_konect(self, tmp_path):
+        from networkit_ray.sources.edgelist import read_konect
+
+        p = tmp_path / "out.test"
+        p.write_text("% sym unweighted\n1 2\n2 3\n")
+        e = read_konect(str(p)).to_pandas()
+        assert sorted(zip(e["src"], e["dst"])) == [(0, 1), (1, 2)]
+
+    def test_metis_writer_roundtrip(self, tmp_path):
+        import pyarrow as pa
+        import ray.data
+
+        from networkit_ray.graph.build import symmetrize
+        from networkit_ray.sources.edgelist import read_metis, write_metis
+
+        t = pa.table(
+            {
+                "src": pa.array([0, 1, 2], pa.int64()),
+                "dst": pa.array([1, 2, 0], pa.int64()),
+            }
+        )
+        sym = symmetrize(ray.data.from_arrow(t)).materialize()
+        path = str(tmp_path / "g.metis")
+        write_metis(sym, 3, path)
+        back, n = read_metis(path)
+        assert n == 3
+        b = back.to_pandas()
+        assert sorted(zip(b["src"], b["dst"])) == [(0, 1), (0, 2), (1, 2)]
+
+    def test_dispatch(self, tmp_path):
+        import pyarrow as pa
+        import ray.data
+
+        from networkit_ray.sources.edgelist import read_graph, write_graph
+
+        t = pa.table(
+            {"src": pa.array([0, 1], pa.int64()), "dst": pa.array([1, 2], pa.int64())}
+        )
+        d = str(tmp_path / "el")
+        write_graph(ray.data.from_arrow(t), d, "edgelisttab")
+        back = read_graph(d + "/part-00000.txt", "edgelist").to_pandas()
+        assert sorted(zip(back["src"], back["dst"])) == [(0, 1), (1, 2)]
