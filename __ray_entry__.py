@@ -562,6 +562,56 @@ def q_bfs_distances(sf_dir):
     return d
 
 
+def q_sample_edges(sf_dir):
+    from networkit_ray.graph.sampling import sample_edges
+
+    edges, _ = _derived(sf_dir)
+    return sample_edges(edges, 0.3, seed=42)
+
+
+def q_random_edge(sf_dir):
+    from networkit_ray.graph.sampling import random_edge
+
+    edges, _ = _derived(sf_dir)
+    return random_edge(edges, seed=42)
+
+
+def q_approx_global_clustering(sf_dir):
+    from networkit_ray.common.hashing import round_half_away
+    from networkit_ray.graph.sampling import approx_global_clustering
+
+    sym, n = _sym(sf_dir)
+    gcc, info = approx_global_clustering(sym, n, n_samples=4000, seed=42)
+    return pa.table(
+        {
+            "approx_gcc": pa.array(round_half_away([gcc], 6)),
+            "samples": pa.array([info["samples"]], pa.int64()),
+        }
+    )
+
+
+def q_effective_diameter(sf_dir):
+    from networkit_ray.common.hashing import round_half_away
+    from networkit_ray.graph.diameter import effective_diameter
+
+    sym, n = _sym(sf_dir)
+    eff, info = effective_diameter(sym, n, ratio=0.9)
+    return pa.table(
+        {
+            "effective_diameter": pa.array(round_half_away([eff], 6)),
+            "iterations": pa.array([info["iterations"]], pa.int64()),
+        }
+    )
+
+
+def q_betweenness(sf_dir):
+    from networkit_ray.graph.betweenness import estimate_betweenness
+
+    edges, n = _derived(sf_dir)
+    bc, _ = estimate_betweenness(edges, n, n_samples=16, seed=42)
+    return _round_col(bc, "betweenness", 6)
+
+
 def q_core_decomposition(sf_dir):
     from networkit_ray.graph.core import core_decomposition
 
@@ -684,6 +734,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sssp_distances": q_sssp_distances,
         "global_clustering": q_global_clustering,
         "core_decomposition": q_core_decomposition,
+        "betweenness": q_betweenness,
+        "effective_diameter": q_effective_diameter,
+        "sample_edges": q_sample_edges,
+        "random_edge": q_random_edge,
+        "approx_global_clustering": q_approx_global_clustering,
         "approx_closeness": q_approx_closeness,
         "web_text_roundtrip": q_web_text_roundtrip,
         "web_edges": q_web_edges,
@@ -987,6 +1042,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(c_custkey AS BIGINT) AS v FROM customer",
             20,
         ),
+        "sample_edges": f"""
+            SELECT src, dst FROM ({DERIVED_EDGES_SQL})
+            WHERE (src * 2654435761 + dst * 40503 + 42) % 2147483648
+                  < CAST(0.3 * 2147483648 AS BIGINT)
+        """,
+        "random_edge": f"""
+            SELECT src, dst FROM ({DERIVED_EDGES_SQL})
+            ORDER BY (src * 2654435761 + dst * 40503 + 42) % 2147483648, src, dst
+            LIMIT 1
+        """,
         "sssp_distances": _sssp_sql(
             f"SELECT src, dst, CAST((src + dst) % 7 + 1 AS DOUBLE) AS w FROM ({DERIVED_EDGES_SQL})",
             "SELECT CAST(c_custkey AS BIGINT) AS v FROM customer",

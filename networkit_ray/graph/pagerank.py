@@ -118,6 +118,12 @@ def pagerank_refs(
     residual = float("inf")
     max_it = max_iterations if max_iterations is not None else 10**9
     units = g.map_units()
+    # fixed-iteration runs (tol<=0) never need the residual mid-run: skip
+    # the per-superstep ray.get barrier entirely so supersteps pipeline
+    # back-to-back through the object store (the driver only submits)
+    fixed_iters = tol <= 0 and max_iterations is not None and not checkpoint_dir
+    stats = None
+    stat_refs: list = []
     while iteration < max_it:
         map_out = [
             _pr_map.options(num_returns=P).remote(
@@ -132,9 +138,11 @@ def pagerank_refs(
             )
             new_scores.append(s)
             stat_refs.append(st)
-        stats = ray.get(stat_refs)
         scores = new_scores
         iteration += 1
+        if fixed_iters and iteration < max_it:
+            continue
+        stats = ray.get(stat_refs)
         l1 = sum(s[0] for s in stats)
         l2 = float(np.sqrt(sum(s[1] for s in stats)))
         residual = l1 if norm == "l1" else l2

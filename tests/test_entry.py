@@ -78,6 +78,9 @@ def test_queries_oracles_consistent():
     assert rows_only == {
         "approx_closeness",
         "core_decomposition",
+        "betweenness",
+        "effective_diameter",
+        "approx_global_clustering",
         "plp_communities",
         "louvain",
         "louvain_modularity",
