@@ -129,6 +129,23 @@ def run_bench() -> dict:
     log(f"triangles on derived sf graph: {tc} in {queries['triangles']:.2f}s")
 
     t0 = time.perf_counter()
+    sym2 = symmetrize(e2).materialize()
+    from networkit_ray.graph.louvain import louvain
+
+    _lv, lv_info = louvain(sym2, n2)
+    _lv = _lv.materialize()
+    queries["louvain"] = time.perf_counter() - t0
+    log(f"louvain: {len(lv_info['levels'])} levels in {queries['louvain']:.2f}s")
+
+    t0 = time.perf_counter()
+    from networkit_ray.graph.core import core_decomposition
+
+    _cores, core_info = core_decomposition(sym2, n2)
+    _cores = _cores.materialize()
+    queries["core_decomposition"] = time.perf_counter() - t0
+    log(f"k-core: {core_info['rounds']} h-index rounds in {queries['core_decomposition']:.2f}s")
+
+    t0 = time.perf_counter()
     pages = pages_dataset(sf_dir)
     nd = num_documents(sf_dir)
     web_edges = extract_edges(pages, ids="hash").materialize()

@@ -94,6 +94,35 @@ def canonicalize(edges: ray.data.Dataset) -> ray.data.Dataset:
     return dedup_edges(edges.map_batches(lohi, batch_format="pyarrow"))
 
 
+def to_unweighted(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """GraphTools::toUnweighted (GraphTools.hpp:300): drop the weight column."""
+    return edges.map_batches(
+        lambda t: t.select(["src", "dst"]), batch_format="pyarrow"
+    )
+
+
+def to_weighted(edges: ray.data.Dataset, default: float = 1.0) -> ray.data.Dataset:
+    """GraphTools::toWeighted (GraphTools.hpp:310): attach unit weights."""
+
+    def f(t: pa.Table) -> pa.Table:
+        if "w" in t.column_names:
+            return t
+        return t.append_column(
+            "w", pa.array(np.full(t.num_rows, default, np.float64))
+        )
+
+    return edges.map_batches(f, batch_format="pyarrow")
+
+
+def graph_union(
+    a: ray.data.Dataset, b: ray.data.Dataset, *, agg: list[tuple] | None = None
+) -> ray.data.Dataset:
+    """GraphTools::merge / append analog: union of two edge tables with
+    duplicate edges collapsed (weights combined per ``agg``, e.g.
+    ``[("w", "sum")]``)."""
+    return dedup_edges(a.union(b), agg=agg)
+
+
 def degree_table(
     edges: ray.data.Dataset, *, key: str = "src", out_name: str = "deg"
 ) -> ray.data.Dataset:
@@ -195,7 +224,9 @@ def zip_with_index(sorted_ds: ray.data.Dataset, index_name: str = "idx") -> ray.
     return ray.data.from_arrow_refs(out_refs)
 
 
-def compact_ids(edges: ray.data.Dataset) -> tuple[ray.data.Dataset, ray.data.Dataset]:
+def compact_ids(
+    edges: ray.data.Dataset, *, num_parts: int | None = None
+) -> tuple[ray.data.Dataset, ray.data.Dataset]:
     """GraphTools::getContinuousNodeIds + getCompactedGraph.
 
     Returns (mapping, remapped_edges): mapping (v, idx) assigns dense ids in
@@ -213,15 +244,15 @@ def compact_ids(edges: ray.data.Dataset) -> tuple[ray.data.Dataset, ray.data.Dat
     )
     from networkit_ray.common.exchange import exchange_join, exchange_unique
 
-    ids = exchange_unique(src_ids.union(dst_ids), ["v"]).sort("v")
+    ids = exchange_unique(src_ids.union(dst_ids), ["v"], num_parts=num_parts).sort("v")
     mapping = zip_with_index(ids, "idx").materialize()
 
-    e1 = exchange_join(edges, mapping, left_on=["src"], right_on=["v"])
+    e1 = exchange_join(edges, mapping, left_on=["src"], right_on=["v"], num_parts=num_parts)
     e1 = e1.map_batches(
         lambda t: pa.table({"src_new": t["idx"], "dst": t["dst"]}),
         batch_format="pyarrow",
     )
-    e2 = exchange_join(e1, mapping, left_on=["dst"], right_on=["v"])
+    e2 = exchange_join(e1, mapping, left_on=["dst"], right_on=["v"], num_parts=num_parts)
     remapped = e2.map_batches(
         lambda t: pa.table({"src": t["src_new"], "dst": t["idx"]}),
         batch_format="pyarrow",

@@ -141,8 +141,11 @@ def _lv_apply(
     *vol_slices,
 ) -> tuple:
     """Pick best move per vertex, apply parity-gated moves; returns
-    (new_labels, n_moves, per-owner (community, ±degw) volume deltas)
-    with num_returns = 2 + P."""
+    (new_labels, n_moves, q_own_partial, per-owner (community, ±degw)
+    volume deltas) with num_returns = 3 + P.
+
+    ``q_own_partial`` = Σ_u w(u→A_u\\{u}) over this partition's PRE-move
+    labels — the coverage half of the modularity monitor."""
     d, c, w, inv = cand["d"], cand["c"], cand["w"], cand["inv"]
     vol_u = (
         np.concatenate(vol_slices) if vol_slices else np.empty(0, np.float64)
@@ -199,7 +202,12 @@ def _lv_apply(
         (dloc[cut[q] : cut[q + 1]], dv[cut[q] : cut[q + 1]])
         for q in range(num_parts)
     )
-    return (new_labels, n_moves) + deltas
+    return (new_labels, n_moves, float(w_own.sum())) + deltas
+
+
+@ray.remote
+def _lv_vol2(vol: np.ndarray) -> float:
+    return float(vol @ vol)
 
 
 @ray.remote
@@ -218,8 +226,20 @@ def _local_move_refs(
     *,
     gamma: float = 1.0,
     max_rounds: int = 32,
-) -> tuple[list, int]:
-    """Parity-gated synchronous local moving to a move-free fixpoint."""
+    patience: int = 3,
+) -> tuple[list, int, float, float]:
+    """Parity-gated synchronous local moving with a modularity monitor.
+
+    Synchronous moves against stale volumes do NOT guarantee a global
+    modularity increase, so on weak community structure the move count
+    never reaches zero (vertices churn between near-equal communities
+    indefinitely).  Convergence is therefore driven by the objective: each
+    round the (pre-move) modularity Q̂ = Σw_own/(2m) − γ·Σvol²/(4m²) is
+    computed from per-partition partials; the BEST-Q̂ label snapshot is
+    kept, and the loop stops once Q̂ has not improved for ``patience``
+    rounds (or at move-free fixpoint / max_rounds).  Deterministic, and
+    the returned labels are always the best partition seen.
+    """
     P = g.num_parts
     degw = [
         _lv_degw.remote(g.block_refs[p], selfw_refs[p] if selfw_refs else None)
@@ -230,6 +250,10 @@ def _local_move_refs(
     units = g.map_units()
     total_moves = 0
     idle_parity = 0
+    best_q = -np.inf
+    q_init = None
+    best_labels = labels
+    stale = 0
     for rnd in range(max_rounds):
         map_out = [
             _plp_map.options(num_returns=P).remote(g.block_refs[p], labels[p], c)
@@ -248,7 +272,7 @@ def _local_move_refs(
             for q in range(P)
         ]
         applied = [
-            _lv_apply.options(num_returns=P + 2).remote(
+            _lv_apply.options(num_returns=P + 3).remote(
                 gather[p][P],
                 labels[p],
                 degw[p],
@@ -262,22 +286,39 @@ def _local_move_refs(
             )
             for p in range(P)
         ]
-        labels = [applied[p][0] for p in range(P)]
-        vol = [
+        vol2 = [_lv_vol2.remote(vol[q]) for q in range(P)]
+        new_labels = [applied[p][0] for p in range(P)]
+        new_vol = [
             _lv_volupdate.remote(
-                vol[q], *[applied[p][2 + q] for p in range(P)]
+                vol[q], *[applied[p][3 + q] for p in range(P)]
             )
             for q in range(P)
         ]
         moves = sum(ray.get([applied[p][1] for p in range(P)]))
+        q_own = sum(ray.get([applied[p][2] for p in range(P)]))
+        sum_vol2 = sum(ray.get(vol2))
+        # Q̂ of the PRE-move labels (aligned with this round's vol)
+        q_hat = q_own / (2.0 * m) - gamma * sum_vol2 / (4.0 * m * m)
+        if q_init is None:
+            q_init = q_hat
+        if q_hat > best_q + 1e-12:
+            best_q = q_hat
+            best_labels = labels
+            stale = 0
+        else:
+            stale += 1
+        labels, vol = new_labels, new_vol
         total_moves += moves
         if moves == 0:
             idle_parity += 1
             if idle_parity >= 2:  # both parities move-free → fixpoint
+                best_labels = labels
                 break
         else:
             idle_parity = 0
-    return labels, total_moves
+        if stale >= patience:
+            break
+    return best_labels, total_moves, float(q_init or 0.0), float(best_q)
 
 
 def _labels_dataset(g: PGraph, label_refs: list) -> ray.data.Dataset:
@@ -291,6 +332,13 @@ def _labels_dataset(g: PGraph, label_refs: list) -> ray.data.Dataset:
     )
 
 
+def _lv_parts(n: int) -> int:
+    """Exchange width for level-sized tables: wide exchanges on tiny coarse
+    graphs are pure fixed overhead (measured ~3s per coarsen at P=32 on a
+    22-row table)."""
+    return max(2, min(32, n // 50_000 + 2))
+
+
 def _as_map(ds: ray.data.Dataset, key: str, val: str) -> ray.data.Dataset:
     """Rename (key, val) columns to the (u, orig) map convention."""
     return ds.map_batches(
@@ -300,7 +348,7 @@ def _as_map(ds: ray.data.Dataset, key: str, val: str) -> ray.data.Dataset:
 
 
 def _translate(
-    ds: ray.data.Dataset, col: str, map_ds: ray.data.Dataset
+    ds: ray.data.Dataset, col: str, map_ds: ray.data.Dataset, num_parts: int | None = None
 ) -> ray.data.Dataset:
     """Replace ``ds[col]`` through the (u → orig) map; unmapped values keep
     their current id (left outer join, state-sized)."""
@@ -314,7 +362,10 @@ def _translate(
         lambda t: pa.table({"__tk": t["u"], "__tv": t["orig"]}),
         batch_format="pyarrow",
     )
-    j = exchange_join(ds, mp, left_on=[col], right_on=["__tk"], join_type="left outer")
+    j = exchange_join(
+        ds, mp, left_on=[col], right_on=["__tk"], join_type="left outer",
+        num_parts=num_parts,
+    )
 
     def fix(t: pa.Table) -> pa.Table:
         cols = {}
@@ -335,7 +386,7 @@ def _translate(
 
 
 def _coarsen(
-    sym_edges: ray.data.Dataset, labels_ds: ray.data.Dataset
+    sym_edges: ray.data.Dataset, labels_ds: ray.data.Dataset, num_parts: int | None = None
 ) -> tuple[ray.data.Dataset, ray.data.Dataset, int]:
     """(coarse_sym_edges, mapping(v=orig_label, idx=dense), n_coarse).
 
@@ -345,25 +396,29 @@ def _coarsen(
     from networkit_ray.common.exchange import exchange_join, exchange_unique
     from networkit_ray.graph.build import compact_ids
 
-    e1 = exchange_join(sym_edges, labels_ds, left_on=["src"], right_on=["v"])
+    e1 = exchange_join(
+        sym_edges, labels_ds, left_on=["src"], right_on=["v"], num_parts=num_parts
+    )
     e1 = e1.map_batches(
         lambda t: pa.table({"ls": t["label"], "dst": t["dst"], "w": t["w"]}),
         batch_format="pyarrow",
     )
-    e2 = exchange_join(e1, labels_ds, left_on=["dst"], right_on=["v"])
+    e2 = exchange_join(e1, labels_ds, left_on=["dst"], right_on=["v"], num_parts=num_parts)
     pairs = e2.map_batches(
         lambda t: pa.table({"src": t["ls"], "dst": t["label"], "w": t["w"]}),
         batch_format="pyarrow",
     )
-    coarse = exchange_unique(pairs, ["src", "dst"], agg=[("w", "sum")])
-    mapping, remapped = compact_ids(coarse.select_columns(["src", "dst"]))
+    coarse = exchange_unique(pairs, ["src", "dst"], agg=[("w", "sum")], num_parts=num_parts)
+    mapping, remapped = compact_ids(
+        coarse.select_columns(["src", "dst"]), num_parts=num_parts
+    )
     # compact_ids drops w; redo the remap keeping w (two joins, same pattern)
-    m1 = exchange_join(coarse, mapping, left_on=["src"], right_on=["v"])
+    m1 = exchange_join(coarse, mapping, left_on=["src"], right_on=["v"], num_parts=num_parts)
     m1 = m1.map_batches(
         lambda t: pa.table({"si": t["idx"], "dst": t["dst"], "w": t["w"]}),
         batch_format="pyarrow",
     )
-    m2 = exchange_join(m1, mapping, left_on=["dst"], right_on=["v"])
+    m2 = exchange_join(m1, mapping, left_on=["dst"], right_on=["v"], num_parts=num_parts)
     coarse_dense = m2.map_batches(
         lambda t: pa.table({"src": t["si"], "dst": t["idx"], "w": t["w"]}),
         batch_format="pyarrow",
@@ -414,6 +469,7 @@ def louvain(
     gamma: float = 1.0,
     max_levels: int = 8,
     max_rounds: int = 32,
+    min_gain: float = 2e-3,
 ) -> tuple[ray.data.Dataset, dict]:
     """Symmetrized edge table → (v, label) modularity communities.
 
@@ -452,31 +508,41 @@ def louvain(
             g = build_pgraph(noself, cur_n, num_parts=P0, weighted=True)
         else:
             g = build_pgraph(cur_edges, cur_n, num_parts=num_parts, weighted=True)
-        label_refs, moves = _local_move_refs(
+        label_refs, moves, q_init, q_best = _local_move_refs(
             g, m, selfw, gamma=gamma, max_rounds=max_rounds
         )
-        info["levels"].append({"n": cur_n, "m": m, "moves": moves})
+        info["levels"].append(
+            {"n": cur_n, "m": m, "moves": moves, "dq": q_best - q_init}
+        )
         info["rounds"] += 1
+        # the self-loop coverage term is constant within a level, so the
+        # within-level Q gain is exact; a level whose gain falls below
+        # min_gain ends the hierarchy (weak-structure graphs otherwise
+        # grind through max_levels of negligible improvements)
+        if level > 0 and q_best - q_init < min_gain:
+            break
         lab_ds = _labels_dataset(g, label_refs).materialize()
 
+        P_lv = _lv_parts(cur_n)
         # translate this level's (u → c) assignment into original-id space
         if cur_repr is None:
             lab_orig = lab_ds
         else:
-            t1 = _translate(lab_ds, "v", cur_repr)
-            lab_orig = _translate(t1, "label", cur_repr).materialize()
+            t1 = _translate(lab_ds, "v", cur_repr, P_lv)
+            lab_orig = _translate(t1, "label", cur_repr, P_lv).materialize()
 
         if fine_labels is None:
             fine_labels = lab_orig
         else:
             # compose: fine.label (an original rep id) → its new rep
             fine_labels = _translate(
-                fine_labels, "label", _as_map(lab_orig, "v", "label")
+                fine_labels, "label", _as_map(lab_orig, "v", "label"),
+                _lv_parts(num_nodes),
             ).materialize()
         if moves == 0:
             break
 
-        coarse_dense, mapping, n_coarse = _coarsen(cur_edges, lab_ds)
+        coarse_dense, mapping, n_coarse = _coarsen(cur_edges, lab_ds, P_lv)
         if n_coarse >= cur_n or n_coarse == 0:
             break
         # next level's representative map: dense idx → original id
@@ -485,7 +551,7 @@ def louvain(
             batch_format="pyarrow",
         )
         if cur_repr is not None:
-            inv_map = _translate(inv_map, "orig", cur_repr)
+            inv_map = _translate(inv_map, "orig", cur_repr, P_lv)
         cur_repr = inv_map.materialize()
         cur_edges = coarse_dense
         cur_n = n_coarse

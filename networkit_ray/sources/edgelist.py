@@ -294,6 +294,38 @@ def write_metis(
     os.replace(tmp, path)
 
 
+def write_partition(labels: ray.data.Dataset, path: str) -> None:
+    """PartitionWriter (io/PartitionWriter.cpp): line i = subset id of node
+    i.  Single-file text (line number ⇒ node id); conformance only — the
+    scale path is the (v, label) parquet vertex table itself."""
+    import os
+
+    t = pa.concat_tables(
+        list(labels.select_columns(["v", "label"]).iter_batches(batch_format="pyarrow"))
+    )
+    v = t["v"].to_numpy(zero_copy_only=False)
+    lab = t["label"].to_numpy(zero_copy_only=False)
+    order = np.argsort(v)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write("\n".join(str(x) for x in lab[order]) + "\n")
+    os.replace(tmp, path)
+
+
+def read_partition(path: str) -> ray.data.Dataset:
+    """PartitionReader (io/PartitionReader.cpp): one subset id per line."""
+    with open(path) as f:
+        lab = [int(x) for x in f.read().split()]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "v": pa.array(np.arange(len(lab), dtype=np.int64)),
+                "label": pa.array(np.asarray(lab, np.int64)),
+            }
+        )
+    )
+
+
 def read_graph(path: str, fmt: str, **kw):
     """readGraph format dispatch (networkit/graphio.py Format enum)."""
     fmt = fmt.lower()

@@ -154,3 +154,40 @@ class TestKeyedAndFormats:
         write_graph(ray.data.from_arrow(t), d, "edgelisttab")
         back = read_graph(d + "/part-00000.txt", "edgelist").to_pandas()
         assert sorted(zip(back["src"], back["dst"])) == [(0, 1), (1, 2)]
+
+    def test_partition_io_roundtrip(self, tmp_path):
+        import pyarrow as pa
+        import ray.data
+
+        from networkit_ray.sources.edgelist import read_partition, write_partition
+
+        t = pa.table(
+            {
+                "v": pa.array([2, 0, 1], pa.int64()),
+                "label": pa.array([7, 5, 5], pa.int64()),
+            }
+        )
+        p = str(tmp_path / "part.txt")
+        write_partition(ray.data.from_arrow(t), p)
+        assert open(p).read().split() == ["5", "5", "7"]
+        back = read_partition(p).to_pandas().sort_values("v")
+        assert list(back["label"]) == [5, 5, 7]
+
+    def test_weight_helpers_and_union(self):
+        import pyarrow as pa
+        import ray.data
+
+        from networkit_ray.graph.build import graph_union, to_unweighted, to_weighted
+
+        a = ray.data.from_arrow(
+            pa.table({"src": pa.array([0], pa.int64()), "dst": pa.array([1], pa.int64()), "w": [2.0]})
+        )
+        b = ray.data.from_arrow(
+            pa.table({"src": pa.array([0, 1], pa.int64()), "dst": pa.array([1, 2], pa.int64()), "w": [3.0, 1.0]})
+        )
+        u = graph_union(a, b, agg=[("w", "sum")]).to_pandas().sort_values(["src", "dst"])
+        assert list(u["w"]) == [5.0, 1.0]
+        uw = to_unweighted(a)
+        assert uw.schema().base_schema.names == ["src", "dst"]
+        w = to_weighted(uw).to_pandas()
+        assert list(w["w"]) == [1.0]
