@@ -478,6 +478,15 @@ def q_ann_lsh_topk(sf_dir):
     return lsh_topk(emb, [0, 1, 2, 3, 4], k=5)
 
 
+def q_ann_ivf_topk(sf_dir):
+    import ray.data
+
+    from networkit_ray.ann.search import ivf_topk
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_topk(emb, [0, 1, 2, 3, 4], k=5)
+
+
 def q_multimodal_decode(sf_dir):
     import pyarrow.compute as pc
 
@@ -754,6 +763,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": q_embedding_near_dups,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "multimodal_decode": q_multimodal_decode,
         "rmat_edges": q_rmat_edges,
         "tumbling_window": q_tumbling_window,

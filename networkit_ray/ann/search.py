@@ -123,6 +123,121 @@ def brute_force_topk(
     return enforce_schema(out, _OUT_SCHEMA)
 
 
+def train_ivf_centroids(
+    emb: ray.data.Dataset,
+    *,
+    n_centroids: int = 16,
+    lloyd_iters: int = 3,
+    seed: int = 42,
+    sample_fraction: float | None = None,
+) -> np.ndarray:
+    """Seeded distributed k-means for the IVF coarse quantizer.
+
+    Init = deterministic hash-sampled vectors; each Lloyd round is one
+    ``map_batches`` pass emitting per-centroid partial sums (the combiner)
+    + a tiny driver-side division — centroids (k × dim floats) are always
+    broadcast, never shuffled.  Empty centroids keep their position.
+    """
+    first = emb.take(1)[0]
+    dim = len(first["embedding"])
+
+    # deterministic init: the n_centroids vectors with smallest hash(vec_id)
+    def seedpick(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (ids * np.uint64(0x9E3779B97F4A7C15) + np.uint64(seed)) >> np.uint64(32)
+        order = np.argsort(h, kind="stable")[:n_centroids]
+        return t.take(pa.array(np.sort(order)))
+
+    cands = emb.map_batches(seedpick, batch_format="pyarrow").to_pandas()
+    ids = cands["vec_id"].to_numpy().astype(np.uint64)
+    h = (ids * np.uint64(0x9E3779B97F4A7C15) + np.uint64(seed)) >> np.uint64(32)
+    order = np.argsort(h, kind="stable")[:n_centroids]
+    cents = _normalize(
+        np.stack([np.asarray(v, np.float64) for v in cands["embedding"].to_numpy()[order]])
+    )
+
+    for _ in range(lloyd_iters):
+        # centroids are k×dim floats — tiny, captured by value in the task
+        # spec (an implicit broadcast, no per-batch ray.get)
+        def partial(t: pa.Table, c=cents) -> pa.Table:
+            m = _normalize(_emb_matrix(t))
+            assign = np.argmax(m @ c.T, axis=1)
+            k, d = c.shape
+            sums = np.zeros((k, d), np.float64)
+            np.add.at(sums, assign, m)
+            counts = np.bincount(assign, minlength=k).astype(np.float64)
+            return pa.table(
+                {
+                    "cid": pa.array(np.arange(k, dtype=np.int64)),
+                    "sum": pa.array(list(sums), pa.list_(pa.float64())),
+                    "count": pa.array(counts),
+                }
+            )
+
+        parts = emb.map_batches(partial, batch_format="pyarrow").to_pandas()
+        sums = np.zeros((n_centroids, dim), np.float64)
+        counts = np.zeros(n_centroids, np.float64)
+        for cid, sm, ct in zip(parts["cid"], parts["sum"], parts["count"]):
+            sums[cid] += np.asarray(sm)
+            counts[cid] += ct
+        nz = counts > 0
+        cents = cents.copy()
+        cents[nz] = _normalize(sums[nz] / counts[nz, None])
+    return cents
+
+
+def ivf_topk(
+    emb: ray.data.Dataset,
+    query_ids: list[int],
+    *,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    lloyd_iters: int = 3,
+    seed: int = 42,
+) -> ray.data.Dataset:
+    """Approximate cosine top-k via an IVF coarse quantizer (the other
+    standard scale path next to :func:`lsh_topk`).
+
+    Vectors are assigned to their nearest of ``n_centroids`` seeded-kmeans
+    centroids; each query exactly ranks only the vectors in its ``nprobe``
+    closest cells.  Centroids and the probe sets are broadcast (small);
+    the scan is one filtered pass over the corpus.
+    """
+    cents = train_ivf_centroids(
+        emb, n_centroids=n_centroids, lloyd_iters=lloyd_iters, seed=seed
+    )
+    q = query_matrix(emb, query_ids)
+    qc = np.argsort(-(q @ cents.T), axis=1)[:, :nprobe]  # (Q, nprobe)
+    probe_arr = np.unique(qc)
+    q_ref = ray.put(q)
+
+    class Scorer(_TopKScorer):
+        def __call__(self, t: pa.Table) -> pa.Table:
+            m = _normalize(_emb_matrix(t))
+            assign = np.argmax(m @ cents.T, axis=1)
+            mask = np.isin(assign, probe_arr)
+            if not mask.any():
+                return pa.table(
+                    {
+                        "query_id": pa.array([], pa.int64()),
+                        "vec_id": pa.array([], pa.int64()),
+                        "score": pa.array([], pa.float64()),
+                    }
+                )
+            return super().__call__(t.filter(pa.array(mask)))
+
+    partial = emb.map_batches(
+        Scorer,
+        fn_constructor_kwargs={"q_ref": q_ref, "query_ids": list(query_ids), "k": k},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 4),
+    )
+    out = partial.groupby("query_id").map_groups(_final_topk(k), batch_format="pandas")
+    return enforce_schema(out, _OUT_SCHEMA)
+
+
 def lsh_topk(
     emb: ray.data.Dataset,
     query_ids: list[int],

@@ -115,22 +115,30 @@ def fingerprints(docs: ray.data.Dataset) -> ray.data.Dataset:
 
 
 _STOPWORDS = {
-    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "for", "with", "was", "on"},
-    "de": {"der", "die", "das", "und", "ist", "von", "mit", "für", "auf", "ein", "eine", "nicht"},
-    "fr": {"le", "la", "les", "et", "de", "un", "une", "est", "pour", "dans", "que", "pas"},
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "for", "with", "was", "on", "as", "are", "this", "by", "be", "at", "have", "not", "from"},
+    "de": {"der", "die", "das", "und", "ist", "von", "mit", "für", "auf", "ein", "eine", "nicht", "den", "dem", "des", "zu", "im", "sich", "auch", "werden", "aus", "bei"},
+    "fr": {"le", "la", "les", "et", "de", "un", "une", "est", "pour", "dans", "que", "pas", "des", "du", "en", "au", "aux", "ce", "qui", "sur", "se", "plus"},
+    "es": {"el", "la", "los", "las", "y", "de", "que", "en", "un", "una", "es", "no", "por", "con", "para", "su", "se", "del", "al", "como", "más", "pero"},
+    "it": {"il", "la", "le", "e", "di", "che", "in", "un", "una", "è", "non", "per", "con", "del", "della", "si", "sono", "come", "anche", "questo", "dei", "più"},
+    "pt": {"o", "a", "os", "as", "e", "de", "que", "em", "um", "uma", "é", "não", "por", "com", "para", "do", "da", "dos", "das", "se", "mais", "como"},
+    "nl": {"de", "het", "een", "en", "van", "is", "in", "dat", "op", "te", "met", "voor", "zijn", "niet", "aan", "er", "ook", "maar", "als", "bij", "door", "naar"},
+    "sv": {"och", "att", "det", "som", "en", "på", "är", "av", "för", "med", "den", "till", "inte", "om", "har", "de", "ett", "han", "men", "var", "sig", "från"},
 }
 
 
 class LangId:
-    """Actor-pool language classifier: stopword hit-rate + char-ngram prior.
+    """Actor-pool language classifier: per-language stopword hit-rate.
 
     Stateful stage (SURVEY.md §2.3): stopword tables and the tokenizer regex
-    are built once per actor.  Heuristic only — returns the best-scoring
-    language among {en, de, fr} or 'und' when nothing matches.
+    are built once per actor.  Heuristic n-gram-free classifier over 8
+    European languages; scoring = hit fraction with a deterministic
+    (score, -table-specificity, lang) tie-break; 'und' when nothing matches.
+    Languages that share function words (pt/es, nl/de) are disambiguated by
+    the words unique to each table.
     """
 
     def __init__(self):
-        self.word_re = re.compile(r"[a-zäöüéèêàâçœ']+")
+        self.word_re = re.compile(r"[a-zà-öø-ÿœ']+")
         self.tables = {k: frozenset(v) for k, v in _STOPWORDS.items()}
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -89,6 +89,7 @@ def test_queries_oracles_consistent():
         "simhash_near_dups",
         "embedding_near_dups",
         "ann_lsh_topk",
+        "ann_ivf_topk",
         "multimodal_decode",
         "rmat_edges",
     }

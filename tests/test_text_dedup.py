@@ -361,3 +361,47 @@ class TestEmbeddingRecall:
         # no false positives: every reported pair really is >= threshold
         for a_, b_, c_ in zip(got["a"], got["b"], got["cos"]):
             assert abs(sim[a_, b_] - c_) < 1e-9 and c_ >= 0.9
+
+
+class TestLangIdExpanded:
+    def test_eight_languages(self):
+        samples = {
+            "en": "the cat sat on the mat and it was happy with that",
+            "de": "der Hund ist nicht auf der Straße und das ist gut für ihn",
+            "fr": "le chat est dans la maison et il est content pour les vacances",
+            "es": "el perro está en la casa y no quiere salir para nada con ellos",
+            "it": "il gatto è nella casa e non vuole uscire anche questo giorno",
+            "pt": "o cachorro está em casa e não quer sair para a rua mais cedo",
+            "nl": "de hond is niet op straat en dat is ook goed voor hem vandaag",
+            "sv": "hunden är inte på gatan och det är bra för den som har det",
+        }
+        docs = docs_ds(list(samples.values()), langs=list(samples.keys()))
+        got = langid(docs, concurrency=(1, 2)).to_pandas().sort_values("doc_id")
+        assert list(got["lang_pred"]) == list(samples.keys())
+
+
+class TestIVF:
+    def test_ivf_recall_vs_bruteforce(self, sf_tiny):
+        from networkit_ray.ann.search import brute_force_topk, ivf_topk
+
+        emb = ray.data.read_parquet(f"{sf_tiny}/embeddings.parquet")
+        exact = brute_force_topk(emb, [0, 1, 2], k=5).to_pandas()
+        approx = ivf_topk(emb, [0, 1, 2], k=5, n_centroids=8, nprobe=4).to_pandas()
+        e = set(zip(exact["query_id"], exact["vec_id"]))
+        a = set(zip(approx["query_id"], approx["vec_id"]))
+        recall = len(e & a) / len(e)
+        assert recall >= 0.6  # nprobe=4 of 8 cells; approximate by design
+        # self is always found (its own cell is always probed)
+        r1 = approx[approx["rank"] == 1]
+        assert list(r1["vec_id"]) == [0, 1, 2]
+
+    def test_ivf_deterministic(self, sf_tiny):
+        from networkit_ray.ann.search import ivf_topk
+
+        emb = ray.data.read_parquet(f"{sf_tiny}/embeddings.parquet")
+        a = ivf_topk(emb, [0, 1], k=5).to_pandas()
+        b = ivf_topk(emb.repartition(5), [0, 1], k=5).to_pandas()
+        pd.testing.assert_frame_equal(
+            a.sort_values(["query_id", "rank"]).reset_index(drop=True),
+            b.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        )
