@@ -97,7 +97,13 @@ def run_bench() -> dict:
     t0 = time.perf_counter()
     sym = symmetrize(edges).materialize()
     queries["symmetrize"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
     gs = build_pgraph(sym, n)
+    import ray as _ray
+
+    _ray.get(gs.block_refs)  # force the (lazy) build so kernels time cleanly
+    queries["csr_build_sym"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     _, cc_info = connected_components_refs(gs)

@@ -51,26 +51,39 @@ def read_edge_list(
 
     ``weighted=None`` sniffs from the data (EdgeListReader.cpp:44-45):
     3 fields ⇒ weighted.  ``first_node`` is subtracted (1-based formats).
+
+    The parse is whole-batch Arrow kernels (trim/filter/split/cast) — no
+    per-line Python in the hot path.
     """
+    import pyarrow.compute as pc
+
     lines = ray.data.read_text(path)
 
     def parse(t: pa.Table) -> pa.Table:
-        src, dst, w = [], [], []
-        for line in t["text"].to_pylist():
-            s = line.strip()
-            if not s or s.startswith(comment):
-                continue
-            parts = s.split(sep)
-            src.append(int(parts[0]) - first_node)
-            dst.append(int(parts[1]) - first_node)
-            if weighted or (weighted is None and len(parts) > 2):
-                w.append(float(parts[2]))
-        cols = {
-            "src": pa.array(np.asarray(src, np.int64)),
-            "dst": pa.array(np.asarray(dst, np.int64)),
-        }
-        if w:
-            cols["w"] = pa.array(np.asarray(w, np.float32))
+        s = pc.utf8_trim_whitespace(t["text"].combine_chunks())
+        keep = pc.and_(
+            pc.invert(pc.starts_with(s, pattern=comment)), pc.not_equal(s, "")
+        )
+        s = s.filter(keep)
+        if sep is None:
+            parts = pc.split_pattern_regex(s, pattern=r"\s+")
+        else:
+            parts = pc.split_pattern(s, pattern=sep)
+        src = pc.subtract(
+            pc.cast(pc.list_element(parts, 0), pa.int64()), first_node
+        )
+        dst = pc.subtract(
+            pc.cast(pc.list_element(parts, 1), pa.int64()), first_node
+        )
+        cols = {"src": src, "dst": dst}
+        nfields = pc.list_value_length(parts)
+        has_w = weighted or (
+            weighted is None
+            and len(nfields)
+            and int(pc.min(nfields).as_py() or 0) > 2
+        )
+        if has_w:
+            cols["w"] = pc.cast(pc.list_element(parts, 2), pa.float32())
         return pa.table(cols)
 
     return lines.map_batches(parse, batch_format="pyarrow")
