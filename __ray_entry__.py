@@ -492,7 +492,9 @@ def q_multimodal_decode(sf_dir):
 
     from networkit_ray.multimodal.decode import decode_media, synth_media
 
-    dec = decode_media(synth_media(200, kind="image"), real=False)
+    # REAL decode: synth_media emits genuine P6 PPM payloads; the actor
+    # pool parses headers + pixel buffers and extracts content features
+    dec = decode_media(synth_media(200, kind="image"), real=True)
 
     def scalarize(t: pa.Table) -> pa.Table:
         feats = t["features"].combine_chunks()

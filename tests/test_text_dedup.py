@@ -189,12 +189,42 @@ class TestMultimodal:
             out2.sort_values("id").reset_index(drop=True),
         )
 
-    def test_real_decode_raises(self):
+    def test_real_decode_raises_on_compressed(self):
         from networkit_ray.multimodal.decode import DecodeStub
 
         stub = DecodeStub(real=True)
         with pytest.raises(NotImplementedError):
-            stub._decode_one(b"xx", "image")
+            stub._decode_one(b"\x89PNG\r\n", "image")
+
+    def test_real_image_decode(self):
+        """PPM payloads from synth_media decode GENUINELY (known gradient)."""
+        media = synth_media(20, kind="image")
+        out = decode_media(media, real=True).to_pandas().sort_values("id")
+        assert len(out) == 20
+        # synth: height = 16 + id % 16, width = 16 + 7*id % 16
+        for _, r in out.iterrows():
+            assert r["height"] == 16 + r["id"] % 16
+            assert r["width"] == 16 + (r["id"] * 7) % 16
+            assert r["channels"] == 3
+        # red channel is a vertical gradient → mean ≈ 0.5
+        f0 = np.stack(out["features"].to_numpy())
+        assert np.all(np.abs(f0[:, 0] - 0.5) < 0.1)
+
+    def test_real_resize(self):
+        from networkit_ray.multimodal.decode import decode_media as dm
+
+        media = synth_media(8, kind="image")
+        out = dm(media, real=True, resize_to=8).to_pandas()
+        assert (out["height"] == 8).all() and (out["width"] == 8).all()
+
+    def test_real_audio_decode(self):
+        media = synth_media(10, kind="audio")
+        out = decode_media(media, real=True).to_pandas().sort_values("id")
+        assert (out["width"] == 8000).all()  # sample rate
+        assert (out["channels"] == 1).all()
+        f = np.stack(out["features"].to_numpy())
+        # sine amplitude 8000/32768 = 0.244 → RMS ≈ 0.244/√2 ≈ 0.173
+        assert np.all(np.abs(f[:, 0] - 0.173) < 0.02)
 
 
 class TestVectorizedHashing:
