@@ -64,6 +64,79 @@ def _bfs_out(state: tuple) -> np.ndarray:
 
 
 @ray.remote
+def _mbfs_init(vids: np.ndarray, sources: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(n_p, K) distance/active state for K simultaneous sources."""
+    K = len(sources)
+    dist = np.full((len(vids), K), _INF, dtype=np.uint64)
+    active = np.zeros((len(vids), K), dtype=bool)
+    for k, s in enumerate(sources):
+        hit = np.flatnonzero(vids == np.uint64(s))
+        if len(hit):
+            dist[hit[0], k] = 0
+            active[hit[0], k] = True
+    return dist, active
+
+
+@ray.remote
+def _mbfs_map(block: dict, state: tuple, chunk: int) -> tuple:
+    dist, active = state
+    src_local = block["src_local"][chunk_edge_index(block, chunk)]
+    per_edge = np.where(
+        active[src_local], dist[src_local] + np.uint64(1), _INF
+    )  # (E, K)
+    return tuple(min_messages(block, per_edge, chunk))
+
+
+@ray.remote(num_returns=2)
+def _mbfs_reduce(state: tuple, *partials):
+    dist, _ = state
+    new = dist.copy()
+    for idx, mins in partials:
+        if len(idx):
+            np.minimum.at(new, idx, mins.astype(np.uint64))
+    changed = new < dist
+    return (new, changed), int(changed.sum())
+
+
+@ray.remote
+def _mbfs_out(state: tuple) -> np.ndarray:
+    dist = state[0]
+    out = dist.astype(np.int64)
+    out[dist >= _INF] = -1
+    return out
+
+
+def multi_bfs_refs(g: PGraph, sources: np.ndarray) -> list:
+    """K-source BFS in ONE superstep loop: per-partition (n_p, K) distance
+    arrays; total supersteps = max eccentricity over sources instead of the
+    per-source sum — the batching that makes sampled closeness /
+    hop-sketch estimators round-efficient.
+
+    Memory note: each map chunk materializes an (E_chunk × K) message
+    matrix; keep K ≤ ~16 for the default 2M-edge chunks (256 MB peak) or
+    run several batches.
+    """
+    P = g.num_parts
+    state = [_mbfs_init.remote(g.vid_refs[p], sources) for p in range(P)]
+    units = g.map_units()
+    while True:
+        map_out = [
+            _mbfs_map.options(num_returns=P).remote(g.block_refs[p], state[p], c)
+            for p, c in units
+        ]
+        new_state, counts = [], []
+        for q in range(P):
+            s, c = _mbfs_reduce.remote(state[q], *[mo[q] for mo in map_out])
+            new_state.append(s)
+            counts.append(c)
+        changed = sum(ray.get(counts))
+        state = new_state
+        if changed == 0:
+            break
+    return [_mbfs_out.remote(s) for s in state]
+
+
+@ray.remote
 def _sssp_init(vids: np.ndarray, source: int) -> tuple[np.ndarray, np.ndarray]:
     dist = np.full(len(vids), np.inf, dtype=np.float64)
     active = np.zeros(len(vids), dtype=bool)

@@ -26,7 +26,7 @@ import ray
 import ray.data
 
 from networkit_ray.graph import bsp
-from networkit_ray.graph.bfs import _bfs_init, _bfs_map, _bfs_reduce, _bfs_out
+from networkit_ray.graph.bfs import multi_bfs_refs
 from networkit_ray.graph.bsp import PGraph, build_pgraph
 
 
@@ -37,30 +37,9 @@ def _pivots(num_nodes: int, sample: int, seed: int) -> np.ndarray:
     return np.sort(ids[np.argsort(rank)[:sample]]).astype(np.int64)
 
 
-def _bfs_refs(g: PGraph, source: int) -> list:
-    P = g.num_parts
-    state = [_bfs_init.remote(g.vid_refs[p], source) for p in range(P)]
-    units = g.map_units()
-    while True:
-        map_out = [
-            _bfs_map.options(num_returns=P).remote(g.block_refs[p], state[p], c)
-            for p, c in units
-        ]
-        new_state, counts = [], []
-        for q in range(P):
-            s, c = _bfs_reduce.remote(state[q], *[mo[q] for mo in map_out])
-            new_state.append(s)
-            counts.append(c)
-        changed = sum(ray.get(counts))
-        state = new_state
-        if changed == 0:
-            break
-    return [_bfs_out.remote(s) for s in state]
-
-
 @ray.remote
-def _combine(n: int, s: int, *dist_cols) -> tuple[np.ndarray, np.ndarray]:
-    d = np.stack(dist_cols)  # (s, n_p) int64, -1 unreachable
+def _combine(n: int, s: int, dists: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    d = dists.T  # (s, n_p) int64, -1 unreachable
     pos = d > 0
     harm = np.where(pos, 1.0 / np.where(pos, d, 1), 0.0).sum(axis=0) * n / s
     tot = np.where(d > 0, d, 0).sum(axis=0)
@@ -81,7 +60,8 @@ def approx_harmonic_closeness(
     g = build_pgraph(sym_edges, num_nodes, num_parts=num_parts)
     sample = min(sample, num_nodes)
     pivots = _pivots(num_nodes, sample, seed)
-    per_pivot = [_bfs_refs(g, int(p)) for p in pivots]
+    # ONE batched multi-source BFS: supersteps = max ecc, not Σ ecc
+    dist_refs = multi_bfs_refs(g, pivots)
 
     import pyarrow as pa
 
@@ -98,6 +78,6 @@ def approx_harmonic_closeness(
 
     out_refs = []
     for p in range(g.num_parts):
-        combined = _combine.remote(num_nodes, sample, *[pp[p] for pp in per_pivot])
+        combined = _combine.remote(num_nodes, sample, dist_refs[p])
         out_refs.append(to_table.remote(g.vid_refs[p], combined))
     return ray.data.from_arrow_refs(out_refs), {"pivots": pivots.tolist()}

@@ -307,6 +307,100 @@ def write_metis(
     os.replace(tmp, path)
 
 
+def read_matrix_market(path: str) -> tuple[ray.data.Dataset, int]:
+    """MatrixMarketReader (io/MatrixMarketReader.cpp): coordinate format,
+    ``%`` comments, 1-based indices; symmetric matrices emit each stored
+    entry once as a canonical (lo, hi) edge.  Single-task parse
+    (the one dims line cannot be distinguished from data after distributed
+    line-splitting) — conformance fixtures only, like read_metis.
+    """
+    with open(path) as f:
+        first = f.readline()
+        sym = "symmetric" in first.lower()
+        lines = [ln for ln in f if ln.strip() and not ln.startswith("%")]
+    n, _m, _nnz = (int(x) for x in lines[0].split()[:3])
+    src, dst, w = [], [], []
+    has_w = False
+    for ln in lines[1:]:
+        parts = ln.split()
+        i, j = int(parts[0]) - 1, int(parts[1]) - 1
+        if sym and i > j:
+            i, j = j, i
+        src.append(i)
+        dst.append(j)
+        if len(parts) > 2:
+            has_w = True
+            w.append(float(parts[2]))
+    cols = {
+        "src": pa.array(np.asarray(src, np.int64)),
+        "dst": pa.array(np.asarray(dst, np.int64)),
+    }
+    if has_w:
+        cols["w"] = pa.array(np.asarray(w, np.float64))
+    return ray.data.from_arrow(pa.table(cols)), n
+
+
+def write_matrix_market(
+    canon_edges: ray.data.Dataset, num_nodes: int, path: str
+) -> None:
+    """MatrixMarket coordinate writer (symmetric pattern), 1-based."""
+    import os
+
+    t = pa.concat_tables(
+        list(canon_edges.iter_batches(batch_format="pyarrow"))
+    )
+    src = t["src"].to_numpy(zero_copy_only=False)
+    dst = t["dst"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((dst, src))
+    lines = [
+        "%%MatrixMarket matrix coordinate pattern symmetric",
+        f"{num_nodes} {num_nodes} {len(src)}",
+    ]
+    lines += [f"{src[i] + 1} {dst[i] + 1}" for i in order]
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    os.replace(tmp, path)
+
+
+def read_gml(path: str) -> tuple[ray.data.Dataset, int]:
+    """Minimal GMLGraphReader (io/GMLGraphParser.cpp): ``node [ id N ]`` and
+    ``edge [ source A target B ]`` blocks; attributes ignored.  Single-task
+    conformance parse."""
+    import re as _re
+
+    text = open(path).read()
+    node_ids = [int(x) for x in _re.findall(r"node\s*\[[^]]*?\bid\s+(\d+)", text)]
+    edges = _re.findall(
+        r"edge\s*\[[^]]*?\bsource\s+(\d+)[^]]*?\btarget\s+(\d+)", text
+    )
+    remap = {v: i for i, v in enumerate(sorted(node_ids))}
+    src = np.asarray([remap[int(a)] for a, _ in edges], np.int64)
+    dst = np.asarray([remap[int(b)] for _, b in edges], np.int64)
+    return (
+        ray.data.from_arrow(pa.table({"src": pa.array(src), "dst": pa.array(dst)})),
+        len(node_ids),
+    )
+
+
+def write_gml(edges: ray.data.Dataset, num_nodes: int, path: str) -> None:
+    """Minimal GMLGraphWriter (io/GMLGraphWriter.cpp)."""
+    import os
+
+    t = pa.concat_tables(list(edges.iter_batches(batch_format="pyarrow")))
+    src = t["src"].to_numpy(zero_copy_only=False)
+    dst = t["dst"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((dst, src))
+    parts = ["graph ["]
+    parts += [f"  node [ id {i} ]" for i in range(num_nodes)]
+    parts += [f"  edge [ source {src[i]} target {dst[i]} ]" for i in order]
+    parts.append("]")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write("\n".join(parts) + "\n")
+    os.replace(tmp, path)
+
+
 def write_partition(labels: ray.data.Dataset, path: str) -> None:
     """PartitionWriter (io/PartitionWriter.cpp): line i = subset id of node
     i.  Single-file text (line number ⇒ node id); conformance only — the
@@ -352,6 +446,10 @@ def read_graph(path: str, fmt: str, **kw):
         return read_konect(path, **kw)
     if fmt == "metis":
         return read_metis(path, **kw)
+    if fmt in ("mtx", "matrixmarket"):
+        return read_matrix_market(path, **kw)
+    if fmt == "gml":
+        return read_gml(path, **kw)
     if fmt == "parquet":
         return ray.data.read_parquet(path, **kw)
     raise ValueError(f"unknown graph format: {fmt}")
@@ -367,6 +465,10 @@ def write_graph(edges: ray.data.Dataset, path: str, fmt: str, **kw) -> None:
         return write_snap(edges, path, **kw)
     if fmt == "metis":
         return write_metis(edges, kw.pop("num_nodes"), path, **kw)
+    if fmt in ("mtx", "matrixmarket"):
+        return write_matrix_market(edges, kw.pop("num_nodes"), path, **kw)
+    if fmt == "gml":
+        return write_gml(edges, kw.pop("num_nodes"), path, **kw)
     if fmt == "parquet":
         return edges.write_parquet(path, **kw)
     raise ValueError(f"unknown graph format: {fmt}")

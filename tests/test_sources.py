@@ -191,3 +191,44 @@ class TestKeyedAndFormats:
         assert uw.schema().base_schema.names == ["src", "dst"]
         w = to_weighted(uw).to_pandas()
         assert list(w["w"]) == [1.0]
+
+    def test_matrix_market_roundtrip(self, tmp_path):
+        import pyarrow as pa
+        import ray.data
+
+        from networkit_ray.sources.edgelist import (
+            read_matrix_market,
+            write_matrix_market,
+        )
+
+        t = pa.table(
+            {
+                "src": pa.array([0, 0, 1], pa.int64()),
+                "dst": pa.array([1, 2, 2], pa.int64()),
+            }
+        )
+        path = str(tmp_path / "g.mtx")
+        write_matrix_market(ray.data.from_arrow(t), 3, path)
+        back, n = read_matrix_market(path)
+        assert n == 3
+        b = back.to_pandas()
+        assert sorted(zip(b["src"], b["dst"])) == [(0, 1), (0, 2), (1, 2)]
+
+    def test_gml_roundtrip(self, tmp_path):
+        import pyarrow as pa
+        import ray.data
+
+        from networkit_ray.sources.edgelist import read_gml, write_gml
+
+        t = pa.table(
+            {
+                "src": pa.array([0, 1], pa.int64()),
+                "dst": pa.array([1, 2], pa.int64()),
+            }
+        )
+        path = str(tmp_path / "g.gml")
+        write_gml(ray.data.from_arrow(t), 3, path)
+        back, n = read_gml(path)
+        assert n == 3
+        b = back.to_pandas()
+        assert sorted(zip(b["src"], b["dst"])) == [(0, 1), (1, 2)]
