@@ -2,24 +2,30 @@
 
 Reference: centrality/Betweenness.cpp:118 (exact Brandes) and
 centrality/EstimateBetweenness.cpp (sampled pivots).  Brandes' per-source
-machinery maps onto level-synchronous supersteps:
+machinery maps onto level-synchronous supersteps, and pivots are BATCHED:
+K sources run in lockstep with (n_p, K) state, so a batch costs
+2 × max-eccentricity supersteps instead of the per-pivot sum.
 
-FORWARD (per pivot s): BFS with shortest-path counting —
-    superstep t: frontier (dist = t-1) vertices push σ along out-edges;
-    an unvisited receiver sets dist = t and σ = Σ incoming σ.
+FORWARD (per batch): multi-source BFS with shortest-path counting —
+    superstep t: frontier columns (dist = t) push σ along out-edges;
+    an unvisited receiver sets dist = t+1 and σ = Σ incoming σ.
 
 BACKWARD: dependency accumulation by descending level over the TRANSPOSE
 graph —
     level L: vertices with dist = L send (1 + δ)/σ to their in-neighbors;
     a receiver with dist = L-1 accumulates δ += σ · Σ messages.
     (Only DAG edges contribute: the level filter drops same-level and
-    forward edges exactly as Brandes' predecessor lists do.)
+    forward edges exactly as Brandes' predecessor lists do.  Columns whose
+    eccentricity is below L simply have no level-L senders.)
 
 bc(v) = Σ over pivots of δ_s(v), scaled by n/k (EstimateBetweenness's
 extrapolation).  With pivots = all vertices and scale 1 this IS exact
 Brandes (tested against a numpy reference).  Pivot choice is seeded
-deterministic hashing, so results are independent of partitioning and
-cluster size.  Supersteps per pivot ≈ 2 × ecc(pivot).
+deterministic, so results are independent of partitioning and cluster
+size.
+
+Memory note: map chunks materialize (E_chunk × K) message matrices —
+the default ``pivot_batch=16`` keeps that ≈256 MB at 2M-edge chunks.
 """
 
 from __future__ import annotations
@@ -38,14 +44,15 @@ from networkit_ray.graph.bsp import (
 
 
 @ray.remote
-def _bw_init(vids: np.ndarray, source: int) -> dict:
-    n = len(vids)
-    dist = np.full(n, -1, dtype=np.int64)
-    sigma = np.zeros(n, dtype=np.float64)
-    hit = np.flatnonzero(vids == np.uint64(source))
-    if len(hit):
-        dist[hit[0]] = 0
-        sigma[hit[0]] = 1.0
+def _bw_init(vids: np.ndarray, sources: np.ndarray) -> dict:
+    n, K = len(vids), len(sources)
+    dist = np.full((n, K), -1, dtype=np.int64)
+    sigma = np.zeros((n, K), dtype=np.float64)
+    for k, s in enumerate(sources):
+        hit = np.flatnonzero(vids == np.uint64(s))
+        if len(hit):
+            dist[hit[0], k] = 0
+            sigma[hit[0], k] = 1.0
     return {"dist": dist, "sigma": sigma}
 
 
@@ -53,7 +60,7 @@ def _bw_init(vids: np.ndarray, source: int) -> dict:
 def _bw_fwd_map(block: dict, st: dict, level: int, chunk: int) -> tuple:
     idx = chunk_edge_index(block, chunk)
     src_local = block["src_local"][idx]
-    sending = st["dist"][src_local] == level
+    sending = st["dist"][src_local] == level  # (E, K)
     vals = np.where(sending, st["sigma"][src_local], 0.0)
     return tuple(aggregate_messages(block, vals, chunk))
 
@@ -61,7 +68,7 @@ def _bw_fwd_map(block: dict, st: dict, level: int, chunk: int) -> tuple:
 @ray.remote(num_returns=2)
 def _bw_fwd_reduce(st: dict, level: int, *partials):
     dist, sigma = st["dist"].copy(), st["sigma"].copy()
-    inc = np.zeros(len(dist), dtype=np.float64)
+    inc = np.zeros(dist.shape, dtype=np.float64)
     for idx, sums in partials:
         if len(idx):
             inc[idx] += sums
@@ -73,14 +80,14 @@ def _bw_fwd_reduce(st: dict, level: int, *partials):
 
 @ray.remote
 def _bw_bwd_map(block: dict, st: dict, delta: np.ndarray, level: int, chunk: int) -> tuple:
-    """Transpose-graph push: level-L vertices send (1+δ)/σ."""
+    """Transpose-graph push: level-L entries send (1+δ)/σ per column."""
     idx = chunk_edge_index(block, chunk)
     src_local = block["src_local"][idx]
-    sending = st["dist"][src_local] == level
     with np.errstate(divide="ignore", invalid="ignore"):
         per_src = np.where(
             st["sigma"] > 0, (1.0 + delta) / np.maximum(st["sigma"], 1e-300), 0.0
         )
+    sending = st["dist"][src_local] == level
     vals = np.where(sending, per_src[src_local], 0.0)
     return tuple(aggregate_messages(block, vals, chunk))
 
@@ -88,7 +95,7 @@ def _bw_bwd_map(block: dict, st: dict, delta: np.ndarray, level: int, chunk: int
 @ray.remote
 def _bw_bwd_reduce(st: dict, delta: np.ndarray, level: int, *partials):
     new = delta.copy()
-    inc = np.zeros(len(delta), dtype=np.float64)
+    inc = np.zeros(delta.shape, dtype=np.float64)
     for idx, sums in partials:
         if len(idx):
             inc[idx] += sums
@@ -98,22 +105,30 @@ def _bw_bwd_reduce(st: dict, delta: np.ndarray, level: int, *partials):
 
 
 @ray.remote
-def _bw_zero(n: int) -> np.ndarray:
+def _bw_zero1(n: int) -> np.ndarray:
     return np.zeros(n, dtype=np.float64)
 
 
 @ray.remote
-def _bw_accum(bc: np.ndarray, delta: np.ndarray, source_local: int) -> np.ndarray:
-    out = bc + delta
-    if source_local >= 0:
-        out[source_local] -= delta[source_local]  # δ(s) excluded by definition
-    return out
+def _bw_zero2(n: int, k: int) -> np.ndarray:
+    return np.zeros((n, k), dtype=np.float64)
+
+
+@ray.remote
+def _bw_accum(bc: np.ndarray, delta: np.ndarray, vids: np.ndarray, sources: np.ndarray) -> np.ndarray:
+    """Fold a batch's per-pivot dependencies into bc, excluding δ(s) at s."""
+    d = delta.copy()
+    for k, s in enumerate(sources):
+        hit = np.flatnonzero(vids == np.uint64(s))
+        if len(hit):
+            d[hit[0], k] = 0.0
+    return bc + d.sum(axis=1)
 
 
 @ray.remote
 def _bw_max_level(st: dict) -> int:
     d = st["dist"]
-    return int(d.max()) if len(d) else -1
+    return int(d.max()) if d.size else -1
 
 
 def _pivot_ids(num_nodes: int, k: int, seed: int) -> np.ndarray:
@@ -124,16 +139,18 @@ def _pivot_ids(num_nodes: int, k: int, seed: int) -> np.ndarray:
 
 
 def betweenness_refs(
-    g_fwd: PGraph, g_bwd: PGraph, pivots: np.ndarray
+    g_fwd: PGraph, g_bwd: PGraph, pivots: np.ndarray, *, pivot_batch: int = 16
 ) -> tuple[list, dict]:
     P = g_fwd.num_parts
     units_f = g_fwd.map_units()
     units_b = g_bwd.map_units()
     sizes = g_fwd.part_sizes()
-    bc = [_bw_zero.remote(sizes[p]) for p in range(P)]
+    bc = [_bw_zero1.remote(sizes[p]) for p in range(P)]
     supersteps = 0
-    for s in pivots:
-        st = [_bw_init.remote(g_fwd.vid_refs[p], int(s)) for p in range(P)]
+    for b0 in range(0, len(pivots), pivot_batch):
+        batch = pivots[b0 : b0 + pivot_batch]
+        K = len(batch)
+        st = [_bw_init.remote(g_fwd.vid_refs[p], batch) for p in range(P)]
         level = 0
         while True:
             supersteps += 1
@@ -154,7 +171,7 @@ def betweenness_refs(
                 break
             level += 1
         max_level = max(ray.get([_bw_max_level.remote(x) for x in st]))
-        delta = [_bw_zero.remote(sizes[p]) for p in range(P)]
+        delta = [_bw_zero2.remote(sizes[p], K) for p in range(P)]
         for L in range(max_level, 0, -1):
             supersteps += 1
             mo = [
@@ -167,12 +184,8 @@ def betweenness_refs(
                 _bw_bwd_reduce.remote(st[q], delta[q], L, *[m[q] for m in mo])
                 for q in range(P)
             ]
-        # accumulate (δ at the pivot itself is excluded)
-        owner, loc = bsp.vplace(np.array([s], np.uint64), g_fwd.num_nodes, P)
         bc = [
-            _bw_accum.remote(
-                bc[p], delta[p], int(loc[0]) if int(owner[0]) == p else -1
-            )
+            _bw_accum.remote(bc[p], delta[p], g_fwd.vid_refs[p], batch)
             for p in range(P)
         ]
     return bc, {"pivots": len(pivots), "supersteps": supersteps}
@@ -191,6 +204,7 @@ def estimate_betweenness(
     seed: int = 42,
     num_parts: int | None = None,
     exact: bool = False,
+    pivot_batch: int = 16,
 ) -> tuple[ray.data.Dataset, dict]:
     """(v, betweenness) — sampled-pivot estimate (exact=True runs every
     pivot, i.e. exact Brandes).  Pass the symmetrized table for undirected
@@ -207,6 +221,6 @@ def estimate_betweenness(
     else:
         pivots = _pivot_ids(num_nodes, n_samples, seed)
         factor = num_nodes / len(pivots)
-    refs, info = betweenness_refs(g_fwd, g_bwd, pivots)
+    refs, info = betweenness_refs(g_fwd, g_bwd, pivots, pivot_batch=pivot_batch)
     scaled = [_bw_scale.remote(r, factor) for r in refs]
     return bsp.state_to_dataset(g_fwd, scaled, "betweenness"), info
