@@ -673,6 +673,14 @@ def q_tumbling_window(sf_dir):
     return tumbling_window(ray.data.read_parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_sliding_window(sf_dir):
+    import ray.data
+
+    from networkit_ray.pipelines.events import sliding_window
+
+    return sliding_window(ray.data.read_parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_sessionize(sf_dir):
     import ray.data
 
@@ -769,6 +777,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_decode": q_multimodal_decode,
         "rmat_edges": q_rmat_edges,
         "tumbling_window": q_tumbling_window,
+        "sliding_window": q_sliding_window,
         "sessionize": q_sessionize,
         "event_type_histogram": q_event_type_histogram,
     }
@@ -1138,6 +1147,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_events,
                    ROUND(SUM(value), 6) AS sum_value
             FROM events GROUP BY user_id, win
+        """,
+        "sliding_window": """
+            -- window w covers [w*slide, w*slide + window); slide = 30 min,
+            -- window = 1 h => every event lands in 2 windows
+            WITH o AS (SELECT user_id, epoch_us(ts) AS tus, value FROM events),
+            fan AS (
+              SELECT user_id, tus, value, CAST(FLOOR(tus / 1800000000) AS BIGINT) - k.k AS win
+              FROM o CROSS JOIN (SELECT 0 AS k UNION ALL SELECT 1) k
+              WHERE CAST(FLOOR(tus / 1800000000) AS BIGINT) - k.k >= 0)
+            SELECT user_id, win, CAST(COUNT(*) AS BIGINT) AS n_events,
+                   ROUND(SUM(value), 6) AS sum_value
+            FROM fan GROUP BY user_id, win
         """,
         "sessionize": """
             WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),

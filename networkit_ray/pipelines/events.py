@@ -73,6 +73,70 @@ def tumbling_window(
     )
 
 
+def sliding_window(
+    events: ray.data.Dataset,
+    *,
+    window_us: int = US_PER_HOUR,
+    slide_us: int = US_PER_HOUR // 2,
+) -> ray.data.Dataset:
+    """(user_id, win, n_events, sum_value) per epoch-aligned SLIDING window.
+
+    Window w covers [w·slide, w·slide + window); an event at ts belongs to
+    every w in (ts − window, ts]·(1/slide] — i.e. window/slide assignments
+    per event (the standard overlap factor).  Assignment fan-out happens
+    per batch (vectorized repeat), partially aggregated before the one
+    (user_id, win) shuffle — the same combiner discipline as tumbling.
+    """
+    if window_us % slide_us != 0:
+        raise ValueError("window_us must be a multiple of slide_us")
+    k = window_us // slide_us
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        val = t["value"].to_numpy(zero_copy_only=False)
+        last = ts // slide_us  # newest window containing the event
+        offs = np.arange(k, dtype=np.int64)
+        win = (last[:, None] - offs[None, :]).reshape(-1)
+        keep = win >= 0
+        tt = pa.table(
+            {
+                "user_id": pa.array(np.repeat(uid, k)[keep]),
+                "win": pa.array(win[keep]),
+                "value": pa.array(np.repeat(val, k)[keep]),
+            }
+        )
+        g = tt.group_by(["user_id", "win"]).aggregate(
+            [("value", "sum"), ([], "count_all")]
+        )
+        return pa.table(
+            {
+                "user_id": g["user_id"],
+                "win": g["win"],
+                "_n": pa.compute.cast(g["count_all"], pa.int64()),
+                "_s": g["value_sum"],
+            }
+        )
+
+    partials = events.map_batches(partial, batch_format="pyarrow")
+    out = partials.groupby(["user_id", "win"]).aggregate(
+        Sum("_n", alias_name="n_events"), Sum("_s", alias_name="sum_value")
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t["user_id"],
+                "win": t["win"],
+                "n_events": t["n_events"],
+                "sum_value": pa.array(
+                    round_half_away(t["sum_value"].to_numpy(zero_copy_only=False), 6)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def sessionize(
     events: ray.data.Dataset, *, gap_us: int = 30 * 60 * 1_000_000
 ) -> ray.data.Dataset:

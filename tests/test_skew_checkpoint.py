@@ -113,3 +113,41 @@ class TestCheckpointResume:
             state_to_dataset(g, resumed, "label").to_pandas().sort_values("v")["label"].to_numpy(),
             state_to_dataset(g, full, "label").to_pandas().sort_values("v")["label"].to_numpy(),
         )
+
+
+class TestSlidingWindow:
+    def test_overlap_and_vs_duckdb(self, sf_tiny):
+        import duckdb
+
+        import ray.data
+
+        from networkit_ray.pipelines.events import sliding_window, tumbling_window
+
+        ev = ray.data.read_parquet(f"{sf_tiny}/events.parquet")
+        got = (
+            sliding_window(ev)
+            .to_pandas()
+            .sort_values(["user_id", "win"])
+            .reset_index(drop=True)
+        )
+        exp = duckdb.sql(
+            f"""
+            WITH o AS (SELECT user_id, epoch_us(ts) AS tus, value
+                       FROM read_parquet('{sf_tiny}/events.parquet')),
+            fan AS (SELECT user_id, tus, value,
+                           CAST(FLOOR(tus / 1800000000) AS BIGINT) - k.k AS win
+                    FROM o CROSS JOIN (SELECT 0 AS k UNION ALL SELECT 1) k
+                    WHERE CAST(FLOOR(tus / 1800000000) AS BIGINT) - k.k >= 0)
+            SELECT user_id, win, CAST(COUNT(*) AS BIGINT) AS n_events,
+                   ROUND(SUM(value), 6) AS sum_value
+            FROM fan GROUP BY user_id, win ORDER BY user_id, win
+            """
+        ).df()
+        assert len(got) == len(exp)
+        assert (got["n_events"].to_numpy() == exp["n_events"].to_numpy()).all()
+        import numpy as np
+
+        np.testing.assert_allclose(got["sum_value"], exp["sum_value"], atol=1e-6)
+        # each event is in exactly window/slide = 2 windows
+        tumb = tumbling_window(ev).to_pandas()
+        assert got["n_events"].sum() == 2 * tumb["n_events"].sum()
