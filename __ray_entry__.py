@@ -681,6 +681,14 @@ def q_sliding_window(sf_dir):
     return sliding_window(ray.data.read_parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_asof_click_to_view(sf_dir):
+    import ray.data
+
+    from networkit_ray.pipelines.events import asof_click_to_view
+
+    return asof_click_to_view(ray.data.read_parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_sessionize(sf_dir):
     import ray.data
 
@@ -778,6 +786,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rmat_edges": q_rmat_edges,
         "tumbling_window": q_tumbling_window,
         "sliding_window": q_sliding_window,
+        "asof_click_to_view": q_asof_click_to_view,
         "sessionize": q_sessionize,
         "event_type_histogram": q_event_type_histogram,
     }
@@ -1159,6 +1168,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, win, CAST(COUNT(*) AS BIGINT) AS n_events,
                    ROUND(SUM(value), 6) AS sum_value
             FROM fan GROUP BY user_id, win
+        """,
+        "asof_click_to_view": """
+            WITH l AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'click'),
+            r AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'view'),
+            pairs AS (
+              SELECT l.user_id, l.event_id AS l_event_id, l.ts_us AS l_ts_us,
+                     r.event_id AS r_event_id, r.ts_us AS r_ts_us,
+                     row_number() OVER (PARTITION BY l.event_id
+                                        ORDER BY r.ts_us DESC, r.event_id DESC) AS rn
+              FROM l JOIN r ON r.user_id = l.user_id AND r.ts_us <= l.ts_us)
+            SELECT user_id, l_event_id, l_ts_us, r_event_id, r_ts_us
+            FROM pairs WHERE rn = 1
         """,
         "sessionize": """
             WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),

@@ -177,6 +177,124 @@ def sessionize(
     )
 
 
+def asof_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    by: str = "user_id",
+    on: str = "ts_us",
+    tiebreak: str = "event_id",
+) -> ray.data.Dataset:
+    """As-of join: each left row matches the LATEST right row of the same
+    ``by`` key with right.on ≤ left.on (ties broken by max ``tiebreak``).
+
+    Ray Data has no as-of join; the re-expression is a single hash exchange
+    on ``by`` (both sides co-partitioned with the raw-task exchange) + a
+    per-partition sorted ``searchsorted`` merge — no per-row Python, one
+    binary search per left row inside each (partition, key) run.  Inner
+    semantics: unmatched left rows are dropped.
+
+    Expected columns: ``by``, ``on``, ``tiebreak`` int64 on both sides;
+    other columns pass through with ``l_``/``r_`` prefixes.
+    """
+    from networkit_ray.common.exchange import partition_refs
+
+    P = max(2, min(32, 8))
+    lsl = partition_refs(left, [by], P)
+    rsl = partition_refs(right, [by], P)
+
+    @ray.remote
+    def merge(n_left: int, *tables) -> pa.Table:
+        lt = [t for t in tables[:n_left] if t is not None]
+        rt = [t for t in tables[n_left:] if t is not None]
+        out_schema = pa.schema(
+            [
+                (by, pa.int64()),
+                (f"l_{tiebreak}", pa.int64()),
+                (f"l_{on}", pa.int64()),
+                (f"r_{tiebreak}", pa.int64()),
+                (f"r_{on}", pa.int64()),
+            ]
+        )
+        if not lt or not rt:
+            return out_schema.empty_table()
+        L = pa.concat_tables(lt, promote_options="default")
+        R = pa.concat_tables(rt, promote_options="default")
+        lk = L[by].to_numpy(zero_copy_only=False)
+        lo_ = L[on].to_numpy(zero_copy_only=False)
+        lid = L[tiebreak].to_numpy(zero_copy_only=False)
+        rk = R[by].to_numpy(zero_copy_only=False)
+        ro_ = R[on].to_numpy(zero_copy_only=False)
+        rid = R[tiebreak].to_numpy(zero_copy_only=False)
+        lorder = np.lexsort((lid, lo_, lk))
+        rorder = np.lexsort((rid, ro_, rk))
+        lk, lo_, lid = lk[lorder], lo_[lorder], lid[lorder]
+        rk, ro_, rid = rk[rorder], ro_[rorder], rid[rorder]
+        # per-key runs on the right side
+        uk = np.unique(lk)
+        r_lo = np.searchsorted(rk, uk, side="left")
+        r_hi = np.searchsorted(rk, uk, side="right")
+        l_lo = np.searchsorted(lk, uk, side="left")
+        l_hi = np.searchsorted(lk, uk, side="right")
+        out_k, out_li, out_lo, out_ri, out_ro = [], [], [], [], []
+        for i, k in enumerate(uk):
+            ra, rb = r_lo[i], r_hi[i]
+            if ra == rb:
+                continue
+            la, lb = l_lo[i], l_hi[i]
+            seg_t, seg_i = ro_[ra:rb], rid[ra:rb]
+            pos = np.searchsorted(seg_t, lo_[la:lb], side="right") - 1
+            ok = pos >= 0
+            if not ok.any():
+                continue
+            out_k.append(np.full(int(ok.sum()), k, np.int64))
+            out_li.append(lid[la:lb][ok])
+            out_lo.append(lo_[la:lb][ok])
+            out_ri.append(seg_i[pos[ok]])
+            out_ro.append(seg_t[pos[ok]])
+        if not out_k:
+            return out_schema.empty_table()
+        return pa.table(
+            {
+                by: pa.array(np.concatenate(out_k)),
+                f"l_{tiebreak}": pa.array(np.concatenate(out_li)),
+                f"l_{on}": pa.array(np.concatenate(out_lo)),
+                f"r_{tiebreak}": pa.array(np.concatenate(out_ri)),
+                f"r_{on}": pa.array(np.concatenate(out_ro)),
+            }
+        )
+
+    out = [
+        merge.remote(len(lsl), *[s[p] for s in lsl], *[s[p] for s in rsl])
+        for p in range(P)
+    ]
+    return ray.data.from_arrow_refs(out)
+
+
+def asof_click_to_view(events: ray.data.Dataset) -> ray.data.Dataset:
+    """Each click joined to the user's most recent prior (or simultaneous)
+    view — the canonical attribution as-of join."""
+
+    def prep(kind):
+        def f(t: pa.Table) -> pa.Table:
+            mask = pa.compute.equal(t["event_type"], kind)
+            s = t.filter(mask)
+            ts = s["ts"].cast(pa.int64())
+            return pa.table(
+                {
+                    "user_id": s["user_id"],
+                    "event_id": s["event_id"],
+                    "ts_us": ts,
+                }
+            )
+
+        return f
+
+    clicks = events.map_batches(prep("click"), batch_format="pyarrow")
+    views = events.map_batches(prep("view"), batch_format="pyarrow")
+    return asof_join(clicks, views)
+
+
 def event_type_histogram(events: ray.data.Dataset) -> ray.data.Dataset:
     """(event_type, n) global histogram."""
     return events.groupby("event_type").aggregate(Count(alias_name="n"))

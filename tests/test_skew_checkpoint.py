@@ -151,3 +151,74 @@ class TestSlidingWindow:
         # each event is in exactly window/slide = 2 windows
         tumb = tumbling_window(ev).to_pandas()
         assert got["n_events"].sum() == 2 * tumb["n_events"].sum()
+
+
+class TestAsofJoin:
+    def test_golden(self):
+        import pyarrow as pa
+
+        import ray.data
+
+        from networkit_ray.pipelines.events import asof_join
+
+        left = ray.data.from_arrow(
+            pa.table(
+                {
+                    "user_id": pa.array([1, 1, 2, 3], pa.int64()),
+                    "event_id": pa.array([10, 11, 20, 30], pa.int64()),
+                    "ts_us": pa.array([100, 250, 50, 10], pa.int64()),
+                }
+            )
+        )
+        right = ray.data.from_arrow(
+            pa.table(
+                {
+                    "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+                    "event_id": pa.array([5, 6, 7, 8], pa.int64()),
+                    "ts_us": pa.array([90, 100, 200, 60], pa.int64()),
+                }
+            )
+        )
+        got = (
+            asof_join(left, right)
+            .to_pandas()
+            .sort_values(["user_id", "l_event_id"])
+            .reset_index(drop=True)
+        )
+        # left 10 (ts100) → right 6 (ts100, ties pick latest id at ts<=100)
+        # left 11 (ts250) → right 7 (ts200); left 20 (ts50) → none (60>50);
+        # left 30 → no right rows for user 3
+        assert got[["l_event_id", "r_event_id"]].values.tolist() == [[10, 6], [11, 7]]
+
+    def test_matches_duckdb(self, sf_tiny):
+        import duckdb
+
+        import ray.data
+
+        from networkit_ray.pipelines.events import asof_click_to_view
+
+        got = (
+            asof_click_to_view(ray.data.read_parquet(f"{sf_tiny}/events.parquet"))
+            .to_pandas()
+            .sort_values(["l_event_id"])
+            .reset_index(drop=True)
+        )
+        exp = duckdb.sql(
+            f"""
+            WITH l AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us
+                       FROM read_parquet('{sf_tiny}/events.parquet') WHERE event_type = 'click'),
+            r AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us
+                  FROM read_parquet('{sf_tiny}/events.parquet') WHERE event_type = 'view'),
+            pairs AS (
+              SELECT l.user_id, l.event_id AS l_event_id, l.ts_us AS l_ts_us,
+                     r.event_id AS r_event_id, r.ts_us AS r_ts_us,
+                     row_number() OVER (PARTITION BY l.event_id
+                                        ORDER BY r.ts_us DESC, r.event_id DESC) AS rn
+              FROM l JOIN r ON r.user_id = l.user_id AND r.ts_us <= l.ts_us)
+            SELECT user_id, l_event_id, l_ts_us, r_event_id, r_ts_us
+            FROM pairs WHERE rn = 1 ORDER BY l_event_id
+            """
+        ).df()
+        assert len(got) == len(exp)
+        for c in ("user_id", "l_event_id", "r_event_id", "r_ts_us"):
+            assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
