@@ -171,6 +171,9 @@ def sssp_distances(
     *,
     num_parts: int | None = None,
     max_iterations: int = 10**9,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 4,
+    resume: bool = False,
 ) -> tuple[ray.data.Dataset, dict]:
     """(v, dist) weighted shortest-path distances from ``source``
     (-1.0 = unreachable).  Reference: distance/Dijkstra.cpp — the serial
@@ -184,11 +187,28 @@ def sssp_distances(
     high-diameter weighted graphs; web-scale link graphs are low-diameter
     so the frontier form is round-efficient there.
     """
+    from networkit_ray.state import checkpoint as ckpt
+
     g = build_pgraph(edges, num_nodes, num_parts=num_parts, weighted=True)
     P = g.num_parts
-    state = [_sssp_init.remote(g.vid_refs[p], source) for p in range(P)]
-    units = g.map_units()
+    state = None
     it = 0
+    if resume and checkpoint_dir:
+        loaded = ckpt.load_latest(checkpoint_dir, "sssp", g)
+        if loaded is not None:
+            dist_refs, meta = loaded
+            it = meta["iteration"]
+
+            @ray.remote
+            def _mk_state(d):
+                d = d.copy()
+                d[d < 0] = np.inf
+                return d, np.ones(len(d), dtype=bool)  # re-activate everything
+
+            state = [_mk_state.remote(r) for r in dist_refs]
+    if state is None:
+        state = [_sssp_init.remote(g.vid_refs[p], source) for p in range(P)]
+    units = g.map_units()
     while it < max_iterations:
         map_out = [
             _sssp_map.options(num_returns=P).remote(g.block_refs[p], state[p], c)
@@ -202,6 +222,12 @@ def sssp_distances(
         changed = sum(ray.get(count_refs))
         state = new_state
         it += 1
+        if checkpoint_dir and it % checkpoint_every == 0:
+            ckpt.save(
+                checkpoint_dir, "sssp", it, g,
+                [_sssp_out.remote(s) for s in state], "dist",
+                {"changed": changed, "source": source},
+            )
         if changed == 0:
             break
     dists = [_sssp_out.remote(s) for s in state]

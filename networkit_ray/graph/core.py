@@ -107,15 +107,35 @@ def _core_update(block: dict, prep: dict, c: np.ndarray, *resp_slices):
     return new_c, int((new_c < c).sum())
 
 
-def core_decomposition_refs(g: PGraph) -> tuple[list, dict]:
-    """h-index iteration to fixpoint; returns (per-partition core refs, info)."""
+def core_decomposition_refs(
+    g: PGraph,
+    *,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 8,
+    resume: bool = False,
+) -> tuple[list, dict]:
+    """h-index iteration to fixpoint; returns (per-partition core refs, info).
+
+    Restart-safe: the h-index operator is monotone non-increasing from any
+    intermediate state, so resuming from a checkpointed ``c`` converges to
+    the identical fixpoint.
+    """
+    from networkit_ray.state import checkpoint as ckpt
+
     P = g.num_parts
     preps = [_core_prep.remote(b, g.num_nodes, P) for b in g.block_refs]
-    c = [_core_init.remote(b) for b in g.block_refs]
+    c = None
+    rounds = 0
+    if resume and checkpoint_dir:
+        loaded = ckpt.load_latest(checkpoint_dir, "kcore", g)
+        if loaded is not None:
+            c, meta = loaded
+            rounds = meta["iteration"]
+    if c is None:
+        c = [_core_init.remote(b) for b in g.block_refs]
     req = [
         _core_request.options(num_returns=P).remote(preps[p], P) for p in range(P)
     ]
-    rounds = 0
     while True:
         resp = [
             _core_respond.options(num_returns=P).remote(
@@ -133,6 +153,10 @@ def core_decomposition_refs(g: PGraph) -> tuple[list, dict]:
         changed = sum(ray.get(changed_refs))
         c = new_c
         rounds += 1
+        if checkpoint_dir and rounds % checkpoint_every == 0:
+            ckpt.save(
+                checkpoint_dir, "kcore", rounds, g, c, "core", {"changed": changed}
+            )
         if changed == 0:
             break
     return c, {"rounds": rounds}
@@ -143,6 +167,9 @@ def core_decomposition(
     num_nodes: int,
     *,
     num_parts: int | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 8,
+    resume: bool = False,
     **_compat,
 ) -> tuple[ray.data.Dataset, dict]:
     """Symmetrized edge table → (v, core) for all vertices 0..num_nodes-1.
@@ -151,7 +178,12 @@ def core_decomposition(
     operator = core number), independent of partitioning.
     """
     g = build_pgraph(sym_edges, num_nodes, num_parts=num_parts)
-    refs, info = core_decomposition_refs(g)
+    refs, info = core_decomposition_refs(
+        g,
+        checkpoint_dir=checkpoint_dir,
+        checkpoint_every=checkpoint_every,
+        resume=resume,
+    )
     out = bsp.state_to_dataset(g, refs, "core")
     info["max_core"] = int(out.max("core")) if num_nodes else 0
     return out, info

@@ -222,3 +222,63 @@ class TestAsofJoin:
         assert len(got) == len(exp)
         for c in ("user_id", "l_event_id", "r_event_id", "r_ts_us"):
             assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+class TestSSSPKcoreResume:
+    def test_sssp_resume_cross_p(self, tmp_path, sf_tiny):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from networkit_ray.graph.bfs import sssp_distances
+        from networkit_ray.sources.derive import derived_edges
+
+        e, n = derived_edges(sf_tiny)
+
+        def add_w(t: pa.Table) -> pa.Table:
+            src = t["src"].to_numpy(zero_copy_only=False)
+            dst = t["dst"].to_numpy(zero_copy_only=False)
+            return t.append_column(
+                "w", pa.array(((src + dst) % 7 + 1).astype(np.float64))
+            )
+
+        w = e.map_batches(add_w, batch_format="pyarrow").materialize()
+        ck = str(tmp_path / "sssp_ck")
+        # interrupted run: checkpoint every 2 iterations, stop at 4
+        sssp_distances(
+            w, n, 0, num_parts=3, max_iterations=4, checkpoint_dir=ck, checkpoint_every=2
+        )
+        resumed, info = sssp_distances(
+            w, n, 0, num_parts=5, checkpoint_dir=ck, resume=True
+        )
+        full, _ = sssp_distances(w, n, 0, num_parts=3)
+        a = resumed.to_pandas().sort_values("v")["dist"].to_numpy()
+        b = full.to_pandas().sort_values("v")["dist"].to_numpy()
+        np.testing.assert_allclose(a, b)
+        assert info["iterations"] >= 4  # resumed from the checkpointed iter
+
+    def test_kcore_resume(self, tmp_path):
+        import numpy as np
+
+        import pyarrow as pa
+        import ray.data
+
+        from networkit_ray.graph.build import symmetrize
+        from networkit_ray.graph.core import core_decomposition
+
+        rng = np.random.default_rng(2)
+        e = np.unique(rng.integers(0, 80, size=(500, 2)), axis=0)
+        e = e[e[:, 0] != e[:, 1]]
+        ds = ray.data.from_arrow(
+            pa.table({"src": e[:, 0], "dst": e[:, 1]})
+        )
+        sym = symmetrize(ds).materialize()
+        ck = str(tmp_path / "kcore_ck")
+        # run with aggressive checkpointing, then resume with a different P
+        full, _ = core_decomposition(sym, 80, num_parts=3, checkpoint_dir=ck, checkpoint_every=1)
+        resumed, _ = core_decomposition(
+            sym, 80, num_parts=5, checkpoint_dir=ck, resume=True
+        )
+        a = full.to_pandas().sort_values("v")["core"].to_numpy()
+        b = resumed.to_pandas().sort_values("v")["core"].to_numpy()
+        assert np.array_equal(a, b)
