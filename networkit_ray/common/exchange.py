@@ -38,8 +38,22 @@ def _key_hash(t: pa.Table, key_cols: list[str]) -> np.ndarray:
     return h
 
 
-def _default_parts() -> int:
-    return max(2, min(64, int(ray.cluster_resources().get("CPU", 8))))
+def _default_parts(n_refs: int | None = None) -> int:
+    """Exchange width: CPU-bound, but never wider than the input block
+    count — tiny inputs otherwise pay P× fixed reduce-task overhead."""
+    p = max(2, min(64, int(ray.cluster_resources().get("CPU", 8))))
+    if n_refs is not None:
+        p = max(2, min(p, n_refs))
+    return p
+
+
+def _num_blocks(ds: ray.data.Dataset) -> int | None:
+    """Block count when cheaply known (materialized datasets only)."""
+    try:
+        nb = ds.num_blocks()
+        return nb if isinstance(nb, int) and nb > 0 else None
+    except NotImplementedError:
+        return None
 
 
 def _chunks(refs: list, k: int) -> list[list]:
@@ -127,7 +141,7 @@ def exchange_unique(
     aggregates, e.g. ``[("w", "sum")]``) or absent — silently dropping a
     weight column is a bug, so extra columns fail loudly.
     """
-    P = num_parts or _default_parts()
+    P = num_parts or _default_parts(_num_blocks(ds))
     in_schema = ds.schema().base_schema
     extra = [c for c in in_schema.names if c not in key_cols]
     agg = agg or []
@@ -195,7 +209,7 @@ def exchange_join(
     The key hash is identical on both sides, so matching keys co-locate.
     """
     right_on = right_on or left_on
-    P = num_parts or _default_parts()
+    P = num_parts or _default_parts(_num_blocks(left))
     lsl = partition_refs(left, left_on, P)
     rsl = partition_refs(right, right_on, P)
     out = [
