@@ -5,7 +5,7 @@ import pyarrow as pa
 import pytest
 import ray.data
 
-from networkit_ray.graph import ref
+import ref_oracles as ref
 from networkit_ray.graph.bfs import bfs_distances
 from networkit_ray.graph.centrality import eigenvector, katz
 
@@ -80,7 +80,7 @@ class TestCCCoarsening:
         assert info.get("jumps", 0) >= 2
 
     def test_multi_component_with_coarsening(self):
-        from networkit_ray.graph import ref
+        import ref_oracles as ref
         from networkit_ray.graph.components import connected_components
 
         # two long paths + isolated vertices
@@ -96,7 +96,7 @@ class TestCCCoarsening:
 
 class TestCoreDecomposition:
     def test_vs_ref(self):
-        from networkit_ray.graph import ref
+        import ref_oracles as ref
         from networkit_ray.graph.core import core_decomposition
 
         rng = np.random.default_rng(13)
@@ -125,7 +125,7 @@ class TestCoreDecomposition:
 
 class TestApproxCloseness:
     def test_full_sample_is_exact_harmonic(self):
-        from networkit_ray.graph import ref
+        import ref_oracles as ref
         from networkit_ray.graph.closeness import approx_harmonic_closeness
 
         rng = np.random.default_rng(21)

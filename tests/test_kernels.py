@@ -6,7 +6,7 @@ import numpy as np
 import pytest
 import ray.data
 
-from networkit_ray.graph import ref
+import ref_oracles as ref
 from networkit_ray.graph.components import connected_components
 from networkit_ray.graph.pagerank import pagerank
 from networkit_ray.graph.plp import plp

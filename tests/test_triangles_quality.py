@@ -5,7 +5,7 @@ import pyarrow as pa
 import pytest
 import ray.data
 
-from networkit_ray.graph import ref
+import ref_oracles as ref
 from networkit_ray.graph.quality import (
     assortativity,
     modularity,

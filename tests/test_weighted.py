@@ -4,7 +4,7 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
-from networkit_ray.graph import ref
+import ref_oracles as ref
 from networkit_ray.graph.pagerank import pagerank
 from networkit_ray.graph.plp import plp
 
