@@ -615,6 +615,13 @@ def q_effective_diameter(sf_dir):
     )
 
 
+def q_hop_plot(sf_dir):
+    from networkit_ray.graph.diameter import hop_plot
+
+    sym, n = _sym(sf_dir)
+    return _round_col(hop_plot(sym, n), "n_pairs", 4)
+
+
 def q_betweenness(sf_dir):
     from networkit_ray.graph.betweenness import estimate_betweenness
 
@@ -763,6 +770,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "core_decomposition": q_core_decomposition,
         "betweenness": q_betweenness,
         "effective_diameter": q_effective_diameter,
+        "hop_plot": q_hop_plot,
         "sample_edges": q_sample_edges,
         "random_edge": q_random_edge,
         "approx_global_clustering": q_approx_global_clustering,

@@ -114,6 +114,30 @@ def anf_refs(g: PGraph, *, r: int = 64, seed: int = 42, max_t: int = 10**4):
     return sk, curve
 
 
+def hop_plot(
+    edges: ray.data.Dataset,
+    num_nodes: int,
+    *,
+    r: int = 64,
+    seed: int = 42,
+    num_parts: int | None = None,
+) -> ray.data.Dataset:
+    """(hop, n_pairs) — the ANF hop plot (HopPlotApproximation.cpp):
+    estimated number of vertex pairs within each hop distance."""
+    g = build_pgraph(edges, num_nodes, num_parts=num_parts)
+    _, curve = anf_refs(g, r=r, seed=seed)
+    import pyarrow as pa
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "hop": pa.array(np.arange(len(curve), dtype=np.int64)),
+                "n_pairs": pa.array(np.asarray(curve, np.float64)),
+            }
+        )
+    )
+
+
 def effective_diameter(
     edges: ray.data.Dataset,
     num_nodes: int,

@@ -80,6 +80,7 @@ def test_queries_oracles_consistent():
         "core_decomposition",
         "betweenness",
         "effective_diameter",
+        "hop_plot",
         "approx_global_clustering",
         "plp_communities",
         "louvain",
