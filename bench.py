@@ -177,7 +177,11 @@ def run_bench() -> dict:
 
     total = time.perf_counter() - t_total
     result = {
-        "metric": "bench battery wall time (R-MAT kernels + sf pipelines)",
+        "metric": (
+            "bench battery wall time (R-MAT kernels + sf pipelines; round 2 "
+            "ADDS louvain + k-core stages — compare per-query times, not "
+            "totals, against round 1)"
+        ),
         "value": round(total, 3),
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in queries.items()},
