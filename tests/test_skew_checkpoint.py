@@ -7,7 +7,8 @@ import pyarrow as pa
 import pytest
 import ray.data
 
-from networkit_ray.graph import bsp, ref
+from networkit_ray.graph import bsp
+import ref_oracles as ref
 from networkit_ray.graph.bsp import build_pgraph, state_to_dataset
 from networkit_ray.graph.components import connected_components_refs
 from networkit_ray.graph.pagerank import pagerank_refs
