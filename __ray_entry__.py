@@ -450,6 +450,12 @@ def q_simhash_near_dups(sf_dir):
     return simhash_near_dups(_docs(sf_dir), max_hamming=3)
 
 
+def q_jaccard_near_dups(sf_dir):
+    from networkit_ray.dedup.jaccard import jaccard_near_dups
+
+    return _round_col(jaccard_near_dups(_docs(sf_dir), threshold=0.8), "jaccard", 6)
+
+
 def q_embedding_near_dups(sf_dir):
     import ray.data
 
@@ -457,7 +463,19 @@ def q_embedding_near_dups(sf_dir):
 
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
     dim = len(emb.take(1)[0]["embedding"])
-    return _round_col(embedding_near_dups(emb, dim, threshold=0.9), "cos", 6)
+    # testdata cluster cosines sit around 0.3-0.5 (max ~0.5 at sf0.01), so
+    # 0.4 is the regime where near-dup pairs actually exist; band shape is
+    # auto-tuned to ≥0.99 recall at this threshold (32 bands × 4 planes)
+    return _round_col(embedding_near_dups(emb, dim, threshold=0.4), "cos", 6)
+
+
+def q_embedding_near_dups_exact(sf_dir):
+    import ray.data
+
+    from networkit_ray.dedup.embed import embedding_near_dups_exact
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return _round_col(embedding_near_dups_exact(emb, threshold=0.4), "cos", 6)
 
 
 def q_ann_topk(sf_dir):
@@ -786,7 +804,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": q_langid,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
+        "jaccard_near_dups": q_jaccard_near_dups,
         "embedding_near_dups": q_embedding_near_dups,
+        "embedding_near_dups_exact": q_embedding_near_dups_exact,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1142,6 +1162,40 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprint_md5": "SELECT doc_id, md5(text) AS md5 FROM documents",
         "lang_histogram": "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang",
+        "jaccard_near_dups": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), t -> t <> '') AS ws
+              FROM documents),
+            -- word-trigram shingles as strings; the engine hashes the same
+            -- trigrams 64-bit, so set sizes/intersections agree exactly
+            -- (testdata docs all have ≥ 3 tokens, so the short-doc fold
+            -- path of tokenize.shingle_hashes_batch never fires here)
+            sh AS (
+              SELECT DISTINCT doc_id, u.s AS s
+              FROM toks,
+                   UNNEST(list_transform(generate_series(1, GREATEST(len(ws) - 2, 0)),
+                                         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS u(s)),
+            sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+              FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+              GROUP BY x.doc_id, y.doc_id),
+            j AS (
+              SELECT a, b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jac
+              FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b)
+            SELECT a, b, ROUND(jac, 6) AS jaccard FROM j WHERE jac >= 0.8
+        """,
+        "embedding_near_dups_exact": """
+            WITH nv AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> x / sqrt(list_sum(list_transform(embedding, y -> y*y)))) AS nvec
+              FROM embeddings)
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   ROUND(list_dot_product(a.nvec, b.nvec), 6) AS cos
+            FROM nv a JOIN nv b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.nvec, b.nvec) >= 0.4
+        """,
         "ann_topk": """
             WITH nv AS (
               SELECT vec_id,

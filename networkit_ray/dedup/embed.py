@@ -49,17 +49,41 @@ def lsh_buckets(
     return emb.map_batches(f, batch_format="pyarrow")
 
 
+def lsh_params_for(threshold: float) -> tuple[int, int]:
+    """(num_bands, planes_per_band) giving ≥ ~0.99 recall at ``threshold``.
+
+    Recall at angle θ = 1-(1-(1-θ/π)^P)^B.  High thresholds afford deep
+    bands (few, selective); low thresholds need shallow bands OR'd wider —
+    e.g. cosine 0.4 (θ≈66°) with the 0.9-tuned 8×8 banding has ~2% recall,
+    but 32 bands × 4 planes reaches ~0.996.
+    """
+    theta = float(np.arccos(np.clip(threshold, -1.0, 1.0)))
+    p = 1.0 - theta / np.pi
+    for planes in (12, 10, 8, 6, 4, 3, 2):
+        for bands in (4, 8, 16, 32, 64):
+            if 1.0 - (1.0 - p**planes) ** bands >= 0.99:
+                return bands, planes
+    return 64, 2
+
+
 def embedding_near_dups(
     emb: ray.data.Dataset,
     dim: int,
     *,
     threshold: float = 0.95,
-    num_bands: int = 8,
-    planes_per_band: int = 8,
+    num_bands: int | None = None,
+    planes_per_band: int | None = None,
     seed: int = 42,
     max_bucket: int = 2000,
 ) -> ray.data.Dataset:
-    """(a, b, cos) pairs with cosine ≥ threshold, multi-band LSH blocking."""
+    """(a, b, cos) pairs with cosine ≥ threshold, multi-band LSH blocking.
+
+    Band shape defaults to ``lsh_params_for(threshold)`` so recall stays
+    ≥ ~0.99 whatever the caller's threshold (round-1 shipped one 16-plane
+    band — ~8% recall at 0.9; round-2's fixed 8×8 was still ~2% at 0.4).
+    """
+    if num_bands is None or planes_per_band is None:
+        num_bands, planes_per_band = lsh_params_for(threshold)
     # one (num_bands*planes_per_band, dim) matrix, sliced per band — a single
     # matmul per batch produces every band's sign bits
     planes = _planes(dim, num_bands * planes_per_band, seed)
@@ -119,3 +143,58 @@ def embedding_near_dups(
     return (
         cand.groupby(["a", "b"]).aggregate(Max("cos", alias_name="cos"))
     )
+
+
+@ray.remote
+def _block_pairs(threshold: float, ti: pa.Table, tj: pa.Table | None) -> pa.Table:
+    """All (a, b, cos) with cos ≥ threshold between two embedding blocks.
+
+    ``tj is None`` means the diagonal case (block against itself, upper
+    triangle only); otherwise every cross pair, orientated so a < b.
+    """
+    idi = ti["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    mi = _emb_matrix(ti)
+    mi /= np.maximum(np.linalg.norm(mi, axis=1, keepdims=True), 1e-30)
+    if tj is None:
+        sim = mi @ mi.T
+        iu, ju = np.triu_indices(len(idi), 1)
+        cos = sim[iu, ju]
+        keep = cos >= threshold
+        a, b, cos = idi[iu][keep], idi[ju][keep], cos[keep]
+    else:
+        idj = tj["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mj = _emb_matrix(tj)
+        mj /= np.maximum(np.linalg.norm(mj, axis=1, keepdims=True), 1e-30)
+        sim = mi @ mj.T
+        ii, jj = np.nonzero(sim >= threshold)
+        a, b, cos = idi[ii], idj[jj], sim[ii, jj]
+        a, b = np.minimum(a, b), np.maximum(a, b)
+    order = np.lexsort((b, a))
+    return pa.table(
+        {
+            "a": pa.array(a[order]),
+            "b": pa.array(b[order]),
+            "cos": pa.array(cos[order].astype(np.float64)),
+        }
+    )
+
+
+def embedding_near_dups_exact(
+    emb: ray.data.Dataset, *, threshold: float = 0.4
+) -> ray.data.Dataset:
+    """Exact all-pairs cosine near-dups — the brute-force baseline.
+
+    Block-pair decomposition: K object-store blocks → K(K+1)/2 matmul
+    tasks, each touching exactly two blocks.  No O(N) broadcast, no N×N
+    materialization (only the ≥-threshold survivors leave a task).  This
+    is the oracle-checkable ground truth the LSH variant trades recall
+    against; at 100 TB the LSH path is the default and this one is for
+    bounded slices (its total work is inherently O(N²/K² · K²) = O(N²)).
+    """
+    refs = emb.select_columns(["vec_id", "embedding"]).materialize().to_arrow_refs()
+    out = []
+    for i in range(len(refs)):
+        out.append(_block_pairs.remote(threshold, refs[i], None))
+        for j in range(i + 1, len(refs)):
+            out.append(_block_pairs.remote(threshold, refs[i], refs[j]))
+    return ray.data.from_arrow_refs(out)

@@ -435,3 +435,86 @@ class TestIVF:
             a.sort_values(["query_id", "rank"]).reset_index(drop=True),
             b.sort_values(["query_id", "rank"]).reset_index(drop=True),
         )
+
+
+class TestJaccardExact:
+    def test_matches_bruteforce(self):
+        """Exact inverted-index Jaccard == per-pair jaccard() on every pair."""
+        base = (
+            "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon"
+        )
+        texts = [
+            base,
+            base.replace("sigma tau", "sigma tao"),
+            base + " phi chi psi omega",
+            "unrelated words entirely about cooking pasta with garlic and olive oil tonight",
+            base,
+        ]
+        docs = docs_ds(texts)
+        from networkit_ray.dedup.jaccard import jaccard_near_dups
+
+        got = jaccard_near_dups(docs, threshold=0.3).to_pandas()
+        got_map = {(a, b): j for a, b, j in zip(got["a"], got["b"], got["jaccard"])}
+        for a in range(len(texts)):
+            for b in range(a + 1, len(texts)):
+                true_j = jaccard(texts[a], texts[b])
+                if true_j >= 0.3:
+                    assert (a, b) in got_map, (a, b, true_j)
+                    assert abs(got_map[(a, b)] - true_j) < 1e-12
+                else:
+                    assert (a, b) not in got_map
+        assert got_map[(0, 4)] == 1.0
+
+    def test_max_df_drops_boilerplate(self):
+        texts = ["common header " + w for w in ["aa bb", "cc dd", "ee ff", "gg hh"]]
+        docs = docs_ds(texts)
+        from networkit_ray.dedup.jaccard import jaccard_near_dups
+
+        # every doc shares the 'common header <w1>' trigram; df cap 1 kills
+        # all shared shingles so no pair survives any threshold
+        got = jaccard_near_dups(docs, threshold=0.01, max_df=1).to_pandas()
+        assert len(got) == 0
+
+
+class TestEmbeddingExact:
+    def test_block_pairs_match_bruteforce(self):
+        rng = np.random.default_rng(11)
+        n, dim = 90, 16
+        m = rng.standard_normal((n, dim))
+        emb = ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(n), pa.int64()),
+                    "embedding": pa.array(
+                        [list(map(float, v)) for v in m], pa.list_(pa.float32())
+                    ),
+                }
+            )
+        ).repartition(5)
+        from networkit_ray.dedup.embed import embedding_near_dups_exact
+
+        got = embedding_near_dups_exact(emb, threshold=0.5).to_pandas()
+        mn = m.astype(np.float32).astype(np.float64)
+        mn /= np.linalg.norm(mn, axis=1, keepdims=True)
+        sim = mn @ mn.T
+        iu, ju = np.triu_indices(n, 1)
+        true = {
+            (int(a), int(b)): s
+            for a, b, s in zip(iu, ju, sim[iu, ju])
+            if s >= 0.5
+        }
+        got_pairs = {(a, b): c for a, b, c in zip(got["a"], got["b"], got["cos"])}
+        assert set(got_pairs) == set(true)
+        for k2, v in true.items():
+            assert abs(got_pairs[k2] - v) < 1e-9
+
+    def test_lsh_params_adapt_to_threshold(self):
+        from networkit_ray.dedup.embed import lsh_params_for
+
+        for thr in (0.95, 0.9, 0.7, 0.5, 0.4):
+            bands, planes = lsh_params_for(thr)
+            theta = np.arccos(thr)
+            p = 1 - theta / np.pi
+            recall = 1 - (1 - p**planes) ** bands
+            assert recall >= 0.99, (thr, bands, planes, recall)
