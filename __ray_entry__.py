@@ -640,6 +640,13 @@ def q_hop_plot(sf_dir):
     return _round_col(hop_plot(sym, n), "n_pairs", 4)
 
 
+def q_hop_histogram(sf_dir):
+    from networkit_ray.graph.diameter import hop_histogram_sampled
+
+    sym, n = _sym(sf_dir)
+    return hop_histogram_sampled(sym, n, sample=16, seed=42)
+
+
 def q_betweenness(sf_dir):
     from networkit_ray.graph.betweenness import estimate_betweenness
 
@@ -789,6 +796,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "betweenness": q_betweenness,
         "effective_diameter": q_effective_diameter,
         "hop_plot": q_hop_plot,
+        "hop_histogram": q_hop_histogram,
         "sample_edges": q_sample_edges,
         "random_edge": q_random_edge,
         "approx_global_clustering": q_approx_global_clustering,
@@ -925,6 +933,50 @@ def oracle_sql() -> dict[str, str]:
         .replace("{nodes}", "SELECT CAST(doc_id AS BIGINT) AS v FROM documents")
         .replace("{n}", n_docs)
     )
+
+    # Shared deterministic-pivot multi-source BFS CTE: pivots are the
+    # `sample` smallest (v+seed)*GOLD mod 2^64 ranks — HUGEINT arithmetic
+    # reproduces closeness._pivots' uint64 wraparound exactly; d-cap 64
+    # far exceeds the sym derived graph's eccentricity (engine iterates to
+    # fixpoint, so an undershoot would be a spurious oracle mismatch).
+    def _pivot_bfs_sql(sample: int) -> str:
+        return f"""
+        WITH RECURSIVE se AS MATERIALIZED ({{SYM}}),
+        nodes AS (SELECT CAST(c_custkey AS BIGINT) AS v FROM customer),
+        piv AS (SELECT v FROM nodes
+                ORDER BY (CAST(v + 42 AS HUGEINT) * CAST('11400714819323198485' AS HUGEINT))
+                         % CAST('18446744073709551616' AS HUGEINT)
+                LIMIT {sample}),
+        r(s, v, d) AS (
+            SELECT v, v, CAST(0 AS BIGINT) FROM piv
+            UNION
+            SELECT r.s, e.dst, r.d + 1 FROM r JOIN se e ON e.src = r.v WHERE r.d < 64
+        ),
+        md AS (SELECT s, v, MIN(d) AS d FROM r GROUP BY s, v)
+        """
+
+    closeness_sql = (
+        _pivot_bfs_sql(8)
+        + f"""
+        , agg AS (SELECT v, SUM(CASE WHEN d > 0 THEN 1.0/d ELSE 0 END) AS h,
+                         SUM(CASE WHEN d > 0 THEN d ELSE 0 END) AS t
+                  FROM md GROUP BY v)
+        SELECT nodes.v,
+               ROUND(COALESCE(a.h, 0) * {n_customers} / 8.0, 8) AS harmonic,
+               ROUND(CASE WHEN COALESCE(a.t, 0) > 0
+                          THEN 8.0 * ({n_customers} - 1) / ({n_customers} * a.t)
+                          ELSE 0 END, 8) AS closeness
+        FROM nodes LEFT JOIN agg a ON a.v = nodes.v
+        """
+    ).replace("{SYM}", SYMMETRIC_EDGES_SQL)
+
+    hop_hist_sql = (
+        _pivot_bfs_sql(16)
+        + """
+        SELECT d, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM md WHERE d >= 1 GROUP BY d ORDER BY d
+        """
+    ).replace("{SYM}", SYMMETRIC_EDGES_SQL)
 
     cc_sql = f"""
         WITH RECURSIVE se AS ({SYMMETRIC_EDGES_SQL}),
@@ -1115,6 +1167,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(c_custkey AS BIGINT) AS v FROM customer",
             40,
         ),
+        "approx_closeness": closeness_sql,
+        "hop_histogram": hop_hist_sql,
         "bfs_distances": f"""
             WITH RECURSIVE e AS MATERIALIZED ({DERIVED_EDGES_SQL}),
             nodes AS (SELECT CAST(c_custkey AS BIGINT) AS v FROM customer),

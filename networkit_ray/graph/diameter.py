@@ -29,6 +29,7 @@ import ray
 import ray.data
 
 from networkit_ray.graph import bsp
+from networkit_ray.graph.bfs import multi_bfs_refs
 from networkit_ray.graph.bsp import PGraph, build_pgraph, chunk_edge_index
 
 _PHI = 0.77351  # Flajolet–Martin correction constant
@@ -164,3 +165,49 @@ def effective_diameter(
                 eff = (t - 1) + (target - curve[t - 1]) / (curve[t] - curve[t - 1])
             break
     return eff, {"iterations": len(curve) - 1, "curve": curve}
+
+
+def hop_histogram_sampled(
+    edges: ray.data.Dataset,
+    num_nodes: int,
+    *,
+    sample: int = 16,
+    seed: int = 42,
+    num_parts: int | None = None,
+) -> ray.data.Dataset:
+    """(d, n_pairs) — EXACT hop-distance histogram from a deterministic
+    pivot sample (the oracle-checkable sibling of the ANF hop plot).
+
+    Pivots are the ``sample`` smallest multiplicative-hash-ranked vertex
+    ids (same selection as closeness.approx_harmonic_closeness, so one
+    SQL twin convention covers both); one batched multi-source BFS gives
+    every (pivot, v) min-distance, and the d ≥ 1 counts are histogrammed
+    per partition then summed (histogram width = max ecc — tiny)."""
+    from networkit_ray.graph.closeness import _pivots
+
+    g = build_pgraph(edges, num_nodes, num_parts=num_parts)
+    pivots = _pivots(num_nodes, min(sample, num_nodes), seed)
+    dist_refs = multi_bfs_refs(g, pivots)
+
+    @ray.remote
+    def hist(dists: np.ndarray) -> np.ndarray:
+        d = dists.reshape(-1)
+        d = d[d >= 1]
+        return np.bincount(d) if len(d) else np.zeros(1, np.int64)
+
+    parts = ray.get([hist.remote(r) for r in dist_refs])
+    width = max(len(h) for h in parts)
+    total = np.zeros(width, np.int64)
+    for h in parts:
+        total[: len(h)] += h
+    ds = np.nonzero(total)[0]
+    import pyarrow as pa
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "d": pa.array(ds.astype(np.int64)),
+                "n_pairs": pa.array(total[ds].astype(np.int64)),
+            }
+        )
+    )

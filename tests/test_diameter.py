@@ -62,3 +62,45 @@ class TestEffectiveDiameter:
         b, _ = effective_diameter(sym, 10, num_parts=7)
         # identical up to float-sum association across partition groupings
         assert abs(a - b) < 1e-9
+
+
+class TestHopHistogramSampled:
+    def test_matches_numpy_bfs(self):
+        """Exact sampled hop histogram == per-pivot BFS levels (numpy)."""
+        rng = np.random.default_rng(3)
+        n = 40
+        e = sorted({(int(a), int(b)) for a, b in rng.integers(0, n, (120, 2)) if a != b})
+        sym = symmetrize(ds_of(e)).materialize()
+        from networkit_ray.graph.closeness import _pivots
+        from networkit_ray.graph.diameter import hop_histogram_sampled
+
+        got = hop_histogram_sampled(sym, n, sample=5, seed=42).to_pandas()
+
+        A = np.zeros((n, n), dtype=bool)
+        for s, d in e:
+            A[s, d] = A[d, s] = True
+        hist = {}
+        for p in _pivots(n, 5, 42):
+            dist = np.full(n, -1)
+            dist[p] = 0
+            frontier = np.zeros(n, bool)
+            frontier[p] = True
+            lvl = 0
+            while frontier.any():
+                lvl += 1
+                nxt = (A[frontier].any(axis=0)) & (dist < 0)
+                dist[nxt] = lvl
+                frontier = nxt
+            for d_ in dist[dist >= 1]:
+                hist[int(d_)] = hist.get(int(d_), 0) + 1
+        want = dict(sorted(hist.items()))
+        assert dict(zip(got["d"], got["n_pairs"])) == want
+
+    def test_partition_invariance(self):
+        e = [(i, i + 1) for i in range(15)]
+        sym = symmetrize(ds_of(e)).materialize()
+        from networkit_ray.graph.diameter import hop_histogram_sampled
+
+        a = hop_histogram_sampled(sym, 16, sample=4, num_parts=2).to_pandas()
+        b = hop_histogram_sampled(sym, 16, sample=4, num_parts=7).to_pandas()
+        assert a.equals(b)
