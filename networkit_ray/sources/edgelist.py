@@ -450,6 +450,10 @@ def read_graph(path: str, fmt: str, **kw):
         return read_matrix_market(path, **kw)
     if fmt == "gml":
         return read_gml(path, **kw)
+    if fmt == "graphml":
+        return read_graphml(path, **kw)
+    if fmt == "gexf":
+        return read_gexf(path, **kw)
     if fmt == "parquet":
         return ray.data.read_parquet(path, **kw)
     raise ValueError(f"unknown graph format: {fmt}")
@@ -469,6 +473,217 @@ def write_graph(edges: ray.data.Dataset, path: str, fmt: str, **kw) -> None:
         return write_matrix_market(edges, kw.pop("num_nodes"), path, **kw)
     if fmt == "gml":
         return write_gml(edges, kw.pop("num_nodes"), path, **kw)
+    if fmt == "graphml":
+        return write_graphml(edges, kw.pop("num_nodes"), path, **kw)
+    if fmt == "gexf":
+        return write_gexf(edges, kw.pop("num_nodes"), path, **kw)
+    if fmt == "dot":
+        return write_dot(edges, path, **kw)
     if fmt == "parquet":
         return edges.write_parquet(path, **kw)
     raise ValueError(f"unknown graph format: {fmt}")
+
+
+def read_graphml(path: str) -> tuple[ray.data.Dataset, int]:
+    """GraphMLReader (networkit/GraphMLIO.py GraphMLSAX semantics): ``node``
+    ids remapped to dense 0..n-1 in document order, one row per ``edge``
+    element.  Single-task conformance parse (XML has no safe line split)."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.parse(path).getroot()
+    ns = ""
+    if root.tag.startswith("{"):
+        ns = root.tag[: root.tag.index("}") + 1]
+    remap: dict[str, int] = {}
+    src, dst, w = [], [], []
+    has_w = False
+    for node in root.iter(f"{ns}node"):
+        nid = node.get("id")
+        if nid not in remap:
+            remap[nid] = len(remap)
+    for edge in root.iter(f"{ns}edge"):
+        a, b = edge.get("source"), edge.get("target")
+        for x in (a, b):
+            if x not in remap:
+                remap[x] = len(remap)
+        src.append(remap[a])
+        dst.append(remap[b])
+        dat = edge.find(f"{ns}data")
+        if dat is not None and dat.text is not None:
+            has_w = True
+            w.append(float(dat.text))
+        else:
+            w.append(1.0)
+    cols = {
+        "src": pa.array(np.asarray(src, np.int64)),
+        "dst": pa.array(np.asarray(dst, np.int64)),
+    }
+    if has_w:
+        cols["w"] = pa.array(np.asarray(w, np.float64))
+    return ray.data.from_arrow(pa.table(cols)), len(remap)
+
+
+def write_graphml(
+    edges: ray.data.Dataset, num_nodes: int, path: str, *, directed: bool = False
+) -> None:
+    """GraphMLWriter (networkit/GraphMLIO.py): nodes n0..n{n-1}, optional
+    ``w`` column emitted as an edge data key."""
+    import os
+
+    t = pa.concat_tables(list(edges.iter_batches(batch_format="pyarrow")))
+    src = t["src"].to_numpy(zero_copy_only=False)
+    dst = t["dst"].to_numpy(zero_copy_only=False)
+    has_w = "w" in t.column_names
+    w = t["w"].to_numpy(zero_copy_only=False) if has_w else None
+    order = np.lexsort((dst, src))
+    parts = [
+        '<?xml version="1.0" encoding="UTF-8"?>',
+        '<graphml xmlns="http://graphml.graphdrawing.org/xmlns">',
+    ]
+    if has_w:
+        parts.append(
+            '  <key id="d1" for="edge" attr.name="weight" attr.type="double"/>'
+        )
+    parts.append(
+        f'  <graph id="G" edgedefault="{"directed" if directed else "undirected"}">'
+    )
+    parts += [f'    <node id="n{i}"/>' for i in range(num_nodes)]
+    for i in order:
+        if has_w:
+            parts.append(
+                f'    <edge source="n{src[i]}" target="n{dst[i]}">'
+                f'<data key="d1">{w[i]!r}</data></edge>'
+            )
+        else:
+            parts.append(f'    <edge source="n{src[i]}" target="n{dst[i]}"/>')
+    parts += ["  </graph>", "</graphml>"]
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write("\n".join(parts) + "\n")
+    os.replace(tmp, path)
+
+
+def read_gexf(path: str) -> tuple[ray.data.Dataset, int]:
+    """GEXFReader (networkit/GEXFIO.py): node/edge elements of the GEXF 1.2
+    schema; ids remapped dense; ``weight`` attribute honored."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.parse(path).getroot()
+    ns = root.tag[: root.tag.index("}") + 1] if root.tag.startswith("{") else ""
+    remap: dict[str, int] = {}
+    for node in root.iter(f"{ns}node"):
+        nid = node.get("id")
+        if nid not in remap:
+            remap[nid] = len(remap)
+    src, dst, w = [], [], []
+    has_w = False
+    for edge in root.iter(f"{ns}edge"):
+        a, b = edge.get("source"), edge.get("target")
+        for x in (a, b):
+            if x not in remap:
+                remap[x] = len(remap)
+        src.append(remap[a])
+        dst.append(remap[b])
+        wt = edge.get("weight")
+        has_w = has_w or wt is not None
+        w.append(float(wt) if wt is not None else 1.0)
+    cols = {
+        "src": pa.array(np.asarray(src, np.int64)),
+        "dst": pa.array(np.asarray(dst, np.int64)),
+    }
+    if has_w:
+        cols["w"] = pa.array(np.asarray(w, np.float64))
+    return ray.data.from_arrow(pa.table(cols)), len(remap)
+
+
+def write_gexf(
+    edges: ray.data.Dataset, num_nodes: int, path: str, *, directed: bool = False
+) -> None:
+    """GEXFWriter (networkit/GEXFIO.py), GEXF 1.2 draft layout."""
+    import os
+
+    t = pa.concat_tables(list(edges.iter_batches(batch_format="pyarrow")))
+    src = t["src"].to_numpy(zero_copy_only=False)
+    dst = t["dst"].to_numpy(zero_copy_only=False)
+    has_w = "w" in t.column_names
+    w = t["w"].to_numpy(zero_copy_only=False) if has_w else None
+    order = np.lexsort((dst, src))
+    parts = [
+        '<?xml version="1.0" encoding="UTF-8"?>',
+        '<gexf xmlns="http://www.gexf.net/1.2draft" version="1.2">',
+        f'  <graph defaultedgetype="{"directed" if directed else "undirected"}">',
+        "    <nodes>",
+    ]
+    parts += [f'      <node id="{i}"/>' for i in range(num_nodes)]
+    parts += ["    </nodes>", "    <edges>"]
+    for k, i in enumerate(order):
+        wa = f' weight="{w[i]!r}"' if has_w else ""
+        parts.append(
+            f'      <edge id="{k}" source="{src[i]}" target="{dst[i]}"{wa}/>'
+        )
+    parts += ["    </edges>", "  </graph>", "</gexf>"]
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write("\n".join(parts) + "\n")
+    os.replace(tmp, path)
+
+
+def write_dot(edges: ray.data.Dataset, path: str, *, directed: bool = False) -> None:
+    """DotGraphWriter (io/DotGraphWriter.cpp): ``graph { a -- b; }``."""
+    import os
+
+    t = pa.concat_tables(list(edges.iter_batches(batch_format="pyarrow")))
+    src = t["src"].to_numpy(zero_copy_only=False)
+    dst = t["dst"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((dst, src))
+    kind, arrow = ("digraph", "->") if directed else ("graph", "--")
+    lines = [f"{kind} G {{"]
+    lines += [f"  {src[i]} {arrow} {dst[i]};" for i in order]
+    lines.append("}")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    os.replace(tmp, path)
+
+
+def write_cover(cover: ray.data.Dataset, path: str) -> None:
+    """CoverWriter (io/CoverWriter.cpp): line s = the node ids of subset s.
+
+    Input: (v, label) rows, one row per membership (a node may appear in
+    several subsets — that is what distinguishes a Cover from a Partition).
+    """
+    import os
+
+    t = pa.concat_tables(
+        list(cover.select_columns(["v", "label"]).iter_batches(batch_format="pyarrow"))
+    )
+    v = t["v"].to_numpy(zero_copy_only=False)
+    lab = t["label"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((v, lab))
+    v, lab = v[order], lab[order]
+    lines = []
+    for s in range(int(lab.max()) + 1 if len(lab) else 0):
+        members = v[lab == s]
+        lines.append(" ".join(str(x) for x in members))
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    os.replace(tmp, path)
+
+
+def read_cover(path: str) -> ray.data.Dataset:
+    """CoverReader (io/CoverReader.cpp): line s lists subset s's members."""
+    v, lab = [], []
+    with open(path) as f:
+        for s, line in enumerate(f):
+            for x in line.split():
+                v.append(int(x))
+                lab.append(s)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "v": pa.array(np.asarray(v, np.int64)),
+                "label": pa.array(np.asarray(lab, np.int64)),
+            }
+        )
+    )

@@ -232,3 +232,109 @@ class TestKeyedAndFormats:
         assert n == 3
         b = back.to_pandas()
         assert sorted(zip(b["src"], b["dst"])) == [(0, 1), (1, 2)]
+
+    def test_graphml_roundtrip(self, tmp_path):
+        import pyarrow as pa
+        import ray.data
+
+        from networkit_ray.sources.edgelist import read_graphml, write_graphml
+
+        t = pa.table(
+            {
+                "src": pa.array([0, 1, 2], pa.int64()),
+                "dst": pa.array([1, 2, 0], pa.int64()),
+                "w": pa.array([1.5, 2.0, 0.25], pa.float64()),
+            }
+        )
+        path = str(tmp_path / "g.graphml")
+        write_graphml(ray.data.from_arrow(t), 3, path)
+        back, n = read_graphml(path)
+        assert n == 3
+        b = back.to_pandas().sort_values(["src", "dst"])
+        assert list(zip(b["src"], b["dst"], b["w"])) == [
+            (0, 1, 1.5),
+            (1, 2, 2.0),
+            (2, 0, 0.25),
+        ]
+
+    def test_gexf_roundtrip(self, tmp_path):
+        import pyarrow as pa
+        import ray.data
+
+        from networkit_ray.sources.edgelist import read_gexf, write_gexf
+
+        t = pa.table(
+            {
+                "src": pa.array([0, 0], pa.int64()),
+                "dst": pa.array([1, 2], pa.int64()),
+            }
+        )
+        path = str(tmp_path / "g.gexf")
+        write_gexf(ray.data.from_arrow(t), 4, path)
+        back, n = read_gexf(path)
+        assert n == 4
+        b = back.to_pandas()
+        assert sorted(zip(b["src"], b["dst"])) == [(0, 1), (0, 2)]
+
+    def test_dot_writer(self, tmp_path):
+        import pyarrow as pa
+        import ray.data
+
+        from networkit_ray.sources.edgelist import write_dot
+
+        t = pa.table(
+            {
+                "src": pa.array([0, 1], pa.int64()),
+                "dst": pa.array([1, 2], pa.int64()),
+            }
+        )
+        p = str(tmp_path / "g.dot")
+        write_dot(ray.data.from_arrow(t), p)
+        text = open(p).read()
+        assert text.startswith("graph G {")
+        assert "0 -- 1;" in text and "1 -- 2;" in text
+        write_dot(ray.data.from_arrow(t), p, directed=True)
+        assert "0 -> 1;" in open(p).read()
+
+    def test_cover_roundtrip(self, tmp_path):
+        import pyarrow as pa
+        import ray.data
+
+        from networkit_ray.sources.edgelist import read_cover, write_cover
+
+        # node 1 belongs to two subsets — Cover, not Partition
+        t = pa.table(
+            {
+                "v": pa.array([0, 1, 1, 2], pa.int64()),
+                "label": pa.array([0, 0, 1, 1], pa.int64()),
+            }
+        )
+        p = str(tmp_path / "c.cover")
+        write_cover(ray.data.from_arrow(t), p)
+        back = read_cover(p).to_pandas()
+        assert sorted(zip(back["v"], back["label"])) == [
+            (0, 0),
+            (1, 0),
+            (1, 1),
+            (2, 1),
+        ]
+
+    def test_dispatch_new_formats(self, tmp_path):
+        import pyarrow as pa
+        import ray.data
+
+        from networkit_ray.sources.edgelist import read_graph, write_graph
+
+        t = pa.table(
+            {
+                "src": pa.array([0, 1], pa.int64()),
+                "dst": pa.array([1, 2], pa.int64()),
+            }
+        )
+        ds = ray.data.from_arrow(t)
+        for fmt, ext in [("graphml", "graphml"), ("gexf", "gexf")]:
+            p = str(tmp_path / f"d.{ext}")
+            write_graph(ds, p, fmt, num_nodes=3)
+            back, n = read_graph(p, fmt)
+            assert n == 3 and back.count() == 2
+        write_graph(ds, str(tmp_path / "d.dot"), "dot")
