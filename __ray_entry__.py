@@ -374,6 +374,79 @@ def q_partition_intersection(sf_dir):
     return partition_intersection(l1, l2, n)
 
 
+def q_stable_partition_nodes(sf_dir):
+    from networkit_ray.graph.quality import stable_partition_nodes
+
+    sym, n = _sym(sf_dir)
+    return stable_partition_nodes(sym, _mod_labels(n, 10), n)
+
+
+def q_link_prediction(sf_dir):
+    from networkit_ray.graph.linkpred import link_prediction_scores
+
+    sym, n = _sym(sf_dir)
+    canon, _ = _canon(sf_dir)
+    out = link_prediction_scores(sym, canon)
+    out = _round_col(out, "jaccard", 8)
+    return _round_col(out, "adamic_adar", 8)
+
+
+def q_edge_triangle_scores(sf_dir):
+    from networkit_ray.graph.triangles import edge_triangle_scores
+
+    canon, n = _canon(sf_dir)
+    return edge_triangle_scores(canon, n)
+
+
+def q_sparsify_triangles(sf_dir):
+    from networkit_ray.graph.triangles import (
+        edge_triangle_scores,
+        sparsify_global_threshold,
+    )
+
+    canon, n = _canon(sf_dir)
+    return sparsify_global_threshold(edge_triangle_scores(canon, n), 1)
+
+
+def q_eccentricity(sf_dir):
+    from networkit_ray.graph.bfs import bfs_distances
+
+    edges, n = _sym(sf_dir)
+    dist, _ = bfs_distances(edges, n, 0)
+
+    def reduce_ecc(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        d = t["dist"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        keep = d >= 0
+        if not keep.any():
+            return pa.table(
+                {"farthest": pa.array([], pa.int64()), "ecc": pa.array([], pa.int64())}
+            )
+        d, v = d[keep], v[keep]
+        mx = d.max()
+        return pa.table(
+            {
+                "farthest": pa.array([int(v[d == mx].min())]),
+                "ecc": pa.array([int(mx)]),
+            }
+        )
+
+    # per-block partial (block max + min-id argmax) then one tiny final fold
+    partial = dist.map_batches(reduce_ecc, batch_format="pyarrow")
+    t = pa.concat_tables(list(partial.iter_batches(batch_format="pyarrow")))
+    ecc = t["ecc"].to_numpy(zero_copy_only=False)
+    far = t["farthest"].to_numpy(zero_copy_only=False)
+    mx = int(ecc.max())
+    return pa.table(
+        {
+            "farthest": pa.array([int(far[ecc == mx].min())]),
+            "ecc": pa.array([mx], pa.int64()),
+        }
+    )
+
+
 # ------- web
 def q_web_text_roundtrip(sf_dir):
     from networkit_ray.web.extract import extract_texts
@@ -786,6 +859,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lcc": q_lcc,
         "assortativity": q_assortativity,
         "partition_intersection": q_partition_intersection,
+        "stable_partition_nodes": q_stable_partition_nodes,
+        "link_prediction": q_link_prediction,
+        "edge_triangle_scores": q_edge_triangle_scores,
+        "sparsify_triangles": q_sparsify_triangles,
+        "eccentricity": q_eccentricity,
         "weighted_degree": q_weighted_degree,
         "katz": q_katz,
         "eigenvector": q_eigenvector,
@@ -1169,6 +1247,71 @@ def oracle_sql() -> dict[str, str]:
         ),
         "approx_closeness": closeness_sql,
         "hop_histogram": hop_hist_sql,
+        "stable_partition_nodes": f"""
+            WITH se AS MATERIALIZED ({SYMMETRIC_EDGES_SQL}),
+            nodes AS (SELECT CAST(c_custkey AS BIGINT) AS v FROM customer),
+            lab AS (SELECT v, v % 10 AS label FROM nodes),
+            lw AS (SELECT e.src AS v, lb.label AS nl, COUNT(*) AS w
+                   FROM se e JOIN lab lb ON lb.v = e.dst GROUP BY e.src, lb.label),
+            per AS (SELECT lw.v,
+                           SUM(CASE WHEN lw.nl = lo.label THEN lw.w ELSE 0 END) AS own_w,
+                           MAX(CASE WHEN lw.nl <> lo.label THEN lw.w ELSE 0 END) AS max_other
+                    FROM lw JOIN lab lo ON lo.v = lw.v GROUP BY lw.v)
+            SELECT n.v, COALESCE(p.own_w > 0 AND p.own_w > p.max_other, TRUE) AS stable
+            FROM nodes n LEFT JOIN per p ON p.v = n.v
+        """,
+        "link_prediction": f"""
+            WITH se AS MATERIALIZED ({SYMMETRIC_EDGES_SQL}),
+            deg AS MATERIALIZED (SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS deg FROM se GROUP BY src),
+            w AS (SELECT e1.dst AS a, e2.dst AS b, e1.src AS mid
+                  FROM se e1 JOIN se e2 ON e1.src = e2.src AND e1.dst < e2.dst),
+            agg AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cn, SUM(1.0/ln(d.deg)) AS aa
+                    FROM w JOIN deg d ON d.v = w.mid GROUP BY a, b),
+            ne AS (SELECT agg.* FROM agg LEFT JOIN ({CANONICAL_EDGES_SQL}) c
+                   ON c.src = agg.a AND c.dst = agg.b WHERE c.src IS NULL)
+            SELECT ne.a AS u, ne.b AS v, cn,
+                   ROUND(CAST(cn AS DOUBLE) / (da.deg + db.deg - cn), 8) AS jaccard,
+                   ROUND(aa, 8) AS adamic_adar,
+                   CAST(da.deg * db.deg AS BIGINT) AS pref_attach
+            FROM ne JOIN deg da ON da.v = ne.a JOIN deg db ON db.v = ne.b
+        """,
+        "edge_triangle_scores": f"""
+            WITH ce AS MATERIALIZED ({CANONICAL_EDGES_SQL}),
+            tc AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+                   FROM ce e1 JOIN ce e2 ON e2.src = e1.dst
+                   JOIN ce e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+            ex AS (SELECT LEAST(a,b) AS src, GREATEST(a,b) AS dst FROM tc
+                   UNION ALL SELECT LEAST(a,c), GREATEST(a,c) FROM tc
+                   UNION ALL SELECT LEAST(b,c), GREATEST(b,c) FROM tc),
+            cnt AS (SELECT src, dst, COUNT(*) AS tri FROM ex GROUP BY src, dst)
+            SELECT ce.src, ce.dst, CAST(COALESCE(cnt.tri, 0) AS BIGINT) AS tri
+            FROM ce LEFT JOIN cnt ON cnt.src = ce.src AND cnt.dst = ce.dst
+        """,
+        "sparsify_triangles": f"""
+            WITH ce AS MATERIALIZED ({CANONICAL_EDGES_SQL}),
+            tc AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+                   FROM ce e1 JOIN ce e2 ON e2.src = e1.dst
+                   JOIN ce e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+            ex AS (SELECT LEAST(a,b) AS src, GREATEST(a,b) AS dst FROM tc
+                   UNION ALL SELECT LEAST(a,c), GREATEST(a,c) FROM tc
+                   UNION ALL SELECT LEAST(b,c), GREATEST(b,c) FROM tc),
+            cnt AS (SELECT src, dst, COUNT(*) AS tri FROM ex GROUP BY src, dst)
+            SELECT ce.src, ce.dst, CAST(cnt.tri AS BIGINT) AS tri
+            FROM ce JOIN cnt ON cnt.src = ce.src AND cnt.dst = ce.dst
+            WHERE cnt.tri >= 1
+        """,
+        "eccentricity": f"""
+            WITH RECURSIVE se AS MATERIALIZED ({SYMMETRIC_EDGES_SQL}),
+            r(v, d) AS (
+                SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+                UNION
+                SELECT e.dst, r.d + 1 FROM r JOIN se e ON e.src = r.v WHERE r.d < 4096
+            ),
+            md AS (SELECT v, MIN(d) AS d FROM r GROUP BY v),
+            mx AS (SELECT MAX(d) AS ecc FROM md)
+            SELECT CAST((SELECT MIN(v) FROM md WHERE d = (SELECT ecc FROM mx)) AS BIGINT) AS farthest,
+                   CAST((SELECT ecc FROM mx) AS BIGINT) AS ecc
+        """,
         "bfs_distances": f"""
             WITH RECURSIVE e AS MATERIALIZED ({DERIVED_EDGES_SQL}),
             nodes AS (SELECT CAST(c_custkey AS BIGINT) AS v FROM customer),

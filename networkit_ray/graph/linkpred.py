@@ -1,0 +1,111 @@
+"""Link-prediction index family + neighborhood-overlap machinery.
+
+Reference: networkit/cpp/linkprediction/ — CommonNeighborsIndex.cpp,
+JaccardIndex.cpp, AdamicAdarIndex.cpp, PreferentialAttachmentIndex.cpp
+compute per-pair scalar scores from the two endpoints' neighborhoods.
+The distributed re-expression scores EVERY candidate at once instead of
+one pair at a time: a wedge pass over full adjacency (pairs of
+neighbors of each mid vertex) yields common-neighbor counts and
+Adamic-Adar mass in one groupby, then two degree joins and an anti-join
+against existing edges finish all four indices.
+
+Cost note: emitting all 2-hop pairs is inherently Σ deg(mid)² work —
+that is what "score all candidates" means.  ``max_deg`` caps the mid
+degree (hubs contribute noise-dominated candidates anyway); the cap is
+a documented approximation, None = exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from networkit_ray.common.exchange import exchange_join
+from networkit_ray.common.schema import enforce_schema
+
+
+def _wedge_pairs(sym: ray.data.Dataset, max_deg: int | None) -> ray.data.Dataset:
+    """(a, b, aaw) one row per wedge a—mid—b (a<b), aaw = 1/ln(deg(mid))."""
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        nb = np.sort(g["dst"].to_numpy())
+        k = len(nb)
+        empty = pd.DataFrame(
+            {
+                "a": np.empty(0, np.int64),
+                "b": np.empty(0, np.int64),
+                "aaw": np.empty(0, np.float64),
+            }
+        )
+        if k < 2 or (max_deg is not None and k > max_deg):
+            return empty
+        iu, ju = np.triu_indices(k, 1)
+        return pd.DataFrame(
+            {
+                "a": nb[iu],
+                "b": nb[ju],
+                # ln(k) > 0 because k >= 2
+                "aaw": np.full(len(iu), 1.0 / np.log(k)),
+            }
+        )
+
+    w = sym.groupby("src").map_groups(pairs, batch_format="pandas")
+    return enforce_schema(
+        w,
+        pa.schema([("a", pa.int64()), ("b", pa.int64()), ("aaw", pa.float64())]),
+    )
+
+
+def link_prediction_scores(
+    sym: ray.data.Dataset,
+    canon: ray.data.Dataset,
+    *,
+    max_deg: int | None = None,
+) -> ray.data.Dataset:
+    """(u, v, cn, jaccard, adamic_adar, pref_attach) for every NON-adjacent
+    pair with ≥1 common neighbor.
+
+    - cn: |Γ(u) ∩ Γ(v)|            (CommonNeighborsIndex.cpp)
+    - jaccard: cn / |Γ(u) ∪ Γ(v)|  (JaccardIndex.cpp)
+    - adamic_adar: Σ_mid 1/ln(deg(mid))  (AdamicAdarIndex.cpp)
+    - pref_attach: deg(u)·deg(v)   (PreferentialAttachmentIndex.cpp)
+    """
+    w = _wedge_pairs(sym, max_deg)
+    agg = w.groupby(["a", "b"]).aggregate(
+        Count(alias_name="cn"), Sum("aaw", alias_name="aa")
+    )
+    # drop pairs that are already edges (canonical lo<hi matches a<b)
+    cand = exchange_join(
+        agg, canon, left_on=["a", "b"], right_on=["src", "dst"], join_type="left anti"
+    )
+
+    deg = sym.groupby("src").aggregate(Count(alias_name="deg"))
+    da = deg.map_batches(
+        lambda t: t.rename_columns(["a", "da"]), batch_format="pyarrow"
+    )
+    db = deg.map_batches(
+        lambda t: t.rename_columns(["b", "db"]), batch_format="pyarrow"
+    )
+    j1 = exchange_join(cand, da, left_on=["a"])
+    j2 = exchange_join(j1, db, left_on=["b"])
+
+    def score(t: pa.Table) -> pa.Table:
+        cn = t["cn"].to_numpy(zero_copy_only=False).astype(np.int64)
+        aa = t["aa"].to_numpy(zero_copy_only=False)
+        du = t["da"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dv = t["db"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "u": t["a"],
+                "v": t["b"],
+                "cn": pa.array(cn),
+                "jaccard": pa.array(cn.astype(np.float64) / (du + dv - cn)),
+                "adamic_adar": pa.array(aa),
+                "pref_attach": pa.array(du * dv),
+            }
+        )
+
+    return j2.map_batches(score, batch_format="pyarrow")

@@ -27,7 +27,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Count, Max, Sum
 
 from networkit_ray.common.exchange import exchange_join
 from networkit_ray.graph.build import zip_with_index
@@ -290,3 +290,94 @@ def partition_intersection(
         lambda t: pa.table({"v": t["v"], "label": t["new_label"]}),
         batch_format="pyarrow",
     )
+
+
+def stable_partition_nodes(
+    sym_edges: ray.data.Dataset, labels: ray.data.Dataset, num_nodes: int
+) -> ray.data.Dataset:
+    """(v, stable) — the fork's per-node partition-stability marker
+    (community/StablePartitionNodes.cpp:42-70): node u is stable iff its
+    own community's weight in its neighborhood is nonzero AND strictly
+    greater than every other community's weight there; isolated nodes are
+    stable by definition.
+
+    Joins+aggregates only: label onto dst → (src, nlabel) histogram →
+    own-vs-best-other comparison per node."""
+    nl = exchange_join(
+        sym_edges.select_columns(["src", "dst"]),
+        labels.map_batches(
+            lambda t: pa.table({"v": t["v"], "nl": t["label"]}),
+            batch_format="pyarrow",
+        ),
+        left_on=["dst"],
+        right_on=["v"],
+    )
+    lw = (
+        nl.map_batches(
+            lambda t: pa.table({"src": t["src"], "nl": t["nl"]}),
+            batch_format="pyarrow",
+        )
+        .groupby(["src", "nl"])
+        .aggregate(Count(alias_name="w"))
+    )
+    own = exchange_join(
+        lw,
+        labels.map_batches(
+            lambda t: pa.table({"v": t["v"], "own": t["label"]}),
+            batch_format="pyarrow",
+        ),
+        left_on=["src"],
+        right_on=["v"],
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nlab = t["nl"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = t["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ownl = t["own"].to_numpy(zero_copy_only=False).astype(np.int64)
+        is_own = nlab == ownl
+        return pa.table(
+            {
+                "src": pa.array(src),
+                "own_w": pa.array(np.where(is_own, w, 0)),
+                "other_w": pa.array(np.where(is_own, 0, w)),
+            }
+        )
+
+    per = (
+        own.map_batches(fold, batch_format="pyarrow")
+        .groupby("src")
+        .aggregate(
+            Sum("own_w", alias_name="own_w"), Max("other_w", alias_name="max_other")
+        )
+    )
+
+    # nodes with no edges never appear above — emit them stable=true via a
+    # left outer join from the dense universe (isolated ⇒ stable)
+    universe = labels.select_columns(["v"])
+    j = exchange_join(
+        universe,
+        per.map_batches(
+            lambda t: pa.table(
+                {"v": t["src"], "own_w": t["own_w"], "max_other": t["max_other"]}
+            ),
+            batch_format="pyarrow",
+        ),
+        left_on=["v"],
+        join_type="left outer",
+    )
+
+    def mark(t: pa.Table) -> pa.Table:
+        ow = t["own_w"].to_numpy(zero_copy_only=False) if "own_w" in t.column_names else None
+        if ow is None:
+            return pa.table(
+                {"v": t["v"], "stable": pa.array(np.ones(len(t), dtype=bool))}
+            )
+        ow = np.nan_to_num(ow.astype(np.float64), nan=-1.0)
+        mo = np.nan_to_num(
+            t["max_other"].to_numpy(zero_copy_only=False).astype(np.float64), nan=0.0
+        )
+        stable = (ow == -1.0) | ((ow > 0) & (ow > mo))
+        return pa.table({"v": t["v"], "stable": pa.array(stable)})
+
+    return j.map_batches(mark, batch_format="pyarrow")

@@ -35,7 +35,7 @@ import numpy as np
 import pyarrow as pa
 import ray
 import ray.data
-from ray.data.aggregate import Sum
+from ray.data.aggregate import Count, Sum
 
 from networkit_ray.common.exchange import exchange_join, partition_refs
 from networkit_ray.common.schema import enforce_schema
@@ -230,3 +230,64 @@ def local_clustering_coefficient(
         )
 
     return joined.map_batches(score, batch_format="pyarrow")
+
+
+def edge_triangle_scores(
+    canon: ray.data.Dataset, num_nodes: int
+) -> ray.data.Dataset:
+    """(src, dst, tri) — per-edge triangle participation counts.
+
+    Reference: edgescores/TriangleEdgeScore.cpp (the embeddedness score
+    feeding sparsification/GlobalThresholdFilter.cpp:85).  Each triangle
+    row (x, y, corner) contributes to its three canonical edges; edges in
+    no triangle get tri = 0 via a left outer join from the edge table."""
+    deg = undirected_degrees(canon)
+    corners = triangle_corners(oriented_edges(canon, deg, num_nodes))
+
+    def explode(t: pa.Table) -> pa.Table:
+        x = t["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t["y"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t["corner"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a = np.concatenate([np.minimum(x, y), np.minimum(c, x), np.minimum(c, y)])
+        b = np.concatenate([np.maximum(x, y), np.maximum(c, x), np.maximum(c, y)])
+        return pa.table({"src": pa.array(a), "dst": pa.array(b)})
+
+    per_edge = (
+        corners.map_batches(explode, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .aggregate(Count(alias_name="tri"))
+    )
+    j = exchange_join(
+        canon.select_columns(["src", "dst"]),
+        per_edge,
+        left_on=["src", "dst"],
+        join_type="left outer",
+    )
+
+    def fill(t: pa.Table) -> pa.Table:
+        if "tri" not in t.column_names:
+            return pa.table(
+                {
+                    "src": t["src"],
+                    "dst": t["dst"],
+                    "tri": pa.array(np.zeros(len(t), np.int64)),
+                }
+            )
+        tri = t["tri"].to_numpy(zero_copy_only=False)
+        tri = np.nan_to_num(tri.astype(np.float64), nan=0.0).astype(np.int64)
+        return pa.table({"src": t["src"], "dst": t["dst"], "tri": pa.array(tri)})
+
+    return j.map_batches(fill, batch_format="pyarrow")
+
+
+def sparsify_global_threshold(
+    scored_edges: ray.data.Dataset, threshold: float, *, score_col: str = "tri"
+) -> ray.data.Dataset:
+    """Keep edges with score ≥ threshold (sparsification/
+    GlobalThresholdFilter.cpp:85 semantics, above=true)."""
+    import pyarrow.compute as _pc
+
+    return scored_edges.map_batches(
+        lambda t: t.filter(_pc.greater_equal(t[score_col], threshold)),
+        batch_format="pyarrow",
+    )

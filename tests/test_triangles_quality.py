@@ -99,3 +99,101 @@ class TestQuality:
         inter = partition_intersection(l1, l2, 4).to_pandas().sort_values("v")
         # cells ascending: (10,7)→0, (10,8)→1, (20,7)→2, (20,8)→3
         assert list(inter["label"]) == [0, 1, 2, 3]
+
+
+class TestLinkPrediction:
+    def test_indices_vs_bruteforce(self):
+        import itertools
+
+        import ray.data
+
+        from networkit_ray.graph.build import canonicalize, symmetrize
+        from networkit_ray.graph.linkpred import link_prediction_scores
+
+        rng = np.random.default_rng(5)
+        n = 25
+        edges = sorted({(int(a), int(b)) for a, b in rng.integers(0, n, (60, 2)) if a != b})
+        ds = ds_of(edges)
+        sym = symmetrize(ds).materialize()
+        canon = canonicalize(ds).materialize()
+        got = link_prediction_scores(sym, canon).to_pandas()
+        gm = {(u, v): r for (u, v), r in zip(zip(got["u"], got["v"]), got.to_dict("records"))}
+
+        adj = {v: set() for v in range(n)}
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        for u, v in itertools.combinations(range(n), 2):
+            cn_set = adj[u] & adj[v]
+            if not cn_set or v in adj[u]:
+                assert (u, v) not in gm
+                continue
+            r = gm[(u, v)]
+            assert r["cn"] == len(cn_set)
+            assert abs(r["jaccard"] - len(cn_set) / len(adj[u] | adj[v])) < 1e-7
+            aa = sum(1.0 / np.log(len(adj[m])) for m in cn_set)
+            assert abs(r["adamic_adar"] - aa) < 1e-6
+            assert r["pref_attach"] == len(adj[u]) * len(adj[v])
+
+
+class TestStablePartitionNodes:
+    def test_vs_bruteforce(self):
+        import ray.data
+
+        from networkit_ray.graph.build import symmetrize
+        from networkit_ray.graph.quality import stable_partition_nodes
+
+        rng = np.random.default_rng(9)
+        n = 30
+        edges = sorted({(int(a), int(b)) for a, b in rng.integers(0, n, (70, 2)) if a != b})
+        sym = symmetrize(ds_of(edges)).materialize()
+        lab = np.arange(n) % 4
+        labels = ray.data.from_arrow(
+            pa.table({"v": pa.array(np.arange(n, dtype=np.int64)), "label": pa.array(lab.astype(np.int64))})
+        )
+        got = stable_partition_nodes(sym, labels, n).to_pandas().set_index("v")["stable"]
+
+        adj = {v: set() for v in range(n)}
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        for v in range(n):
+            if not adj[v]:
+                assert got[v]  # isolated => stable
+                continue
+            from collections import Counter
+
+            lw = Counter(lab[u] for u in adj[v])
+            own = lw.get(lab[v], 0)
+            want = own > 0 and all(
+                w < own for l2, w in lw.items() if l2 != lab[v]
+            )
+            assert bool(got[v]) == want, v
+
+
+class TestEdgeTriangleScores:
+    def test_vs_bruteforce(self):
+        from networkit_ray.graph.build import canonicalize
+        from networkit_ray.graph.triangles import (
+            edge_triangle_scores,
+            sparsify_global_threshold,
+        )
+
+        rng = np.random.default_rng(4)
+        n = 20
+        edges = sorted({(int(a), int(b)) for a, b in rng.integers(0, n, (70, 2)) if a != b})
+        canon = canonicalize(ds_of(edges)).materialize()
+        scored = edge_triangle_scores(canon, n)
+        got = {
+            (r["src"], r["dst"]): r["tri"] for r in scored.to_pandas().to_dict("records")
+        }
+        ce = {(min(a, b), max(a, b)) for a, b in edges}
+        adj = {v: set() for v in range(n)}
+        for a, b in ce:
+            adj[a].add(b)
+            adj[b].add(a)
+        for a, b in ce:
+            assert got[(a, b)] == len(adj[a] & adj[b]), (a, b)
+        kept = sparsify_global_threshold(scored, 1).to_pandas()
+        assert all(t >= 1 for t in kept["tri"])
+        assert len(kept) == sum(1 for e, t in got.items() if t >= 1)
