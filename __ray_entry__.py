@@ -447,6 +447,13 @@ def q_eccentricity(sf_dir):
     )
 
 
+def q_random_walks(sf_dir):
+    from networkit_ray.graph.walks import random_walks
+
+    sym, n = _sym(sf_dir)
+    return random_walks(sym, n, length=4, n_walkers=32, seed=42)
+
+
 # ------- web
 def q_web_text_roundtrip(sf_dir):
     from networkit_ray.web.extract import extract_texts
@@ -864,6 +871,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edge_triangle_scores": q_edge_triangle_scores,
         "sparsify_triangles": q_sparsify_triangles,
         "eccentricity": q_eccentricity,
+        "random_walks": q_random_walks,
         "weighted_degree": q_weighted_degree,
         "katz": q_katz,
         "eigenvector": q_eigenvector,
@@ -1055,6 +1063,46 @@ def oracle_sql() -> dict[str, str]:
         FROM md WHERE d >= 1 GROUP BY d ORDER BY d
         """
     ).replace("{SYM}", SYMMETRIC_EDGES_SQL)
+
+    # Deterministic random-walk twin: same multiplicative draw
+    # h = ((walker+1)*GOLD + (step+1)*MIX) mod 2^64, next = ns[h mod deg],
+    # reproduced with HUGEINT arithmetic; walker w starts at the w-th
+    # smallest pivot id (closeness._pivots ordering).
+    def _walks_sql(n_walkers: int, length: int) -> str:
+        gold, mix, m64 = (
+            "11400714819323198485",
+            "13787848793156543929",
+            "18446744073709551616",
+        )
+        parts = [
+            "WITH se AS MATERIALIZED ({SYM})",
+            "nodes AS (SELECT CAST(c_custkey AS BIGINT) AS v FROM customer)",
+            f"""piv AS (SELECT v, CAST(ROW_NUMBER() OVER (ORDER BY v) - 1 AS BIGINT) AS walker
+                FROM (SELECT v FROM nodes
+                      ORDER BY (CAST(v + 42 AS HUGEINT) * CAST('{gold}' AS HUGEINT))
+                               % CAST('{m64}' AS HUGEINT)
+                      LIMIT {n_walkers}))""",
+            """adj AS (SELECT src AS v, list(dst ORDER BY dst) AS ns,
+                CAST(COUNT(*) AS BIGINT) AS d FROM se GROUP BY src)""",
+            "s0 AS (SELECT walker, v FROM piv)",
+        ]
+        for k in range(1, length + 1):
+            parts.append(
+                f"""s{k} AS (SELECT s.walker,
+                    CASE WHEN a.d IS NULL THEN s.v
+                         ELSE a.ns[CAST(((CAST(s.walker + 1 AS HUGEINT) * CAST('{gold}' AS HUGEINT)
+                                          + CAST({k} AS HUGEINT) * CAST('{mix}' AS HUGEINT))
+                                         % CAST('{m64}' AS HUGEINT)) % a.d AS BIGINT) + 1]
+                    END AS v
+                    FROM s{k-1} s LEFT JOIN adj a ON a.v = s.v)"""
+            )
+        selects = [
+            f"SELECT walker, CAST({k} AS BIGINT) AS step, v FROM s{k}"
+            for k in range(length + 1)
+        ]
+        return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+    walks_sql = _walks_sql(32, 4).replace("{SYM}", SYMMETRIC_EDGES_SQL)
 
     cc_sql = f"""
         WITH RECURSIVE se AS ({SYMMETRIC_EDGES_SQL}),
@@ -1300,6 +1348,7 @@ def oracle_sql() -> dict[str, str]:
             FROM ce JOIN cnt ON cnt.src = ce.src AND cnt.dst = ce.dst
             WHERE cnt.tri >= 1
         """,
+        "random_walks": walks_sql,
         "eccentricity": f"""
             WITH RECURSIVE se AS MATERIALIZED ({SYMMETRIC_EDGES_SQL}),
             r(v, d) AS (
