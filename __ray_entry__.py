@@ -447,6 +447,22 @@ def q_eccentricity(sf_dir):
     )
 
 
+def q_spanning_forest(sf_dir):
+    from networkit_ray.graph.forest import spanning_forest
+
+    canon, n = _canon(sf_dir)
+    return spanning_forest(canon, n).sort(["src", "dst"])
+
+
+def q_algebraic_distances(sf_dir):
+    from networkit_ray.graph.algdist import algebraic_distances
+
+    sym, n = _sym(sf_dir)
+    return _round_col(
+        algebraic_distances(sym, n, systems=2, iterations=10), "ad", 8
+    )
+
+
 def q_random_walks(sf_dir):
     from networkit_ray.graph.walks import random_walks
 
@@ -872,6 +888,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sparsify_triangles": q_sparsify_triangles,
         "eccentricity": q_eccentricity,
         "random_walks": q_random_walks,
+        "spanning_forest": q_spanning_forest,
+        "algebraic_distances": q_algebraic_distances,
         "weighted_degree": q_weighted_degree,
         "katz": q_katz,
         "eigenvector": q_eigenvector,
@@ -1103,6 +1121,50 @@ def oracle_sql() -> dict[str, str]:
         return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
 
     walks_sql = _walks_sql(32, 4).replace("{SYM}", SYMMETRIC_EDGES_SQL)
+
+    # Algebraic-distance twin: same seeded multiplicative init and Jacobi
+    # relaxation, T chained CTEs per system (algdist.py determinism note).
+    def _algdist_sql(iters: int, systems: int) -> str:
+        gold, m64 = "11400714819323198485", "18446744073709551616"
+        parts = [
+            "WITH se AS MATERIALIZED ({SYM})",
+            "nodes AS (SELECT CAST(c_custkey AS BIGINT) AS v FROM customer)",
+            "dg AS MATERIALIZED (SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS deg FROM se GROUP BY src)",
+        ]
+        for r in range(systems):
+            parts.append(
+                f"""x{r}_0 AS (SELECT v,
+                    CAST((CAST(v + {1 + r} AS HUGEINT) * CAST('{gold}' AS HUGEINT))
+                         % CAST('{m64}' AS HUGEINT) AS DOUBLE) / {m64}.0 AS x
+                    FROM nodes)"""
+            )
+            for k in range(1, iters + 1):
+                parts.append(
+                    f"""x{r}_{k} AS MATERIALIZED (SELECT n.v,
+                        CASE WHEN d.deg IS NULL THEN p.x
+                             ELSE 0.5 * p.x + (0.5 * m.s) / d.deg END AS x
+                        FROM nodes n
+                        JOIN x{r}_{k-1} p ON p.v = n.v
+                        LEFT JOIN dg d ON d.v = n.v
+                        LEFT JOIN (SELECT e.dst AS v, SUM(p2.x) AS s
+                                   FROM se e JOIN x{r}_{k-1} p2 ON p2.v = e.src
+                                   GROUP BY e.dst) m ON m.v = n.v)"""
+                )
+        parts.append("ce AS (SELECT src, dst FROM se WHERE src < dst)")
+        terms = " + ".join(
+            f"ABS(a{r}.x - b{r}.x)" for r in range(systems)
+        )
+        joins = " ".join(
+            f"JOIN x{r}_{iters} a{r} ON a{r}.v = ce.src "
+            f"JOIN x{r}_{iters} b{r} ON b{r}.v = ce.dst"
+            for r in range(systems)
+        )
+        return (
+            ",\n".join(parts)
+            + f"\nSELECT ce.src, ce.dst, ROUND({terms}, 8) AS ad FROM ce {joins}"
+        )
+
+    algdist_sql = _algdist_sql(10, 2).replace("{SYM}", SYMMETRIC_EDGES_SQL)
 
     cc_sql = f"""
         WITH RECURSIVE se AS ({SYMMETRIC_EDGES_SQL}),
@@ -1349,6 +1411,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE cnt.tri >= 1
         """,
         "random_walks": walks_sql,
+        "algebraic_distances": algdist_sql,
         "eccentricity": f"""
             WITH RECURSIVE se AS MATERIALIZED ({SYMMETRIC_EDGES_SQL}),
             r(v, d) AS (

@@ -1,0 +1,93 @@
+"""Spanning forest properties + algebraic distance behavior."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from networkit_ray.graph.build import canonicalize, symmetrize
+from networkit_ray.graph.components import connected_components
+from networkit_ray.graph.forest import spanning_forest
+
+
+def ds_of(e):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([x[0] for x in e], pa.int64()),
+                "dst": pa.array([x[1] for x in e], pa.int64()),
+            }
+        )
+    )
+
+
+class TestSpanningForest:
+    def _check(self, edges, n):
+        canon = canonicalize(ds_of(edges)).materialize()
+        f = spanning_forest(canon, n).to_pandas()
+        fe = set(zip(f["src"], f["dst"]))
+        ce = set(
+            zip(*canonicalize(ds_of(edges)).to_pandas()[["src", "dst"]].T.values)
+        )
+        assert fe <= ce, "forest must be a subset of the edges"
+        # size = n - #components
+        labels, _ = connected_components(symmetrize(ds_of(edges)).materialize(), n)
+        n_comp = labels.to_pandas()["label"].nunique()
+        assert len(fe) == n - n_comp
+        # forest connects exactly the same components
+        fl, _ = connected_components(symmetrize(spanning_forest(canon, n)).materialize(), n)
+        assert fl.to_pandas().sort_values("v")["label"].tolist() == \
+            labels.to_pandas().sort_values("v")["label"].tolist()
+
+    def test_two_components(self):
+        e = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (1, 3)]
+        # fully connected after bridge (1,3): one component of 6
+        self._check(e, 7)  # vertex 6 isolated
+
+    def test_random_graph(self):
+        rng = np.random.default_rng(8)
+        n = 40
+        e = sorted({(int(a), int(b)) for a, b in rng.integers(0, n, (70, 2)) if a != b})
+        self._check(e, n)
+
+    def test_deterministic_across_partitioning(self):
+        rng = np.random.default_rng(1)
+        n = 20
+        e = sorted({(int(a), int(b)) for a, b in rng.integers(0, n, (40, 2)) if a != b})
+        canon = canonicalize(ds_of(e))
+        a = spanning_forest(canon.repartition(1).materialize(), n).to_pandas()
+        b = spanning_forest(canon.repartition(5).materialize(), n).to_pandas()
+        key = lambda d: sorted(zip(d["src"], d["dst"]))
+        assert key(a) == key(b)
+
+
+class TestAlgebraicDistance:
+    def test_bridge_scores_high(self):
+        """Two dense cliques joined by one bridge: the bridge edge must have
+        a larger algebraic distance than intra-clique edges."""
+        from networkit_ray.graph.algdist import algebraic_distances
+
+        k = 6
+        e = []
+        for i in range(k):
+            for j in range(i + 1, k):
+                e.append((i, j))
+                e.append((k + i, k + j))
+        e.append((0, k))  # bridge
+        sym = symmetrize(ds_of(e)).materialize()
+        ad = algebraic_distances(sym, 2 * k, iterations=15).to_pandas()
+        ad = ad.set_index(["src", "dst"])["ad"]
+        bridge = ad[(0, k)]
+        intra = [v for (a, b), v in ad.items() if (a < k) == (b < k)]
+        assert bridge > max(intra), (bridge, max(intra))
+
+    def test_partition_invariance(self):
+        from networkit_ray.graph.algdist import algebraic_distances
+
+        rng = np.random.default_rng(3)
+        n = 25
+        e = sorted({(int(a), int(b)) for a, b in rng.integers(0, n, (60, 2)) if a != b})
+        sym = symmetrize(ds_of(e)).materialize()
+        a = algebraic_distances(sym, n, num_parts=2).to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+        b = algebraic_distances(sym, n, num_parts=7).to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+        assert np.allclose(a["ad"], b["ad"], atol=1e-12)
+        assert a[["src", "dst"]].equals(b[["src", "dst"]])
