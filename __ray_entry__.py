@@ -447,6 +447,57 @@ def q_eccentricity(sf_dir):
     )
 
 
+def q_graph_profile(sf_dir):
+    """profiling.Profile.create analog (networkit/profiling/profiling.py:
+    241-310): one declarative battery of measures over the derived graph,
+    assembled from the engine's existing kernels (all memoized)."""
+    from networkit_ray.common.hashing import round_half_away
+    from networkit_ray.graph.build import graph_stats, max_degree
+    from networkit_ray.graph.quality import assortativity, num_subsets, subset_sizes
+    from networkit_ray.graph.triangles import triangle_count, undirected_degrees
+
+    edges, n = _derived(sf_dir)
+    canon, _ = _canon(sf_dir)
+    sym, _ = _sym(sf_dir)
+    labels, _ = _cc_labels(sf_dir)
+    s = graph_stats(edges, n, directed=True)
+    tri = triangle_count(canon, n)
+    wedges = float(
+        undirected_degrees(canon)
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "w": pa.compute.divide(
+                        pa.compute.multiply(
+                            t["deg"], pa.compute.subtract(t["deg"], 1)
+                        ),
+                        2,
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .sum("w")
+    )
+    gcc = 3.0 * tri / wedges if wedges else 0.0
+    largest = int(subset_sizes(labels).max("size"))
+    return pa.table(
+        {
+            "n": pa.array([s["n"]], pa.int64()),
+            "m": pa.array([s["m"]], pa.int64()),
+            "density": pa.array(round_half_away([s["density"]], 8)),
+            "max_degree": pa.array([max_degree(edges)], pa.int64()),
+            "n_components": pa.array([num_subsets(labels)], pa.int64()),
+            "largest_component": pa.array([largest], pa.int64()),
+            "n_triangles": pa.array([tri], pa.int64()),
+            "global_cc": pa.array(round_half_away([gcc], 8)),
+            "assortativity": pa.array(
+                round_half_away([assortativity(sym, n)], 8)
+            ),
+        }
+    )
+
+
 def q_spanning_forest(sf_dir):
     from networkit_ray.graph.forest import spanning_forest
 
@@ -890,6 +941,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_walks": q_random_walks,
         "spanning_forest": q_spanning_forest,
         "algebraic_distances": q_algebraic_distances,
+        "graph_profile": q_graph_profile,
         "weighted_degree": q_weighted_degree,
         "katz": q_katz,
         "eigenvector": q_eigenvector,
@@ -1412,6 +1464,32 @@ def oracle_sql() -> dict[str, str]:
         """,
         "random_walks": walks_sql,
         "algebraic_distances": algdist_sql,
+        "graph_profile": f"""
+            WITH ce AS MATERIALIZED ({CANONICAL_EDGES_SQL}),
+            se AS MATERIALIZED ({SYMMETRIC_EDGES_SQL}),
+            cc AS MATERIALIZED ({cc_sql}),
+            cdeg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+                SELECT src AS v FROM ce UNION ALL SELECT dst FROM ce) GROUP BY v),
+            sdeg AS (SELECT src AS v, CAST(COUNT(*) AS DOUBLE) AS deg FROM se GROUP BY src),
+            tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM ce e1
+                    JOIN ce e2 ON e2.src = e1.dst
+                    JOIN ce e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+            SELECT
+              {n_customers} AS n,
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM ({DERIVED_EDGES_SQL})) AS m,
+              (SELECT ROUND(CAST(COUNT(*) AS DOUBLE) / ({n_customers} * ({n_customers} - 1)), 8)
+               FROM ({DERIVED_EDGES_SQL})) AS density,
+              (SELECT MAX(deg) FROM (SELECT CAST(COUNT(*) AS BIGINT) AS deg
+               FROM ({DERIVED_EDGES_SQL}) GROUP BY src)) AS max_degree,
+              (SELECT CAST(COUNT(DISTINCT label) AS BIGINT) FROM cc) AS n_components,
+              (SELECT CAST(MAX(sz) AS BIGINT) FROM
+               (SELECT COUNT(*) AS sz FROM cc GROUP BY label)) AS largest_component,
+              (SELECT t FROM tri) AS n_triangles,
+              (SELECT ROUND(3.0 * (SELECT t FROM tri) /
+                (SELECT SUM(deg * (deg - 1) // 2) FROM cdeg), 8)) AS global_cc,
+              (SELECT ROUND(corr(d1.deg, d2.deg), 8)
+               FROM se JOIN sdeg d1 ON d1.v = se.src JOIN sdeg d2 ON d2.v = se.dst) AS assortativity
+        """,
         "eccentricity": f"""
             WITH RECURSIVE se AS MATERIALIZED ({SYMMETRIC_EDGES_SQL}),
             r(v, d) AS (

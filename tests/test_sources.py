@@ -338,3 +338,31 @@ class TestKeyedAndFormats:
             back, n = read_graph(p, fmt)
             assert n == 3 and back.count() == 2
         write_graph(ds, str(tmp_path / "d.dot"), "dot")
+
+    def test_batch_workflow(self, tmp_path):
+        import pyarrow as pa
+        import ray.data
+
+        from networkit_ray.pipelines.batch import batch_run
+        from networkit_ray.sources.edgelist import write_graph
+
+        for i, edges in enumerate([[(0, 1)], [(0, 1), (1, 2)], [(0, 1), (1, 2), (2, 3)]]):
+            t = pa.table(
+                {
+                    "src": pa.array([a for a, _ in edges], pa.int64()),
+                    "dst": pa.array([b for _, b in edges], pa.int64()),
+                }
+            )
+            write_graph(ray.data.from_arrow(t), str(tmp_path / f"g{i}.gml"), "gml", num_nodes=i + 2)
+
+        def count_edges(loaded, path):
+            ds, n = loaded
+            return {"n": n, "m": ds.count()}
+
+        out_csv = str(tmp_path / "report.csv")
+        res = batch_run(str(tmp_path), "g*.gml", "gml", count_edges, out_path=out_csv).to_pandas()
+        assert list(res["m"]) == [1, 2, 3]
+        assert list(res["n"]) == [2, 3, 4]
+        text = open(out_csv).read()
+        assert text.splitlines()[0] == "graph,n,m"
+        assert len(text.splitlines()) == 4
