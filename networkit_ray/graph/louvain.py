@@ -294,9 +294,15 @@ def _local_move_refs(
             )
             for q in range(P)
         ]
-        moves = sum(ray.get([applied[p][1] for p in range(P)]))
-        q_own = sum(ray.get([applied[p][2] for p in range(P)]))
-        sum_vol2 = sum(ray.get(vol2))
+        # ONE driver sync per round: moves + coverage partials + vol² together
+        stats = ray.get(
+            [applied[p][1] for p in range(P)]
+            + [applied[p][2] for p in range(P)]
+            + vol2
+        )
+        moves = sum(stats[:P])
+        q_own = sum(stats[P : 2 * P])
+        sum_vol2 = sum(stats[2 * P :])
         # Q̂ of the PRE-move labels (aligned with this round's vol)
         q_hat = q_own / (2.0 * m) - gamma * sum_vol2 / (4.0 * m * m)
         if q_init is None:
@@ -385,6 +391,167 @@ def _translate(
     return j.map_batches(fix, batch_format="pyarrow")
 
 
+@ray.remote
+def _local_move_one(
+    n: int, m: float, gamma: float, max_rounds: int, patience: int, *edge_tables
+):
+    """Single-task local moving for state-sized levels — the EXACT same
+    parity-gated synchronous schedule, gain formula, tie-breaks and
+    best-Q̂ monitor as the distributed path, in one numpy task.  On
+    unweighted inputs every quantity is integer-valued, so the two paths
+    are bit-identical (tested); the BSP path exists for levels too big
+    for one worker (first levels of a web-scale graph).
+
+    Returns (labels, total_moves, q_init, q_best)."""
+    et = pa.concat_tables(
+        [t for t in edge_tables if t.num_rows and "src" in t.column_names],
+        promote_options="default",
+    )
+    src = et["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dst = et["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    w = et["w"].to_numpy(zero_copy_only=False).astype(np.float64)
+    selfmask = src == dst
+    selfw = np.zeros(n, np.float64)
+    np.add.at(selfw, src[selfmask], w[selfmask])
+    src, dst, w = src[~selfmask], dst[~selfmask], w[~selfmask]
+    degw = selfw.copy()
+    np.add.at(degw, src, w)
+
+    labels = np.arange(n, dtype=np.int64)
+    vol = degw.copy()
+    color = (
+        (np.arange(n, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+        >> np.uint64(63)
+    ).astype(np.int64)
+    total_moves = 0
+    idle_parity = 0
+    best_q = -np.inf
+    q_init = None
+    best_labels = labels
+    stale = 0
+    for rnd in range(max_rounds):
+        # histogram w(u→C): neighbor-community weights + own-row w+=0
+        d = np.concatenate([dst, np.arange(n, dtype=np.int64)])
+        c = np.concatenate([labels[src], labels])
+        ww = np.concatenate([w, np.zeros(n, np.float64)])
+        o = np.lexsort((c, d))
+        d, c, ww = d[o], c[o], ww[o]
+        newg = np.empty(len(d), dtype=bool)
+        newg[0] = True
+        newg[1:] = (d[1:] != d[:-1]) | (c[1:] != c[:-1])
+        starts = np.flatnonzero(newg)
+        d, c = d[starts], c[starts]
+        ww = np.add.reduceat(ww, starts)
+
+        A = labels[d]
+        degw_d = degw[d]
+        is_own = c == A
+        w_own = np.zeros(n, np.float64)
+        w_own[d[is_own]] = ww[is_own]
+        vol_A = np.zeros(n, np.float64)
+        vol_A[d[is_own]] = vol[c[is_own]]
+        gain = (ww - w_own[d]) / m - gamma * degw_d * (
+            vol[c] - (vol_A[d] - degw_d)
+        ) / (2.0 * m * m)
+        gain[is_own] = 0.0
+        o2 = np.lexsort((c, -gain, d))
+        dd, cc, gg = d[o2], c[o2], gain[o2]
+        first = np.empty(len(dd), dtype=bool)
+        first[0] = True
+        first[1:] = dd[1:] != dd[:-1]
+        heads = np.flatnonzero(first)
+        best_c = labels.copy()
+        best_c[dd[heads]] = cc[heads]
+        best_g = np.zeros(n, np.float64)
+        best_g[dd[heads]] = gg[heads]
+        move = (best_g > 1e-12) & (best_c != labels) & (color == (rnd & 1))
+        n_moves = int(move.sum())
+
+        q_hat = float(w_own.sum()) / (2.0 * m) - gamma * float(vol @ vol) / (
+            4.0 * m * m
+        )
+        if q_init is None:
+            q_init = q_hat
+        if q_hat > best_q + 1e-12:
+            best_q = q_hat
+            best_labels = labels
+            stale = 0
+        else:
+            stale += 1
+
+        new_labels = labels.copy()
+        new_labels[move] = best_c[move]
+        np.add.at(vol, labels[move], -degw[move])
+        np.add.at(vol, best_c[move], degw[move])
+        labels = new_labels
+        total_moves += n_moves
+        if n_moves == 0:
+            idle_parity += 1
+            if idle_parity >= 2:
+                best_labels = labels
+                break
+        else:
+            idle_parity = 0
+        if stale >= patience:
+            break
+    return best_labels, total_moves, float(q_init or 0.0), float(best_q)
+
+
+@ray.remote(num_returns=3)
+def _coarsen_one(n_label: int, *tables):
+    """Single-task coarsening for SMALL levels (same output contract as
+    the distributed path: dense ids ascend with sorted original labels,
+    weights summed).  Coarse levels shrink geometrically, so beyond the
+    first level or two the whole table is state-sized — a wide exchange
+    there is pure fixed overhead (measured 1.2-2.6s per level on 22-400
+    row tables vs ~0.05s here)."""
+    label_tables, edge_tables = tables[:n_label], tables[n_label:]
+    lt = pa.concat_tables(
+        [t for t in label_tables if t.num_rows], promote_options="default"
+    )
+    lv = lt["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ll = lt["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+    lab = np.empty(int(lv.max()) + 1 if len(lv) else 0, np.int64)
+    lab[lv] = ll
+    et = pa.concat_tables(
+        [t for t in edge_tables if t.num_rows and "src" in t.column_names],
+        promote_options="default",
+    )
+    src = lab[et["src"].to_numpy(zero_copy_only=False).astype(np.int64)]
+    dst = lab[et["dst"].to_numpy(zero_copy_only=False).astype(np.int64)]
+    w = et["w"].to_numpy(zero_copy_only=False).astype(np.float64)
+    # dense relabel: ascending distinct labels (compact_ids convention)
+    uniq = np.unique(np.concatenate([src, dst]))
+    si = np.searchsorted(uniq, src)
+    di = np.searchsorted(uniq, dst)
+    order = np.lexsort((di, si))
+    si, di, w = si[order], di[order], w[order]
+    newg = np.empty(len(si), dtype=bool)
+    if len(si):
+        newg[0] = True
+        newg[1:] = (si[1:] != si[:-1]) | (di[1:] != di[:-1])
+    starts = np.flatnonzero(newg)
+    coarse = pa.table(
+        {
+            "src": pa.array(si[starts]),
+            "dst": pa.array(di[starts]),
+            "w": pa.array(np.add.reduceat(w, starts) if len(starts) else w),
+        }
+    )
+    mapping = pa.table(
+        {
+            "v": pa.array(uniq),
+            "idx": pa.array(np.arange(len(uniq), dtype=np.int64)),
+        }
+    )
+    return coarse, mapping, len(uniq)
+
+
+# levels at or below this many edge rows coarsen in one task; above it the
+# distributed exchange path runs (first levels of a 100 TB graph)
+_SMALL_COARSEN_EDGES = 4_000_000
+
+
 def _coarsen(
     sym_edges: ray.data.Dataset, labels_ds: ray.data.Dataset, num_parts: int | None = None
 ) -> tuple[ray.data.Dataset, ray.data.Dataset, int]:
@@ -393,6 +560,17 @@ def _coarsen(
     The coarse edge table is in DENSE community ids, includes the (C,C)
     self-loop rows, and is symmetric because the input is.
     """
+    n_edges = sym_edges.count()
+    if n_edges <= _SMALL_COARSEN_EDGES:
+        lrefs = labels_ds.to_arrow_refs()
+        coarse_t, map_t, n_coarse = _coarsen_one.remote(
+            len(lrefs), *lrefs, *sym_edges.to_arrow_refs()
+        )
+        return (
+            ray.data.from_arrow_refs([coarse_t]).materialize(),
+            ray.data.from_arrow_refs([map_t]).materialize(),
+            int(ray.get(n_coarse)),
+        )
     from networkit_ray.common.exchange import exchange_join, exchange_unique
     from networkit_ray.graph.build import compact_ids
 
@@ -501,16 +679,36 @@ def louvain(
         m = float(cur_edges.sum("w") or 0.0) / 2.0
         if m == 0.0:
             break
-        noself, selfw = None, None
-        if level > 0:
-            P0 = num_parts or bsp.default_num_parts(cur_edges.count())
-            noself, selfw = _split_self_loops(cur_edges, cur_n, P0)
-            g = build_pgraph(noself, cur_n, num_parts=P0, weighted=True)
+        n_edges_cur = cur_edges.count()
+        if n_edges_cur <= _SMALL_COARSEN_EDGES and num_parts is None:
+            # state-sized level: the full parity-gated schedule in ONE task
+            # (identical semantics/results; round-trip waves on a 4k-vertex
+            # level were 10s of pure task-latency overhead)
+            lab_arr, moves, q_init, q_best = ray.get(
+                _local_move_one.remote(
+                    cur_n, m, gamma, max_rounds, 3, *cur_edges.to_arrow_refs()
+                )
+            )
+            lab_ds = ray.data.from_arrow(
+                pa.table(
+                    {
+                        "v": pa.array(np.arange(cur_n, dtype=np.int64)),
+                        "label": pa.array(lab_arr.astype(np.int64)),
+                    }
+                )
+            ).materialize()
         else:
-            g = build_pgraph(cur_edges, cur_n, num_parts=num_parts, weighted=True)
-        label_refs, moves, q_init, q_best = _local_move_refs(
-            g, m, selfw, gamma=gamma, max_rounds=max_rounds
-        )
+            noself, selfw = None, None
+            if level > 0:
+                P0 = num_parts or bsp.default_num_parts(n_edges_cur)
+                noself, selfw = _split_self_loops(cur_edges, cur_n, P0)
+                g = build_pgraph(noself, cur_n, num_parts=P0, weighted=True)
+            else:
+                g = build_pgraph(cur_edges, cur_n, num_parts=num_parts, weighted=True)
+            label_refs, moves, q_init, q_best = _local_move_refs(
+                g, m, selfw, gamma=gamma, max_rounds=max_rounds
+            )
+            lab_ds = _labels_dataset(g, label_refs).materialize()
         info["levels"].append(
             {"n": cur_n, "m": m, "moves": moves, "dq": q_best - q_init}
         )
@@ -521,7 +719,6 @@ def louvain(
         # grind through max_levels of negligible improvements)
         if level > 0 and q_best - q_init < min_gain:
             break
-        lab_ds = _labels_dataset(g, label_refs).materialize()
 
         P_lv = _lv_parts(cur_n)
         # translate this level's (u → c) assignment into original-id space

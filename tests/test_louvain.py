@@ -68,3 +68,17 @@ class TestLouvain:
         assert got[3] == got[4] == got[5]
         assert got[0] != got[3]
         assert got[6] == 6  # isolated vertex keeps its singleton label
+
+
+class TestSmallPathEquivalence:
+    def test_single_task_equals_bsp_path(self):
+        """The state-sized single-task local mover must produce bit-identical
+        labels to the distributed BSP path (integer-valued quantities on
+        unweighted inputs make both paths exact)."""
+        canon, _ = planted_partition(90, 3, p_in=0.6, p_out=0.08, seed=21)
+        sym = symmetrize(canon).materialize()
+        small, _ = louvain(sym, 90)  # num_parts=None -> single-task path
+        dist, _ = louvain(sym, 90, num_parts=3)  # forces BSP path
+        a = small.to_pandas().sort_values("v").reset_index(drop=True)
+        b = dist.to_pandas().sort_values("v").reset_index(drop=True)
+        assert a.equals(b)
