@@ -447,6 +447,22 @@ def q_eccentricity(sf_dir):
     )
 
 
+def q_personalized_pagerank(sf_dir):
+    from networkit_ray.graph.pagerank import personalized_pagerank
+
+    edges, n = _derived(sf_dir)
+    scores, _ = personalized_pagerank(edges, n, [0, 1], iterations=PR_ITERS)
+    return _round_col(scores, "score", 8)
+
+
+def q_pagerank_nibble(sf_dir):
+    from networkit_ray.graph.nibble import pagerank_nibble
+
+    sym, n = _sym(sf_dir)
+    out, _ = pagerank_nibble(sym, n, [0], iterations=PR_ITERS, max_k=256)
+    return out
+
+
 def q_graph_profile(sf_dir):
     """profiling.Profile.create analog (networkit/profiling/profiling.py:
     241-310): one declarative battery of measures over the derived graph,
@@ -942,6 +958,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spanning_forest": q_spanning_forest,
         "algebraic_distances": q_algebraic_distances,
         "graph_profile": q_graph_profile,
+        "personalized_pagerank": q_personalized_pagerank,
+        "pagerank_nibble": q_pagerank_nibble,
         "weighted_degree": q_weighted_degree,
         "katz": q_katz,
         "eigenvector": q_eigenvector,
@@ -1218,6 +1236,76 @@ def oracle_sql() -> dict[str, str]:
 
     algdist_sql = _algdist_sql(10, 2).replace("{SYM}", SYMMETRIC_EDGES_SQL)
 
+    # Personalized-PageRank twin: fixed-iteration power iteration with the
+    # teleport vector on the seed set; (1.0 - 0.85) written as the engine
+    # computes it so both sides use the identical float constant.
+    def _ppr_sql(seeds: str, seed_frac: str, damp: float, iters: int) -> str:
+        parts = [
+            "WITH e AS MATERIALIZED ({EDGES})",
+            "nodes AS (SELECT CAST(c_custkey AS BIGINT) AS v FROM customer)",
+            "od AS MATERIALIZED (SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY src)",
+            f"p0 AS (SELECT v, CASE WHEN v IN ({seeds}) THEN {seed_frac} ELSE 0.0 END AS x FROM nodes)",
+        ]
+        for k in range(1, iters + 1):
+            parts.append(
+                f"""p{k} AS MATERIALIZED (SELECT n.v,
+                    (1.0 - {damp}) * (CASE WHEN n.v IN ({seeds}) THEN {seed_frac} ELSE 0.0 END)
+                    + {damp} * COALESCE(m.inc, 0) AS x
+                    FROM nodes n LEFT JOIN
+                      (SELECT e.dst AS v, SUM(p.x / od.d) AS inc
+                       FROM e JOIN p{k-1} p ON p.v = e.src JOIN od ON od.v = e.src
+                       GROUP BY e.dst) m ON m.v = n.v)"""
+            )
+        return (
+            ",\n".join(parts)
+            + f"\nSELECT v, ROUND(x, 8) AS score FROM p{iters}"
+        )
+
+    ppr_sql = _ppr_sql("0, 1", "0.5", 0.85, PR_ITERS).replace(
+        "{EDGES}", DERIVED_EDGES_SQL
+    )
+
+    # PageRankNibble twin: PPR on the sym graph → rank by ROUND(x/deg, 8)
+    # (tie → v asc, capped at 256) → sweep conductance per prefix, argmin
+    # with smallest-k tie-break.  cut/vol are integer-valued so the
+    # conductance floats are bit-identical on both sides.
+    nibble_ppr = _ppr_sql("0", "1.0", 0.85, PR_ITERS).replace(
+        "{EDGES}", "{SYM}"
+    )
+    nibble_body = nibble_ppr.rsplit("\nSELECT", 1)[0]
+    nibble_sql = (
+        nibble_body
+        + f""",
+        sc AS (SELECT p.v, od.d AS deg, ROUND(p.x / od.d, 8) AS sd
+               FROM p{PR_ITERS} p JOIN od ON od.v = p.v WHERE p.x > 0),
+        rk AS (SELECT * FROM (
+                 SELECT v, deg,
+                        CAST(ROW_NUMBER() OVER (ORDER BY sd DESC, v ASC) - 1 AS BIGINT) AS r
+                 FROM sc) WHERE r < 256),
+        ce AS (SELECT src, dst FROM e WHERE src < dst),
+        er AS (SELECT ra.r AS ru, rb.r AS rv FROM ce
+               LEFT JOIN rk ra ON ra.v = ce.src
+               LEFT JOIN rk rb ON rb.v = ce.dst),
+        ks AS (SELECT r AS k FROM rk),
+        cuts AS (SELECT ks.k,
+            (SELECT COUNT(*) FROM er WHERE ru IS NOT NULL AND rv IS NOT NULL
+                AND LEAST(ru, rv) <= ks.k)
+          - (SELECT COUNT(*) FROM er WHERE ru IS NOT NULL AND rv IS NOT NULL
+                AND GREATEST(ru, rv) <= ks.k)
+          + (SELECT COUNT(*) FROM er WHERE (ru IS NULL) <> (rv IS NULL)
+                AND COALESCE(ru, rv) <= ks.k) AS cut,
+            (SELECT SUM(deg) FROM rk WHERE r <= ks.k) AS vol
+          FROM ks),
+        cond AS (SELECT k,
+            CASE WHEN LEAST(vol, (SELECT COUNT(*) FROM e) - vol) > 0
+                 THEN CAST(cut AS DOUBLE) / LEAST(vol, (SELECT COUNT(*) FROM e) - vol)
+                 ELSE 1e308 END AS c
+          FROM cuts),
+        best AS (SELECT k FROM cond ORDER BY c ASC, k ASC LIMIT 1)
+        SELECT v, r AS rank FROM rk WHERE r <= (SELECT k FROM best)
+        """
+    ).replace("{SYM}", SYMMETRIC_EDGES_SQL)
+
     cc_sql = f"""
         WITH RECURSIVE se AS ({SYMMETRIC_EDGES_SQL}),
         nodes AS (SELECT CAST(c_custkey AS BIGINT) AS v FROM customer),
@@ -1464,6 +1552,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "random_walks": walks_sql,
         "algebraic_distances": algdist_sql,
+        "personalized_pagerank": ppr_sql,
+        "pagerank_nibble": nibble_sql,
         "graph_profile": f"""
             WITH ce AS MATERIALIZED ({CANONICAL_EDGES_SQL}),
             se AS MATERIALIZED ({SYMMETRIC_EDGES_SQL}),

@@ -187,3 +187,57 @@ def pagerank(
     g = build_pgraph(edges, num_nodes, num_parts=num_parts, weighted=weighted)
     refs, info = pagerank_refs(g, **kwargs)
     return bsp.state_to_dataset(g, refs, "score"), info
+
+
+@ray.remote
+def _ppr_restart(vids: np.ndarray, seeds: np.ndarray) -> np.ndarray:
+    r = np.zeros(len(vids), np.float64)
+    r[np.isin(vids.astype(np.int64), seeds)] = 1.0 / len(seeds)
+    return r
+
+
+@ray.remote
+def _ppr_reduce(restart: np.ndarray, damp: float, *partials) -> np.ndarray:
+    new = (1.0 - damp) * restart
+    for idx, sums in partials:
+        if len(idx):
+            new[idx] += damp * sums
+    return new
+
+
+def personalized_pagerank(
+    edges: ray.data.Dataset,
+    num_nodes: int,
+    seeds: list[int],
+    *,
+    damp: float = 0.85,
+    iterations: int = 30,
+    num_parts: int | None = None,
+    weighted: bool = False,
+) -> tuple[ray.data.Dataset, dict]:
+    """(v, score) personalized PageRank: teleport mass restarts at the seed
+    set instead of uniformly (scd/ApproximatePageRank.cpp semantics, here
+    as fixed-iteration synchronous power iteration so the SQL twin is
+    exact; dangling mass leaks — the 'strong' PPR convention).
+
+    x_{t+1} = (1-α)·r + α·Aᵀ_deg x_t,  r = uniform on seeds, x_0 = r.
+    """
+    g = build_pgraph(edges, num_nodes, num_parts=num_parts, weighted=weighted)
+    P = g.num_parts
+    seeds_arr = np.asarray(sorted(set(seeds)), np.int64)
+    coef_refs = [_pr_coef.remote(b) for b in g.block_refs]
+    restart = [_ppr_restart.remote(g.vid_refs[p], seeds_arr) for p in range(P)]
+    scores = restart
+    units = g.map_units()
+    for _ in range(iterations):
+        map_out = [
+            _pr_map.options(num_returns=P).remote(
+                g.block_refs[p], coef_refs[p], scores[p], c
+            )
+            for p, c in units
+        ]
+        scores = [
+            _ppr_reduce.remote(restart[q], damp, *[mo[q] for mo in map_out])
+            for q in range(P)
+        ]
+    return bsp.state_to_dataset(g, scores, "score"), {"iterations": iterations}

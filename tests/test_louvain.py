@@ -82,3 +82,22 @@ class TestSmallPathEquivalence:
         a = small.to_pandas().sort_values("v").reset_index(drop=True)
         b = dist.to_pandas().sort_values("v").reset_index(drop=True)
         assert a.equals(b)
+
+
+class TestPageRankNibble:
+    def test_recovers_planted_community(self):
+        """Seeding inside one planted community: the sweep cut must return
+        (mostly) that community."""
+        from networkit_ray.graph.nibble import pagerank_nibble
+
+        canon, truth = planted_partition(80, 4, p_in=0.7, p_out=0.02, seed=5)
+        sym = symmetrize(canon).materialize()
+        seed_v = 0
+        out, info = pagerank_nibble(sym, 80, [seed_v], iterations=25, max_k=40)
+        got = set(out.to_pandas()["v"])
+        seed_class = int(truth[seed_v])
+        community = {int(v) for v in np.flatnonzero(truth == seed_class)}
+        assert seed_v in got
+        # precision: the bulk of the returned set is the seed's community
+        assert len(got & community) / len(got) >= 0.8, (len(got), len(got & community))
+        assert info["conductance"] < 0.3
