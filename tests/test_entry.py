@@ -76,7 +76,7 @@ def test_queries_oracles_consistent():
     # the non-SQL set is intentional and documented
     rows_only = set(qs) - set(os_)
     assert rows_only == {
-        "approx_closeness",
+        "spanning_forest",
         "core_decomposition",
         "betweenness",
         "effective_diameter",
