@@ -1555,15 +1555,14 @@ def oracle_sql() -> dict[str, str]:
         "personalized_pagerank": ppr_sql,
         "pagerank_nibble": nibble_sql,
         "graph_profile": f"""
-            WITH ce AS MATERIALIZED ({CANONICAL_EDGES_SQL}),
-            se AS MATERIALIZED ({SYMMETRIC_EDGES_SQL}),
-            cc AS MATERIALIZED ({cc_sql}),
+            WITH prof_ce AS MATERIALIZED ({CANONICAL_EDGES_SQL}),
+            prof_se AS MATERIALIZED ({SYMMETRIC_EDGES_SQL}),
             cdeg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM (
-                SELECT src AS v FROM ce UNION ALL SELECT dst FROM ce) GROUP BY v),
-            sdeg AS (SELECT src AS v, CAST(COUNT(*) AS DOUBLE) AS deg FROM se GROUP BY src),
-            tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM ce e1
-                    JOIN ce e2 ON e2.src = e1.dst
-                    JOIN ce e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+                SELECT src AS v FROM prof_ce UNION ALL SELECT dst FROM prof_ce) GROUP BY v),
+            sdeg AS (SELECT src AS v, CAST(COUNT(*) AS DOUBLE) AS deg FROM prof_se GROUP BY src),
+            tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM prof_ce e1
+                    JOIN prof_ce e2 ON e2.src = e1.dst
+                    JOIN prof_ce e3 ON e3.src = e1.src AND e3.dst = e2.dst)
             SELECT
               {n_customers} AS n,
               (SELECT CAST(COUNT(*) AS BIGINT) FROM ({DERIVED_EDGES_SQL})) AS m,
@@ -1571,14 +1570,17 @@ def oracle_sql() -> dict[str, str]:
                FROM ({DERIVED_EDGES_SQL})) AS density,
               (SELECT MAX(deg) FROM (SELECT CAST(COUNT(*) AS BIGINT) AS deg
                FROM ({DERIVED_EDGES_SQL}) GROUP BY src)) AS max_degree,
-              (SELECT CAST(COUNT(DISTINCT label) AS BIGINT) FROM cc) AS n_components,
+              -- outer CTE names are prof_-prefixed: an outer CTE named like one
+              -- inside the embedded WITH RECURSIVE (se) makes DuckDB 1.0
+              -- bind the inner recursion wrong (it never expands)
+              (SELECT CAST(COUNT(DISTINCT label) AS BIGINT) FROM ({cc_sql})) AS n_components,
               (SELECT CAST(MAX(sz) AS BIGINT) FROM
-               (SELECT COUNT(*) AS sz FROM cc GROUP BY label)) AS largest_component,
+               (SELECT COUNT(*) AS sz FROM ({cc_sql}) GROUP BY label)) AS largest_component,
               (SELECT t FROM tri) AS n_triangles,
               (SELECT ROUND(3.0 * (SELECT t FROM tri) /
                 (SELECT SUM(deg * (deg - 1) // 2) FROM cdeg), 8)) AS global_cc,
               (SELECT ROUND(corr(d1.deg, d2.deg), 8)
-               FROM se JOIN sdeg d1 ON d1.v = se.src JOIN sdeg d2 ON d2.v = se.dst) AS assortativity
+               FROM prof_se JOIN sdeg d1 ON d1.v = prof_se.src JOIN sdeg d2 ON d2.v = prof_se.dst) AS assortativity
         """,
         "eccentricity": f"""
             WITH RECURSIVE se AS MATERIALIZED ({SYMMETRIC_EDGES_SQL}),
