@@ -374,6 +374,49 @@ def q_partition_intersection(sf_dir):
     return partition_intersection(l1, l2, n)
 
 
+def q_luby_mis(sf_dir):
+    from networkit_ray.graph.mis import luby_mis
+
+    sym, n = _sym(sf_dir)
+    out, info = luby_mis(sym, n)
+    assert info["rounds"] <= 16, "oracle replays 16 rounds"
+    return out.sort("v")
+
+
+def q_reciprocity(sf_dir):
+    """Fraction of directed edges whose reverse also exists
+    (correlation/../graph-measure family; trivial on the exchange join)."""
+    from networkit_ray.common.exchange import exchange_join
+    from networkit_ray.common.hashing import round_half_away
+
+    edges, n = _derived(sf_dir)
+    m = edges.count()
+    rev = edges.map_batches(
+        lambda t: pa.table({"src": t["dst"], "dst": t["src"]}),
+        batch_format="pyarrow",
+    )
+    mutual = exchange_join(
+        edges, rev, left_on=["src", "dst"], join_type="left semi"
+    ).count()
+    return pa.table(
+        {"reciprocity": pa.array(round_half_away([mutual / m], 8))}
+    )
+
+
+def q_degree_histogram(sf_dir):
+    from ray.data.aggregate import Count
+
+    from networkit_ray.graph.build import degree_table
+
+    edges, n = _derived(sf_dir)
+    return (
+        degree_table(edges, key="src", out_name="deg")
+        .groupby("deg")
+        .aggregate(Count(alias_name="n_nodes"))
+        .sort("deg")
+    )
+
+
 def q_stable_partition_nodes(sf_dir):
     from networkit_ray.graph.quality import stable_partition_nodes
 
@@ -949,6 +992,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lcc": q_lcc,
         "assortativity": q_assortativity,
         "partition_intersection": q_partition_intersection,
+        "luby_mis": q_luby_mis,
+        "reciprocity": q_reciprocity,
+        "degree_histogram": q_degree_histogram,
         "stable_partition_nodes": q_stable_partition_nodes,
         "link_prediction": q_link_prediction,
         "edge_triangle_scores": q_edge_triangle_scores,
@@ -1191,6 +1237,53 @@ def oracle_sql() -> dict[str, str]:
         return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
 
     walks_sql = _walks_sql(32, 4).replace("{SYM}", SYMMETRIC_EDGES_SQL)
+
+    # Luby-MIS twin: replay the deterministic rounds (priorities are the
+    # walks.py multiplicative draw — bijective per round, so no ties).
+    # Rounds after the active set empties are no-ops, so a fixed 16-round
+    # unroll equals the engine's run-to-fixpoint (asserted engine-side).
+    def _mis_sql(rounds: int) -> str:
+        gold, mix, m64 = (
+            "11400714819323198485",
+            "13787848793156543929",
+            "18446744073709551616",
+        )
+
+        def prio(col: str, r: int) -> str:
+            return (
+                f"(CAST({col} + 1 AS HUGEINT) * CAST('{gold}' AS HUGEINT)"
+                f" + CAST({r + 1} AS HUGEINT) * CAST('{mix}' AS HUGEINT))"
+                f" % CAST('{m64}' AS HUGEINT)"
+            )
+
+        parts = [
+            "WITH se AS MATERIALIZED ({SYM})",
+            "nodes AS (SELECT CAST(c_custkey AS BIGINT) AS v FROM customer)",
+            "a0 AS (SELECT v FROM nodes)",
+        ]
+        for r in range(rounds):
+            parts.append(
+                f"""m{r} AS MATERIALIZED (SELECT a.v FROM a{r} a LEFT JOIN (
+                    SELECT e.dst AS v, MIN({prio('e.src', r)}) AS nm
+                    FROM se e
+                    WHERE e.src IN (SELECT v FROM a{r}) AND e.dst IN (SELECT v FROM a{r})
+                    GROUP BY e.dst) t ON t.v = a.v
+                  WHERE t.nm IS NULL OR {prio('a.v', r)} < t.nm)"""
+            )
+            parts.append(
+                f"""a{r + 1} AS MATERIALIZED (SELECT v FROM a{r}
+                  WHERE v NOT IN (SELECT v FROM m{r})
+                    AND v NOT IN (SELECT e.dst FROM se e
+                                  WHERE e.src IN (SELECT v FROM m{r})
+                                    AND e.src IN (SELECT v FROM a{r})
+                                    AND e.dst IN (SELECT v FROM a{r})))"""
+            )
+        union = "\nUNION ALL\n".join(
+            f"SELECT v FROM m{r}" for r in range(rounds)
+        )
+        return ",\n".join(parts) + f"\nSELECT v FROM ({union}) ORDER BY v"
+
+    mis_sql = _mis_sql(16).replace("{SYM}", SYMMETRIC_EDGES_SQL)
 
     # Algebraic-distance twin: same seeded multiplicative init and Jacobi
     # relaxation, T chained CTEs per system (algdist.py determinism note).
@@ -1451,6 +1544,20 @@ def oracle_sql() -> dict[str, str]:
                         THEN ROUND(2.0 * COALESCE(t.tri, 0) / (d.deg * (d.deg - 1.0)), 8)
                         ELSE 0.0 END AS lcc
             FROM ({deg_sql}) d LEFT JOIN ({tri_sql}) t ON t.v = d.v
+        """,
+        "luby_mis": mis_sql,
+        "reciprocity": f"""
+            WITH e AS MATERIALIZED ({DERIVED_EDGES_SQL})
+            SELECT ROUND(
+              (SELECT CAST(COUNT(*) AS DOUBLE) FROM e
+               WHERE EXISTS (SELECT 1 FROM e r WHERE r.src = e.dst AND r.dst = e.src))
+              / (SELECT COUNT(*) FROM e), 8) AS reciprocity
+        """,
+        "degree_histogram": f"""
+            SELECT deg, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM (
+              SELECT CAST(COUNT(*) AS BIGINT) AS deg
+              FROM ({DERIVED_EDGES_SQL}) GROUP BY src
+            ) GROUP BY deg ORDER BY deg
         """,
         "assortativity": f"""
             WITH se AS ({SYMMETRIC_EDGES_SQL}),

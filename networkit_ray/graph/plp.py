@@ -80,7 +80,9 @@ def _plp_map(block: dict, labels: np.ndarray, chunk: int) -> tuple:
         max_l = int(lq.max()) if len(lq) else 0
         if max_l < 2**31 and dq[-1] < 2**31:
             key = dq.astype(np.int64) * (max_l + 1) + lq.astype(np.int64)
-            o2 = np.argsort(key, kind="stable")
+            # introsort: ~3x a stable sort on int64 keys; stability is
+            # irrelevant here (grouping by value, unit-weight sums exact)
+            o2 = np.argsort(key)
         else:
             o2 = np.lexsort((lq, dq))
         dq, lq, wq = dq[o2], lq[o2], wq[o2]
@@ -103,7 +105,7 @@ def _plp_reduce(labels: np.ndarray, *partials):
     w = np.concatenate([p[2] for p in partials if len(p[0])])
     max_l = int(l.max()) if len(l) else 0
     if max_l < 2**31 and int(d.max()) < 2**31:
-        o = np.argsort(d.astype(np.int64) * (max_l + 1) + l.astype(np.int64), kind="stable")
+        o = np.argsort(d.astype(np.int64) * (max_l + 1) + l.astype(np.int64))
     else:
         o = np.lexsort((l, d))
     d, l, w = d[o], l[o], w[o]

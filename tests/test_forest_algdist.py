@@ -91,3 +91,36 @@ class TestAlgebraicDistance:
         b = algebraic_distances(sym, n, num_parts=7).to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
         assert np.allclose(a["ad"], b["ad"], atol=1e-12)
         assert a[["src", "dst"]].equals(b[["src", "dst"]])
+
+
+class TestLubyMIS:
+    def test_independent_and_maximal(self):
+        from networkit_ray.graph.mis import luby_mis
+
+        rng = np.random.default_rng(6)
+        n = 35
+        e = sorted({(int(a), int(b)) for a, b in rng.integers(0, n, (80, 2)) if a != b})
+        sym = symmetrize(ds_of(e)).materialize()
+        mis, info = luby_mis(sym, n)
+        s = set(mis.to_pandas()["v"])
+        adj = {v: set() for v in range(n)}
+        for a, b in e:
+            adj[a].add(b)
+            adj[b].add(a)
+        # independence: no edge inside the set
+        for a, b in e:
+            assert not (a in s and b in s), (a, b)
+        # maximality: every vertex outside has a neighbor inside
+        for v in range(n):
+            if v not in s:
+                assert adj[v] & s, v
+        assert info["rounds"] >= 1
+
+    def test_deterministic_across_partitioning(self):
+        from networkit_ray.graph.mis import luby_mis
+
+        e = [(i, (i + 3) % 17) for i in range(17)] + [(0, 8), (2, 11)]
+        sym = symmetrize(ds_of(e))
+        a, _ = luby_mis(sym.repartition(1).materialize(), 17)
+        b, _ = luby_mis(sym.repartition(6).materialize(), 17)
+        assert sorted(a.to_pandas()["v"]) == sorted(b.to_pandas()["v"])
