@@ -374,6 +374,31 @@ def q_partition_intersection(sf_dir):
     return partition_intersection(l1, l2, n)
 
 
+def q_jaccard_edge_scores(sf_dir):
+    from networkit_ray.graph.triangles import jaccard_edge_scores
+
+    canon, n = _canon(sf_dir)
+    return _round_col(jaccard_edge_scores(canon, n), "jaccard", 8)
+
+
+def q_hub_dominance(sf_dir):
+    from networkit_ray.graph.quality import hub_dominance
+
+    canon, n = _canon(sf_dir)
+    return _round_col(
+        hub_dominance(canon, _mod_labels(n, 10), n), "hub_dominance", 8
+    ).sort("label")
+
+
+def q_intrapartition_density(sf_dir):
+    from networkit_ray.graph.quality import intrapartition_density
+
+    canon, n = _canon(sf_dir)
+    return _round_col(
+        intrapartition_density(canon, _mod_labels(n, 10), n), "density", 8
+    ).sort("label")
+
+
 def q_luby_mis(sf_dir):
     from networkit_ray.graph.mis import luby_mis
 
@@ -992,6 +1017,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lcc": q_lcc,
         "assortativity": q_assortativity,
         "partition_intersection": q_partition_intersection,
+        "jaccard_edge_scores": q_jaccard_edge_scores,
+        "hub_dominance": q_hub_dominance,
+        "intrapartition_density": q_intrapartition_density,
         "luby_mis": q_luby_mis,
         "reciprocity": q_reciprocity,
         "degree_histogram": q_degree_histogram,
@@ -1544,6 +1572,58 @@ def oracle_sql() -> dict[str, str]:
                         THEN ROUND(2.0 * COALESCE(t.tri, 0) / (d.deg * (d.deg - 1.0)), 8)
                         ELSE 0.0 END AS lcc
             FROM ({deg_sql}) d LEFT JOIN ({tri_sql}) t ON t.v = d.v
+        """,
+        "jaccard_edge_scores": f"""
+            WITH ce AS MATERIALIZED ({CANONICAL_EDGES_SQL}),
+            tc AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+                   FROM ce e1 JOIN ce e2 ON e2.src = e1.dst
+                   JOIN ce e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+            ex AS (SELECT LEAST(a,b) AS src, GREATEST(a,b) AS dst FROM tc
+                   UNION ALL SELECT LEAST(a,c), GREATEST(a,c) FROM tc
+                   UNION ALL SELECT LEAST(b,c), GREATEST(b,c) FROM tc),
+            cnt AS (SELECT src, dst, COUNT(*) AS tri FROM ex GROUP BY src, dst),
+            dg AS (SELECT v, CAST(COUNT(*) AS DOUBLE) AS deg FROM (
+                SELECT src AS v FROM ce UNION ALL SELECT dst FROM ce) GROUP BY v)
+            SELECT ce.src, ce.dst,
+                   ROUND(CASE WHEN du.deg + dv.deg - 2 - COALESCE(cnt.tri, 0) > 0
+                              THEN COALESCE(cnt.tri, 0) / (du.deg + dv.deg - 2 - COALESCE(cnt.tri, 0))
+                              ELSE 1.0 END, 8) AS jaccard
+            FROM ce JOIN dg du ON du.v = ce.src JOIN dg dv ON dv.v = ce.dst
+            LEFT JOIN cnt ON cnt.src = ce.src AND cnt.dst = ce.dst
+        """,
+        "hub_dominance": f"""
+            WITH ce AS MATERIALIZED ({CANONICAL_EDGES_SQL}),
+            nodes AS (SELECT CAST(c_custkey AS BIGINT) AS v FROM customer),
+            lab AS (SELECT v, v % 10 AS label FROM nodes),
+            intra AS (SELECT ce.src, ce.dst, la.label FROM ce
+                      JOIN lab la ON la.v = ce.src JOIN lab lb ON lb.v = ce.dst
+                      WHERE la.label = lb.label),
+            indeg AS (SELECT label, v, COUNT(*) AS d FROM (
+                SELECT label, src AS v FROM intra
+                UNION ALL SELECT label, dst FROM intra) GROUP BY label, v),
+            md AS (SELECT label, MAX(d) AS maxd FROM indeg GROUP BY label),
+            sz AS (SELECT label, CAST(COUNT(*) AS DOUBLE) AS size FROM lab GROUP BY label)
+            SELECT sz.label,
+                   ROUND(CASE WHEN sz.size > 1
+                              THEN COALESCE(md.maxd, 0) / (sz.size - 1)
+                              ELSE 1.0 END, 8) AS hub_dominance
+            FROM sz LEFT JOIN md ON md.label = sz.label
+            ORDER BY sz.label
+        """,
+        "intrapartition_density": f"""
+            WITH ce AS MATERIALIZED ({CANONICAL_EDGES_SQL}),
+            nodes AS (SELECT CAST(c_custkey AS BIGINT) AS v FROM customer),
+            lab AS (SELECT v, v % 10 AS label FROM nodes),
+            intra AS (SELECT la.label, COUNT(*) AS m_in FROM ce
+                      JOIN lab la ON la.v = ce.src JOIN lab lb ON lb.v = ce.dst
+                      WHERE la.label = lb.label GROUP BY la.label),
+            sz AS (SELECT label, CAST(COUNT(*) AS DOUBLE) AS size FROM lab GROUP BY label)
+            SELECT sz.label,
+                   ROUND(CASE WHEN sz.size > 1
+                              THEN COALESCE(intra.m_in, 0) / (sz.size * (sz.size - 1) / 2)
+                              ELSE 1.0 END, 8) AS density
+            FROM sz LEFT JOIN intra ON intra.label = sz.label
+            ORDER BY sz.label
         """,
         "luby_mis": mis_sql,
         "reciprocity": f"""

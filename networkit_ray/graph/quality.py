@@ -381,3 +381,117 @@ def stable_partition_nodes(
         return pa.table({"v": t["v"], "stable": pa.array(stable)})
 
     return j.map_batches(mark, batch_format="pyarrow")
+
+
+def hub_dominance(
+    canon: ray.data.Dataset, labels: ray.data.Dataset, num_nodes: int
+) -> ray.data.Dataset:
+    """(label, hub_dominance) per community (community/HubDominance.cpp):
+    max internal degree over (|C|−1) — how star-like each community is.
+    Internal degree = edges to same-community neighbors."""
+    el1 = exchange_join(
+        canon,
+        labels.map_batches(
+            lambda t: pa.table({"v": t["v"], "ls": t["label"]}),
+            batch_format="pyarrow",
+        ),
+        left_on=["src"],
+        right_on=["v"],
+    )
+    el = exchange_join(
+        el1,
+        labels.map_batches(
+            lambda t: pa.table({"v": t["v"], "ld": t["label"]}),
+            batch_format="pyarrow",
+        ),
+        left_on=["dst"],
+        right_on=["v"],
+    )
+    intra = el.map_batches(
+        lambda t: t.filter(pc.equal(t["ls"], t["ld"])), batch_format="pyarrow"
+    )
+    ends = intra.map_batches(
+        lambda t: pa.table(
+            {
+                "v": pa.concat_arrays(
+                    [
+                        t["src"].combine_chunks().cast(pa.int64()),
+                        t["dst"].combine_chunks().cast(pa.int64()),
+                    ]
+                ),
+                "label": pa.concat_arrays(
+                    [
+                        t["ls"].combine_chunks().cast(pa.int64()),
+                        t["ld"].combine_chunks().cast(pa.int64()),
+                    ]
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    from ray.data.aggregate import Max as _Max
+
+    indeg = ends.groupby(["label", "v"]).aggregate(Count(alias_name="d"))
+    maxdeg = indeg.groupby("label").aggregate(_Max("d", alias_name="maxd"))
+    sizes = labels.groupby("label").aggregate(Count(alias_name="size"))
+    j = exchange_join(sizes, maxdeg, left_on=["label"], join_type="left outer")
+
+    def dom(t: pa.Table) -> pa.Table:
+        size = t["size"].to_numpy(zero_copy_only=False).astype(np.float64)
+        if "maxd" in t.column_names:
+            md = np.nan_to_num(
+                t["maxd"].to_numpy(zero_copy_only=False).astype(np.float64), nan=0.0
+            )
+        else:
+            md = np.zeros(len(size))
+        hd = np.where(size > 1, md / np.where(size > 1, size - 1, 1.0), 1.0)
+        return pa.table({"label": t["label"], "hub_dominance": pa.array(hd)})
+
+    return j.map_batches(dom, batch_format="pyarrow")
+
+
+def intrapartition_density(
+    canon: ray.data.Dataset, labels: ray.data.Dataset, num_nodes: int
+) -> ray.data.Dataset:
+    """(label, density) per community (community/IntrapartitionDensity.cpp):
+    intra-edge count over |C|·(|C|−1)/2; singletons report 1.0 (vacuous)."""
+    el1 = exchange_join(
+        canon,
+        labels.map_batches(
+            lambda t: pa.table({"v": t["v"], "ls": t["label"]}),
+            batch_format="pyarrow",
+        ),
+        left_on=["src"],
+        right_on=["v"],
+    )
+    el = exchange_join(
+        el1,
+        labels.map_batches(
+            lambda t: pa.table({"v": t["v"], "ld": t["label"]}),
+            batch_format="pyarrow",
+        ),
+        left_on=["dst"],
+        right_on=["v"],
+    )
+    intra = el.map_batches(
+        lambda t: pa.table(
+            {"label": t.filter(pc.equal(t["ls"], t["ld"]))["ls"]}
+        ),
+        batch_format="pyarrow",
+    ).groupby("label").aggregate(Count(alias_name="m_in"))
+    sizes = labels.groupby("label").aggregate(Count(alias_name="size"))
+    j = exchange_join(sizes, intra, left_on=["label"], join_type="left outer")
+
+    def dens(t: pa.Table) -> pa.Table:
+        size = t["size"].to_numpy(zero_copy_only=False).astype(np.float64)
+        if "m_in" in t.column_names:
+            mi = np.nan_to_num(
+                t["m_in"].to_numpy(zero_copy_only=False).astype(np.float64), nan=0.0
+            )
+        else:
+            mi = np.zeros(len(size))
+        pairs = size * (size - 1.0) / 2.0
+        d = np.where(pairs > 0, mi / np.where(pairs > 0, pairs, 1.0), 1.0)
+        return pa.table({"label": t["label"], "density": pa.array(d)})
+
+    return j.map_batches(dens, batch_format="pyarrow")

@@ -291,3 +291,45 @@ def sparsify_global_threshold(
         lambda t: t.filter(_pc.greater_equal(t[score_col], threshold)),
         batch_format="pyarrow",
     )
+
+
+def jaccard_edge_scores(
+    canon: ray.data.Dataset, num_nodes: int
+) -> ray.data.Dataset:
+    """(src, dst, jaccard) neighborhood-overlap score per edge.
+
+    Reference: edgescores/TriangleEdgeScore + the Jaccard similarity
+    attributizer (sparsification/LocalSimilarityScore family):
+    J(u,v) = |Γ(u)∩Γ(v)| / |Γ(u)∪Γ(v)\\{u,v}| — the intersection is the
+    edge's triangle count, the union is deg(u)+deg(v)−2−tri (endpoints
+    excluded; u,v are adjacent so each contributes the other)."""
+    deg = undirected_degrees(canon)
+    scored = edge_triangle_scores(canon, num_nodes)
+    j1 = exchange_join(
+        scored,
+        deg.map_batches(
+            lambda t: pa.table({"src": t["v"], "du": t["deg"]}),
+            batch_format="pyarrow",
+        ),
+        left_on=["src"],
+    )
+    j2 = exchange_join(
+        j1,
+        deg.map_batches(
+            lambda t: pa.table({"dst": t["v"], "dv": t["deg"]}),
+            batch_format="pyarrow",
+        ),
+        left_on=["dst"],
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        tri = t["tri"].to_numpy(zero_copy_only=False).astype(np.float64)
+        du = t["du"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dv = t["dv"].to_numpy(zero_copy_only=False).astype(np.float64)
+        union = du + dv - 2.0 - tri
+        jac = np.where(union > 0, tri / np.where(union > 0, union, 1.0), 1.0)
+        return pa.table(
+            {"src": t["src"], "dst": t["dst"], "jaccard": pa.array(jac)}
+        )
+
+    return j2.map_batches(score, batch_format="pyarrow")
