@@ -374,6 +374,15 @@ def q_partition_intersection(sf_dir):
     return partition_intersection(l1, l2, n)
 
 
+def q_local_max_matching(sf_dir):
+    from networkit_ray.graph.matching import local_max_matching
+
+    canon, n = _canon(sf_dir)
+    out, info = local_max_matching(canon, n)
+    assert info["rounds"] <= 16, "oracle replays 16 rounds"
+    return out.sort(["src", "dst"])
+
+
 def q_jaccard_edge_scores(sf_dir):
     from networkit_ray.graph.triangles import jaccard_edge_scores
 
@@ -1017,6 +1026,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lcc": q_lcc,
         "assortativity": q_assortativity,
         "partition_intersection": q_partition_intersection,
+        "local_max_matching": q_local_max_matching,
         "jaccard_edge_scores": q_jaccard_edge_scores,
         "hub_dominance": q_hub_dominance,
         "intrapartition_density": q_intrapartition_density,
@@ -1312,6 +1322,40 @@ def oracle_sql() -> dict[str, str]:
         return ",\n".join(parts) + f"\nSELECT v FROM ({union}) ORDER BY v"
 
     mis_sql = _mis_sql(16).replace("{SYM}", SYMMETRIC_EDGES_SQL)
+
+    # Local-max-matching twin: replay rounds; priorities are bijective in
+    # the packed edge id, so no ties exist and rounds after the active
+    # edge set empties are no-ops (16-round unroll, asserted engine-side).
+    def _matching_sql(rounds: int) -> str:
+        gold, m64 = "11400714819323198485", "18446744073709551616"
+        parts = [
+            "WITH ce AS MATERIALIZED ({CANON})",
+            "nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM customer)",
+            f"""e0 AS (SELECT src, dst,
+                (CAST(src AS HUGEINT) * (SELECT n FROM nn) + dst + 1)
+                * CAST('{gold}' AS HUGEINT) % CAST('{m64}' AS HUGEINT) AS p
+                FROM ce)""",
+        ]
+        for r in range(rounds):
+            parts.append(
+                f"""mv{r} AS MATERIALIZED (SELECT v, MIN(p) AS mp FROM (
+                    SELECT src AS v, p FROM e{r}
+                    UNION ALL SELECT dst, p FROM e{r}) GROUP BY v)"""
+            )
+            parts.append(
+                f"""w{r} AS MATERIALIZED (SELECT e.src, e.dst FROM e{r} e
+                    JOIN mv{r} a ON a.v = e.src AND a.mp = e.p
+                    JOIN mv{r} b ON b.v = e.dst AND b.mp = e.p)"""
+            )
+            parts.append(
+                f"""e{r + 1} AS MATERIALIZED (SELECT e.* FROM e{r} e
+                    WHERE e.src NOT IN (SELECT src FROM w{r} UNION ALL SELECT dst FROM w{r})
+                      AND e.dst NOT IN (SELECT src FROM w{r} UNION ALL SELECT dst FROM w{r}))"""
+            )
+        union = "\nUNION ALL\n".join(f"SELECT src, dst FROM w{r}" for r in range(rounds))
+        return ",\n".join(parts) + f"\nSELECT src, dst FROM ({union}) ORDER BY src, dst"
+
+    matching_sql = _matching_sql(16).replace("{CANON}", CANONICAL_EDGES_SQL)
 
     # Algebraic-distance twin: same seeded multiplicative init and Jacobi
     # relaxation, T chained CTEs per system (algdist.py determinism note).
@@ -1625,6 +1669,7 @@ def oracle_sql() -> dict[str, str]:
             FROM sz LEFT JOIN intra ON intra.label = sz.label
             ORDER BY sz.label
         """,
+        "local_max_matching": matching_sql,
         "luby_mis": mis_sql,
         "reciprocity": f"""
             WITH e AS MATERIALIZED ({DERIVED_EDGES_SQL})

@@ -180,7 +180,11 @@ def _ex_join(
         return None
     left = pa.concat_tables(lt, promote_options="default")
     if not rt:
-        if join_type.startswith("left outer"):
+        # empty right side: outer and ANTI joins keep every left row
+        # (returning None here silently dropped whole partitions of a
+        # left-anti — e.g. active matching edges whose hash partition had
+        # no matched vertex that round)
+        if join_type.startswith("left outer") or join_type == "left anti":
             return left
         return None
     right = pa.concat_tables(rt, promote_options="default")

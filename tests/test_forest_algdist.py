@@ -124,3 +124,43 @@ class TestLubyMIS:
         a, _ = luby_mis(sym.repartition(1).materialize(), 17)
         b, _ = luby_mis(sym.repartition(6).materialize(), 17)
         assert sorted(a.to_pandas()["v"]) == sorted(b.to_pandas()["v"])
+
+
+class TestLocalMaxMatching:
+    def test_valid_and_maximal(self):
+        from networkit_ray.graph.build import canonicalize
+        from networkit_ray.graph.matching import local_max_matching
+
+        rng = np.random.default_rng(12)
+        n = 35
+        e = sorted({(int(a), int(b)) for a, b in rng.integers(0, n, (90, 2)) if a != b})
+        canon = canonicalize(ds_of(e)).materialize()
+        m, info = local_max_matching(canon, n)
+        pairs = list(zip(m.to_pandas()["src"], m.to_pandas()["dst"]))
+        seen = set()
+        for a, b in pairs:
+            assert a not in seen and b not in seen, (a, b)
+            seen.add(a)
+            seen.add(b)
+        # maximal: every unmatched edge has a matched endpoint
+        ce = set(zip(*canonicalize(ds_of(e)).to_pandas()[["src", "dst"]].T.values))
+        for a, b in ce:
+            if (a, b) not in set(pairs):
+                assert a in seen or b in seen, (a, b)
+        assert info["rounds"] >= 1
+
+    def test_empty_right_anti_join_regression(self):
+        """left-anti with an empty right partition must keep all left rows
+        (the bug dropped whole partitions of the active edge set)."""
+        import pyarrow as pa
+
+        from networkit_ray.common.exchange import exchange_join
+
+        left = ray.data.from_arrow(
+            pa.table({"src": pa.array([1, 2, 3], pa.int64()), "dst": pa.array([4, 5, 6], pa.int64())})
+        )
+        right = ray.data.from_arrow(
+            pa.table({"v": pa.array([], pa.int64())})
+        )
+        out = exchange_join(left, right, left_on=["src"], right_on=["v"], join_type="left anti")
+        assert out.count() == 3
