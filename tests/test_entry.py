@@ -27,6 +27,17 @@ FAST_SUBSET = [
     "quality_scores",
     "tumbling_window",
     "sessionize",
+    # round-2 session additions (one per new family)
+    "jaccard_near_dups",
+    "embedding_near_dups_exact",
+    "link_prediction",
+    "stable_partition_nodes",
+    "eccentricity",
+    "random_walks",
+    "luby_mis",
+    "local_max_matching",
+    "personalized_pagerank",
+    "reciprocity",
 ]
 
 
