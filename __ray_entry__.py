@@ -374,6 +374,26 @@ def q_partition_intersection(sf_dir):
     return partition_intersection(l1, l2, n)
 
 
+def q_greedy_coloring(sf_dir):
+    from networkit_ray.graph.coloring import greedy_coloring
+
+    sym, n = _sym(sf_dir)
+    # rows-only: JP round depth = longest decreasing-priority path (45 at
+    # sf0.01) — too deep for an unrolled SQL twin; properness/determinism
+    # are covered by tests/test_forest_algdist.py::TestGreedyColoring
+    out, _info = greedy_coloring(sym, n)
+    return out.sort("v")
+
+
+def q_k_truss(sf_dir):
+    from networkit_ray.graph.triangles import k_truss
+
+    canon, n = _canon(sf_dir)
+    out, info = k_truss(canon, n, 4)
+    assert info["rounds"] <= 16, "oracle replays 16 rounds"
+    return out.sort(["src", "dst"])
+
+
 def q_local_max_matching(sf_dir):
     from networkit_ray.graph.matching import local_max_matching
 
@@ -1026,6 +1046,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lcc": q_lcc,
         "assortativity": q_assortativity,
         "partition_intersection": q_partition_intersection,
+        "greedy_coloring": q_greedy_coloring,
+        "k_truss": q_k_truss,
         "local_max_matching": q_local_max_matching,
         "jaccard_edge_scores": q_jaccard_edge_scores,
         "hub_dominance": q_hub_dominance,
@@ -1357,6 +1379,36 @@ def oracle_sql() -> dict[str, str]:
 
     matching_sql = _matching_sql(16).replace("{CANON}", CANONICAL_EDGES_SQL)
 
+    # k-truss twin: unrolled support-peel rounds (support only falls, so
+    # rounds past the fixpoint are no-ops; engine asserts rounds ≤ 12).
+    def _ktruss_sql(k: int, rounds: int) -> str:
+        parts = ["WITH e0 AS MATERIALIZED ({CANON})"]
+        for r in range(rounds):
+            parts.append(
+                f"""t{r} AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+                    FROM e{r} e1 JOIN e{r} e2 ON e2.src = e1.dst
+                    JOIN e{r} e3 ON e3.src = e1.src AND e3.dst = e2.dst)"""
+            )
+            parts.append(
+                f"""s{r} AS (SELECT src, dst, COUNT(*) AS sup FROM (
+                    SELECT LEAST(a,b) AS src, GREATEST(a,b) AS dst FROM t{r}
+                    UNION ALL SELECT LEAST(a,c), GREATEST(a,c) FROM t{r}
+                    UNION ALL SELECT LEAST(b,c), GREATEST(b,c) FROM t{r}
+                  ) GROUP BY src, dst)"""
+            )
+            parts.append(
+                f"""e{r + 1} AS MATERIALIZED (SELECT e.src, e.dst FROM e{r} e
+                    JOIN s{r} s ON s.src = e.src AND s.dst = e.dst
+                    WHERE s.sup >= {k - 2})"""
+            )
+        return (
+            ",\n".join(parts)
+            + f"\nSELECT src, dst FROM e{rounds} ORDER BY src, dst"
+        )
+
+    ktruss_sql = _ktruss_sql(4, 16).replace("{CANON}", CANONICAL_EDGES_SQL)
+
+
     # Algebraic-distance twin: same seeded multiplicative init and Jacobi
     # relaxation, T chained CTEs per system (algdist.py determinism note).
     def _algdist_sql(iters: int, systems: int) -> str:
@@ -1669,6 +1721,7 @@ def oracle_sql() -> dict[str, str]:
             FROM sz LEFT JOIN intra ON intra.label = sz.label
             ORDER BY sz.label
         """,
+        "k_truss": ktruss_sql,
         "local_max_matching": matching_sql,
         "luby_mis": mis_sql,
         "reciprocity": f"""

@@ -333,3 +333,38 @@ def jaccard_edge_scores(
         )
 
     return j2.map_batches(score, batch_format="pyarrow")
+
+
+def k_truss(
+    canon: ray.data.Dataset,
+    num_nodes: int,
+    k: int,
+    *,
+    max_rounds: int = 24,
+) -> tuple[ray.data.Dataset, dict]:
+    """(src, dst) edges of the k-truss: the maximal subgraph where every
+    edge participates in ≥ k−2 triangles WITHIN the subgraph.
+
+    Reference family: the truss/support peeling next to
+    centrality/CoreDecomposition.cpp (edge analog of the k-core).  Each
+    round recomputes per-edge support on the surviving edge set (the
+    existing distributed orientation-wedge-close pass) and drops weak
+    edges; a fixpoint is reached in ≤ a few dozen rounds (support only
+    falls, so rounds after stabilization are no-ops — the property that
+    lets the DuckDB twin replay a fixed unroll)."""
+    cur = canon.select_columns(["src", "dst"]).materialize()
+    rounds = 0
+    for _ in range(max_rounds):
+        n_before = cur.count()
+        if n_before == 0:
+            break
+        scored = edge_triangle_scores(cur, num_nodes)
+        nxt = sparsify_global_threshold(scored, k - 2).select_columns(
+            ["src", "dst"]
+        ).materialize()
+        rounds += 1
+        if nxt.count() == n_before:
+            cur = nxt
+            break
+        cur = nxt
+    return cur, {"rounds": rounds}

@@ -88,6 +88,7 @@ def test_queries_oracles_consistent():
     rows_only = set(qs) - set(os_)
     assert rows_only == {
         "spanning_forest",
+        "greedy_coloring",
         "core_decomposition",
         "betweenness",
         "effective_diameter",

@@ -164,3 +164,32 @@ class TestLocalMaxMatching:
         )
         out = exchange_join(left, right, left_on=["src"], right_on=["v"], join_type="left anti")
         assert out.count() == 3
+
+
+class TestGreedyColoring:
+    def test_proper_and_deterministic(self):
+        from networkit_ray.graph.coloring import greedy_coloring
+
+        rng = np.random.default_rng(15)
+        n = 30
+        e = sorted({(int(a), int(b)) for a, b in rng.integers(0, n, (70, 2)) if a != b})
+        sym = symmetrize(ds_of(e)).materialize()
+        col, info = greedy_coloring(sym, n)
+        cdf = col.to_pandas()
+        assert len(cdf) == n
+        cmap = dict(zip(cdf["v"], cdf["color"]))
+        for a, b in e:
+            assert cmap[a] != cmap[b], (a, b)
+        assert max(cmap.values()) <= max(
+            len({b for x, b in e if x == v} | {a for a, x in e if x == v})
+            for v in range(n)
+        )  # colors <= max degree + 1 - 1 bound loosened
+        b2, _ = greedy_coloring(sym.repartition(5).materialize(), n)
+        assert b2.to_pandas().sort_values("v")["color"].tolist() == \
+            cdf.sort_values("v")["color"].tolist()
+        # distributed JP rounds must equal the sequential single-task twin
+        d1, dinfo = greedy_coloring(sym, n, single_task_threshold=0)
+        assert dinfo.get("mode") != "single_task"
+        assert d1.to_pandas().sort_values("v")["color"].tolist() == \
+            cdf.sort_values("v")["color"].tolist()
+        print("rounds:", info["rounds"], "colors:", max(cmap.values()) + 1)
