@@ -394,6 +394,40 @@ def q_k_truss(sf_dir):
     return out.sort(["src", "dst"])
 
 
+def q_clique_counts(sf_dir):
+    import pandas as pd
+
+    from networkit_ray.graph.cliques import clique_counts
+
+    canon, n = _canon(sf_dir)
+    c = clique_counts(canon, n)
+    return pd.DataFrame({"k3": [c["k3"]], "k4": [c["k4"]]})
+
+
+def q_maximal_cliques(sf_dir):
+    import pyarrow as pa
+
+    from networkit_ray.graph.cliques import maximal_cliques
+
+    # rows-only: (size, count) histogram of maximal cliques (size >= 2);
+    # exactness vs a brute-force Bron-Kerbosch is covered by
+    # tests/test_cliques.py
+    from ray.data.aggregate import Count
+
+    canon, n = _canon(sf_dir)
+    mc = maximal_cliques(canon, n)
+    per_clique = mc.groupby("clique_id").aggregate(Count(alias_name="size"))
+    return (
+        per_clique.map_batches(
+            lambda t: pa.table({"size": t["size"].combine_chunks().cast(pa.int64())}),
+            batch_format="pyarrow",
+        )
+        .groupby("size")
+        .aggregate(Count(alias_name="num_cliques"))
+        .sort("size")
+    )
+
+
 def q_local_max_matching(sf_dir):
     from networkit_ray.graph.matching import local_max_matching
 
@@ -1048,6 +1082,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "partition_intersection": q_partition_intersection,
         "greedy_coloring": q_greedy_coloring,
         "k_truss": q_k_truss,
+        "clique_counts": q_clique_counts,
+        "maximal_cliques": q_maximal_cliques,
         "local_max_matching": q_local_max_matching,
         "jaccard_edge_scores": q_jaccard_edge_scores,
         "hub_dominance": q_hub_dominance,
@@ -1722,6 +1758,20 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY sz.label
         """,
         "k_truss": ktruss_sql,
+        # 4-cliques by id-order: a<b<c<d with all 6 canonical edges present
+        "clique_counts": f"""
+            WITH e AS MATERIALIZED ({CANONICAL_EDGES_SQL}),
+            k3 AS (SELECT COUNT(*) AS c FROM e e1
+                JOIN e e2 ON e2.src = e1.src AND e2.dst > e1.dst
+                JOIN e e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+            k4 AS (SELECT COUNT(*) AS c FROM e e1
+                JOIN e e2 ON e2.src = e1.src AND e2.dst > e1.dst
+                JOIN e e3 ON e3.src = e1.src AND e3.dst > e2.dst
+                JOIN e e4 ON e4.src = e1.dst AND e4.dst = e2.dst
+                JOIN e e5 ON e5.src = e1.dst AND e5.dst = e3.dst
+                JOIN e e6 ON e6.src = e2.dst AND e6.dst = e3.dst)
+            SELECT k3.c AS k3, k4.c AS k4 FROM k3, k4
+        """,
         "local_max_matching": matching_sql,
         "luby_mis": mis_sql,
         "reciprocity": f"""

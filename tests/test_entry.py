@@ -89,6 +89,7 @@ def test_queries_oracles_consistent():
     assert rows_only == {
         "spanning_forest",
         "greedy_coloring",
+        "maximal_cliques",
         "core_decomposition",
         "betweenness",
         "effective_diameter",
