@@ -428,6 +428,16 @@ def q_maximal_cliques(sf_dir):
     )
 
 
+def q_group_degree(sf_dir):
+    import pandas as pd
+
+    from networkit_ray.graph.groupcent import group_degree
+
+    sym, n = _sym(sf_dir)
+    picks, _total = group_degree(sym, n, 4)
+    return pd.DataFrame(picks, columns=["rank", "v", "gain"])
+
+
 def q_local_max_matching(sf_dir):
     from networkit_ray.graph.matching import local_max_matching
 
@@ -1084,6 +1094,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_truss": q_k_truss,
         "clique_counts": q_clique_counts,
         "maximal_cliques": q_maximal_cliques,
+        "group_degree": q_group_degree,
         "local_max_matching": q_local_max_matching,
         "jaccard_edge_scores": q_jaccard_edge_scores,
         "hub_dominance": q_hub_dominance,
@@ -1444,6 +1455,42 @@ def oracle_sql() -> dict[str, str]:
 
     ktruss_sql = _ktruss_sql(4, 16).replace("{CANON}", CANONICAL_EDGES_SQL)
 
+    # GroupDegree greedy twin: k unrolled argmax-coverage rounds.  A selected
+    # vertex's closed neighborhood is fully covered, so it vanishes from the
+    # next round's gain table — no explicit exclusion (groupcent.py note).
+    def _group_degree_sql(k: int) -> str:
+        parts = [
+            "WITH sym AS MATERIALIZED ({SYM})",
+            "allv AS (SELECT ROW_NUMBER() OVER () - 1 AS v FROM customer)",
+            """closed AS MATERIALIZED (
+                SELECT src AS v, dst AS nbr FROM sym
+                UNION ALL SELECT v, v FROM allv)""",
+            "c0(nbr) AS (SELECT NULL::BIGINT WHERE FALSE)",
+        ]
+        for r in range(1, k + 1):
+            parts.append(
+                f"""g{r} AS (SELECT c.v, COUNT(*) AS gain FROM closed c
+                    LEFT JOIN c{r - 1} cc ON cc.nbr = c.nbr
+                    WHERE cc.nbr IS NULL GROUP BY c.v)"""
+            )
+            parts.append(
+                f"p{r} AS (SELECT v, gain FROM g{r} ORDER BY gain DESC, v LIMIT 1)"
+            )
+            parts.append(
+                f"""c{r} AS MATERIALIZED (SELECT nbr FROM c{r - 1}
+                    UNION SELECT c.nbr FROM closed c JOIN p{r} USING (v))"""
+            )
+        sel = "\nUNION ALL ".join(
+            f"SELECT {r} AS rank, v, gain FROM p{r}" for r in range(1, k + 1)
+        )
+        return ",\n".join(parts) + f"\nSELECT * FROM ({sel}) ORDER BY rank"
+
+    group_degree_sql = (
+        _group_degree_sql(4)
+        .replace("{SYM}", SYMMETRIC_EDGES_SQL)
+        .replace("{N}", n_customers)
+    )
+
 
     # Algebraic-distance twin: same seeded multiplicative init and Jacobi
     # relaxation, T chained CTEs per system (algdist.py determinism note).
@@ -1758,6 +1805,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY sz.label
         """,
         "k_truss": ktruss_sql,
+        "group_degree": group_degree_sql,
         # 4-cliques by id-order: a<b<c<d with all 6 canonical edges present
         "clique_counts": f"""
             WITH e AS MATERIALIZED ({CANONICAL_EDGES_SQL}),

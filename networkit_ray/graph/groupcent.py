@@ -1,0 +1,103 @@
+"""Greedy group-degree centrality (submodular max-coverage selection).
+
+Reference: networkit/cpp/centrality/GroupDegree.cpp — greedy selection of a
+k-vertex group maximizing neighborhood coverage.  Semantics here (documented
+normative for the SQL twin): coverage objective |∪_{s∈S} N[s]| over CLOSED
+neighborhoods; each round picks argmax_v |N[v] \\ covered| with ties broken
+by smallest vertex id, stopping early when every remaining vertex has zero
+uncovered closed neighbors.  An already-selected vertex has all of N[v]
+covered, so it drops out of the gain table automatically — no explicit
+exclusion needed (the property that keeps both the engine loop and the
+unrolled DuckDB twin simple).
+
+Scale shape: per round one anti-join (closed-neighbor rows vs the covered
+set, hash-partitioned on the neighbor id) + one count aggregate + a
+block-local argmax reduced on the driver (O(#blocks) rows, never the vertex
+table).  The covered set is vertex-sized state, re-deduped per round.
+k is small (single digits) so the loop is k supersteps.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Count
+
+from networkit_ray.common.exchange import exchange_join, exchange_unique
+
+
+def _closed_neighbors(sym: ray.data.Dataset, num_nodes: int) -> ray.data.Dataset:
+    """(v, nbr) rows: symmetric edges plus (v, v) self rows."""
+    edges = sym.map_batches(
+        lambda t: pa.table(
+            {
+                "v": t["src"].combine_chunks().cast(pa.int64()),
+                "nbr": t["dst"].combine_chunks().cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    selfs = ray.data.from_arrow(
+        pa.table(
+            {
+                "v": pa.array(np.arange(num_nodes, dtype=np.int64)),
+                "nbr": pa.array(np.arange(num_nodes, dtype=np.int64)),
+            }
+        )
+    )
+    return edges.union(selfs)
+
+
+def _argmax_gain(gains: ray.data.Dataset) -> tuple[int, int] | None:
+    """(v, gain) with max gain, ties to smallest v; None if empty."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t
+        g = t["gain"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        best = np.lexsort((v, -g))[0]
+        return t.take([best])
+
+    parts = gains.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if len(parts) == 0:
+        return None
+    parts = parts.sort_values(["gain", "v"], ascending=[False, True])
+    return int(parts.iloc[0]["v"]), int(parts.iloc[0]["gain"])
+
+
+def group_degree(
+    sym: ray.data.Dataset, num_nodes: int, k: int
+) -> tuple[list[dict], int]:
+    """Greedy k-group by closed-neighborhood coverage.
+
+    Returns ([{rank, v, gain}, ...], total_covered).
+    """
+    closed = _closed_neighbors(sym, num_nodes).materialize()
+    covered: ray.data.Dataset | None = None
+    picks: list[dict] = []
+    for r in range(k):
+        if covered is None:
+            uncov = closed
+        else:
+            uncov = exchange_join(
+                closed, covered, left_on=["nbr"], right_on=["c"], join_type="left anti"
+            )
+        gains = uncov.groupby("v").aggregate(Count(alias_name="gain"))
+        best = _argmax_gain(gains)
+        if best is None:
+            break
+        v_star, gain = best
+        picks.append({"rank": r + 1, "v": v_star, "gain": gain})
+        def nbrs_of_pick(t: pa.Table, vs=v_star) -> pa.Table:
+            mask = pa.compute.equal(t["v"], vs)
+            return pa.table(
+                {"c": t.filter(mask)["nbr"].combine_chunks().cast(pa.int64())}
+            )
+
+        newly = closed.map_batches(nbrs_of_pick, batch_format="pyarrow")
+        merged = newly if covered is None else covered.union(newly)
+        covered = exchange_unique(merged, ["c"]).materialize()
+    total = covered.count() if covered is not None else 0
+    return picks, total
