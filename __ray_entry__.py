@@ -463,6 +463,29 @@ def q_hub_dominance(sf_dir):
     ).sort("label")
 
 
+def q_sfigality(sf_dir):
+    from networkit_ray.graph.vertexmeasures import sfigality
+
+    sym, n = _sym(sf_dir)
+    return _round_col(sfigality(sym, n), "sfigality", 8).sort("v")
+
+
+def q_laplacian_centrality(sf_dir):
+    from networkit_ray.graph.vertexmeasures import laplacian_centrality
+
+    sym, n = _sym(sf_dir)
+    return laplacian_centrality(sym, n).sort("v")
+
+
+def q_local_partition_coverage(sf_dir):
+    from networkit_ray.graph.vertexmeasures import local_partition_coverage
+
+    sym, n = _sym(sf_dir)
+    return _round_col(
+        local_partition_coverage(sym, _mod_labels(n, 10), n), "lpc", 8
+    ).sort("v")
+
+
 def q_intrapartition_density(sf_dir):
     from networkit_ray.graph.quality import intrapartition_density
 
@@ -1098,6 +1121,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_max_matching": q_local_max_matching,
         "jaccard_edge_scores": q_jaccard_edge_scores,
         "hub_dominance": q_hub_dominance,
+        "sfigality": q_sfigality,
+        "laplacian_centrality": q_laplacian_centrality,
+        "local_partition_coverage": q_local_partition_coverage,
         "intrapartition_density": q_intrapartition_density,
         "luby_mis": q_luby_mis,
         "reciprocity": q_reciprocity,
@@ -1806,6 +1832,56 @@ def oracle_sql() -> dict[str, str]:
         """,
         "k_truss": ktruss_sql,
         "group_degree": group_degree_sql,
+        # Sfigality (centrality/Sfigality.cpp:18-29): fraction of neighbors
+        # with strictly larger degree; 0.0 for isolated (engine convention).
+        "sfigality": f"""
+            WITH sym AS MATERIALIZED ({SYMMETRIC_EDGES_SQL}),
+            allv AS (SELECT ROW_NUMBER() OVER () - 1 AS v FROM customer),
+            deg AS (SELECT src AS v, COUNT(*) AS deg FROM sym GROUP BY src),
+            hi AS (SELECT e.src AS v,
+                          SUM(CASE WHEN du.deg < dv.deg THEN 1 ELSE 0 END) AS s
+                   FROM sym e
+                   JOIN deg du ON du.v = e.src
+                   JOIN deg dv ON dv.v = e.dst
+                   GROUP BY e.src)
+            SELECT a.v,
+                   ROUND(COALESCE(CAST(h.s AS DOUBLE) / d.deg, 0.0), 8) AS sfigality
+            FROM allv a
+            LEFT JOIN deg d ON d.v = a.v
+            LEFT JOIN hi h ON h.v = a.v
+            ORDER BY a.v
+        """,
+        # Unweighted Laplacian centrality (LaplacianCentrality.cpp:17-45):
+        # LC(u) = d_u^2 + d_u + 2*sum_{v in N(u)} d_v (unnormalized).
+        "laplacian_centrality": f"""
+            WITH sym AS MATERIALIZED ({SYMMETRIC_EDGES_SQL}),
+            allv AS (SELECT ROW_NUMBER() OVER () - 1 AS v FROM customer),
+            deg AS (SELECT src AS v, COUNT(*) AS deg FROM sym GROUP BY src),
+            nd AS (SELECT e.src AS v, SUM(dv.deg) AS s
+                   FROM sym e JOIN deg dv ON dv.v = e.dst GROUP BY e.src)
+            SELECT a.v,
+                   CAST(COALESCE(d.deg * d.deg + d.deg + 2 * n.s, 0) AS DOUBLE) AS lc
+            FROM allv a
+            LEFT JOIN deg d ON d.v = a.v
+            LEFT JOIN nd n ON n.v = a.v
+            ORDER BY a.v
+        """,
+        # LocalPartitionCoverage.cpp:13-28 with the synthetic v%10 partition:
+        # fraction of incident edges whose other endpoint shares u's label.
+        "local_partition_coverage": f"""
+            WITH sym AS MATERIALIZED ({SYMMETRIC_EDGES_SQL}),
+            allv AS (SELECT ROW_NUMBER() OVER () - 1 AS v FROM customer),
+            deg AS (SELECT src AS v, COUNT(*) AS deg FROM sym GROUP BY src),
+            same AS (SELECT e.src AS v,
+                            SUM(CASE WHEN e.src % 10 = e.dst % 10 THEN 1 ELSE 0 END) AS s
+                     FROM sym e GROUP BY e.src)
+            SELECT a.v,
+                   ROUND(COALESCE(CAST(sm.s AS DOUBLE) / d.deg, 0.0), 8) AS lpc
+            FROM allv a
+            LEFT JOIN deg d ON d.v = a.v
+            LEFT JOIN same sm ON sm.v = a.v
+            ORDER BY a.v
+        """,
         # 4-cliques by id-order: a<b<c<d with all 6 canonical edges present
         "clique_counts": f"""
             WITH e AS MATERIALIZED ({CANONICAL_EDGES_SQL}),
