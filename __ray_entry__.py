@@ -438,6 +438,36 @@ def q_group_degree(sf_dir):
     return pd.DataFrame(picks, columns=["rank", "v", "gain"])
 
 
+def q_suitor_matching(sf_dir):
+    from networkit_ray.graph.matching import suitor_matching
+
+    canon, n = _canon(sf_dir)
+
+    def with_w(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "src": t["src"],
+                "dst": t["dst"],
+                "w": pa.array((src + dst) % 7 + 1),
+            }
+        )
+
+    weighted = canon.map_batches(with_w, batch_format="pyarrow")
+    out, _info = suitor_matching(weighted, n, max_weight=7)
+    return out.sort(["src", "dst"])
+
+
+def q_edge_switch_degrees(sf_dir):
+    from networkit_ray.graph.randomize import edge_switching
+    from networkit_ray.graph.triangles import undirected_degrees
+
+    canon, n = _canon(sf_dir)
+    out, _info = edge_switching(canon, rounds=3, seed=7)
+    return undirected_degrees(out).sort("v")
+
+
 def q_local_max_matching(sf_dir):
     from networkit_ray.graph.matching import local_max_matching
 
@@ -1119,6 +1149,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "maximal_cliques": q_maximal_cliques,
         "group_degree": q_group_degree,
         "local_max_matching": q_local_max_matching,
+        "suitor_matching": q_suitor_matching,
+        "edge_switch_degrees": q_edge_switch_degrees,
         "jaccard_edge_scores": q_jaccard_edge_scores,
         "hub_dominance": q_hub_dominance,
         "sfigality": q_sfigality,
@@ -1421,12 +1453,13 @@ def oracle_sql() -> dict[str, str]:
     # Local-max-matching twin: replay rounds; priorities are bijective in
     # the packed edge id, so no ties exist and rounds after the active
     # edge set empties are no-ops (16-round unroll, asserted engine-side).
-    def _matching_sql(rounds: int) -> str:
+    def _matching_sql(rounds: int, e0_sql: str | None = None) -> str:
         gold, m64 = "11400714819323198485", "18446744073709551616"
         parts = [
             "WITH ce AS MATERIALIZED ({CANON})",
             "nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM customer)",
-            f"""e0 AS (SELECT src, dst,
+            e0_sql
+            or f"""e0 AS (SELECT src, dst,
                 (CAST(src AS HUGEINT) * (SELECT n FROM nn) + dst + 1)
                 * CAST('{gold}' AS HUGEINT) % CAST('{m64}' AS HUGEINT) AS p
                 FROM ce)""",
@@ -1451,6 +1484,17 @@ def oracle_sql() -> dict[str, str]:
         return ",\n".join(parts) + f"\nSELECT src, dst FROM ({union}) ORDER BY src, dst"
 
     matching_sql = _matching_sql(16).replace("{CANON}", CANONICAL_EDGES_SQL)
+
+    # Suitor twin: same locally-dominant rounds under the weighted total
+    # order (w desc, lo, hi) packed into one rank (matching.py suitor note).
+    suitor_sql = _matching_sql(
+        16,
+        e0_sql="""e0 AS (SELECT src, dst,
+            (7 - ((src + dst) % 7 + 1))
+              * ((SELECT n FROM nn) * (SELECT n FROM nn) + 2)
+              + CAST(src AS HUGEINT) * (SELECT n FROM nn) + dst + 1 AS p
+            FROM ce)""",
+    ).replace("{CANON}", CANONICAL_EDGES_SQL)
 
     # k-truss twin: unrolled support-peel rounds (support only falls, so
     # rounds past the fixpoint are no-ops; engine asserts rounds ≤ 12).
@@ -1897,6 +1941,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT k3.c AS k3, k4.c AS k4 FROM k3, k4
         """,
         "local_max_matching": matching_sql,
+        "suitor_matching": suitor_sql,
+        # Degree preservation is the edge-switching invariant: the switched
+        # graph's degree table must EQUAL the original's (randomize.py).
+        "edge_switch_degrees": f"""
+            WITH ce AS MATERIALIZED ({CANONICAL_EDGES_SQL}),
+            ends AS (SELECT src AS v FROM ce UNION ALL SELECT dst FROM ce)
+            SELECT v, COUNT(*) AS deg FROM ends GROUP BY v ORDER BY v
+        """,
         "luby_mis": mis_sql,
         "reciprocity": f"""
             WITH e AS MATERIALIZED ({DERIVED_EDGES_SQL})

@@ -1,6 +1,6 @@
-"""Local-max matching — deterministic distributed rounds.
+"""Local-max and Suitor matchings — deterministic distributed rounds.
 
-Reference: matching/ (LocalMaxMatcher / Suitor family).  Each round an
+Reference: matching/ (LocalMaxMatcher.cpp, SuitorMatcher.cpp).  Each round an
 edge joins the matching iff it carries the minimum priority among the
 remaining edges at BOTH endpoints (the "locally dominant" edge rule);
 matched vertices leave, incident edges drop, repeat.  Terminates in
@@ -49,6 +49,51 @@ def local_max_matching(
     active = canon.select_columns(["src", "dst"]).map_batches(
         with_prio, batch_format="pyarrow"
     ).materialize()
+    return _dominant_rounds(active, max_rounds)
+
+
+def suitor_matching(
+    canon_w: ray.data.Dataset,
+    num_nodes: int,
+    *,
+    max_weight: int,
+    max_rounds: int = 64,
+) -> tuple[ray.data.Dataset, dict]:
+    """Weighted Suitor matching (matching/SuitorMatcher.cpp:56-90 semantics).
+
+    Input (src, dst, w) canonical lo<hi with INTEGER weights 1..max_weight.
+    Suitor's proposal chain with the (weight desc, smaller-partner) preference
+    converges to the unique locally-dominant matching under the total edge
+    order (w desc, lo asc, hi asc) — the same fixpoint the rounds helper
+    computes, so the DuckDB twin replays it exactly.  Requires
+    (max_weight+1)·(n²+2) < 2^63 (pack weight and edge id in one sortable
+    int64); larger graphs need a wider rank encoding.
+    """
+    n = num_nodes
+    mult = n * n + 2
+    if (max_weight + 1) * mult >= 2**63:
+        raise ValueError("suitor_matching: rank packing overflows int64")
+
+    def with_prio(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = t["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = (max_weight - w) * mult + src * n + dst + 1
+        return pa.table(
+            {"src": pa.array(src), "dst": pa.array(dst), "p": pa.array(p)}
+        )
+
+    active = canon_w.select_columns(["src", "dst", "w"]).map_batches(
+        with_prio, batch_format="pyarrow"
+    ).materialize()
+    return _dominant_rounds(active, max_rounds)
+
+
+def _dominant_rounds(
+    active: ray.data.Dataset, max_rounds: int
+) -> tuple[ray.data.Dataset, dict]:
+    """Locally-dominant edge rounds over an (src, dst, p) table: an edge is
+    matched iff p is the minimum among remaining edges at BOTH endpoints."""
     matched_parts: list[ray.data.Dataset] = []
     rounds = 0
     for _ in range(max_rounds):

@@ -1,0 +1,101 @@
+"""Edge switching invariants and Suitor matching vs greedy oracle."""
+
+import collections
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from networkit_ray.graph.matching import suitor_matching
+from networkit_ray.graph.randomize import edge_switching
+
+
+def _random_canon(seed, n, m):
+    rng = np.random.default_rng(seed)
+    return sorted(
+        {(int(min(a, b)), int(max(a, b))) for a, b in rng.integers(0, n, (m, 2)) if a != b}
+    )
+
+
+def _ds(canon, w=None):
+    cols = {
+        "src": pa.array([e[0] for e in canon], pa.int64()),
+        "dst": pa.array([e[1] for e in canon], pa.int64()),
+    }
+    if w is not None:
+        cols["w"] = pa.array(w, pa.int64())
+    return rd.from_arrow(pa.table(cols)).materialize()
+
+
+class TestEdgeSwitching:
+    def test_invariants(self):
+        canon = _random_canon(0, 200, 600)
+        out, info = edge_switching(_ds(canon), rounds=3, seed=7)
+        df = out.to_pandas()
+        # edge count and simplicity preserved
+        assert len(df) == len(canon)
+        assert (df.src < df.dst).all()
+        assert not df.duplicated(["src", "dst"]).any()
+        # degree sequence preserved exactly
+        deg0, deg1 = collections.Counter(), collections.Counter()
+        for a, b in canon:
+            deg0[a] += 1
+            deg0[b] += 1
+        for a, b in zip(df.src, df.dst):
+            deg1[int(a)] += 1
+            deg1[int(b)] += 1
+        assert deg0 == deg1
+        # the chain actually moved
+        assert info["accepted"] > 0
+        assert len(set(zip(df.src.astype(int), df.dst.astype(int))) - set(canon)) > 0
+
+    def test_deterministic_across_partitioning(self):
+        canon = _random_canon(0, 200, 600)
+        a, _ = edge_switching(_ds(canon), rounds=2, seed=11)
+        b, _ = edge_switching(
+            _ds(canon).repartition(5).materialize(), rounds=2, seed=11
+        )
+        sa = set(zip(*[c.astype(int) for _, c in a.to_pandas().items()]))
+        sb = set(zip(*[c.astype(int) for _, c in b.to_pandas().items()]))
+        assert sa == sb
+
+    def test_seed_changes_result(self):
+        canon = _random_canon(0, 200, 600)
+        a, _ = edge_switching(_ds(canon), rounds=2, seed=1)
+        b, _ = edge_switching(_ds(canon), rounds=2, seed=2)
+        sa = set(zip(*[c.astype(int) for _, c in a.to_pandas().items()]))
+        sb = set(zip(*[c.astype(int) for _, c in b.to_pandas().items()]))
+        assert sa != sb
+
+
+class TestSuitorMatching:
+    def test_equals_greedy_by_weight(self):
+        for seed in (0, 4):
+            canon = _random_canon(seed, 150, 450)
+            w = [(a + b) % 7 + 1 for a, b in canon]
+            ms, _ = suitor_matching(_ds(canon, w), 150, max_weight=7)
+            got = set(
+                zip(
+                    ms.to_pandas().src.astype(int),
+                    ms.to_pandas().dst.astype(int),
+                )
+            )
+            order = sorted(
+                ((ww, a, b) for (a, b), ww in zip(canon, w)),
+                key=lambda x: (-x[0], x[1], x[2]),
+            )
+            used, exp = set(), set()
+            for ww, a, b in order:
+                if a not in used and b not in used:
+                    exp.add((a, b))
+                    used |= {a, b}
+            assert got == exp
+
+    def test_matching_is_valid(self):
+        canon = _random_canon(2, 120, 500)
+        w = [(a * b) % 5 + 1 for a, b in canon]
+        ms, _ = suitor_matching(_ds(canon, w), 120, max_weight=5)
+        df = ms.to_pandas()
+        ends = list(df.src.astype(int)) + list(df.dst.astype(int))
+        assert len(ends) == len(set(ends))  # no vertex matched twice
+        assert set(zip(df.src.astype(int), df.dst.astype(int))) <= set(canon)
