@@ -438,6 +438,16 @@ def q_group_degree(sf_dir):
     return pd.DataFrame(picks, columns=["rank", "v", "gain"])
 
 
+SEIR_PARAMS = {"t_max": 8, "trans_p": 0.3, "e_time": 2, "i_time": 3, "zero": 0}
+
+
+def q_seir(sf_dir):
+    from networkit_ray.graph.seir import seir
+
+    sym, n = _sym(sf_dir)
+    return seir(sym, n, **SEIR_PARAMS)
+
+
 def q_suitor_matching(sf_dir):
     from networkit_ray.graph.matching import suitor_matching
 
@@ -1150,6 +1160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_degree": q_group_degree,
         "local_max_matching": q_local_max_matching,
         "suitor_matching": q_suitor_matching,
+        "seir": q_seir,
         "edge_switch_degrees": q_edge_switch_degrees,
         "jaccard_edge_scores": q_jaccard_edge_scores,
         "hub_dominance": q_hub_dominance,
@@ -1484,6 +1495,61 @@ def oracle_sql() -> dict[str, str]:
         return ",\n".join(parts) + f"\nSELECT src, dst FROM ({union}) ORDER BY src, dst"
 
     matching_sql = _matching_sql(16).replace("{CANON}", CANONICAL_EDGES_SQL)
+
+    # SEIR twin: unrolled synchronous steps with the identical edge-coin hash
+    # (seir.py determinism contract).
+    def _seir_sql() -> str:
+        gold, mix, m64 = (
+            "11400714819323198485",
+            "13787848793156543929",
+            "18446744073709551616",
+        )
+        p = SEIR_PARAMS
+        thresh = int(p["trans_p"] * 2.0**64)
+        et, it_, z, tmax = p["e_time"], p["i_time"], p["zero"], p["t_max"]
+        parts = [
+            "WITH se AS MATERIALIZED ({SYM})",
+            "nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM customer)",
+            f"""s0 AS (SELECT CAST(c_custkey AS BIGINT) AS v,
+                 CASE WHEN c_custkey = {z} THEN 2 ELSE 0 END AS st,
+                 CAST(0 AS BIGINT) AS ts FROM customer)""",
+        ]
+        for t in range(tmax):
+            coin = (
+                f"((CAST(e.src AS HUGEINT) * (SELECT n FROM nn) + e.dst + 1)"
+                f" * CAST('{gold}' AS HUGEINT)"
+                f" + CAST({t + 1} AS HUGEINT) * CAST('{mix}' AS HUGEINT))"
+                f" % CAST('{m64}' AS HUGEINT)"
+            )
+            parts.append(
+                f"""c{t} AS (SELECT DISTINCT e.dst AS v FROM se e
+                    JOIN s{t} x ON x.v = e.src AND x.st = 2
+                    WHERE {coin} <= CAST('{thresh}' AS HUGEINT))"""
+            )
+            parts.append(
+                f"""s{t + 1} AS MATERIALIZED (SELECT s.v,
+                    CASE WHEN s.st = 0 AND c.v IS NOT NULL THEN 1
+                         WHEN s.st = 1 AND {t} - s.ts >= {et} THEN 2
+                         WHEN s.st = 2 AND {t} - s.ts >= {it_} THEN 3
+                         ELSE s.st END AS st,
+                    CASE WHEN (s.st = 0 AND c.v IS NOT NULL)
+                          OR (s.st = 1 AND {t} - s.ts >= {et})
+                          OR (s.st = 2 AND {t} - s.ts >= {it_})
+                         THEN {t} ELSE s.ts END AS ts
+                    FROM s{t} s LEFT JOIN c{t} c ON c.v = s.v)"""
+            )
+            parts.append(
+                f"""cen{t} AS (SELECT {t} AS t,
+                    CAST(SUM(CASE WHEN st = 0 THEN 1 ELSE 0 END) AS BIGINT) AS s,
+                    CAST(SUM(CASE WHEN st = 1 THEN 1 ELSE 0 END) AS BIGINT) AS e,
+                    CAST(SUM(CASE WHEN st = 2 THEN 1 ELSE 0 END) AS BIGINT) AS i,
+                    CAST(SUM(CASE WHEN st = 3 THEN 1 ELSE 0 END) AS BIGINT) AS r
+                    FROM s{t + 1})"""
+            )
+        union = "\nUNION ALL\n".join(f"SELECT * FROM cen{t}" for t in range(tmax))
+        return ",\n".join(parts) + f"\nSELECT * FROM ({union}) ORDER BY t"
+
+    seir_sql = _seir_sql().replace("{SYM}", SYMMETRIC_EDGES_SQL)
 
     # Suitor twin: same locally-dominant rounds under the weighted total
     # order (w desc, lo, hi) packed into one rank (matching.py suitor note).
@@ -1942,6 +2008,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "local_max_matching": matching_sql,
         "suitor_matching": suitor_sql,
+        "seir": seir_sql,
         # Degree preservation is the edge-switching invariant: the switched
         # graph's degree table must EQUAL the original's (randomize.py).
         "edge_switch_degrees": f"""

@@ -134,15 +134,20 @@ def exchange_unique(
     *,
     num_parts: int | None = None,
     agg: list[tuple] | None = None,
+    schema: pa.Schema | None = None,
 ) -> ray.data.Dataset:
     """Distinct rows of ``key_cols`` via the raw-task hash exchange.
 
     Non-key columns must either be covered by ``agg`` (associative pyarrow
     aggregates, e.g. ``[("w", "sum")]``) or absent — silently dropping a
     weight column is a bug, so extra columns fail loudly.
+
+    ``schema`` — explicit input schema; required when ``ds`` can be entirely
+    empty (Ray then reports ``schema() is None``).
     """
     P = num_parts or _default_parts(_num_blocks(ds))
-    in_schema = ds.schema().base_schema
+    ds_schema = ds.schema()
+    in_schema = schema if ds_schema is None else ds_schema.base_schema
     extra = [c for c in in_schema.names if c not in key_cols]
     agg = agg or []
     covered = [c for c, _ in agg]
