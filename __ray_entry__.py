@@ -526,6 +526,16 @@ def q_local_partition_coverage(sf_dir):
     ).sort("v")
 
 
+def q_permanence(sf_dir):
+    from networkit_ray.graph.vertexmeasures import permanence
+
+    sym, n = _sym(sf_dir)
+    canon, _ = _canon(sf_dir)
+    return _round_col(
+        permanence(sym, canon, _mod_labels(n, 10), n), "permanence", 8
+    ).sort("v")
+
+
 def q_intrapartition_density(sf_dir):
     from networkit_ray.graph.quality import intrapartition_density
 
@@ -1167,6 +1177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sfigality": q_sfigality,
         "laplacian_centrality": q_laplacian_centrality,
         "local_partition_coverage": q_local_partition_coverage,
+        "permanence": q_permanence,
         "intrapartition_density": q_intrapartition_density,
         "luby_mis": q_luby_mis,
         "reciprocity": q_reciprocity,
@@ -1974,6 +1985,45 @@ def oracle_sql() -> dict[str, str]:
             FROM allv a
             LEFT JOIN deg d ON d.v = a.v
             LEFT JOIN nd n ON n.v = a.v
+            ORDER BY a.v
+        """,
+        # PermanenceCentrality.cpp:113-160 with the synthetic v%10 partition;
+        # intra-community triangles enumerated a<b<c on the canonical table,
+        # perm(isolated) = -1.0 (vertexmeasures.py convention).
+        "permanence": f"""
+            WITH ce AS MATERIALIZED ({CANONICAL_EDGES_SQL}),
+            sym AS (SELECT src, dst FROM ce UNION ALL SELECT dst, src FROM ce),
+            allv AS (SELECT ROW_NUMBER() OVER () - 1 AS v FROM customer),
+            deg AS (SELECT src AS v, COUNT(*) AS deg FROM sym GROUP BY src),
+            str AS (SELECT src AS v, dst % 10 AS lv, COUNT(*) AS cnt
+                    FROM sym GROUP BY src, dst % 10),
+            agg AS (SELECT v,
+                      SUM(CASE WHEN lv = v % 10 THEN cnt ELSE 0 END) AS i,
+                      MAX(CASE WHEN lv <> v % 10 THEN cnt ELSE 0 END) AS emax
+                    FROM str GROUP BY v),
+            intra AS MATERIALIZED (
+                SELECT src, dst FROM ce WHERE src % 10 = dst % 10),
+            tr AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+                   FROM intra e1
+                   JOIN intra e2 ON e2.src = e1.dst
+                   JOIN intra e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+            tric AS (SELECT v, COUNT(*) AS tri FROM (
+                       SELECT a AS v FROM tr
+                       UNION ALL SELECT b FROM tr
+                       UNION ALL SELECT c FROM tr) GROUP BY v)
+            SELECT a.v,
+                   ROUND(CASE WHEN COALESCE(d.deg, 0) = 0 THEN -1.0
+                         ELSE CAST(COALESCE(g.i, 0) AS DOUBLE)
+                              / GREATEST(COALESCE(g.emax, 0), 1) / d.deg
+                              - (1.0 - CASE WHEN COALESCE(g.i, 0) >= 2
+                                 THEN 2.0 * COALESCE(tc.tri, 0)
+                                      / (g.i * (g.i - 1.0))
+                                 ELSE 0.0 END)
+                         END, 8) AS permanence
+            FROM allv a
+            LEFT JOIN deg d ON d.v = a.v
+            LEFT JOIN agg g ON g.v = a.v
+            LEFT JOIN tric tc ON tc.v = a.v
             ORDER BY a.v
         """,
         # LocalPartitionCoverage.cpp:13-28 with the synthetic v%10 partition:

@@ -24,7 +24,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
-from ray.data.aggregate import Sum
+from ray.data.aggregate import Max, Sum
 
 from networkit_ray.common.exchange import exchange_join
 
@@ -198,6 +198,109 @@ def laplacian_centrality(
 
     stats = both.map_batches(score, batch_format="pyarrow")
     return _with_all_vertices(stats, num_nodes, {"lc": 0.0})
+
+
+def permanence(
+    sym: ray.data.Dataset,
+    canon: ray.data.Dataset,
+    labels: ray.data.Dataset,
+    num_nodes: int,
+) -> ray.data.Dataset:
+    """(v, permanence) — centrality/PermanenceCentrality.cpp:113-160:
+
+    perm(u) = (I(u) / E_max(u)) / deg(u) − (1 − c_in(u)) with
+      I(u)     = # neighbors sharing u's community C,
+      E_max(u) = max over OTHER communities of u's neighbor count there
+                 (1 when u has no external neighbors),
+      c_in(u)  = 2·tri_C(u) / (I(u)·(I(u)−1)) for I(u) ≥ 2 else 0, where
+                 tri_C(u) = triangles through u inside C — exactly the
+                 per-corner triangle count of the C-induced subgraph, so we
+                 reuse :func:`triangles.triangles_per_vertex` on the
+                 intra-community canonical edge table.
+    deg(u) = 0 has no reference value (division by zero); engine convention
+    (normative for the SQL twin): permanence(isolated) = −1.0.
+    """
+    from networkit_ray.graph.triangles import triangles_per_vertex
+
+    deg = sym_degrees(sym).materialize()
+    e = _edges_with_endpoint_attrs(sym, labels, "label")
+
+    # (v, lv) neighbor-community strengths with the is-own-community mark
+    def to_strength(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "v": t["src"].combine_chunks().cast(pa.int64()),
+                    "lv": t["label_v"].combine_chunks().cast(pa.int64()),
+                    "same": pc.cast(
+                        pc.equal(t["label_u"], t["label_v"]), pa.int64()
+                    ),
+                }
+            )
+            .group_by(["v", "lv", "same"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "v": g["v"],
+                "lv": g["lv"],
+                "same": g["same"],
+                "_pc": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    strength = (
+        e.map_batches(to_strength, batch_format="pyarrow")
+        .groupby(["v", "lv", "same"])
+        .aggregate(Sum("_pc", alias_name="cnt"))
+    )
+
+    def split(t: pa.Table) -> pa.Table:
+        same = t["same"].to_numpy(zero_copy_only=False).astype(bool)
+        cnt = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "v": t["v"].combine_chunks().cast(pa.int64()),
+                "i_part": pa.array(np.where(same, cnt, 0)),
+                "emax_part": pa.array(np.where(~same, cnt, 0)),
+            }
+        )
+
+    ie = (
+        strength.map_batches(split, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("i_part", alias_name="i"), Max("emax_part", alias_name="emax"))
+    )
+
+    # intra-community canonical edges -> per-corner triangle counts
+    ec = _edges_with_endpoint_attrs(canon, labels, "label")
+    intra = ec.map_batches(
+        lambda t: t.filter(pc.equal(t["label_u"], t["label_v"])).select(
+            ["src", "dst"]
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    tri = triangles_per_vertex(intra, num_nodes)
+
+    j1 = exchange_join(deg, ie, left_on=["v"], right_on=["v"], join_type="left outer")
+    j2 = exchange_join(j1, tri, left_on=["v"], right_on=["v"], join_type="left outer")
+
+    def score(t: pa.Table) -> pa.Table:
+        d = t["deg"].to_numpy(zero_copy_only=False).astype(np.float64)
+        i = _num_or_zero(t, "i")
+        emax = np.maximum(_num_or_zero(t, "emax"), 1.0)
+        trc = _num_or_zero(t, "tri")
+        c_in = np.where(i >= 2, 2.0 * trc / np.maximum(i * (i - 1.0), 1.0), 0.0)
+        perm = np.where(d > 0, i / emax / np.maximum(d, 1.0) - (1.0 - c_in), -1.0)
+        return pa.table(
+            {
+                "v": t["v"].combine_chunks().cast(pa.int64()),
+                "permanence": pa.array(perm),
+            }
+        )
+
+    stats = j2.map_batches(score, batch_format="pyarrow")
+    return _with_all_vertices(stats, num_nodes, {"permanence": -1.0})
 
 
 def local_partition_coverage(

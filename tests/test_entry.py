@@ -38,6 +38,7 @@ FAST_SUBSET = [
     "local_max_matching",
     "personalized_pagerank",
     "reciprocity",
+    "permanence",
 ]
 
 
