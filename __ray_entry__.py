@@ -944,6 +944,14 @@ def q_sssp_distances(sf_dir):
     return _round_col(dists, "dist", 8)
 
 
+def q_spsp(sf_dir):
+    from networkit_ray.graph.bfs import spsp
+
+    edges, n = _derived(sf_dir)
+    pairs = [(i, (i * 37 + 11) % n) for i in range(6)]
+    return spsp(edges, n, pairs)
+
+
 def q_katz(sf_dir):
     from networkit_ray.graph.centrality import katz
 
@@ -1197,6 +1205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "katz": q_katz,
         "eigenvector": q_eigenvector,
         "bfs_distances": q_bfs_distances,
+        "spsp": q_spsp,
         "sssp_distances": q_sssp_distances,
         "global_clustering": q_global_clustering,
         "core_decomposition": q_core_decomposition,
@@ -2221,6 +2230,32 @@ def oracle_sql() -> dict[str, str]:
             mx AS (SELECT MAX(d) AS ecc FROM md)
             SELECT CAST((SELECT MIN(v) FROM md WHERE d = (SELECT ecc FROM mx)) AS BIGINT) AS farthest,
                    CAST((SELECT ecc FROM mx) AS BIGINT) AS ecc
+        """,
+        # distance/SPSP.cpp semantics: per-(source,target) hop distance, -1
+        # unreachable; multi-source frontier recursion.  Depth cap 128 ≫ the
+        # measured source-0 eccentricity of the derived graph (4 at sf0.01,
+        # 5 at sf0.1); the engine iterates to fixpoint, so the cap only
+        # protects DuckDB from unbounded cyclic recursion.
+        "spsp": f"""
+            WITH RECURSIVE e AS MATERIALIZED ({DERIVED_EDGES_SQL}),
+            nn AS (SELECT COUNT(*) AS c FROM customer),
+            pairs AS (
+                SELECT CAST(i AS BIGINT) AS src,
+                       CAST((i * 37 + 11) % (SELECT c FROM nn) AS BIGINT) AS dst
+                FROM range(6) t(i)
+            ),
+            r(root, v, d) AS (
+                SELECT CAST(i AS BIGINT), CAST(i AS BIGINT), CAST(0 AS BIGINT)
+                FROM range(6) t(i)
+                UNION
+                SELECT r.root, e.dst, r.d + 1
+                FROM r JOIN e ON e.src = r.v WHERE r.d < 128
+            )
+            SELECT p.src, p.dst, CAST(COALESCE(m.d, -1) AS BIGINT) AS dist
+            FROM pairs p
+            LEFT JOIN (SELECT root, v, MIN(d) AS d FROM r GROUP BY root, v) m
+              ON m.root = p.src AND m.v = p.dst
+            ORDER BY p.src
         """,
         "bfs_distances": f"""
             WITH RECURSIVE e AS MATERIALIZED ({DERIVED_EDGES_SQL}),

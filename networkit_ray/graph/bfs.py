@@ -269,3 +269,59 @@ def bfs_distances(
             break
     dists = [_bfs_out.remote(s) for s in state]
     return bsp.state_to_dataset(g, dists, "dist"), {"iterations": it}
+
+
+@ray.remote
+def _spsp_extract(vids: np.ndarray, dists: np.ndarray, targets: np.ndarray):
+    """Rows of the (n_p, K) distance matrix for local target vertices."""
+    mask = np.isin(vids.astype(np.int64), targets)
+    return vids[mask].astype(np.int64), dists[mask]
+
+
+def spsp(
+    edges: ray.data.Dataset,
+    num_nodes: int,
+    pairs: list[tuple[int, int]],
+    *,
+    num_parts: int | None = None,
+) -> "pa.Table":
+    """(src, dst, dist) hop distances for explicit source→target pairs.
+
+    distance/SPSP.cpp runs one BFS per requested source and reads off the
+    target rows; here all unique sources run as ONE batched multi-source
+    BFS (`multi_bfs_refs`, supersteps = max source eccentricity), then only
+    the |targets| matching state rows leave the workers — the driver pull
+    is O(|sources|·|targets|), never O(n).  dist = -1 when unreachable.
+    ``edges`` gives the traversal direction (pass symmetrized for
+    undirected pairs).
+    """
+    import pyarrow as pa
+
+    sources = np.array(sorted({s for s, _ in pairs}), dtype=np.uint64)
+    targets = np.array(sorted({t for _, t in pairs}), dtype=np.int64)
+    g = build_pgraph(edges, num_nodes, num_parts=num_parts)
+    refs = multi_bfs_refs(g, sources)
+    parts = ray.get(
+        [
+            _spsp_extract.remote(g.vid_refs[p], refs[p], targets)
+            for p in range(g.num_parts)
+        ]
+    )
+    k_of = {int(s): k for k, s in enumerate(sources)}
+    row_of = {}
+    for vs, d in parts:
+        for i, v in enumerate(vs):
+            row_of[int(v)] = d[i]
+    out_s, out_t, out_d = [], [], []
+    for s, t in pairs:
+        d = row_of.get(t)
+        out_s.append(s)
+        out_t.append(t)
+        out_d.append(int(d[k_of[s]]) if d is not None else -1)
+    return pa.table(
+        {
+            "src": pa.array(out_s, pa.int64()),
+            "dst": pa.array(out_t, pa.int64()),
+            "dist": pa.array(out_d, pa.int64()),
+        }
+    )

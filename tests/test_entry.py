@@ -39,6 +39,7 @@ FAST_SUBSET = [
     "personalized_pagerank",
     "reciprocity",
     "permanence",
+    "spsp",
 ]
 
 
