@@ -944,6 +944,49 @@ def q_sssp_distances(sf_dir):
     return _round_col(dists, "dist", 8)
 
 
+def q_max_flow(sf_dir):
+    """flow/EdmondsKarp.cpp analog on the symmetrized weighted graph
+    (capacity (src+dst)%7+1, symmetric so both directions agree);
+    rows-only: max-flow is not SQL-expressible, the min-cut/max-flow
+    invariants are asserted against a numpy oracle in tests/test_flow.py."""
+    from ray.data.aggregate import Sum as RaySum
+
+    from networkit_ray.common.hashing import round_half_away
+    from networkit_ray.graph.flow import max_flow
+
+    sym, n = _sym(sf_dir)
+
+    def add_w(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy(zero_copy_only=False)
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        w = ((src + dst) % 7 + 1).astype(np.float64)
+        return t.append_column("w", pa.array(w))
+
+    wsym = sym.map_batches(add_w, batch_format="pyarrow").materialize()
+    # target = min-weighted-degree vertex (min id tie-break, never the
+    # source): min cut ≈ its weighted degree, keeping augmentations small
+    wd = (
+        wsym.map_batches(
+            lambda t: pa.table({"v": t["src"], "wd": t["w"]}),
+            batch_format="pyarrow",
+        )
+        .groupby("v")
+        .aggregate(RaySum("wd", alias_name="wd"))
+        .to_pandas()
+    )
+    wd = wd[wd["v"] != 0].sort_values(["wd", "v"]).reset_index(drop=True)
+    t_v = int(wd["v"].iloc[0])
+    f, side, info = max_flow(wsym, n, 0, t_v)
+    n_side = int(side.sum("in_source_set"))
+    return pa.table(
+        {
+            "max_flow": pa.array(round_half_away([f], 6)),
+            "augmentations": pa.array([info["augmentations"]], pa.int64()),
+            "source_set_size": pa.array([n_side], pa.int64()),
+        }
+    )
+
+
 def q_spsp(sf_dir):
     from networkit_ray.graph.bfs import spsp
 
@@ -1206,6 +1249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eigenvector": q_eigenvector,
         "bfs_distances": q_bfs_distances,
         "spsp": q_spsp,
+        "max_flow": q_max_flow,
         "sssp_distances": q_sssp_distances,
         "global_clustering": q_global_clustering,
         "core_decomposition": q_core_decomposition,
