@@ -944,6 +944,25 @@ def q_sssp_distances(sf_dir):
     return _round_col(dists, "dist", 8)
 
 
+def q_commute_time(sf_dir):
+    """distance/CommuteTimeDistance.cpp:154-189 analog; rows-only — the
+    L⁺ solve has no SQL twin, exactness is proven against a numpy pinv
+    oracle in tests/test_algebraic.py.  Pairs are the 6 smallest vertex
+    ids of the giant component, paired consecutively."""
+    import ray.data
+
+    from networkit_ray.graph.algebraic import commute_time_distance
+
+    sym, n = _sym(sf_dir)
+    labels, _ = _cc_labels(sf_dir)
+    lab = labels.to_pandas().sort_values("v")
+    giant = lab["label"].value_counts().idxmax()
+    vs = lab[lab["label"] == giant]["v"].to_numpy()[:6]
+    pairs = [(int(vs[i]), int(vs[i + 1])) for i in range(0, 6, 2)]
+    t, _ = commute_time_distance(sym, n, pairs, tol=1e-12)
+    return _round_col(ray.data.from_arrow(t), "ctd", 6)
+
+
 def q_max_flow(sf_dir):
     """flow/EdmondsKarp.cpp analog on the symmetrized weighted graph
     (capacity (src+dst)%7+1, symmetric so both directions agree);
@@ -1250,6 +1269,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_distances": q_bfs_distances,
         "spsp": q_spsp,
         "max_flow": q_max_flow,
+        "commute_time": q_commute_time,
         "sssp_distances": q_sssp_distances,
         "global_clustering": q_global_clustering,
         "core_decomposition": q_core_decomposition,

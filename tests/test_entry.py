@@ -108,6 +108,8 @@ def test_queries_oracles_consistent():
         "ann_ivf_topk",
         "multimodal_decode",
         "rmat_edges",
+        "max_flow",
+        "commute_time",
     }
 
 
