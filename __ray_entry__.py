@@ -944,6 +944,17 @@ def q_sssp_distances(sf_dir):
     return _round_col(dists, "dist", 8)
 
 
+def q_pivot_mds(sf_dir):
+    """viz/PivotMDS.cpp analog (deterministic evenly-spaced pivots, exact
+    k×k eigensolve); rows-only — verified against a numpy replication of
+    the reference algorithm in tests/test_layout.py."""
+    from networkit_ray.graph.layout import pivot_mds
+
+    sym, n = _sym(sf_dir)
+    coords = pivot_mds(sym, n, num_pivots=8)
+    return _round_col(_round_col(coords, "x", 6), "y", 6).sort("v")
+
+
 def q_commute_time(sf_dir):
     """distance/CommuteTimeDistance.cpp:154-189 analog; rows-only — the
     L⁺ solve has no SQL twin, exactness is proven against a numpy pinv
@@ -1270,6 +1281,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spsp": q_spsp,
         "max_flow": q_max_flow,
         "commute_time": q_commute_time,
+        "pivot_mds": q_pivot_mds,
         "sssp_distances": q_sssp_distances,
         "global_clustering": q_global_clustering,
         "core_decomposition": q_core_decomposition,

@@ -110,6 +110,7 @@ def test_queries_oracles_consistent():
         "rmat_edges",
         "max_flow",
         "commute_time",
+        "pivot_mds",
     }
 
 
