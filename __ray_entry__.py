@@ -944,6 +944,19 @@ def q_sssp_distances(sf_dir):
     return _round_col(dists, "dist", 8)
 
 
+def q_spanning_edge_centrality(sf_dir):
+    """centrality/SpanningEdgeCentrality.cpp:68-105 runApproximation
+    analog (k=48 JL sketch, counter-hash signs, one multi-RHS block-CG);
+    rows-only — exactness bounds vs a pinv oracle in
+    tests/test_spanning_edge.py."""
+    from networkit_ray.graph.algebraic import spanning_edge_centrality
+
+    sym, n = _sym(sf_dir)
+    canon, _ = _canon(sf_dir)
+    scored, _ = spanning_edge_centrality(sym, canon, n, k=48, seed=42)
+    return _round_col(scored, "sec", 6).sort(["src", "dst"])
+
+
 def q_pivot_mds(sf_dir):
     """viz/PivotMDS.cpp analog (deterministic evenly-spaced pivots, exact
     k×k eigensolve); rows-only — verified against a numpy replication of
@@ -1282,6 +1295,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "max_flow": q_max_flow,
         "commute_time": q_commute_time,
         "pivot_mds": q_pivot_mds,
+        "spanning_edge_centrality": q_spanning_edge_centrality,
         "sssp_distances": q_sssp_distances,
         "global_clustering": q_global_clustering,
         "core_decomposition": q_core_decomposition,

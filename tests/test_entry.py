@@ -111,6 +111,7 @@ def test_queries_oracles_consistent():
         "max_flow",
         "commute_time",
         "pivot_mds",
+        "spanning_edge_centrality",
     }
 
 
