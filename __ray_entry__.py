@@ -438,6 +438,16 @@ def q_group_degree(sf_dir):
     return pd.DataFrame(picks, columns=["rank", "v", "gain"])
 
 
+def q_group_closeness(sf_dir):
+    import pandas as pd
+
+    from networkit_ray.graph.groupcent import group_closeness
+
+    sym, n = _sym(sf_dir)
+    picks = group_closeness(sym, n, 3, pool=8)
+    return pd.DataFrame(picks, columns=["rank", "v", "farness"])
+
+
 SEIR_PARAMS = {"t_max": 8, "trans_p": 0.3, "e_time": 2, "i_time": 3, "zero": 0}
 
 
@@ -1262,6 +1272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clique_counts": q_clique_counts,
         "maximal_cliques": q_maximal_cliques,
         "group_degree": q_group_degree,
+        "group_closeness": q_group_closeness,
         "local_max_matching": q_local_max_matching,
         "suitor_matching": q_suitor_matching,
         "seir": q_seir,
@@ -1737,6 +1748,60 @@ def oracle_sql() -> dict[str, str]:
         .replace("{N}", n_customers)
     )
 
+    # GroupCloseness greedy twin (groupcent.py normative semantics): pool =
+    # top-degree candidates, multi-source BFS CTE, unreachable capped at n,
+    # k unrolled argmin-farness rounds with ties to smallest candidate id.
+    # d-cap 64 >> the sym derived graph's eccentricity (same note as
+    # _pivot_bfs_sql).
+    def _group_closeness_sql(k: int, pool: int) -> str:
+        parts = [
+            "WITH RECURSIVE se AS MATERIALIZED ({SYM})",
+            "nodes AS (SELECT CAST(c_custkey AS BIGINT) AS v FROM customer)",
+            f"""cand AS MATERIALIZED (
+                SELECT n.v FROM nodes n
+                LEFT JOIN (SELECT src AS v, COUNT(*) AS deg FROM se GROUP BY src) dg
+                  ON dg.v = n.v
+                ORDER BY COALESCE(dg.deg, 0) DESC, n.v LIMIT {pool})""",
+            """r(s, v, d) AS (
+                SELECT v, v, CAST(0 AS BIGINT) FROM cand
+                UNION
+                SELECT r.s, e.dst, r.d + 1 FROM r JOIN se e ON e.src = r.v
+                WHERE r.d < 64)""",
+            "md AS (SELECT s, v, MIN(d) AS d FROM r GROUP BY s, v)",
+            """dm AS MATERIALIZED (
+                SELECT c.v AS s, n.v AS v, COALESCE(md.d, {N}) AS d
+                FROM cand c CROSS JOIN nodes n
+                LEFT JOIN md ON md.s = c.v AND md.v = n.v)""",
+            "cur0 AS (SELECT v, CAST({N} AS BIGINT) AS d FROM nodes)",
+        ]
+        for r in range(1, k + 1):
+            excl = ""
+            if r > 1:
+                sel = " UNION ".join(f"SELECT v FROM p{i}" for i in range(1, r))
+                excl = f"WHERE dm.s NOT IN ({sel}) "
+            parts.append(
+                f"""t{r} AS (SELECT dm.s, SUM(LEAST(c.d, dm.d)) AS farness
+                    FROM dm JOIN cur{r - 1} c ON c.v = dm.v {excl}GROUP BY dm.s)"""
+            )
+            parts.append(
+                f"""p{r} AS (SELECT s AS v, CAST(farness AS BIGINT) AS farness
+                    FROM t{r} ORDER BY farness, s LIMIT 1)"""
+            )
+            parts.append(
+                f"""cur{r} AS MATERIALIZED (SELECT c.v, LEAST(c.d, dm.d) AS d
+                    FROM cur{r - 1} c JOIN dm ON dm.v = c.v JOIN p{r} p ON dm.s = p.v)"""
+            )
+        sel = "\nUNION ALL ".join(
+            f"SELECT {r} AS rank, v, farness FROM p{r}" for r in range(1, k + 1)
+        )
+        return ",\n".join(parts) + f"\nSELECT * FROM ({sel}) ORDER BY rank"
+
+    group_closeness_sql = (
+        _group_closeness_sql(3, 8)
+        .replace("{SYM}", SYMMETRIC_EDGES_SQL)
+        .replace("{N}", n_customers)
+    )
+
 
     # Algebraic-distance twin: same seeded multiplicative init and Jacobi
     # relaxation, T chained CTEs per system (algdist.py determinism note).
@@ -2052,6 +2117,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "k_truss": ktruss_sql,
         "group_degree": group_degree_sql,
+        "group_closeness": group_closeness_sql,
         # Sfigality (centrality/Sfigality.cpp:18-29): fraction of neighbors
         # with strictly larger degree; 0.0 for isolated (engine convention).
         "sfigality": f"""

@@ -101,3 +101,95 @@ def group_degree(
         covered = exchange_unique(merged, ["c"]).materialize()
     total = covered.count() if covered is not None else 0
     return picks, total
+
+
+# ---------------------------------------------------------------------------
+# GroupCloseness — greedy farness minimization over a top-degree pool.
+# Reference: networkit/cpp/centrality/GroupCloseness.cpp (greedy submodular
+# group-closeness maximization).  Normative semantics for the SQL twin:
+#   pool  = the `pool` vertices ranked by (degree DESC, v ASC) (degree 0 for
+#           isolated vertices; ties by id);
+#   d(v,S) = min hop distance to any s in S, UNREACHABLE CAPPED AT n
+#           (a finite penalty larger than any real hop count, so adding a
+#           vertex that reaches a new component always wins);
+#   round r picks argmin_c Σ_v min(d(v,S), d(v,c)), ties to smallest
+#   candidate id; farness reported is that post-pick sum.
+# Scale shape: ONE batched multi-source BFS (supersteps = max ecc) leaves a
+# per-partition (n_p × pool) distance block pinned in the object store; each
+# greedy round is a per-partition numpy min+sum returning `pool` numbers —
+# driver traffic is O(P × pool) per round, never vertex-sized.
+# ---------------------------------------------------------------------------
+
+
+@ray.remote
+def _gc_pen(dists: np.ndarray, n: int) -> np.ndarray:
+    d = dists.astype(np.int64, copy=True)
+    d[d < 0] = n
+    return d
+
+
+@ray.remote
+def _gc_totals(dp: np.ndarray, cur: np.ndarray) -> np.ndarray:
+    return np.minimum(dp, cur[:, None]).sum(axis=0)
+
+
+@ray.remote
+def _gc_update(dp: np.ndarray, cur: np.ndarray, j: int) -> np.ndarray:
+    return np.minimum(cur, dp[:, j])
+
+
+def _top_degree_pool(sym: ray.data.Dataset, num_nodes: int, pool: int) -> np.ndarray:
+    """Candidate ids ranked by (deg DESC, v ASC); zero-degree pad by v ASC."""
+    deg = sym.groupby("src").aggregate(Count(alias_name="deg"))
+    top = deg.sort(["deg", "src"], descending=[True, False]).limit(pool).to_pandas()
+    cands = top["src"].to_numpy().astype(np.int64)
+    if len(cands) < pool:  # fewer positive-degree vertices than pool
+        have = set(cands.tolist())
+        pad = [v for v in range(num_nodes) if v not in have][: pool - len(cands)]
+        cands = np.concatenate([cands, np.array(pad, dtype=np.int64)])
+    return cands
+
+
+def group_closeness(
+    sym: ray.data.Dataset,
+    num_nodes: int,
+    k: int,
+    *,
+    pool: int = 8,
+    num_parts: int | None = None,
+) -> list[dict]:
+    """Greedy k-group minimizing capped hop farness.
+
+    Returns [{rank, v, farness}, ...] (farness = Σ_v min(d(v,S), n) after
+    the pick).
+    """
+    from networkit_ray.graph.bfs import multi_bfs_refs
+    from networkit_ray.graph.bsp import build_pgraph
+
+    cands = _top_degree_pool(sym, num_nodes, pool)
+    g = build_pgraph(sym, num_nodes, num_parts=num_parts)
+    dist_refs = multi_bfs_refs(g, cands)
+    P = g.num_parts
+    dp = [_gc_pen.remote(dist_refs[p], num_nodes) for p in range(P)]
+
+    @ray.remote
+    def _init_cur(vids: np.ndarray) -> np.ndarray:
+        return np.full(len(vids), num_nodes, dtype=np.int64)
+
+    cur = [_init_cur.remote(g.vid_refs[p]) for p in range(P)]
+    taken = np.zeros(len(cands), dtype=bool)
+    picks: list[dict] = []
+    for r in range(min(k, len(cands))):
+        totals = np.sum(
+            ray.get([_gc_totals.remote(dp[p], cur[p]) for p in range(P)]), axis=0
+        )
+        totals = totals.astype(np.float64)
+        totals[taken] = np.inf
+        best_far = totals.min()
+        # ties → smallest candidate VERTEX id (pool order is deg-ranked)
+        tied = np.where(totals == best_far)[0]
+        j = int(tied[np.argmin(cands[tied])])
+        taken[j] = True
+        picks.append({"rank": r + 1, "v": int(cands[j]), "farness": int(best_far)})
+        cur = [_gc_update.remote(dp[p], cur[p], j) for p in range(P)]
+    return picks

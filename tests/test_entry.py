@@ -40,6 +40,7 @@ FAST_SUBSET = [
     "reciprocity",
     "permanence",
     "spsp",
+    "group_closeness",
 ]
 
 

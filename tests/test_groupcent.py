@@ -71,3 +71,83 @@ class TestGroupDegree:
         picks1, t1 = group_degree(sym, 30, 3)
         picks2, t2 = group_degree(sym.repartition(7).materialize(), 30, 3)
         assert picks1 == picks2 and t1 == t2
+
+
+def _gc_oracle(n, canon, k, pool):
+    """Brute-force greedy group-closeness on the normative semantics."""
+    import collections
+
+    adj = collections.defaultdict(set)
+    deg = [0] * n
+    for a, b in canon:
+        adj[a].add(b)
+        adj[b].add(a)
+        deg[a] += 1
+        deg[b] += 1
+    cands = sorted(range(n), key=lambda v: (-deg[v], v))[:pool]
+
+    def bfs(s):
+        d = [n] * n
+        d[s] = 0
+        q = [s]
+        while q:
+            nq = []
+            for u in q:
+                for w in adj[u]:
+                    if d[w] == n:
+                        d[w] = d[u] + 1
+                        nq.append(w)
+            q = nq
+        return d
+
+    dist = {c: bfs(c) for c in cands}
+    cur = [n] * n
+    taken = set()
+    picks = []
+    for r in range(min(k, len(cands))):
+        best = min(
+            ((sum(min(cur[v], dist[c][v]) for v in range(n)), c)
+             for c in cands if c not in taken)
+        )
+        far, c = best
+        taken.add(c)
+        cur = [min(cur[v], dist[c][v]) for v in range(n)]
+        picks.append({"rank": r + 1, "v": c, "farness": far})
+    return picks
+
+
+class TestGroupCloseness:
+    def test_matches_bruteforce(self):
+        from networkit_ray.graph.groupcent import group_closeness
+
+        for seed, n, m in [(3, 30, 70), (9, 45, 120)]:
+            sym, canon = _random_sym(seed, n, m)
+            picks = group_closeness(sym, n, 3, pool=6)
+            assert picks == _gc_oracle(n, canon, 3, 6), (seed, picks)
+
+    def test_disconnected_prefers_new_component(self):
+        from networkit_ray.graph.groupcent import group_closeness
+
+        # two cliques {0..3} and {4..7}: second pick must jump components
+        canon = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+        canon += [(a, b) for a in range(4, 8) for b in range(a + 1, 8)]
+        both = canon + [(b, a) for a, b in canon]
+        sym = rd.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array([e[0] for e in both], pa.int64()),
+                    "dst": pa.array([e[1] for e in both], pa.int64()),
+                }
+            )
+        ).materialize()
+        picks = group_closeness(sym, 8, 2, pool=8)
+        assert {picks[0]["v"] < 4, picks[1]["v"] < 4} == {True, False}
+        assert picks == _gc_oracle(8, canon, 2, 8)
+
+    def test_parallelism_invariant(self):
+        from networkit_ray.graph.groupcent import group_closeness
+
+        sym, _ = _random_sym(3, 30, 70)
+        p1 = group_closeness(sym, 30, 3, pool=6)
+        p2 = group_closeness(sym.repartition(7).materialize(), 30, 3, pool=6, num_parts=5)
+        assert p1 == p2
