@@ -438,6 +438,17 @@ def q_group_degree(sf_dir):
     return pd.DataFrame(picks, columns=["rank", "v", "gain"])
 
 
+def q_diameter(sf_dir):
+    import pandas as pd
+
+    from networkit_ray.graph.diameter import exact_diameter
+    from networkit_ray.sources.derive import supplier_ring_edges
+
+    sym, s = supplier_ring_edges(sf_dir)
+    res = exact_diameter(sym.materialize(), s)
+    return pd.DataFrame([{"diameter": res["diameter"]}])
+
+
 def q_group_closeness(sf_dir):
     import pandas as pd
 
@@ -1273,6 +1284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "maximal_cliques": q_maximal_cliques,
         "group_degree": q_group_degree,
         "group_closeness": q_group_closeness,
+        "diameter": q_diameter,
         "local_max_matching": q_local_max_matching,
         "suitor_matching": q_suitor_matching,
         "seir": q_seir,
@@ -1802,6 +1814,24 @@ def oracle_sql() -> dict[str, str]:
         .replace("{N}", n_customers)
     )
 
+    # Exact diameter twin: full-APSP recursive BFS over the supplier ring
+    # graph (|V| = S suppliers — small enough that all-sources expansion
+    # is cheap; the customer graph would be 200× costlier).  d-cap 64 >
+    # floor(S/2), the chordless-ring worst case at sf <= 0.01.
+    from networkit_ray.sources.derive import SUPPLIER_RING_SQL
+
+    diameter_sql = f"""
+        WITH RECURSIVE base AS MATERIALIZED ({SUPPLIER_RING_SQL}),
+        r(s, v, d) AS (
+            SELECT src, src, CAST(0 AS BIGINT) FROM (SELECT DISTINCT src FROM base)
+            UNION
+            SELECT r.s, e.dst, r.d + 1 FROM r JOIN base e ON e.src = r.v
+            WHERE r.d < 64
+        )
+        SELECT CAST(MAX(md) AS BIGINT) AS diameter
+        FROM (SELECT s, v, MIN(d) AS md FROM r GROUP BY s, v)
+    """
+
 
     # Algebraic-distance twin: same seeded multiplicative init and Jacobi
     # relaxation, T chained CTEs per system (algdist.py determinism note).
@@ -2118,6 +2148,7 @@ def oracle_sql() -> dict[str, str]:
         "k_truss": ktruss_sql,
         "group_degree": group_degree_sql,
         "group_closeness": group_closeness_sql,
+        "diameter": diameter_sql,
         # Sfigality (centrality/Sfigality.cpp:18-29): fraction of neighbors
         # with strictly larger degree; 0.0 for isolated (engine convention).
         "sfigality": f"""

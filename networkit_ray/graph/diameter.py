@@ -211,3 +211,95 @@ def hop_histogram_sampled(
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact diameter via iFUB (iterative Fringe Upper Bound).
+# Reference: distance/Diameter.cpp (estimatedRange/exact uses iFub after
+# Crescenzi et al.); semantics: largest finite hop distance on a CONNECTED
+# undirected graph (callers pass the supplier ring graph or another
+# connected component).
+# Scale shape: root BFS + double-sweep lower bound, then per-level batched
+# multi-source BFS (K sources per lockstep wave) from the deepest fringe
+# down, stopping when lb >= 2*level — the level sets iFUB actually
+# inspects are the few bottom fringes, each a small vid list (the only
+# driver-side pull, documented).
+# ---------------------------------------------------------------------------
+
+
+@ray.remote
+def _dia_lvl_vids(vids: np.ndarray, dists: np.ndarray, lvl: int) -> np.ndarray:
+    return vids[dists[:, 0] == lvl].astype(np.int64)
+
+
+@ray.remote
+def _dia_col_max(dists: np.ndarray) -> np.ndarray:
+    return dists.max(axis=0) if len(dists) else np.array([], dtype=np.int64)
+
+
+@ray.remote
+def _dia_farthest(vids: np.ndarray, dists: np.ndarray) -> tuple:
+    if len(dists) == 0:
+        return (-1, -1)
+    d = dists[:, 0]
+    m = d.max()
+    return (int(m), int(vids[d == m].min()))
+
+
+def exact_diameter(
+    sym: ray.data.Dataset,
+    num_nodes: int,
+    *,
+    num_parts: int | None = None,
+    batch_k: int = 16,
+) -> dict:
+    """iFUB exact diameter of a connected undirected graph.
+
+    Returns {"diameter": D, "bfs_count": B} — B is the number of BFS
+    sources actually inspected (the iFUB efficiency metric).
+    """
+    from networkit_ray.graph.bfs import multi_bfs_refs
+    from networkit_ray.graph.bsp import build_pgraph
+    from networkit_ray.graph.groupcent import _top_degree_pool
+
+    root = int(_top_degree_pool(sym, num_nodes, 1)[0])
+    g = build_pgraph(sym, num_nodes, num_parts=num_parts)
+    P = g.num_parts
+
+    root_refs = multi_bfs_refs(g, np.array([root], dtype=np.int64))
+    far = ray.get([_dia_farthest.remote(g.vid_refs[p], root_refs[p]) for p in range(P)])
+    ecc_root = max(f[0] for f in far)
+    a = min(v for m, v in far if m == ecc_root)
+    # double sweep: ecc(farthest-from-root) is a strong diameter lower bound
+    a_refs = multi_bfs_refs(g, np.array([a], dtype=np.int64))
+    lb = max(
+        int(m.max()) if len(m) else -1
+        for m in ray.get([_dia_col_max.remote(r) for r in a_refs])
+    )
+    bfs_count = 2
+
+    lvl = ecc_root
+    while lb < 2 * lvl:
+        cand = np.concatenate(
+            ray.get(
+                [_dia_lvl_vids.remote(g.vid_refs[p], root_refs[p], lvl) for p in range(P)]
+            )
+        )
+        cand = np.sort(cand)
+        for i in range(0, len(cand), batch_k):
+            batch = cand[i : i + batch_k]
+            refs = multi_bfs_refs(g, batch)
+            bfs_count += len(batch)
+            eccs = np.max(
+                [
+                    m
+                    for m in ray.get([_dia_col_max.remote(r) for r in refs])
+                    if len(m)
+                ],
+                axis=0,
+            )
+            lb = max(lb, int(eccs.max()))
+            if lb >= 2 * lvl:
+                break
+        lvl -= 1
+    return {"diameter": int(lb), "bfs_count": int(bfs_count)}

@@ -83,3 +83,70 @@ CANONICAL_EDGES_SQL = f"""
     SELECT DISTINCT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst
     FROM ({DERIVED_EDGES_SQL})
 """
+
+
+def num_suppliers(sf_dir: str) -> int:
+    return pq.read_metadata(f"{sf_dir}/supplier.parquet").num_rows
+
+
+def supplier_ring_edges(sf_dir: str) -> tuple[ray.data.Dataset, int]:
+    """High-diameter test graph: supplier ring + sparse hashed chords.
+
+    The customer graph is a dense random digraph (diameter ~4 at any sf) —
+    useless for exercising diameter/eccentricity algorithms.  This graph is
+    a ring over the S suppliers plus one chord per lineitem row with
+    l_orderkey % 997 == 0 (dst = (l_orderkey * A_MULT) % S), symmetrized
+    and deduplicated: connected by construction, small-world-ish, diameter
+    O(ring gaps between chords).  Deterministic at any parallelism.
+    """
+    import numpy as np
+
+    s = num_suppliers(sf_dir)
+    ring_src = np.arange(s, dtype=np.int64)
+    ring = ray.data.from_arrow(
+        pa.table({"src": ring_src, "dst": (ring_src + 1) % s})
+    )
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
+    )
+
+    def chords(batch: pa.Table) -> pa.Table:
+        okey = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        supp = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = okey % 997 == 0
+        t = pa.table(
+            {
+                "src": pa.array(supp[keep]),
+                "dst": pa.array((okey[keep] * A_MULT) % s),
+            }
+        )
+        return t.filter(pc.not_equal(t["src"], t["dst"]))
+
+    from networkit_ray.graph.build import symmetrize
+
+    return symmetrize(ring.union(li.map_batches(chords, batch_format="pyarrow"))), s
+
+
+SUPPLIER_RING_SQL = f"""
+    SELECT DISTINCT src, dst FROM (
+        SELECT b.src, b.dst FROM (
+            SELECT CAST(s_suppkey AS BIGINT) AS src,
+                   CAST((s_suppkey + 1) % (SELECT COUNT(*) FROM supplier) AS BIGINT) AS dst
+            FROM supplier
+            UNION ALL
+            SELECT CAST(l_suppkey AS BIGINT) AS src,
+                   CAST((l_orderkey * {A_MULT}) % (SELECT COUNT(*) FROM supplier) AS BIGINT) AS dst
+            FROM lineitem WHERE l_orderkey % 997 = 0
+        ) b WHERE b.src <> b.dst
+        UNION ALL
+        SELECT b.dst AS src, b.src AS dst FROM (
+            SELECT CAST(s_suppkey AS BIGINT) AS src,
+                   CAST((s_suppkey + 1) % (SELECT COUNT(*) FROM supplier) AS BIGINT) AS dst
+            FROM supplier
+            UNION ALL
+            SELECT CAST(l_suppkey AS BIGINT) AS src,
+                   CAST((l_orderkey * {A_MULT}) % (SELECT COUNT(*) FROM supplier) AS BIGINT) AS dst
+            FROM lineitem WHERE l_orderkey % 997 = 0
+        ) b WHERE b.src <> b.dst
+    )
+"""

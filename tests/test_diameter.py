@@ -104,3 +104,63 @@ class TestHopHistogramSampled:
         a = hop_histogram_sampled(sym, 16, sample=4, num_parts=2).to_pandas()
         b = hop_histogram_sampled(sym, 16, sample=4, num_parts=7).to_pandas()
         assert a.equals(b)
+
+
+def _np_diameter(e, n):
+    A = np.zeros((n, n), dtype=bool)
+    for s, d in e:
+        A[s, d] = True
+        A[d, s] = True
+    best = 0
+    for src in range(n):
+        dist = np.full(n, -1)
+        dist[src] = 0
+        frontier = np.zeros(n, dtype=bool)
+        frontier[src] = True
+        lvl = 0
+        while frontier.any():
+            lvl += 1
+            nxt = (A[frontier].any(axis=0)) & (dist < 0)
+            dist[nxt] = lvl
+            frontier = nxt
+        best = max(best, int(dist.max()))
+    return best
+
+
+class TestExactDiameter:
+    def _ring_chords(self, seed, n, chords):
+        rng = np.random.default_rng(seed)
+        e = [(i, (i + 1) % n) for i in range(n)]
+        e += [
+            (int(a), int(b))
+            for a, b in rng.integers(0, n, (chords, 2))
+            if a != b
+        ]
+        return list(dict.fromkeys((min(a, b), max(a, b)) for a, b in e))
+
+    def test_matches_bruteforce(self):
+        from networkit_ray.graph.diameter import exact_diameter
+
+        for seed, n, chords in [(1, 24, 3), (5, 40, 6), (7, 60, 2)]:
+            canon = self._ring_chords(seed, n, chords)
+            sym = symmetrize(ds_of(canon)).materialize()
+            res = exact_diameter(sym, n)
+            assert res["diameter"] == _np_diameter(canon, n), (seed, res)
+            # iFUB must beat all-pairs: inspected sources < n
+            assert res["bfs_count"] < n
+
+    def test_path_graph(self):
+        from networkit_ray.graph.diameter import exact_diameter
+
+        e = [(i, i + 1) for i in range(19)]
+        sym = symmetrize(ds_of(e)).materialize()
+        assert exact_diameter(sym, 20)["diameter"] == 19
+
+    def test_partition_invariance(self):
+        from networkit_ray.graph.diameter import exact_diameter
+
+        canon = self._ring_chords(3, 40, 5)
+        sym = symmetrize(ds_of(canon)).materialize()
+        a = exact_diameter(sym, 40, num_parts=2)
+        b = exact_diameter(sym.repartition(7).materialize(), 40, num_parts=5)
+        assert a["diameter"] == b["diameter"]

@@ -41,6 +41,7 @@ FAST_SUBSET = [
     "permanence",
     "spsp",
     "group_closeness",
+    "diameter",
 ]
 
 
