@@ -978,6 +978,19 @@ def q_spanning_edge_centrality(sf_dir):
     return _round_col(scored, "sec", 6).sort(["src", "dst"])
 
 
+def q_electrical_closeness(sf_dir):
+    """centrality/ApproxElectricalCloseness.cpp analog: diag(L⁺) from the
+    same k=48 JL sketch solve as spanning_edge_centrality, closeness
+    (n−1)/(n·diag + tr); rows-only — pinv-oracle bounds in
+    tests/test_spanning_edge.py::TestElectricalCloseness."""
+    from networkit_ray.graph.algebraic import electrical_closeness
+
+    sym, n = _sym(sf_dir)
+    out, _ = electrical_closeness(sym, n, k=48, seed=42)
+    out = out.drop_columns(["diag"])
+    return _round_col(out, "electrical_closeness", 6).sort("v")
+
+
 def q_pivot_mds(sf_dir):
     """viz/PivotMDS.cpp analog (deterministic evenly-spaced pivots, exact
     k×k eigensolve); rows-only — verified against a numpy replication of
@@ -1319,6 +1332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "commute_time": q_commute_time,
         "pivot_mds": q_pivot_mds,
         "spanning_edge_centrality": q_spanning_edge_centrality,
+        "electrical_closeness": q_electrical_closeness,
         "sssp_distances": q_sssp_distances,
         "global_clustering": q_global_clustering,
         "core_decomposition": q_core_decomposition,

@@ -343,3 +343,69 @@ def spanning_edge_centrality(
 
     scored = e2.map_batches(score, batch_format="pyarrow")
     return scored, {"iterations": iters, "k": k, "residual": float(rr.max())}
+
+
+@ray.remote
+def _ec_diag_partial(x: np.ndarray) -> np.ndarray:
+    return (x * x).sum(axis=1)
+
+
+@ray.remote
+def _ec_table(vids: np.ndarray, diag: np.ndarray, n: int, tr: float) -> "pa.Table":
+    import pyarrow as pa
+
+    return pa.table(
+        {
+            "v": pa.array(vids.astype(np.int64)),
+            "diag": pa.array(diag),
+            "electrical_closeness": pa.array((n - 1) / (n * diag + tr)),
+        }
+    )
+
+
+def electrical_closeness(
+    sym_edges: ray.data.Dataset,
+    num_nodes: int,
+    *,
+    k: int = 48,
+    seed: int = 42,
+    tol: float = 1e-10,
+    max_iterations: int = 500,
+    num_parts: int | None = None,
+) -> tuple[ray.data.Dataset, dict]:
+    """(v, diag, electrical_closeness) — approximate diag(L⁺) closeness.
+
+    Reference: centrality/ApproxElectricalCloseness.cpp — electrical
+    closeness C(v) = (n−1) / Σ_u r_eff(u,v); with zero-row-sum L⁺ the
+    farness collapses to n·L⁺[v,v] + tr(L⁺), so only diag(L⁺) is needed
+    (the reference estimates it with UST sampling; here the JL identity
+    L⁺ = (L⁺Bᵀ)(BL⁺) gives diag(L⁺)_v ≈ ‖x_v‖² from the SAME k-column
+    sketch solve x = L⁺BᵀQᵀ as spanning_edge_centrality — one multi-RHS
+    block-CG serves both operators).  Unweighted, connected graphs.
+    """
+    if not 1 <= k <= 64:
+        raise ValueError("k must be in [1, 64]")
+    g = build_pgraph(sym_edges, num_nodes, num_parts=num_parts)
+    P = g.num_parts
+    units = g.map_units()
+    sizes = g.part_sizes()
+    wdeg = [_wdeg.remote(b) for b in g.block_refs]
+
+    map_out = [
+        _sec_rhs_map.options(num_returns=P + 1).remote(
+            g.block_refs[p], sizes[p], k, seed, c
+        )
+        for p, c in units
+    ]
+    b = []
+    for q in range(P):
+        own = [mo[P] for (p, _), mo in zip(units, map_out) if p == q]
+        b.append(_sec_rhs_reduce.remote(len(own), *own, *[mo[q] for mo in map_out]))
+
+    x, iters, rr = _block_cg(g, wdeg, b, tol=tol, max_iterations=max_iterations)
+    diag = [_ec_diag_partial.remote(x[q]) for q in range(P)]
+    tr = float(sum(ray.get([_vol_partial.remote(d) for d in diag])))
+    out = ray.data.from_arrow_refs(
+        [_ec_table.remote(g.vid_refs[q], diag[q], num_nodes, tr) for q in range(P)]
+    )
+    return out, {"iterations": iters, "k": k, "trace": tr, "residual": float(rr.max())}

@@ -114,6 +114,7 @@ def test_queries_oracles_consistent():
         "commute_time",
         "pivot_mds",
         "spanning_edge_centrality",
+        "electrical_closeness",
     }
 
 

@@ -84,3 +84,51 @@ def test_sec_deterministic_across_partitioning(ray_session):
     da = a.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
     db = b.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
     np.testing.assert_allclose(da["sec"], db["sec"], atol=1e-8)
+
+
+class TestElectricalCloseness:
+    def _exact(self, n, edges):
+        L = np.zeros((n, n))
+        for u, v in edges:
+            L[u, u] += 1
+            L[v, v] += 1
+            L[u, v] -= 1
+            L[v, u] -= 1
+        Lp = np.linalg.pinv(L)
+        diag = np.diag(Lp)
+        return diag, (n - 1) / (n * diag + np.trace(Lp))
+
+    def test_matches_pinv_within_sketch_error(self, ray_session):
+        from networkit_ray.graph.algebraic import electrical_closeness
+
+        rng = np.random.default_rng(7)
+        n = 40
+        eset = set((i, i + 1) for i in range(n - 1))
+        for _ in range(80):
+            u, v = rng.integers(0, n, 2)
+            if u != v:
+                eset.add((int(min(u, v)), int(max(u, v))))
+        edges = sorted(eset)
+        sym = _ds(edges + [(v, u) for u, v in edges])
+        out, info = electrical_closeness(sym, n, k=64, num_parts=4, tol=1e-12)
+        df = out.to_pandas().sort_values("v").reset_index(drop=True)
+        diag, clo = self._exact(n, edges)
+        # JL sketch: ~sqrt(2/k) per-entry stderr on diag; closeness is
+        # smoothed by the shared trace term
+        np.testing.assert_allclose(df["diag"], diag, rtol=0.5)
+        np.testing.assert_allclose(df["electrical_closeness"], clo, rtol=0.25)
+        assert np.corrcoef(df["electrical_closeness"], clo)[0, 1] > 0.85
+        assert info["residual"] < 1e-8
+
+    def test_parallelism_invariant(self, ray_session):
+        from networkit_ray.graph.algebraic import electrical_closeness
+
+        edges = [(i, i + 1) for i in range(19)] + [(0, 10), (3, 17)]
+        sym = _ds(edges + [(v, u) for u, v in edges])
+        a, _ = electrical_closeness(sym, 20, k=32, num_parts=2)
+        b, _ = electrical_closeness(
+            sym.repartition(5).materialize(), 20, k=32, num_parts=5
+        )
+        pa_ = a.to_pandas().sort_values("v").reset_index(drop=True)
+        pb = b.to_pandas().sort_values("v").reset_index(drop=True)
+        np.testing.assert_allclose(pa_["electrical_closeness"], pb["electrical_closeness"], atol=1e-9)
