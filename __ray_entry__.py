@@ -937,6 +937,28 @@ def q_rmat_edges(sf_dir):
     return edges
 
 
+def q_er_edges(sf_dir):
+    """generators/ErdosRenyiGenerator.cpp analog (G(n,m) counter hash);
+    rows-only — determinism/density tests in tests/test_sources.py."""
+    from networkit_ray.sources.synth import erdos_renyi_edges
+
+    edges, _n = erdos_renyi_edges(1024, m=4096)
+    return edges.sort(["src", "dst"])
+
+
+def q_chung_lu_edges(sf_dir):
+    """generators/ChungLuGenerator.cpp analog (expected-degree draws via
+    broadcast CDF); rows-only — property tests in tests/test_sources.py."""
+    import numpy as np
+
+    from networkit_ray.sources.synth import chung_lu_edges
+
+    n = 1024
+    w = 20.0 / np.sqrt(np.arange(n) + 1.0)  # power-law-ish expected degrees
+    edges, _n = chung_lu_edges(n, w)
+    return edges.sort(["src", "dst"])
+
+
 def _weighted_derived(sf_dir):
     """Derived graph with deterministic w = (src+dst)%7+1 (both sides)."""
     edges, n = _derived(sf_dir)
@@ -1363,6 +1385,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "multimodal_decode": q_multimodal_decode,
         "rmat_edges": q_rmat_edges,
+        "er_edges": q_er_edges,
+        "chung_lu_edges": q_chung_lu_edges,
         "tumbling_window": q_tumbling_window,
         "sliding_window": q_sliding_window,
         "asof_click_to_view": q_asof_click_to_view,

@@ -88,3 +88,93 @@ def planted_partition(
         }
     )
     return ray.data.from_arrow(t), labels
+
+
+def erdos_renyi_edges(
+    n: int,
+    *,
+    m: int | None = None,
+    p: float | None = None,
+    directed: bool = False,
+    seed: int = 42,
+) -> tuple[ray.data.Dataset, int]:
+    """G(n,m) Erdős–Rényi edge table via counter hashing.
+
+    Reference: generators/ErdosRenyiGenerator.cpp (G(n,p) with geometric
+    skipping).  The scale-friendly counter form fixes the EDGE COUNT
+    (m = round(p·n(n−1)/2) when ``p`` is given — the G(n,m) twin model,
+    indistinguishable from G(n,p) at large n): counter i hashes to an
+    ordered pair with self-loops excluded; undirected output is
+    canonical (lo, hi).  Multi-draws of the same pair are deduplicated,
+    so the realized edge count is ≤ m (Binomial-collision shortfall
+    ~m²/n², negligible when sparse).  Deterministic at any parallelism.
+    """
+    if m is None:
+        if p is None:
+            raise ValueError("need m or p")
+        pairs = n * (n - 1) * (1 if directed else 0.5)
+        m = int(round(p * pairs))
+    base = np.uint64(seed) * np.uint64(0x100000001B3)
+
+    def gen(batch: dict) -> pa.Table:
+        idx = batch["id"].astype(np.uint64)
+        u = _splitmix64(base + idx * np.uint64(2)) % np.uint64(n)
+        v = _splitmix64(base + idx * np.uint64(2) + np.uint64(1)) % np.uint64(n - 1)
+        v = v + (v >= u)  # skip the diagonal: no self loops
+        src = u.astype(np.int64)
+        dst = v.astype(np.int64)
+        if not directed:
+            lo = np.minimum(src, dst)
+            hi = np.maximum(src, dst)
+            src, dst = lo, hi
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    from networkit_ray.graph.build import dedup_edges
+
+    edges = ray.data.range(m).map_batches(gen, batch_format="numpy")
+    return dedup_edges(edges), n
+
+
+def chung_lu_edges(
+    n: int,
+    weights: np.ndarray,
+    *,
+    seed: int = 42,
+) -> tuple[ray.data.Dataset, int]:
+    """Chung–Lu random graph with expected degree sequence ``weights``.
+
+    Reference: generators/ChungLuGenerator.cpp — P(u~v) ∝ w_u·w_v.  The
+    scale form draws m = round(Σw / 2) edges with both endpoints sampled
+    ∝ w via inverse-CDF lookup on the weight prefix sum (broadcast ONCE
+    with ray.put — n·8 bytes; for n beyond driver memory, shard the CDF
+    by key range).  Canonical (lo, hi) undirected output, deduplicated.
+    Deterministic at any parallelism.
+    """
+    w = np.asarray(weights, dtype=np.float64)
+    if len(w) != n or (w < 0).any():
+        raise ValueError("weights must be n non-negative values")
+    m = int(round(w.sum() / 2))
+    cdf = np.cumsum(w)
+    cdf /= cdf[-1]
+    cdf_ref = ray.put(cdf)
+    base = np.uint64(seed) * np.uint64(0x100000001B3)
+
+    def gen(batch: dict) -> pa.Table:
+        c = ray.get(cdf_ref)
+        idx = batch["id"].astype(np.uint64)
+        uu = _splitmix64(base + idx * np.uint64(2)).astype(np.float64) / 2.0**64
+        vv = (
+            _splitmix64(base + idx * np.uint64(2) + np.uint64(1)).astype(np.float64)
+            / 2.0**64
+        )
+        src = np.searchsorted(c, uu, side="right").astype(np.int64)
+        dst = np.searchsorted(c, vv, side="right").astype(np.int64)
+        keep = src != dst
+        lo = np.minimum(src[keep], dst[keep])
+        hi = np.maximum(src[keep], dst[keep])
+        return pa.table({"src": pa.array(lo), "dst": pa.array(hi)})
+
+    from networkit_ray.graph.build import dedup_edges
+
+    edges = ray.data.range(m).map_batches(gen, batch_format="numpy")
+    return dedup_edges(edges), n

@@ -110,6 +110,8 @@ def test_queries_oracles_consistent():
         "ann_ivf_topk",
         "multimodal_decode",
         "rmat_edges",
+        "er_edges",
+        "chung_lu_edges",
         "max_flow",
         "commute_time",
         "pivot_mds",

@@ -366,3 +366,46 @@ class TestKeyedAndFormats:
         text = open(out_csv).read()
         assert text.splitlines()[0] == "graph,n,m"
         assert len(text.splitlines()) == 4
+
+
+class TestRandomGenerators:
+    def test_er_deterministic_and_sized(self):
+        from networkit_ray.sources.synth import erdos_renyi_edges
+
+        a, n = erdos_renyi_edges(200, m=600)
+        b, _ = erdos_renyi_edges(200, m=600)
+        da = a.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+        db = b.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+        assert da.equals(db)
+        assert 560 <= len(da) <= 600  # dedup shortfall only
+        assert (da["src"] < da["dst"]).all()  # canonical, no self loops
+        assert da["src"].min() >= 0 and da["dst"].max() < 200
+
+    def test_er_p_form_matches_expected_density(self):
+        from networkit_ray.sources.synth import erdos_renyi_edges
+
+        p = 0.05
+        e, n = erdos_renyi_edges(100, p=p)
+        got = len(e.to_pandas())
+        exp = p * 100 * 99 / 2
+        assert abs(got - exp) / exp < 0.15
+
+    def test_chung_lu_degree_proportional(self):
+        import numpy as np
+
+        from networkit_ray.sources.synth import chung_lu_edges
+
+        n = 300
+        w = np.where(np.arange(n) < 30, 20.0, 2.0)  # 30 hubs
+        e, _ = chung_lu_edges(n, w)
+        df = e.to_pandas()
+        deg = np.zeros(n)
+        np.add.at(deg, df["src"].to_numpy(), 1)
+        np.add.at(deg, df["dst"].to_numpy(), 1)
+        hub, leaf = deg[:30].mean(), deg[30:].mean()
+        assert hub / leaf > 5  # ∝ 10× weights, minus collision shrink
+        # deterministic
+        e2, _ = chung_lu_edges(n, w)
+        assert e.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True).equals(
+            e2.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+        )
