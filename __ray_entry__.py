@@ -643,6 +643,21 @@ def q_sparsify_triangles(sf_dir):
     return sparsify_global_threshold(edge_triangle_scores(canon, n), 1)
 
 
+def q_local_degree_scores(sf_dir):
+    from networkit_ray.graph.sparsification import local_degree_scores
+
+    sym, n = _sym(sf_dir)
+    out = local_degree_scores(sym, n)
+    return _round_col(out, "ld_score", 8).sort(["src", "dst"])
+
+
+def q_simmelian_overlap(sf_dir):
+    from networkit_ray.graph.sparsification import simmelian_overlap_scores
+
+    canon, n = _canon(sf_dir)
+    return simmelian_overlap_scores(canon, n, max_rank=10).sort(["src", "dst"])
+
+
 def q_eccentricity(sf_dir):
     from networkit_ray.graph.bfs import bfs_distances
 
@@ -1338,6 +1353,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_prediction": q_link_prediction,
         "edge_triangle_scores": q_edge_triangle_scores,
         "sparsify_triangles": q_sparsify_triangles,
+        "local_degree_scores": q_local_degree_scores,
+        "simmelian_overlap": q_simmelian_overlap,
         "eccentricity": q_eccentricity,
         "random_walks": q_random_walks,
         "spanning_forest": q_spanning_forest,
@@ -2386,6 +2403,60 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(aa, 8) AS adamic_adar,
                    CAST(da.deg * db.deg AS BIGINT) AS pref_attach
             FROM ne JOIN deg da ON da.v = ne.a JOIN deg db ON db.v = ne.b
+        """,
+        # LocalDegreeScore twin (sparsification.py normative semantics):
+        # neighbor rank by (deg DESC, nbr ASC), side 1.0 at rank 1 else
+        # 1 − ln(rank)/ln(deg(u)), edge score = max over both sides.
+        "local_degree_scores": f"""
+            WITH sym AS MATERIALIZED ({SYMMETRIC_EDGES_SQL}),
+            deg AS (SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS deg
+                    FROM sym GROUP BY src),
+            ranked AS (
+                SELECT e.src, e.dst,
+                       ROW_NUMBER() OVER (PARTITION BY e.src
+                                          ORDER BY dv.deg DESC, e.dst) AS rnk,
+                       du.deg AS degu
+                FROM sym e JOIN deg du ON du.v = e.src
+                           JOIN deg dv ON dv.v = e.dst),
+            side AS (
+                SELECT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst,
+                       CASE WHEN rnk = 1 THEN 1.0
+                            ELSE 1.0 - LN(rnk) / LN(degu) END AS s
+                FROM ranked)
+            SELECT src, dst, ROUND(MAX(s), 8) AS ld_score
+            FROM side GROUP BY src, dst ORDER BY src, dst
+        """,
+        # SimmelianOverlapScore twin: strength = per-edge triangle count,
+        # strong set = top-10 neighbors by (strength DESC, nbr ASC),
+        # overlap = |strong(u) ∩ strong(v)|.
+        "simmelian_overlap": f"""
+            WITH ce AS MATERIALIZED ({CANONICAL_EDGES_SQL}),
+            tc AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+                   FROM ce e1 JOIN ce e2 ON e2.src = e1.dst
+                   JOIN ce e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+            ex AS (SELECT LEAST(a,b) AS src, GREATEST(a,b) AS dst FROM tc
+                   UNION ALL SELECT LEAST(a,c), GREATEST(a,c) FROM tc
+                   UNION ALL SELECT LEAST(b,c), GREATEST(b,c) FROM tc),
+            cnt AS (SELECT src, dst, COUNT(*) AS tri FROM ex GROUP BY src, dst),
+            tri AS (SELECT ce.src, ce.dst,
+                           CAST(COALESCE(cnt.tri, 0) AS BIGINT) AS tri
+                    FROM ce LEFT JOIN cnt
+                      ON cnt.src = ce.src AND cnt.dst = ce.dst),
+            bi AS (SELECT src AS v, dst AS nbr, tri FROM tri
+                   UNION ALL SELECT dst, src, tri FROM tri),
+            rk AS (SELECT v, nbr,
+                          ROW_NUMBER() OVER (PARTITION BY v
+                                             ORDER BY tri DESC, nbr) AS rnk
+                   FROM bi),
+            tk AS (SELECT v, nbr FROM rk WHERE rnk <= 10),
+            ov AS (SELECT e.src, e.dst, COUNT(*) AS overlap
+                   FROM ce e JOIN tk a ON a.v = e.src
+                             JOIN tk b ON b.v = e.dst AND b.nbr = a.nbr
+                   GROUP BY e.src, e.dst)
+            SELECT ce.src, ce.dst,
+                   CAST(COALESCE(ov.overlap, 0) AS BIGINT) AS overlap
+            FROM ce LEFT JOIN ov ON ov.src = ce.src AND ov.dst = ce.dst
+            ORDER BY ce.src, ce.dst
         """,
         "edge_triangle_scores": f"""
             WITH ce AS MATERIALIZED ({CANONICAL_EDGES_SQL}),

@@ -42,6 +42,8 @@ FAST_SUBSET = [
     "spsp",
     "group_closeness",
     "diameter",
+    "local_degree_scores",
+    "simmelian_overlap",
 ]
 
 

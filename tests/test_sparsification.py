@@ -1,0 +1,117 @@
+"""LocalDegree and Simmelian-overlap scores vs brute-force numpy oracles."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from networkit_ray.graph.build import symmetrize
+
+
+def _ds(rows):
+    return rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([u for u, v in rows], pa.int64()),
+                "dst": pa.array([v for u, v in rows], pa.int64()),
+            }
+        )
+    )
+
+
+def _random_canon(seed, n, m):
+    rng = np.random.default_rng(seed)
+    return sorted(
+        {(int(min(a, b)), int(max(a, b))) for a, b in rng.integers(0, n, (m, 2)) if a != b}
+    )
+
+
+def _ld_oracle(n, canon):
+    import collections
+
+    adj = collections.defaultdict(set)
+    for a, b in canon:
+        adj[a].add(b)
+        adj[b].add(a)
+    deg = {v: len(adj[v]) for v in adj}
+    out = {}
+    for u in adj:
+        ranked = sorted(adj[u], key=lambda x: (-deg[x], x))
+        for r, v in enumerate(ranked, 1):
+            s = 1.0 if r == 1 else 1.0 - np.log(r) / np.log(deg[u])
+            key = (min(u, v), max(u, v))
+            out[key] = max(out.get(key, -np.inf), s)
+    return out
+
+
+def _so_oracle(n, canon, max_rank):
+    import collections
+
+    tri = collections.Counter()
+    aset = set(canon)
+    adj = collections.defaultdict(set)
+    for a, b in canon:
+        adj[a].add(b)
+        adj[b].add(a)
+    for a, b in canon:
+        for c in adj[a] & adj[b]:
+            tri[(a, b)] += 1
+    strong = {}
+    for u in adj:
+        ranked = sorted(
+            adj[u], key=lambda x: (-tri[(min(u, x), max(u, x))], x)
+        )[:max_rank]
+        strong[u] = set(ranked)
+    return {
+        (a, b): len(strong[a] & strong[b]) for a, b in canon
+    }
+
+
+class TestLocalDegree:
+    def test_matches_bruteforce(self):
+        from networkit_ray.graph.sparsification import local_degree_scores
+
+        for seed, n, m in [(2, 25, 60), (11, 40, 110)]:
+            canon = _random_canon(seed, n, m)
+            sym = symmetrize(_ds(canon)).materialize()
+            got = local_degree_scores(sym, n).to_pandas()
+            exp = _ld_oracle(n, canon)
+            assert len(got) == len(exp)
+            for row in got.itertuples(index=False):
+                assert abs(row.ld_score - exp[(row.src, row.dst)]) < 1e-9
+
+    def test_parallelism_invariant(self):
+        from networkit_ray.graph.sparsification import local_degree_scores
+
+        canon = _random_canon(2, 25, 60)
+        sym = symmetrize(_ds(canon)).materialize()
+        a = local_degree_scores(sym, 25, num_parts=2).to_pandas()
+        b = local_degree_scores(
+            sym.repartition(5).materialize(), 25, num_parts=7
+        ).to_pandas()
+        a = a.sort_values(["src", "dst"]).reset_index(drop=True)
+        b = b.sort_values(["src", "dst"]).reset_index(drop=True)
+        assert a.equals(b)
+
+
+class TestSimmelianOverlap:
+    def test_matches_bruteforce(self):
+        from networkit_ray.graph.sparsification import simmelian_overlap_scores
+
+        for seed, n, m, mr in [(4, 20, 70, 5), (13, 35, 140, 10)]:
+            canon = _random_canon(seed, n, m)
+            got = simmelian_overlap_scores(_ds(canon).materialize(), n, max_rank=mr).to_pandas()
+            exp = _so_oracle(n, canon, mr)
+            assert len(got) == len(exp)
+            for row in got.itertuples(index=False):
+                assert row.overlap == exp[(row.src, row.dst)], (seed, row)
+
+    def test_triangle_free_graph_zero_overlap(self):
+        from networkit_ray.graph.sparsification import simmelian_overlap_scores
+
+        # path graph has no triangles but consecutive edges share strong
+        # neighbors: overlap counts shared top-rank members, tri ties -> id
+        canon = [(i, i + 1) for i in range(9)]
+        got = simmelian_overlap_scores(_ds(canon).materialize(), 10, max_rank=2).to_pandas()
+        exp = _so_oracle(10, canon, 2)
+        for row in got.itertuples(index=False):
+            assert row.overlap == exp[(row.src, row.dst)]
