@@ -658,6 +658,17 @@ def q_simmelian_overlap(sf_dir):
     return simmelian_overlap_scores(canon, n, max_rank=10).sort(["src", "dst"])
 
 
+SCAN_PARAMS = {"eps": 0.15, "mu": 3}
+
+
+def q_scan_clustering(sf_dir):
+    from networkit_ray.graph.scan import scan_clustering
+
+    canon, n = _canon(sf_dir)
+    out, _info = scan_clustering(canon, n, **SCAN_PARAMS)
+    return out.sort("v")
+
+
 def q_eccentricity(sf_dir):
     from networkit_ray.graph.bfs import bfs_distances
 
@@ -1355,6 +1366,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sparsify_triangles": q_sparsify_triangles,
         "local_degree_scores": q_local_degree_scores,
         "simmelian_overlap": q_simmelian_overlap,
+        "scan_clustering": q_scan_clustering,
         "eccentricity": q_eccentricity,
         "random_walks": q_random_walks,
         "spanning_forest": q_spanning_forest,
@@ -2403,6 +2415,53 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(aa, 8) AS adamic_adar,
                    CAST(da.deg * db.deg AS BIGINT) AS pref_attach
             FROM ne JOIN deg da ON da.v = ne.a JOIN deg db ON db.v = ne.b
+        """,
+        # SCAN twin (scan.py normative semantics): σ = (tri+2)/√((du+1)(dv+1)),
+        # ε-cores, min-core-id clusters over the core–core ε-subgraph,
+        # borders inherit min neighbor cluster label, outliers −1.
+        "scan_clustering": f"""
+            WITH RECURSIVE ce AS MATERIALIZED ({CANONICAL_EDGES_SQL}),
+            nodes AS (SELECT CAST(c_custkey AS BIGINT) AS v FROM customer),
+            sym AS MATERIALIZED ({SYMMETRIC_EDGES_SQL}),
+            deg AS (SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS deg
+                    FROM sym GROUP BY src),
+            tc AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+                   FROM ce e1 JOIN ce e2 ON e2.src = e1.dst
+                   JOIN ce e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+            exx AS (SELECT LEAST(a,b) AS src, GREATEST(a,b) AS dst FROM tc
+                    UNION ALL SELECT LEAST(a,c), GREATEST(a,c) FROM tc
+                    UNION ALL SELECT LEAST(b,c), GREATEST(b,c) FROM tc),
+            cnt AS (SELECT src, dst, COUNT(*) AS tri FROM exx GROUP BY src, dst),
+            eedge AS MATERIALIZED (
+                SELECT ce.src, ce.dst FROM ce
+                LEFT JOIN cnt ON cnt.src = ce.src AND cnt.dst = ce.dst
+                JOIN deg du ON du.v = ce.src JOIN deg dv ON dv.v = ce.dst
+                WHERE (COALESCE(cnt.tri, 0) + 2.0)
+                      / SQRT((du.deg + 1.0) * (dv.deg + 1.0)) >= {SCAN_PARAMS["eps"]}),
+            esym AS (SELECT src, dst FROM eedge
+                     UNION ALL SELECT dst, src FROM eedge),
+            cores AS MATERIALIZED (
+                SELECT src AS v FROM esym GROUP BY src
+                HAVING COUNT(*) + 1 >= {SCAN_PARAMS["mu"]}),
+            ccsym AS (SELECT e.src, e.dst FROM esym e
+                      JOIN cores a ON a.v = e.src JOIN cores b ON b.v = e.dst),
+            r(v, l) AS (
+                SELECT v, v FROM cores
+                UNION
+                SELECT e.dst, r.l FROM r JOIN ccsym e ON e.src = r.v),
+            clab AS (SELECT v, MIN(l) AS label FROM r GROUP BY v),
+            border AS (
+                SELECT s.dst AS v, MIN(cl.label) AS label
+                FROM esym s JOIN cores c ON c.v = s.src
+                JOIN clab cl ON cl.v = s.src
+                WHERE s.dst NOT IN (SELECT v FROM cores)
+                GROUP BY s.dst)
+            SELECT n.v,
+                   CAST(COALESCE(clab.label, border.label, -1) AS BIGINT) AS label
+            FROM nodes n
+            LEFT JOIN clab ON clab.v = n.v
+            LEFT JOIN border ON border.v = n.v
+            ORDER BY n.v
         """,
         # LocalDegreeScore twin (sparsification.py normative semantics):
         # neighbor rank by (deg DESC, nbr ASC), side 1.0 at rank 1 else

@@ -44,6 +44,7 @@ FAST_SUBSET = [
     "diameter",
     "local_degree_scores",
     "simmelian_overlap",
+    "scan_clustering",
 ]
 
 
