@@ -438,6 +438,17 @@ def q_group_degree(sf_dir):
     return pd.DataFrame(picks, columns=["rank", "v", "gain"])
 
 
+def q_harmonic_closeness_exact(sf_dir):
+    """centrality/TopHarmonicCloseness.cpp exact analog on the supplier
+    ring graph (all-sources batched BFS; top-k is a sort away)."""
+    from networkit_ray.graph.closeness import exact_harmonic_closeness
+    from networkit_ray.sources.derive import supplier_ring_edges
+
+    sym, s = supplier_ring_edges(sf_dir)
+    out = exact_harmonic_closeness(sym.materialize(), s)
+    return _round_col(out, "harmonic", 8).sort("v")
+
+
 def q_diameter(sf_dir):
     import pandas as pd
 
@@ -1346,6 +1357,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_degree": q_group_degree,
         "group_closeness": q_group_closeness,
         "diameter": q_diameter,
+        "harmonic_closeness_exact": q_harmonic_closeness_exact,
         "local_max_matching": q_local_max_matching,
         "suitor_matching": q_suitor_matching,
         "seir": q_seir,
@@ -2216,6 +2228,21 @@ def oracle_sql() -> dict[str, str]:
         "group_degree": group_degree_sql,
         "group_closeness": group_closeness_sql,
         "diameter": diameter_sql,
+        "harmonic_closeness_exact": f"""
+            WITH RECURSIVE base AS MATERIALIZED ({{SUPPLIER_RING_SQL}}),
+            sup AS (SELECT CAST(s_suppkey AS BIGINT) AS v FROM supplier),
+            r(s, v, d) AS (
+                SELECT v, v, CAST(0 AS BIGINT) FROM sup
+                UNION
+                SELECT r.s, e.dst, r.d + 1 FROM r JOIN base e ON e.src = r.v
+                WHERE r.d < 64
+            ),
+            md AS (SELECT s, v, MIN(d) AS d FROM r GROUP BY s, v),
+            h AS (SELECT v, SUM(1.0 / d) AS h FROM md WHERE d > 0 GROUP BY v)
+            SELECT sup.v, ROUND(COALESCE(h.h, 0), 8) AS harmonic
+            FROM sup LEFT JOIN h ON h.v = sup.v
+            ORDER BY sup.v
+        """.replace("{SUPPLIER_RING_SQL}", SUPPLIER_RING_SQL),
         # Sfigality (centrality/Sfigality.cpp:18-29): fraction of neighbors
         # with strictly larger degree; 0.0 for isolated (engine convention).
         "sfigality": f"""

@@ -81,3 +81,51 @@ def approx_harmonic_closeness(
         combined = _combine.remote(num_nodes, sample, dist_refs[p])
         out_refs.append(to_table.remote(g.vid_refs[p], combined))
     return ray.data.from_arrow_refs(out_refs), {"pivots": pivots.tolist()}
+
+
+def exact_harmonic_closeness(
+    sym_edges: ray.data.Dataset,
+    num_nodes: int,
+    *,
+    batch_k: int = 16,
+    num_parts: int | None = None,
+) -> ray.data.Dataset:
+    """(v, harmonic) EXACT harmonic closeness via batched all-sources BFS.
+
+    Reference: centrality/TopHarmonicCloseness.cpp computes exact top-k
+    with NBBound pruning; on this engine the same result comes from the
+    batched multi-source BFS (K sources per superstep wave) run over ALL
+    sources — harmonic(u) = Σ_{v≠u, d(v,u)<∞} 1/d(v,u).  Exact mode is
+    for modest vertex counts (n/batch_k waves); at web scale use
+    approx_harmonic_closeness (sampled pivots) instead.
+    """
+    import pyarrow as pa
+
+    g = build_pgraph(sym_edges, num_nodes, num_parts=num_parts)
+    P = g.num_parts
+
+    @ray.remote
+    def _acc_init(vids):
+        return np.zeros(len(vids), np.float64)
+
+    @ray.remote
+    def _acc_add(acc, dists):
+        d = dists.astype(np.float64)
+        pos = d > 0
+        return acc + np.where(pos, 1.0 / np.where(pos, d, 1.0), 0.0).sum(axis=1)
+
+    acc = [_acc_init.remote(g.vid_refs[p]) for p in range(P)]
+    sources = np.arange(num_nodes, dtype=np.int64)
+    for i in range(0, num_nodes, batch_k):
+        dist_refs = multi_bfs_refs(g, sources[i : i + batch_k])
+        acc = [_acc_add.remote(acc[p], dist_refs[p]) for p in range(P)]
+
+    @ray.remote
+    def _to_table(vids, a):
+        return pa.table(
+            {"v": pa.array(vids.astype(np.int64)), "harmonic": pa.array(a)}
+        )
+
+    return ray.data.from_arrow_refs(
+        [_to_table.remote(g.vid_refs[p], acc[p]) for p in range(P)]
+    )

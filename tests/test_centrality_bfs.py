@@ -209,3 +209,38 @@ class TestSSSP:
         d, _ = sssp_distances(ray.data.from_arrow(t), n, source=0, num_parts=3)
         got = d.to_pandas().sort_values("v")["dist"].to_numpy()
         np.testing.assert_allclose(got, exp)
+
+
+class TestExactHarmonicCloseness:
+    def test_matches_allpairs_bfs(self):
+        import ref_oracles as ref
+        from networkit_ray.graph.closeness import exact_harmonic_closeness
+
+        rng = np.random.default_rng(33)
+        e = np.unique(rng.integers(0, 35, size=(130, 2)), axis=0)
+        e = e[e[:, 0] != e[:, 1]]
+        sym = np.unique(np.vstack([e, e[:, ::-1]]), axis=0)
+        n = 35
+        out = exact_harmonic_closeness(ds_of(sym).materialize(), n, batch_k=8)
+        got = out.to_pandas().sort_values("v")
+        exact = np.zeros(n)
+        for s in range(n):
+            d = ref.bfs_ref(sym, n, s)
+            pos = d > 0
+            exact[pos] += 1.0 / d[pos]
+        np.testing.assert_allclose(got["harmonic"].to_numpy(), exact, atol=1e-12)
+
+    def test_parallelism_invariant(self):
+        from networkit_ray.graph.closeness import exact_harmonic_closeness
+
+        e = np.array([(i, i + 1) for i in range(14)])
+        sym = np.vstack([e, e[:, ::-1]])
+        a = exact_harmonic_closeness(ds_of(sym).materialize(), 15, num_parts=2)
+        b = exact_harmonic_closeness(
+            ds_of(sym).materialize().repartition(5), 15, num_parts=5, batch_k=4
+        )
+        np.testing.assert_allclose(
+            a.to_pandas().sort_values("v")["harmonic"].to_numpy(),
+            b.to_pandas().sort_values("v")["harmonic"].to_numpy(),
+            atol=1e-12,
+        )

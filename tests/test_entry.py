@@ -45,6 +45,7 @@ FAST_SUBSET = [
     "local_degree_scores",
     "simmelian_overlap",
     "scan_clustering",
+    "harmonic_closeness_exact",
 ]
 
 
