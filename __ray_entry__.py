@@ -1301,6 +1301,20 @@ def q_event_type_histogram(sf_dir):
     return event_type_histogram(ray.data.read_parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_approx_distinct_users(sf_dir):
+    """FM-sketch streaming COUNT(DISTINCT user_id) GROUP BY event_type;
+    rows-only — relative-error and determinism tests in
+    tests/test_events_sketch.py."""
+    import ray.data
+
+    from networkit_ray.pipelines.events import approx_distinct_users
+
+    out = approx_distinct_users(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+    )
+    return _round_col(out, "approx_distinct", 6).sort("event_type")
+
+
 # ---------------------------------------------------------------- contract
 def entry() -> Any:
     """Flagship north-star slice at sf0.001: pages → extract (actor pool) →
@@ -1433,6 +1447,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_click_to_view": q_asof_click_to_view,
         "sessionize": q_sessionize,
         "event_type_histogram": q_event_type_histogram,
+        "approx_distinct_users": q_approx_distinct_users,
     }
 
 

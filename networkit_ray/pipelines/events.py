@@ -298,3 +298,85 @@ def asof_click_to_view(events: ray.data.Dataset) -> ray.data.Dataset:
 def event_type_histogram(events: ray.data.Dataset) -> ray.data.Dataset:
     """(event_type, n) global histogram."""
     return events.groupby("event_type").aggregate(Count(alias_name="n"))
+
+
+def approx_distinct_users(
+    events: ray.data.Dataset, *, r: int = 64, seed: int = 42
+) -> ray.data.Dataset:
+    """(event_type, approx_distinct) — Flajolet–Martin distinct-user sketch.
+
+    The streaming COUNT(DISTINCT user_id) GROUP BY event_type: each batch
+    folds its users into r FM bitmasks per key (bitwise-OR union — the
+    same sketch algebra as graph/diameter.py's ANF), so the shuffle moves
+    r uint64 words per (batch, key) instead of the user set.  Estimate
+    2^R̄ / 0.77351 with R̄ the mean least-zero-bit position over rows.
+    Deterministic (splitmix64 counter hash) at any parallelism.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from networkit_ray.sources.synth import _splitmix64
+
+    rows64 = np.arange(r, dtype=np.uint64)
+
+    def _trailing_ones(x: np.ndarray) -> np.ndarray:
+        """Position of the least-significant ZERO bit (vectorized)."""
+        inv = ~x
+        lsb = inv & (~inv + np.uint64(1))
+        safe = np.where(lsb == 0, np.uint64(1), lsb)  # all-ones word → 64
+        out = np.log2(safe.astype(np.float64)).astype(np.int64)
+        return np.where(lsb == 0, np.int64(64), out)
+
+    def partial(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        et = pd.Series(t["event_type"].to_pandas())
+        ks, rws, bts = [], [], []
+        for key, idx in et.groupby(et).groups.items():
+            u = uid[np.asarray(idx)]
+            # (users × r) hashes in one vectorized shot
+            h = _splitmix64(
+                u[:, None] * np.uint64(0x9E3779B97F4A7C15)
+                + np.uint64(seed) * np.uint64(r)
+                + rows64[None, :]
+            )
+            rho = np.minimum(_trailing_ones(h), 63).astype(np.uint64)
+            masks = np.bitwise_or.reduce(
+                (np.uint64(1) << rho).astype(np.uint64), axis=0
+            )
+            ks.extend([key] * r)
+            rws.extend(range(r))
+            bts.extend(masks.astype(np.int64).tolist())
+        return pa.table(
+            {
+                "event_type": pa.array(ks, pa.string()),
+                "row": pa.array(rws, pa.int64()),
+                "bits": pa.array(bts, pa.int64()),
+            }
+        )
+
+    def union_rows(df: pd.DataFrame) -> pd.DataFrame:
+        b = np.bitwise_or.reduce(df["bits"].to_numpy().astype(np.uint64))
+        return pd.DataFrame(
+            {
+                "event_type": [df["event_type"].iloc[0]],
+                "row": [df["row"].iloc[0]],
+                "bits": [np.int64(b)],
+            }
+        )
+
+    def estimate(df: pd.DataFrame) -> pd.DataFrame:
+        b = df["bits"].to_numpy().astype(np.uint64)
+        lz = _trailing_ones(b).astype(np.float64)
+        return pd.DataFrame(
+            {
+                "event_type": [df["event_type"].iloc[0]],
+                "approx_distinct": [float(2.0 ** lz.mean() / 0.77351)],
+            }
+        )
+
+    sk = (
+        events.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "row"])
+        .map_groups(union_rows, batch_format="pandas")
+    )
+    return sk.groupby("event_type").map_groups(estimate, batch_format="pandas")

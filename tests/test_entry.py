@@ -113,6 +113,7 @@ def test_queries_oracles_consistent():
         "ann_lsh_topk",
         "ann_ivf_topk",
         "multimodal_decode",
+        "approx_distinct_users",
         "rmat_edges",
         "er_edges",
         "chung_lu_edges",

@@ -1,0 +1,62 @@
+"""FM distinct-count sketch: accuracy + parallelism invariance."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from networkit_ray.pipelines.events import approx_distinct_users
+
+
+def _events(seed=1):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for et, nd, nr in [("a", 100, 2000), ("b", 1000, 5000), ("c", 5000, 9000)]:
+        uids = rng.integers(0, nd, nr) + (0 if et == "a" else 10**6 * ord(et))
+        rows.append(
+            pa.table(
+                {
+                    "user_id": pa.array(uids.astype(np.int64)),
+                    "event_type": pa.array([et] * nr),
+                }
+            )
+        )
+    return pa.concat_tables(rows)
+
+
+class TestApproxDistinct:
+    def test_relative_error_bounded(self):
+        t = _events()
+        ds = rd.from_arrow(t).repartition(6).materialize()
+        got = approx_distinct_users(ds).to_pandas().set_index("event_type")
+        exact = t.to_pandas().groupby("event_type")["user_id"].nunique()
+        for et in ["a", "b", "c"]:
+            rel = abs(got.loc[et, "approx_distinct"] - exact[et]) / exact[et]
+            assert rel < 0.35, (et, rel)  # FM r=64: ~10% stderr, 3σ margin
+
+    def test_parallelism_invariant(self):
+        t = _events()
+        a = (
+            approx_distinct_users(rd.from_arrow(t).repartition(2).materialize())
+            .to_pandas()
+            .sort_values("event_type")
+            .reset_index(drop=True)
+        )
+        b = (
+            approx_distinct_users(rd.from_arrow(t).repartition(11).materialize())
+            .to_pandas()
+            .sort_values("event_type")
+            .reset_index(drop=True)
+        )
+        # OR-fold union is order/partition independent → bit-identical
+        assert a.equals(b)
+
+    def test_single_user(self):
+        t = pa.table(
+            {
+                "user_id": pa.array([7, 7, 7], pa.int64()),
+                "event_type": pa.array(["x"] * 3),
+            }
+        )
+        got = approx_distinct_users(rd.from_arrow(t)).to_pandas()
+        assert len(got) == 1
+        assert 0.5 < got["approx_distinct"].iloc[0] < 4
