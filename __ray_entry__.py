@@ -460,6 +460,17 @@ def q_diameter(sf_dir):
     return pd.DataFrame([{"diameter": res["diameter"]}])
 
 
+def q_node2vec_walks(sf_dir):
+    """embedding/Node2Vec.cpp biased-walk analog (p=0.5, q=2 — BFS-ish);
+    rows-only — exact numpy-replica oracle in tests/test_node2vec.py."""
+    from networkit_ray.graph.walks import node2vec_walks
+
+    sym, n = _sym(sf_dir)
+    return node2vec_walks(
+        sym, n, length=4, n_walkers=32, p=0.5, q=2.0
+    ).sort(["walker", "step"])
+
+
 def q_group_closeness(sf_dir):
     import pandas as pd
 
@@ -1370,6 +1381,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "maximal_cliques": q_maximal_cliques,
         "group_degree": q_group_degree,
         "group_closeness": q_group_closeness,
+        "node2vec_walks": q_node2vec_walks,
         "diameter": q_diameter,
         "harmonic_closeness_exact": q_harmonic_closeness_exact,
         "local_max_matching": q_local_max_matching,

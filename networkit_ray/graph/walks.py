@@ -152,3 +152,167 @@ def random_walks(
     return res.map_batches(
         lambda t: t.select(["walker", "step", "v"]), batch_format="pyarrow"
     )
+
+
+@ray.remote
+def _n2v_pick(p: float, q: float, seed: int, step: int, *tables):
+    """Per-walker-partition biased pick: weight each neighbor candidate
+    (1/p return, 1 triangle, 1/q explore), grouped inverse-CDF draw."""
+    live = [t for t in tables if t is not None and len(t)]
+    if not live:
+        return None
+    t = pa.concat_tables(live)
+    wid = t["walker"].to_numpy(zero_copy_only=False).astype(np.int64)
+    prev = t["prev"].to_numpy(zero_copy_only=False).astype(np.int64)
+    v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+    r = np.nan_to_num(
+        t["r"].to_numpy(zero_copy_only=False).astype(np.float64), nan=-1.0
+    ).astype(np.int64)
+    nxt = t["nxt"].to_numpy(zero_copy_only=False).astype(np.float64)
+    nxt = np.where(np.isnan(nxt), -1, nxt).astype(np.int64)
+    adj = (
+        np.nan_to_num(
+            t["adj"].to_numpy(zero_copy_only=False).astype(np.float64), nan=0.0
+        ).astype(np.int64)
+        if "adj" in t.column_names
+        else np.zeros(len(t), np.int64)
+    )
+    order = np.lexsort((r, wid))
+    wid, prev, v, r, nxt, adj = (
+        a[order] for a in (wid, prev, v, r, nxt, adj)
+    )
+    wgt = np.where(nxt == prev, 1.0 / p, np.where(adj == 1, 1.0, 1.0 / q))
+    wgt = np.where(nxt < 0, 0.0, wgt)  # dead-end placeholder rows
+    starts = np.flatnonzero(np.r_[True, wid[1:] != wid[:-1]])
+    sizes = np.diff(np.r_[starts, len(wid)])
+    cum = np.cumsum(wgt)
+    base = np.repeat(np.r_[0.0, cum[starts[1:] - 1]], sizes)
+    gcum = cum - base
+    total = np.repeat(gcum[starts + sizes - 1], sizes)
+    from networkit_ray.sources.synth import _splitmix64
+
+    u = (
+        _splitmix64(
+            wid.astype(np.uint64) * _GOLD
+            + np.uint64(step + 1) * _MIX
+            + np.uint64(seed)
+        ).astype(np.float64)
+        / 2.0**64
+    )
+    # first candidate whose running weight exceeds u·total (strict >);
+    # total == 0 (dead end) selects nothing → walker stays put
+    hit = (gcum > u * total) & (total > 0)
+    hit_idx = np.flatnonzero(hit)
+    grp_of = np.repeat(np.arange(len(starts)), sizes)
+    first = np.full(len(starts), len(wid), np.int64)
+    if len(hit_idx):
+        np.minimum.at(first, grp_of[hit_idx], hit_idx)
+    stay = first >= len(wid)
+    safe = np.where(stay, 0, first)
+    nv = np.where(stay, v[starts], nxt[safe])
+    return pa.table(
+        {
+            "walker": pa.array(wid[starts]),
+            "prev": pa.array(v[starts]),
+            "v": pa.array(nv),
+        }
+    )
+
+
+def node2vec_walks(
+    sym: ray.data.Dataset,
+    num_nodes: int,
+    *,
+    length: int = 4,
+    n_walkers: int = 32,
+    p: float = 1.0,
+    q: float = 1.0,
+    seed: int = 42,
+    num_parts: int | None = None,
+) -> ray.data.Dataset:
+    """(walker, step, v) p/q-biased second-order walks (true Node2Vec).
+
+    Reference: embedding/Node2Vec.cpp (Grover–Leskovec biased walks):
+    from state (prev, v), neighbor n of v is weighted 1/p if n == prev,
+    1 if n is adjacent to prev (triangle), else 1/q; selection is a
+    deterministic grouped inverse-CDF draw (splitmix64 on (walker, step))
+    so results are parallelism-invariant.  The first step (prev = −1) is
+    uniform: every candidate weighs 1/q and constants cancel.
+
+    Scale shape per step: one gather join over Σ deg(v_cur) candidate
+    rows, one (prev, nxt) adjacency-flag join, one hash exchange on
+    walker for the grouped draw — never edge-count state.
+    """
+    import ray as _ray
+
+    from networkit_ray.common.exchange import _nonnull, partition_refs
+    from networkit_ray.graph.closeness import _pivots
+
+    starts = _pivots(num_nodes, min(n_walkers, num_nodes), seed)
+    re_ = ranked_edges(sym).materialize()
+    mark = sym.map_batches(
+        lambda t: pa.table(
+            {
+                "ps": t["src"].combine_chunks().cast(pa.int64()),
+                "pn": t["dst"].combine_chunks().cast(pa.int64()),
+                "adj": pa.array(np.ones(len(t), np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    cur = ray.data.from_arrow(
+        pa.table(
+            {
+                "walker": pa.array(np.arange(len(starts), dtype=np.int64)),
+                "prev": pa.array(np.full(len(starts), -1, np.int64)),
+                "v": pa.array(starts.astype(np.int64)),
+            }
+        )
+    )
+    out = [
+        cur.map_batches(
+            lambda t: pa.table(
+                {
+                    "walker": t["walker"],
+                    "step": pa.array(np.zeros(len(t), np.int64)),
+                    "v": t["v"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    ]
+    P = num_parts or 8
+    for step in range(length):
+        cand = exchange_join(cur, re_, left_on=["v"], join_type="left outer")
+        cand = exchange_join(
+            cand, mark, left_on=["prev", "nxt"], right_on=["ps", "pn"],
+            join_type="left outer",
+        )
+        slices = partition_refs(cand, ["walker"], P)
+        parts = [
+            _n2v_pick.remote(p, q, seed, step, *[s[pp] for s in slices])
+            for pp in range(len(slices[0]))
+        ]
+        keep = [
+            rf
+            for rf, ok in zip(parts, _ray.get([_nonnull.remote(x) for x in parts]))
+            if ok
+        ]
+        cur = ray.data.from_arrow_refs(keep).materialize()
+        out.append(
+            cur.map_batches(
+                lambda t, s=step + 1: pa.table(
+                    {
+                        "walker": t["walker"],
+                        "step": pa.array(np.full(len(t), s, np.int64)),
+                        "v": t["v"],
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        )
+    res = out[0]
+    for o in out[1:]:
+        res = res.union(o)
+    return res

@@ -122,6 +122,7 @@ def test_queries_oracles_consistent():
         "pivot_mds",
         "spanning_edge_centrality",
         "electrical_closeness",
+        "node2vec_walks",
     }
 
 
