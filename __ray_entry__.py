@@ -860,6 +860,12 @@ def q_token_counts(sf_dir):
     return token_counts(_docs(sf_dir))
 
 
+def q_token_percentiles(sf_dir):
+    from networkit_ray.text.analysis import token_count_percentiles
+
+    return token_count_percentiles(_docs(sf_dir)).sort("lang")
+
+
 def q_quality_scores(sf_dir):
     from networkit_ray.text.analysis import quality_scores
 
@@ -1438,6 +1444,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_pagerank": q_web_pagerank,
         "exact_dedup": q_exact_dedup,
         "token_counts": q_token_counts,
+        "token_percentiles": q_token_percentiles,
         "quality_scores": q_quality_scores,
         "fingerprint_md5": q_fingerprint_md5,
         "lang_histogram": q_lang_histogram,
@@ -2700,6 +2707,21 @@ def oracle_sql() -> dict[str, str]:
                         ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
                    CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS BIGINT) AS n_bpeish
             FROM documents
+        """,
+        # Exact discrete percentiles: nearest-rank = quantile_disc
+        # (analysis.py:token_count_percentiles histogram-cumsum semantics).
+        "token_percentiles": r"""
+            WITH tc AS (
+                SELECT lang,
+                       CAST(CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(string_split_regex(trim(text), '\s+')) END
+                            AS BIGINT) AS n
+                FROM documents)
+            SELECT lang,
+                   CAST(quantile_disc(n, 0.5) AS BIGINT) AS p50,
+                   CAST(quantile_disc(n, 0.9) AS BIGINT) AS p90,
+                   CAST(quantile_disc(n, 0.99) AS BIGINT) AS p99
+            FROM tc GROUP BY lang ORDER BY lang
         """,
         "quality_scores": r"""
             SELECT doc_id,

@@ -168,3 +168,47 @@ def lang_histogram(docs: ray.data.Dataset) -> ray.data.Dataset:
     from ray.data.aggregate import Count
 
     return docs.groupby("lang").aggregate(Count(alias_name="n_docs"))
+
+
+def token_count_percentiles(
+    docs: ray.data.Dataset, qs: tuple = (0.5, 0.9, 0.99)
+) -> ray.data.Dataset:
+    """(lang, p50, p90, p99) EXACT discrete token-count percentiles.
+
+    Distributed exact quantiles without a sort: per-batch (lang, n_tokens)
+    histogram partials collapse in one groupby (distinct token counts are
+    bounded, so the aggregated table is tiny regardless of corpus size),
+    then each language's percentile reads the cumulative histogram —
+    nearest-rank semantics (value at 1-based rank ⌈q·n⌉), matching
+    DuckDB/PostgreSQL ``quantile_disc``/``percentile_disc`` exactly.
+    """
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        n_tok = np.fromiter(
+            (0 if not s.strip() else len(_WS_RE.split(s.strip())) for s in texts),
+            np.int64,
+            len(texts),
+        )
+        return pa.table({"lang": t["lang"], "n_tokens": pa.array(n_tok)})
+
+    hist = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "n_tokens"])
+        .count()
+    )
+
+    def pcts(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("n_tokens")
+        vals = df["n_tokens"].to_numpy()
+        cnt = df["count()"].to_numpy()
+        cum = np.cumsum(cnt)
+        n = cum[-1]
+        out = {"lang": [df["lang"].iloc[0]]}
+        for q, name in zip(qs, ("p50", "p90", "p99")):
+            rank = max(1, int(np.ceil(q * n - 1e-9)))
+            out[name] = [int(vals[np.searchsorted(cum, rank)])]
+        return pd.DataFrame(out)
+
+    return hist.groupby("lang").map_groups(pcts, batch_format="pandas")

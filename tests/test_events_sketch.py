@@ -60,3 +60,31 @@ class TestApproxDistinct:
         got = approx_distinct_users(rd.from_arrow(t)).to_pandas()
         assert len(got) == 1
         assert 0.5 < got["approx_distinct"].iloc[0] < 4
+
+
+class TestTokenPercentiles:
+    def test_matches_numpy_nearest_rank(self):
+        from networkit_ray.text.analysis import token_count_percentiles
+
+        rng = np.random.default_rng(3)
+        langs = np.array(["en", "de", "fr"])[rng.integers(0, 3, 500)]
+        texts = [" ".join(["w"] * int(k)) for k in rng.integers(1, 200, 500)]
+        t = pa.table(
+            {
+                "lang": pa.array(langs.tolist()),
+                "text": pa.array(texts),
+            }
+        )
+        got = (
+            token_count_percentiles(rd.from_arrow(t).repartition(5).materialize())
+            .to_pandas()
+            .set_index("lang")
+        )
+        import pandas as pd
+
+        df = pd.DataFrame({"lang": langs, "n": [len(s.split()) for s in texts]})
+        for lang, g in df.groupby("lang"):
+            vals = np.sort(g["n"].to_numpy())
+            for q, col in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]:
+                rank = max(1, int(np.ceil(q * len(vals) - 1e-9)))
+                assert got.loc[lang, col] == vals[rank - 1], (lang, col)
