@@ -860,6 +860,14 @@ def q_token_counts(sf_dir):
     return token_counts(_docs(sf_dir))
 
 
+def q_tfidf_top_terms(sf_dir):
+    from networkit_ray.text.analysis import tfidf_top_terms
+    from networkit_ray.web.htmlgen import num_documents
+
+    out = tfidf_top_terms(_docs(sf_dir), num_documents(sf_dir), k=3)
+    return _round_col(out, "score", 8).sort(["doc_id", "term"])
+
+
 def q_token_percentiles(sf_dir):
     from networkit_ray.text.analysis import token_count_percentiles
 
@@ -1445,6 +1453,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": q_exact_dedup,
         "token_counts": q_token_counts,
         "token_percentiles": q_token_percentiles,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "quality_scores": q_quality_scores,
         "fingerprint_md5": q_fingerprint_md5,
         "lang_histogram": q_lang_histogram,
@@ -2707,6 +2716,27 @@ def oracle_sql() -> dict[str, str]:
                         ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
                    CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS BIGINT) AS n_bpeish
             FROM documents
+        """,
+        # TF-IDF twin (analysis.py:tfidf_top_terms normative semantics):
+        # [a-z0-9]+ tokens of lower(text), score = tf·ln(N/df), top-3 by
+        # (score DESC, term ASC).
+        "tfidf_top_terms": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+                FROM documents),
+            tf AS (SELECT doc_id, term, COUNT(*) AS tf
+                   FROM tok GROUP BY doc_id, term),
+            df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+            sc AS (SELECT tf.doc_id, tf.term,
+                          tf.tf * LN((SELECT COUNT(*) FROM documents) * 1.0 / df.df) AS s
+                   FROM tf JOIN df USING (term)),
+            rk AS (SELECT doc_id, term, s,
+                          ROW_NUMBER() OVER (PARTITION BY doc_id
+                                             ORDER BY s DESC, term) AS r
+                   FROM sc)
+            SELECT doc_id, term, ROUND(s, 8) AS score
+            FROM rk WHERE r <= 3 ORDER BY doc_id, term
         """,
         # Exact discrete percentiles: nearest-rank = quantile_disc
         # (analysis.py:token_count_percentiles histogram-cumsum semantics).

@@ -33,7 +33,16 @@ _GOLD2 = np.uint64(0xC2B2AE3D27D4EB4F)
 def _key_hash(t: pa.Table, key_cols: list[str]) -> np.ndarray:
     h = np.zeros(t.num_rows, dtype=np.uint64)
     for c in key_cols:
-        v = t[c].to_numpy(zero_copy_only=False).astype(np.uint64)
+        col = t[c]
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            # vectorized FNV-ish over utf8 bytes via pandas hashing
+            import pandas as pd
+
+            v = pd.util.hash_array(
+                col.to_pandas().to_numpy(dtype=object), categorize=False
+            ).astype(np.uint64)
+        else:
+            v = col.to_numpy(zero_copy_only=False).astype(np.uint64)
         h = (h * _GOLD2) ^ (v * np.uint64(0x9E3779B97F4A7C15))
     return h
 

@@ -20,6 +20,7 @@ import re
 
 import numpy as np
 import pyarrow as pa
+import ray
 import ray.data
 
 _WORD_RE = re.compile(r"[A-Za-z0-9_]+")
@@ -212,3 +213,97 @@ def token_count_percentiles(
         return pd.DataFrame(out)
 
     return hist.groupby("lang").map_groups(pcts, batch_format="pandas")
+
+
+_TFIDF_RE = re.compile(r"[a-z0-9]+")
+
+
+@ray.remote
+def _tfidf_topk_part(k: int, *tables) -> "pa.Table | None":
+    live = [t for t in tables if t is not None and len(t)]
+    if not live:
+        return None
+    t = pa.concat_tables(live)
+    doc = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    term = np.asarray(t["term"].to_pylist(), dtype=object)
+    s = t["score"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((term, -s, doc))
+    doc, term, s = doc[order], term[order], s[order]
+    starts = np.flatnonzero(np.r_[True, doc[1:] != doc[:-1]])
+    sizes = np.diff(np.r_[starts, len(doc)])
+    rank = np.arange(len(doc)) - np.repeat(starts, sizes) + 1
+    keep = rank <= k
+    return pa.table(
+        {
+            "doc_id": pa.array(doc[keep]),
+            "term": pa.array(term[keep].tolist(), pa.string()),
+            "score": pa.array(s[keep]),
+        }
+    )
+
+
+def tfidf_top_terms(
+    docs: ray.data.Dataset, n_docs: int, *, k: int = 3
+) -> ray.data.Dataset:
+    """(doc_id, term, score) — top-k TF-IDF terms per document.
+
+    Normative semantics (mirrored by the DuckDB twin): tokens are
+    ``[a-z0-9]+`` runs of lower(text); tf = in-document count; df =
+    number of documents containing the term; score = tf · ln(N/df);
+    top-k by (score DESC, term ASC).
+
+    Scale shape: per-batch explode+count partials, one (doc,term)
+    groupby, one term-keyed df join (vocabulary-sized, not corpus-
+    sized), one doc-keyed exchange for the per-document top-k rank.
+    """
+    import pandas as pd
+
+    from networkit_ray.common.exchange import _nonnull, exchange_join, partition_refs
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, terms = [], []
+        for d, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = _TFIDF_RE.findall(s.lower())
+            ids.extend([d] * len(toks))
+            terms.extend(toks)
+        tt = pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "term": pa.array(terms, pa.string())}
+        )
+        return tt.group_by(["doc_id", "term"]).aggregate([([], "count_all")]).rename_columns(
+            ["doc_id", "term", "tf"]
+        )
+
+    tf = (
+        docs.map_batches(explode, batch_format="pyarrow")
+        .groupby(["doc_id", "term"])
+        .sum("tf")
+        .map_batches(
+            lambda t: t.rename_columns(["doc_id", "term", "tf"]),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    df = tf.groupby("term").count().map_batches(
+        lambda t: t.rename_columns(["term", "df"]), batch_format="pyarrow"
+    )
+    j = exchange_join(tf, df, left_on=["term"])
+
+    def score(t: pa.Table) -> pa.Table:
+        tfv = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dfv = t["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].combine_chunks().cast(pa.int64()),
+                "term": t["term"],
+                "score": pa.array(tfv * np.log(n_docs / dfv)),
+            }
+        )
+
+    scored = j.map_batches(score, batch_format="pyarrow")
+    slices = partition_refs(scored, ["doc_id"], 16)
+    parts = [
+        _tfidf_topk_part.remote(k, *[s[p] for s in slices])
+        for p in range(len(slices[0]))
+    ]
+    keep = [r for r, ok in zip(parts, ray.get([_nonnull.remote(x) for x in parts])) if ok]
+    return ray.data.from_arrow_refs(keep)

@@ -88,3 +88,47 @@ class TestTokenPercentiles:
             for q, col in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]:
                 rank = max(1, int(np.ceil(q * len(vals) - 1e-9)))
                 assert got.loc[lang, col] == vals[rank - 1], (lang, col)
+
+
+class TestTfidf:
+    def test_matches_bruteforce(self):
+        import collections
+        import re
+
+        from networkit_ray.text.analysis import tfidf_top_terms
+
+        texts = [
+            "the cat sat on the mat",
+            "the dog ate the bone",
+            "cat and dog play chess",
+            "quantum flux capacitor hums",
+        ]
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(4), pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+        got = (
+            tfidf_top_terms(rd.from_arrow(t).repartition(3).materialize(), 4, k=2)
+            .to_pandas()
+            .sort_values(["doc_id", "term"])
+            .reset_index(drop=True)
+        )
+        tok = re.compile(r"[a-z0-9]+")
+        tfs = [collections.Counter(tok.findall(s.lower())) for s in texts]
+        dfc = collections.Counter()
+        for c in tfs:
+            dfc.update(c.keys())
+        exp = []
+        for d, c in enumerate(tfs):
+            scored = sorted(
+                ((tf * np.log(4 / dfc[w]), w) for w, tf in c.items()),
+                key=lambda x: (-x[0], x[1]),
+            )[:2]
+            exp.extend((d, w, s) for s, w in scored)
+        exp = sorted(exp)
+        assert len(got) == len(exp)
+        for row, (d, w, s) in zip(got.itertuples(index=False), exp):
+            assert (row.doc_id, row.term) == (d, w)
+            assert abs(row.score - s) < 1e-12
