@@ -460,6 +460,26 @@ def q_diameter(sf_dir):
     return pd.DataFrame([{"diameter": res["diameter"]}])
 
 
+def q_incremental_cc(sf_dir):
+    """components/DynConnectedComponents.cpp analog: labels of the base
+    graph ((src+dst)%7 != 0 edges) warm-start hash-min over base ∪ delta;
+    result is exactly the full-graph CC (same oracle as
+    connected_components)."""
+    from networkit_ray.graph.components import connected_components, incremental_cc
+
+    sym, n = _sym(sf_dir)
+
+    def base_only(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array((s + d) % 7 != 0))
+
+    base = sym.map_batches(base_only, batch_format="pyarrow").materialize()
+    prev, _ = connected_components(base, n)
+    out, _info = incremental_cc(sym, n, prev.materialize())
+    return out.sort("v")
+
+
 def q_node2vec_walks(sf_dir):
     """embedding/Node2Vec.cpp biased-walk analog (p=0.5, q=2 — BFS-ish);
     rows-only — exact numpy-replica oracle in tests/test_node2vec.py."""
@@ -1396,6 +1416,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_degree": q_group_degree,
         "group_closeness": q_group_closeness,
         "node2vec_walks": q_node2vec_walks,
+        "incremental_cc": q_incremental_cc,
         "diameter": q_diameter,
         "harmonic_closeness_exact": q_harmonic_closeness_exact,
         "local_max_matching": q_local_max_matching,
@@ -2142,6 +2163,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY a.s
         """,
         "wcc": cc_sql,
+        "incremental_cc": cc_sql,
         "cc_sizes": f"SELECT label, CAST(COUNT(*) AS BIGINT) AS size FROM ({cc_sql}) GROUP BY label",
         "num_components": f"SELECT CAST(COUNT(DISTINCT label) AS BIGINT) AS n_components FROM ({cc_sql})",
         "modularity": f"""

@@ -138,6 +138,7 @@ def connected_components_refs(
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 4,
     resume: bool = False,
+    init_state: list | None = None,
 ) -> tuple[list, dict]:
     """Hash-min supersteps; past ``shortcut_after`` un-converged rounds,
     each edge round is followed by pointer jumping to fixpoint (see
@@ -156,6 +157,8 @@ def connected_components_refs(
                 return labels.astype(np.uint64), np.ones(len(labels), dtype=bool)
 
             state = [_mk_state.remote(r) for r in label_refs]
+    if state is None and init_state is not None:
+        state = init_state  # warm start (incremental_cc)
     if state is None:
         state = [_cc_init.remote(g.vid_refs[p]) for p in range(P)]
 
@@ -213,4 +216,62 @@ def connected_components(
     """Symmetrized edge table → (v, label) with label = component min id."""
     g = build_pgraph(sym_edges, num_nodes, num_parts=num_parts)
     refs, info = connected_components_refs(g, **kwargs)
+    return bsp.state_to_dataset(g, refs, "label"), info
+
+
+# ---- incremental (dynamic) connected components --------------------------
+
+
+@ray.remote
+def _icc_scatter(t, num_nodes: int, num_parts: int) -> tuple:
+    """Route (v, label) rows to their owning partition (vowner layout,
+    NOT the generic hash exchange — state arrays are owner-indexed)."""
+    v = t["v"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    lab = t["label"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    parts = bsp.vowner(v, num_nodes, num_parts)
+    order = np.argsort(parts, kind="stable")
+    v, lab, parts = v[order], lab[order], parts[order]
+    cut = np.searchsorted(parts, np.arange(num_parts + 1))
+    return tuple((v[cut[q] : cut[q + 1]], lab[cut[q] : cut[q + 1]]) for q in range(num_parts))
+
+
+@ray.remote
+def _icc_seed(vids: np.ndarray, num_nodes: int, num_parts: int, *slices) -> tuple:
+    lab = vids.copy().astype(np.uint64)
+    for v, l in slices:
+        if len(v):
+            lab[bsp.vlocal(v, num_nodes, num_parts)] = l
+    return lab, np.ones(len(vids), dtype=bool)
+
+
+def incremental_cc(
+    sym_edges: ray.data.Dataset,
+    num_nodes: int,
+    prev_labels: ray.data.Dataset,
+    *,
+    num_parts: int | None = None,
+    **kwargs,
+) -> tuple[ray.data.Dataset, dict]:
+    """CC after edge INSERTIONS, warm-started from the previous labels.
+
+    Reference: components/DynConnectedComponents.cpp (edge-insertion
+    component merge).  Under insertions the min-label fixpoint only
+    decreases, and every previous label names a vertex inside the same
+    (new) component — so seeding hash-min with the old labels is exact,
+    and supersteps track the MERGE chain depth instead of the graph
+    diameter (the streaming-update path: re-run over base ∪ delta with
+    the old labels, don't recompute from scratch).  Result is identical
+    to connected_components on the full edge set.
+    """
+    g = build_pgraph(sym_edges, num_nodes, num_parts=num_parts)
+    P = g.num_parts
+    scat = [
+        _icc_scatter.options(num_returns=P).remote(r, num_nodes, P)
+        for r in prev_labels.to_arrow_refs()
+    ]
+    init = [
+        _icc_seed.remote(g.vid_refs[q], num_nodes, P, *[s[q] for s in scat])
+        for q in range(P)
+    ]
+    refs, info = connected_components_refs(g, init_state=init, **kwargs)
     return bsp.state_to_dataset(g, refs, "label"), info

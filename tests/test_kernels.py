@@ -135,3 +135,90 @@ class TestPLP:
         expect, it = ref.plp_ref(s, 50, max_iterations=30)
         assert np.array_equal(got, expect)
         assert info["iterations"] == it
+
+
+class TestIncrementalCC:
+    def test_equals_scratch_after_insertions(self):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from networkit_ray.graph.build import symmetrize
+        from networkit_ray.graph.components import (
+            connected_components,
+            incremental_cc,
+        )
+
+        rng = np.random.default_rng(12)
+        n, m = 60, 90
+        canon = sorted(
+            {
+                (int(min(a, b)), int(max(a, b)))
+                for a, b in rng.integers(0, n, (m, 2))
+                if a != b
+            }
+        )
+        base = [e for i, e in enumerate(canon) if i % 5 != 0]
+        delta = [e for i, e in enumerate(canon) if i % 5 == 0]
+        assert delta
+
+        def ds(rows):
+            return rd.from_arrow(
+                pa.table(
+                    {
+                        "src": pa.array([a for a, b in rows], pa.int64()),
+                        "dst": pa.array([b for a, b in rows], pa.int64()),
+                    }
+                )
+            )
+
+        prev, _ = connected_components(symmetrize(ds(base)).materialize(), n)
+        full_sym = symmetrize(ds(canon)).materialize()
+        inc, info = incremental_cc(full_sym, n, prev.materialize())
+        scratch, _ = connected_components(full_sym, n)
+        a = inc.to_pandas().sort_values("v").reset_index(drop=True)
+        b = scratch.to_pandas().sort_values("v").reset_index(drop=True)
+        assert a.equals(b)
+
+    def test_chain_merge_fewer_supersteps(self):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from networkit_ray.graph.build import symmetrize
+        from networkit_ray.graph.components import (
+            connected_components,
+            incremental_cc,
+        )
+
+        # two long paths merged by ONE new edge: scratch pays the diameter
+        # (or the jump rounds), warm-start converges in a couple of rounds
+        n = 80
+        half = [(i, i + 1) for i in range(39)]
+        half += [(i, i + 1) for i in range(40, 79)]
+
+        def ds(rows):
+            return rd.from_arrow(
+                pa.table(
+                    {
+                        "src": pa.array([a for a, b in rows], pa.int64()),
+                        "dst": pa.array([b for a, b in rows], pa.int64()),
+                    }
+                )
+            )
+
+        prev, _ = connected_components(symmetrize(ds(half)).materialize(), n)
+        full = symmetrize(ds(half + [(39, 40)])).materialize()
+        # the warm start pays off THROUGH pointer jumping: the old labels
+        # are ready-made shortcuts (label[label[u]] collapses the whole
+        # absorbed chain the first jump after the merge edge fires)
+        inc, info = incremental_cc(
+            full, n, prev.materialize(), shortcut_after=1
+        )
+        scratch, scratch_info = connected_components(full, n, shortcut_after=1)
+        assert inc.to_pandas().sort_values("v").reset_index(drop=True).equals(
+            scratch.to_pandas().sort_values("v").reset_index(drop=True)
+        )
+        inc_rounds = info["iterations"] + info["jumps"]
+        scr_rounds = scratch_info["iterations"] + scratch_info["jumps"]
+        assert inc_rounds < scr_rounds, (info, scratch_info)
