@@ -242,6 +242,18 @@ def q_louvain(sf_dir):
     return labels
 
 
+def q_leiden_refine(sf_dir):
+    """community/ParallelLeiden.cpp refinement-phase analog on the
+    louvain() output; rows-only — split/boundary/determinism oracles in
+    tests/test_louvain.py::TestRefineCommunities."""
+    from networkit_ray.graph.louvain import louvain, refine_communities
+
+    sym, n = _sym(sf_dir)
+    labels, _ = louvain(sym, n)
+    out, _ = refine_communities(sym, n, labels.materialize())
+    return out.sort("v")
+
+
 def q_louvain_modularity(sf_dir):
     from networkit_ray.common.hashing import round_half_away
     from networkit_ray.graph.louvain import louvain
@@ -1417,6 +1429,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_closeness": q_group_closeness,
         "node2vec_walks": q_node2vec_walks,
         "incremental_cc": q_incremental_cc,
+        "leiden_refine": q_leiden_refine,
         "diameter": q_diameter,
         "harmonic_closeness_exact": q_harmonic_closeness_exact,
         "local_max_matching": q_local_max_matching,

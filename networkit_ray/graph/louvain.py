@@ -763,3 +763,134 @@ def louvain(
         batch_format="pyarrow",
     )
     return out, info
+
+
+# ---- Leiden-style refinement ---------------------------------------------
+
+
+def refine_communities(
+    sym_edges: ray.data.Dataset,
+    num_nodes: int,
+    labels: ray.data.Dataset,
+    *,
+    gamma: float = 1.0,
+    max_rounds: int = 16,
+    num_parts: int | None = None,
+) -> tuple[ray.data.Dataset, dict]:
+    """Leiden-style refinement: split badly-connected communities.
+
+    Reference: community/ParallelLeiden.cpp refinement phase (Traag et
+    al. 2019) — within each input community, local moving restarts from
+    SINGLETONS and vertices may only join subcommunities of their own
+    parent community.  A disconnected parent community necessarily
+    splits (membership only ever spreads along intra-parent edges); the
+    coarsen step of a full Leiden loop would then aggregate the refined
+    partition.
+
+    Normative semantics: per-parent induced subgraph, synchronous
+    parity-gated local moving with the same ΔQ formula as louvain()
+    computed on the subgraph's own volume (m_sub), ties → smallest
+    community id, singleton init; output label = original-vertex-id
+    representative (min member id of each refined subcommunity).
+
+    Scale shape: two label joins put each intra-community edge in its
+    parent's group; per-parent groups run in parallel via map_groups
+    (assumes one community's induced subgraph fits a worker — the same
+    bounded-group contract as sessionize; at web scale a giant parent
+    community would itself be sharded by a second-level refinement).
+    Vertices with no intra-community edge become singletons.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from networkit_ray.common.exchange import exchange_join
+
+    lab2 = labels.map_batches(
+        lambda t: pa.table(
+            {
+                "lv": t["v"].combine_chunks().cast(pa.int64()),
+                "lc": t["label"].combine_chunks().cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    j1 = exchange_join(sym_edges, lab2, left_on=["src"], right_on=["lv"])
+    j1 = j1.map_batches(
+        lambda t: t.rename_columns(
+            ["pc" if c == "lc" else c for c in t.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+    j2 = exchange_join(j1, lab2, left_on=["dst"], right_on=["lv"])
+    intra = j2.map_batches(
+        lambda t: t.filter(pc.equal(t["pc"], t["lc"])).select(["src", "dst", "pc"]),
+        batch_format="pyarrow",
+    )
+
+    def refine_group(df: pd.DataFrame) -> pd.DataFrame:
+        src = df["src"].to_numpy().astype(np.int64)
+        dst = df["dst"].to_numpy().astype(np.int64)
+        verts = np.unique(np.concatenate([src, dst]))
+        n = len(verts)
+        s = np.searchsorted(verts, src)
+        d = np.searchsorted(verts, dst)
+        w = np.ones(len(s), np.float64)
+        m_sub = w.sum() / 2.0
+        lab = np.arange(n, dtype=np.int64)  # singleton init
+        degw = np.zeros(n, np.float64)
+        np.add.at(degw, s, w)
+        for rnd in range(max_rounds):
+            vol = np.zeros(n, np.float64)
+            np.add.at(vol, lab, degw)
+            gate = (verts + rnd) % 2 == 0
+            # w(u→C) histogram over incident edges
+            order = np.lexsort((lab[d], s))
+            ss, cc, ww = s[order], lab[d][order], w[order]
+            first = np.r_[True, (ss[1:] != ss[:-1]) | (cc[1:] != cc[:-1])]
+            gidx = np.cumsum(first) - 1
+            hw = np.zeros(gidx[-1] + 1 if len(gidx) else 0, np.float64)
+            np.add.at(hw, gidx, ww)
+            hu, hc = ss[first], cc[first]
+            cur = lab[hu]
+            w_to_cur = np.zeros(n, np.float64)
+            sel_cur = hc == cur
+            np.add.at(w_to_cur, hu[sel_cur], hw[sel_cur])
+            volB = vol[hc] - np.where(sel_cur, degw[hu], 0.0)
+            volA = vol[cur] - degw[hu]
+            gain = (hw - w_to_cur[hu]) / m_sub - gamma * degw[hu] * (
+                volB - volA
+            ) / (2.0 * m_sub * m_sub)
+            # best candidate per u: (gain desc, community asc), must beat 0
+            cand_order = np.lexsort((hc, -gain, hu))
+            hu2 = hu[cand_order]
+            firstu = np.r_[True, hu2[1:] != hu2[:-1]]
+            bu = hu2[firstu]
+            bc = hc[cand_order][firstu]
+            bg = gain[cand_order][firstu]
+            ok = (bg > 1e-12) & gate[bu] & (bc != lab[bu])
+            if not ok.any():
+                break
+            lab[bu[ok]] = bc[ok]
+        # representative = min original member id per refined community
+        rep = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(rep, lab, verts)
+        return pd.DataFrame({"v": verts, "label": rep[lab]})
+
+    refined = intra.groupby("pc").map_groups(refine_group, batch_format="pandas")
+
+    # vertices with no intra-community edge → singletons (label = self)
+    allv = ray.data.from_arrow(
+        pa.table({"v": pa.array(np.arange(num_nodes, dtype=np.int64))})
+    )
+    out = exchange_join(allv, refined.materialize(), left_on=["v"], join_type="left outer")
+
+    def fill(t: pa.Table) -> pa.Table:
+        v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if "label" in t.column_names:
+            lab = t["label"].to_numpy(zero_copy_only=False).astype(np.float64)
+            lab = np.where(np.isnan(lab), v, lab).astype(np.int64)
+        else:
+            lab = v
+        return pa.table({"v": pa.array(v), "label": pa.array(lab)})
+
+    return out.map_batches(fill, batch_format="pyarrow"), {}

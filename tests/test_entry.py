@@ -108,6 +108,7 @@ def test_queries_oracles_consistent():
         "plp_communities",
         "louvain",
         "louvain_modularity",
+        "leiden_refine",
         "langid",
         "minhash_near_dups",
         "simhash_near_dups",

@@ -101,3 +101,85 @@ class TestPageRankNibble:
         # precision: the bulk of the returned set is the seed's community
         assert len(got & community) / len(got) >= 0.8, (len(got), len(got & community))
         assert info["conductance"] < 0.3
+
+
+class TestRefineCommunities:
+    def _ds(self, rows):
+        import pyarrow as pa
+        import ray.data as rd
+
+        both = rows + [(b, a) for a, b in rows]
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array([e[0] for e in both], pa.int64()),
+                    "dst": pa.array([e[1] for e in both], pa.int64()),
+                }
+            )
+        ).materialize()
+
+    def _labels(self, pairs):
+        import pyarrow as pa
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "v": pa.array([p[0] for p in pairs], pa.int64()),
+                    "label": pa.array([p[1] for p in pairs], pa.int64()),
+                }
+            )
+        ).materialize()
+
+    def test_splits_disconnected_community(self):
+        import numpy as np
+
+        from networkit_ray.graph.louvain import refine_communities
+
+        # one "community" = two disjoint triangles; refinement must split
+        canon = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5)]
+        labels = self._labels([(v, 0) for v in range(6)])
+        out, _ = refine_communities(self._ds(canon), 6, labels)
+        df = out.to_pandas().sort_values("v")
+        lab = df["label"].to_numpy()
+        assert len(set(lab[:3])) == 1 and len(set(lab[3:])) == 1
+        assert lab[0] != lab[3]
+
+    def test_keeps_well_connected_community(self):
+        from networkit_ray.graph.louvain import refine_communities
+
+        # a clique stays together
+        canon = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+        labels = self._labels([(v, 0) for v in range(5)])
+        out, _ = refine_communities(self._ds(canon), 5, labels)
+        lab = out.to_pandas()["label"].to_numpy()
+        assert len(set(lab)) == 1
+
+    def test_respects_parent_boundaries_and_determinism(self):
+        import numpy as np
+
+        from networkit_ray.graph.louvain import refine_communities
+
+        rng = np.random.default_rng(4)
+        n = 40
+        canon = sorted(
+            {
+                (int(min(a, b)), int(max(a, b)))
+                for a, b in rng.integers(0, n, (120, 2))
+                if a != b
+            }
+        )
+        parents = self._labels([(v, v % 3) for v in range(n)])
+        ds = self._ds(canon)
+        a_out, _ = refine_communities(ds, n, parents)
+        b_out, _ = refine_communities(
+            ds.repartition(7).materialize(), n, parents, num_parts=5
+        )
+        a = a_out.to_pandas().sort_values("v").reset_index(drop=True)
+        b = b_out.to_pandas().sort_values("v").reset_index(drop=True)
+        assert a.equals(b)
+        # refined labels never cross parent boundaries: members of one
+        # refined community share a parent
+        par = {v: v % 3 for v in range(n)}
+        for lab, grp in a.groupby("label"):
+            assert len({par[v] for v in grp["v"]}) == 1
