@@ -1040,6 +1040,15 @@ def q_er_edges(sf_dir):
     return edges.sort(["src", "dst"])
 
 
+def q_watts_strogatz_edges(sf_dir):
+    """generators/WattsStrogatzGenerator.cpp analog (hash rewiring);
+    rows-only — lattice/rewire-fraction tests in tests/test_sources.py."""
+    from networkit_ray.sources.synth import watts_strogatz_edges
+
+    edges, _n = watts_strogatz_edges(1024, 4, 0.1)
+    return edges.sort(["src", "dst"])
+
+
 def q_chung_lu_edges(sf_dir):
     """generators/ChungLuGenerator.cpp analog (expected-degree draws via
     broadcast CDF); rows-only — property tests in tests/test_sources.py."""
@@ -1504,6 +1513,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rmat_edges": q_rmat_edges,
         "er_edges": q_er_edges,
         "chung_lu_edges": q_chung_lu_edges,
+        "watts_strogatz_edges": q_watts_strogatz_edges,
         "tumbling_window": q_tumbling_window,
         "sliding_window": q_sliding_window,
         "asof_click_to_view": q_asof_click_to_view,

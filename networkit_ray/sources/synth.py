@@ -178,3 +178,41 @@ def chung_lu_edges(
 
     edges = ray.data.range(m).map_batches(gen, batch_format="numpy")
     return dedup_edges(edges), n
+
+
+def watts_strogatz_edges(
+    n: int, k: int, p: float, *, seed: int = 42
+) -> tuple[ray.data.Dataset, int]:
+    """Watts–Strogatz small-world graph: ring lattice + hash rewiring.
+
+    Reference: generators/WattsStrogatzGenerator.cpp (RegularRingLattice +
+    per-edge rewiring).  Each lattice edge (v, v+j) for j in 1..k/2 is
+    rewired (its far endpoint replaced by a uniform non-self vertex) when
+    its counter hash is below p — deterministic at any parallelism;
+    collisions after rewiring are deduplicated like every generator here.
+    ``k`` must be even (k/2 neighbors per side).
+    """
+    if k % 2:
+        raise ValueError("k must be even")
+    half = k // 2
+    base = np.uint64(seed) * np.uint64(0x100000001B3)
+
+    def gen(batch: dict) -> pa.Table:
+        idx = batch["id"].astype(np.uint64)  # edge counter: v * half + (j-1)
+        v = (idx // np.uint64(half)).astype(np.int64)
+        j = (idx % np.uint64(half)).astype(np.int64) + 1
+        tgt = (v + j) % n
+        u1 = _splitmix64(base + idx * np.uint64(2)).astype(np.float64) / 2.0**64
+        rnd = _splitmix64(base + idx * np.uint64(2) + np.uint64(1)) % np.uint64(n - 1)
+        rnd = rnd.astype(np.int64)
+        rnd = rnd + (rnd >= v)  # uniform over vertices != v
+        dst = np.where(u1 < p, rnd, tgt)
+        keep = dst != v
+        lo = np.minimum(v[keep], dst[keep])
+        hi = np.maximum(v[keep], dst[keep])
+        return pa.table({"src": pa.array(lo), "dst": pa.array(hi)})
+
+    from networkit_ray.graph.build import dedup_edges
+
+    edges = ray.data.range(n * half).map_batches(gen, batch_format="numpy")
+    return dedup_edges(edges), n

@@ -120,6 +120,7 @@ def test_queries_oracles_consistent():
         "rmat_edges",
         "er_edges",
         "chung_lu_edges",
+        "watts_strogatz_edges",
         "max_flow",
         "commute_time",
         "pivot_mds",

@@ -409,3 +409,34 @@ class TestRandomGenerators:
         assert e.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True).equals(
             e2.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
         )
+
+
+class TestWattsStrogatz:
+    def test_no_rewire_is_ring_lattice(self):
+        from networkit_ray.sources.synth import watts_strogatz_edges
+
+        e, n = watts_strogatz_edges(20, 4, 0.0)
+        df = e.to_pandas()
+        exp = set()
+        for v in range(20):
+            for j in (1, 2):
+                a, b = v, (v + j) % 20
+                exp.add((min(a, b), max(a, b)))
+        assert set(map(tuple, df.to_numpy())) == exp
+
+    def test_rewire_fraction_and_determinism(self):
+        from networkit_ray.sources.synth import watts_strogatz_edges
+
+        a, _ = watts_strogatz_edges(300, 6, 0.3)
+        b, _ = watts_strogatz_edges(300, 6, 0.3)
+        da = a.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+        db = b.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+        assert da.equals(db)
+        ring = set()
+        for v in range(300):
+            for j in (1, 2, 3):
+                x, y = v, (v + j) % 300
+                ring.add((min(x, y), max(x, y)))
+        got = set(map(tuple, da.to_numpy()))
+        frac_kept = len(got & ring) / len(ring)
+        assert 0.6 < frac_kept < 0.8  # ~70% kept at p=0.3
