@@ -242,6 +242,18 @@ def q_louvain(sf_dir):
     return labels
 
 
+def q_ego_splitting(sf_dir):
+    """community/EgoSplitting.cpp analog (persona-graph overlapping
+    communities); rows-only — planted-structure oracles in
+    tests/test_egosplit.py."""
+    from networkit_ray.graph.egosplit import ego_splitting
+
+    canon, n = _canon(sf_dir)
+    sym, _ = _sym(sf_dir)
+    out, _info = ego_splitting(canon, sym, n)
+    return out.sort(["v", "community"])
+
+
 def q_leiden_refine(sf_dir):
     """community/ParallelLeiden.cpp refinement-phase analog on the
     louvain() output; rows-only — split/boundary/determinism oracles in
@@ -1439,6 +1451,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "node2vec_walks": q_node2vec_walks,
         "incremental_cc": q_incremental_cc,
         "leiden_refine": q_leiden_refine,
+        "ego_splitting": q_ego_splitting,
         "diameter": q_diameter,
         "harmonic_closeness_exact": q_harmonic_closeness_exact,
         "local_max_matching": q_local_max_matching,

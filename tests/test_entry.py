@@ -109,6 +109,7 @@ def test_queries_oracles_consistent():
         "louvain",
         "louvain_modularity",
         "leiden_refine",
+        "ego_splitting",
         "langid",
         "minhash_near_dups",
         "simhash_near_dups",
