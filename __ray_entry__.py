@@ -484,6 +484,26 @@ def q_diameter(sf_dir):
     return pd.DataFrame([{"diameter": res["diameter"]}])
 
 
+def q_warm_pagerank(sf_dir):
+    """DynPageRank-style warm start: base-graph scores seed the full-graph
+    power iteration (identical fixpoint, iterations track the score drift
+    — 125→1 on an unchanged graph); rows-only — fixpoint-equality tests
+    in tests/test_kernels.py::TestWarmStartPageRank."""
+    from networkit_ray.graph.pagerank import pagerank, warm_start_pagerank
+
+    edges, n = _derived(sf_dir)
+
+    def base_only(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array((s + d) % 7 != 0))
+
+    base = edges.map_batches(base_only, batch_format="pyarrow").materialize()
+    prev, _ = pagerank(base, n, tol=1e-10)
+    out, _info = warm_start_pagerank(edges, n, prev.materialize(), tol=1e-10)
+    return _round_col(out, "score", 8).sort("v")
+
+
 def q_incremental_cc(sf_dir):
     """components/DynConnectedComponents.cpp analog: labels of the base
     graph ((src+dst)%7 != 0 edges) warm-start hash-min over base ∪ delta;
@@ -1450,6 +1470,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_closeness": q_group_closeness,
         "node2vec_walks": q_node2vec_walks,
         "incremental_cc": q_incremental_cc,
+        "warm_pagerank": q_warm_pagerank,
         "leiden_refine": q_leiden_refine,
         "ego_splitting": q_ego_splitting,
         "diameter": q_diameter,

@@ -98,8 +98,14 @@ def pagerank_refs(
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 1,
     resume: bool = False,
+    init_scores: list | None = None,
 ) -> tuple[list, dict]:
-    """Run PageRank; returns (per-partition score refs, info dict)."""
+    """Run PageRank; returns (per-partition score refs, info dict).
+
+    ``init_scores``: per-partition score arrays to warm-start from (the
+    DynPageRank path — see warm_start_pagerank); power iteration from any
+    positive start converges to the same fixpoint, just sooner when the
+    start is yesterday's scores."""
     P = g.num_parts
     n = g.num_nodes
     coef_refs = [_pr_coef.remote(b) for b in g.block_refs]
@@ -111,6 +117,8 @@ def pagerank_refs(
         if loaded is not None:
             scores, meta = loaded
             start_iter = meta["iteration"]
+    if scores is None and init_scores is not None:
+        scores = init_scores
     if scores is None:
         scores = [_pr_init.remote(g.vid_refs[p], n) for p in range(P)]
 
@@ -241,3 +249,72 @@ def personalized_pagerank(
             for q in range(P)
         ]
     return bsp.state_to_dataset(g, scores, "score"), {"iterations": iterations}
+
+
+# ---- warm-start (DynPageRank-style) --------------------------------------
+
+
+@ray.remote
+def _pr_scatter(t, num_nodes: int, num_parts: int) -> tuple:
+    v = t["v"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    sc = t["score"].to_numpy(zero_copy_only=False).astype(np.float64)
+    parts = bsp.vowner(v, num_nodes, num_parts)
+    order = np.argsort(parts, kind="stable")
+    v, sc, parts = v[order], sc[order], parts[order]
+    cut = np.searchsorted(parts, np.arange(num_parts + 1))
+    return tuple(
+        (v[cut[q] : cut[q + 1]], sc[cut[q] : cut[q + 1]]) for q in range(num_parts)
+    )
+
+
+@ray.remote
+def _pr_seed(vids: np.ndarray, num_nodes: int, num_parts: int, *slices) -> np.ndarray:
+    sc = np.full(len(vids), 1.0 / num_nodes, np.float64)
+    for v, s in slices:
+        if len(v):
+            sc[bsp.vlocal(v, num_nodes, num_parts)] = s
+    return sc
+
+
+def warm_start_pagerank(
+    edges: ray.data.Dataset,
+    num_nodes: int,
+    prev_scores: ray.data.Dataset,
+    *,
+    num_parts: int | None = None,
+    weighted: bool = False,
+    **kwargs,
+) -> tuple[ray.data.Dataset, dict]:
+    """PageRank over an UPDATED graph seeded with the previous scores.
+
+    The streaming-update analog of DynPageRank: after an edge-batch
+    change, restart power iteration from yesterday's score vector —
+    the fixpoint is identical (unique for damp < 1), and the iteration
+    count tracks how far the scores moved, not the mixing time from
+    uniform.  New vertices absent from ``prev_scores`` start at 1/n.
+    """
+    g = build_pgraph(edges, num_nodes, num_parts=num_parts, weighted=weighted)
+    P = g.num_parts
+    scat = [
+        _pr_scatter.options(num_returns=P).remote(r, num_nodes, P)
+        for r in prev_scores.to_arrow_refs()
+    ]
+    init = [
+        _pr_seed.remote(g.vid_refs[q], num_nodes, P, *[s[q] for s in scat])
+        for q in range(P)
+    ]
+    # pagerank() returns NORMALIZED scores, but the internal iteration's
+    # fixpoint is unnormalized (dangling mass evaporates each superstep,
+    # PageRank.cpp end-normalization semantics): its sum is
+    # s* = (1−d)/(1 − d·(1−dangling_frac)).  Rescale the seed to s* or the
+    # warm start's initial residual is O(1−s*) and saves nothing.
+    damp = kwargs.get("damp", 0.85)
+    dang = float(
+        sum(ray.get([
+            _pr_dangling_sum.remote(g.block_refs[p], init[p]) for p in range(P)
+        ]))
+    )
+    s_star = (1.0 - damp) / (1.0 - damp * (1.0 - dang))
+    init = [_pr_scale.remote(x, 1.0 / s_star) for x in init]
+    refs, info = pagerank_refs(g, init_scores=init, **kwargs)
+    return bsp.state_to_dataset(g, refs, "score"), info

@@ -110,6 +110,7 @@ def test_queries_oracles_consistent():
         "louvain_modularity",
         "leiden_refine",
         "ego_splitting",
+        "warm_pagerank",
         "langid",
         "minhash_near_dups",
         "simhash_near_dups",

@@ -222,3 +222,33 @@ class TestIncrementalCC:
         inc_rounds = info["iterations"] + info["jumps"]
         scr_rounds = scratch_info["iterations"] + scratch_info["jumps"]
         assert inc_rounds < scr_rounds, (info, scratch_info)
+
+
+class TestWarmStartPageRank:
+    def test_same_fixpoint_fewer_iterations(self):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from networkit_ray.graph.pagerank import pagerank, warm_start_pagerank
+
+        rng = np.random.default_rng(21)
+        n, m = 80, 300
+        e = np.unique(rng.integers(0, n, (m, 2)), axis=0)
+        e = e[e[:, 0] != e[:, 1]]
+
+        def ds(arr):
+            return rd.from_arrow(
+                pa.table({"src": arr[:, 0], "dst": arr[:, 1]})
+            ).materialize()
+
+        base = e[: len(e) - 10]
+        prev, _ = pagerank(ds(base), n, tol=1e-12)
+        warm, winfo = warm_start_pagerank(
+            ds(e), n, prev.materialize(), tol=1e-12
+        )
+        cold, cinfo = pagerank(ds(e), n, tol=1e-12)
+        a = warm.to_pandas().sort_values("v")["score"].to_numpy()
+        b = cold.to_pandas().sort_values("v")["score"].to_numpy()
+        np.testing.assert_allclose(a, b, atol=1e-10)
+        assert winfo["iterations"] < cinfo["iterations"], (winfo, cinfo)
