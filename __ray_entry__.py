@@ -470,7 +470,7 @@ def q_harmonic_closeness_exact(sf_dir):
 
     sym, s = supplier_ring_edges(sf_dir)
     out = exact_harmonic_closeness(sym.materialize(), s)
-    return _round_col(out, "harmonic", 8).sort("v")
+    return _round_col(_round_col(out, "harmonic", 8), "closeness", 8).sort("v")
 
 
 def q_diameter(sf_dir):
@@ -742,6 +742,39 @@ def q_simmelian_overlap(sf_dir):
 
     canon, n = _canon(sf_dir)
     return simmelian_overlap_scores(canon, n, max_rank=10).sort(["src", "dst"])
+
+
+def q_graph_difference(sf_dir):
+    """Edit list G1→G2: G2 = G1 minus (src+dst)%3==0 plus reversals of src%5==0."""
+    import pyarrow.compute as pc
+
+    from networkit_ray.graph.build import dedup_edges
+    from networkit_ray.graph.dynamics import graph_difference
+
+    g1, n = _derived(sf_dir)
+
+    def perturb(t):
+        s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (s + d) % 3 != 0
+        rev = s % 5 == 0
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([s[keep], d[rev]])),
+                "dst": pa.array(np.concatenate([d[keep], s[rev]])),
+            }
+        )
+
+    g2 = dedup_edges(g1.map_batches(perturb, batch_format="pyarrow"))
+    return graph_difference(g1, g2).sort(["kind", "u", "v"])
+
+
+def q_local_similarity(sf_dir):
+    from networkit_ray.graph.sparsification import local_similarity_scores
+
+    canon, n = _canon(sf_dir)
+    out = local_similarity_scores(canon, n)
+    return _round_col(out, "ls_score", 8).sort(["src", "dst"])
 
 
 SCAN_PARAMS = {"eps": 0.15, "mu": 3}
@@ -1495,6 +1528,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sparsify_triangles": q_sparsify_triangles,
         "local_degree_scores": q_local_degree_scores,
         "simmelian_overlap": q_simmelian_overlap,
+        "local_similarity": q_local_similarity,
+        "graph_difference": q_graph_difference,
         "scan_clustering": q_scan_clustering,
         "eccentricity": q_eccentricity,
         "random_walks": q_random_walks,
@@ -2360,8 +2395,12 @@ def oracle_sql() -> dict[str, str]:
                 WHERE r.d < 64
             ),
             md AS (SELECT s, v, MIN(d) AS d FROM r GROUP BY s, v),
-            h AS (SELECT v, SUM(1.0 / d) AS h FROM md WHERE d > 0 GROUP BY v)
-            SELECT sup.v, ROUND(COALESCE(h.h, 0), 8) AS harmonic
+            h AS (SELECT v, SUM(1.0 / d) AS h, SUM(d) AS t
+                  FROM md WHERE d > 0 GROUP BY v)
+            SELECT sup.v, ROUND(COALESCE(h.h, 0), 8) AS harmonic,
+                   ROUND(CASE WHEN COALESCE(h.t, 0) > 0
+                         THEN ((SELECT COUNT(*) FROM supplier) - 1) * 1.0 / h.t
+                         ELSE 0 END, 8) AS closeness
             FROM sup LEFT JOIN h ON h.v = sup.v
             ORDER BY sup.v
         """.replace("{SUPPLIER_RING_SQL}", SUPPLIER_RING_SQL),
@@ -2665,6 +2704,73 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(ov.overlap, 0) AS BIGINT) AS overlap
             FROM ce LEFT JOIN ov ON ov.src = ce.src AND ov.dst = ce.dst
             ORDER BY ce.src, ce.dst
+        """,
+        # LocalSimilarityScore twin: neighbors ranked by Jaccard DESC
+        # (ties -> smaller id), side 1.0 at rank 1 else 1 - ln(rank)/ln(deg),
+        # edge score = max over both sides.
+        "local_similarity": f"""
+            WITH ce AS MATERIALIZED ({CANONICAL_EDGES_SQL}),
+            tc AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+                   FROM ce e1 JOIN ce e2 ON e2.src = e1.dst
+                   JOIN ce e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+            ex AS (SELECT LEAST(a,b) AS src, GREATEST(a,b) AS dst FROM tc
+                   UNION ALL SELECT LEAST(a,c), GREATEST(a,c) FROM tc
+                   UNION ALL SELECT LEAST(b,c), GREATEST(b,c) FROM tc),
+            cnt AS (SELECT src, dst, COUNT(*) AS tri FROM ex GROUP BY src, dst),
+            dg AS (SELECT v, CAST(COUNT(*) AS DOUBLE) AS deg FROM (
+                SELECT src AS v FROM ce UNION ALL SELECT dst FROM ce) GROUP BY v),
+            jac AS (
+                SELECT ce.src, ce.dst,
+                       CASE WHEN du.deg + dv.deg - 2 - COALESCE(cnt.tri, 0) > 0
+                            THEN COALESCE(cnt.tri, 0) / (du.deg + dv.deg - 2 - COALESCE(cnt.tri, 0))
+                            ELSE 1.0 END AS j
+                FROM ce JOIN dg du ON du.v = ce.src JOIN dg dv ON dv.v = ce.dst
+                LEFT JOIN cnt ON cnt.src = ce.src AND cnt.dst = ce.dst),
+            bi AS (SELECT src AS v, dst AS nbr, j FROM jac
+                   UNION ALL SELECT dst, src, j FROM jac),
+            rk AS (SELECT v, nbr,
+                          ROW_NUMBER() OVER (PARTITION BY v
+                                             ORDER BY j DESC, nbr) AS rnk,
+                          COUNT(*) OVER (PARTITION BY v) AS degv
+                   FROM bi),
+            side AS (SELECT LEAST(v, nbr) AS src, GREATEST(v, nbr) AS dst,
+                            CASE WHEN rnk = 1 THEN 1.0
+                                 ELSE 1.0 - LN(rnk) / LN(degv) END AS s
+                     FROM rk)
+            SELECT src, dst, ROUND(MAX(s), 8) AS ls_score
+            FROM side GROUP BY src, dst ORDER BY src, dst
+        """,
+        # GraphDifference twin (dynamics/GraphDifference.cpp edit list);
+        # perturbation mirrors q_graph_difference exactly.
+        "graph_difference": f"""
+            WITH g1 AS MATERIALIZED ({DERIVED_EDGES_SQL}),
+            g2 AS MATERIALIZED (
+                SELECT DISTINCT src, dst FROM (
+                    SELECT src, dst FROM g1 WHERE (src + dst) % 3 <> 0
+                    UNION ALL
+                    SELECT dst AS src, src AS dst FROM g1 WHERE src % 5 = 0
+                )
+            ),
+            er AS (SELECT 'edge_removal' AS kind, g1.src AS u, g1.dst AS v
+                   FROM g1 WHERE NOT EXISTS (
+                       SELECT 1 FROM g2
+                       WHERE g2.src = g1.src AND g2.dst = g1.dst)),
+            ea AS (SELECT 'edge_addition' AS kind, g2.src AS u, g2.dst AS v
+                   FROM g2 WHERE NOT EXISTS (
+                       SELECT 1 FROM g1
+                       WHERE g1.src = g2.src AND g1.dst = g2.dst)),
+            n1 AS (SELECT DISTINCT nv FROM (
+                       SELECT src AS nv FROM g1 UNION ALL SELECT dst FROM g1)),
+            n2 AS (SELECT DISTINCT nv FROM (
+                       SELECT src AS nv FROM g2 UNION ALL SELECT dst FROM g2)),
+            nr AS (SELECT 'node_removal' AS kind, nv AS u, CAST(-1 AS BIGINT) AS v
+                   FROM n1 WHERE nv NOT IN (SELECT nv FROM n2)),
+            na AS (SELECT 'node_addition' AS kind, nv AS u, CAST(-1 AS BIGINT) AS v
+                   FROM n2 WHERE nv NOT IN (SELECT nv FROM n1))
+            SELECT kind, u, v FROM (
+                SELECT * FROM er UNION ALL SELECT * FROM ea
+                UNION ALL SELECT * FROM nr UNION ALL SELECT * FROM na)
+            ORDER BY kind, u, v
         """,
         "edge_triangle_scores": f"""
             WITH ce AS MATERIALIZED ({CANONICAL_EDGES_SQL}),

@@ -125,7 +125,7 @@ def run_bench() -> dict:
         }
 
     t0 = time.perf_counter()
-    refs, info = pagerank_refs(g, tol=1e-6, norm="l1")
+    refs, info = pagerank_refs(g, tol=1e-6, norm="l1", check_every=5)
     queries["pagerank_converge"] = time.perf_counter() - t0
     pr_iters = info["iterations"]
     log(f"pagerank converged (L1≤1e-6) in {pr_iters} iters, {queries['pagerank_converge']:.2f}s")

@@ -90,7 +90,11 @@ def exact_harmonic_closeness(
     batch_k: int = 16,
     num_parts: int | None = None,
 ) -> ray.data.Dataset:
-    """(v, harmonic) EXACT harmonic closeness via batched all-sources BFS.
+    """(v, harmonic, closeness) EXACT centralities via batched all-sources BFS.
+
+    closeness(u) = (n−1)/Σ_{v reached} d(v,u) (reachable-set convention,
+    0 for isolated) — TopCloseness.cpp exact semantics alongside the
+    harmonic variant.
 
     Reference: centrality/TopHarmonicCloseness.cpp computes exact top-k
     with NBBound pruning; on this engine the same result comes from the
@@ -106,13 +110,16 @@ def exact_harmonic_closeness(
 
     @ray.remote
     def _acc_init(vids):
-        return np.zeros(len(vids), np.float64)
+        return np.zeros((len(vids), 2), np.float64)
 
     @ray.remote
     def _acc_add(acc, dists):
         d = dists.astype(np.float64)
         pos = d > 0
-        return acc + np.where(pos, 1.0 / np.where(pos, d, 1.0), 0.0).sum(axis=1)
+        out = acc.copy()
+        out[:, 0] += np.where(pos, 1.0 / np.where(pos, d, 1.0), 0.0).sum(axis=1)
+        out[:, 1] += np.where(pos, d, 0.0).sum(axis=1)
+        return out
 
     acc = [_acc_init.remote(g.vid_refs[p]) for p in range(P)]
     sources = np.arange(num_nodes, dtype=np.int64)
@@ -122,8 +129,15 @@ def exact_harmonic_closeness(
 
     @ray.remote
     def _to_table(vids, a):
+        tot = a[:, 1]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            clo = np.where(tot > 0, (num_nodes - 1) / tot, 0.0)
         return pa.table(
-            {"v": pa.array(vids.astype(np.int64)), "harmonic": pa.array(a)}
+            {
+                "v": pa.array(vids.astype(np.int64)),
+                "harmonic": pa.array(a[:, 0]),
+                "closeness": pa.array(clo),
+            }
         )
 
     return ray.data.from_arrow_refs(

@@ -99,13 +99,21 @@ def pagerank_refs(
     checkpoint_every: int = 1,
     resume: bool = False,
     init_scores: list | None = None,
+    check_every: int = 1,
 ) -> tuple[list, dict]:
     """Run PageRank; returns (per-partition score refs, info dict).
 
     ``init_scores``: per-partition score arrays to warm-start from (the
     DynPageRank path — see warm_start_pagerank); power iteration from any
     positive start converges to the same fixpoint, just sooner when the
-    start is yesterday's scores."""
+    start is yesterday's scores.
+
+    ``check_every``: gather the residual only every k supersteps, so the
+    driver submits k supersteps' task graphs ahead instead of barriering on
+    ``ray.get(stat_refs)`` each iteration (cluster-scale: hides stragglers
+    and driver RTT).  May overshoot convergence by up to k-1 supersteps —
+    extra power iterations only tighten the fixpoint, so scores still match
+    the reference within tol."""
     P = g.num_parts
     n = g.num_nodes
     coef_refs = [_pr_coef.remote(b) for b in g.block_refs]
@@ -149,6 +157,12 @@ def pagerank_refs(
         scores = new_scores
         iteration += 1
         if fixed_iters and iteration < max_it:
+            continue
+        if (
+            iteration % max(1, check_every) != 0
+            and iteration < max_it
+            and not (checkpoint_dir and iteration % checkpoint_every == 0)
+        ):
             continue
         stats = ray.get(stat_refs)
         l1 = sum(s[0] for s in stats)

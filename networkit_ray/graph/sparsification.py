@@ -162,3 +162,70 @@ def simmelian_overlap_scores(
         return pa.table({"src": t["src"], "dst": t["dst"], "overlap": pa.array(z)})
 
     return filled.map_batches(fill, batch_format="pyarrow")
+
+
+@ray.remote
+def _ls_rank_part(*tables) -> pa.Table | None:
+    live = [t for t in tables if t is not None and len(t)]
+    if not live:
+        return None
+    t = pa.concat_tables(live)
+    v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nbr = t["nbr"].to_numpy(zero_copy_only=False).astype(np.int64)
+    jac = t["jaccard"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((nbr, -jac, v))
+    v, nbr = v[order], nbr[order]
+    rank = _grouped_rank(v)
+    starts = np.flatnonzero(np.r_[True, v[1:] != v[:-1]])
+    sizes = np.diff(np.r_[starts, len(v)])
+    degv = np.repeat(sizes, sizes)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        side = np.where(rank == 1, 1.0, 1.0 - np.log(rank) / np.log(degv))
+    return pa.table(
+        {
+            "src": pa.array(np.minimum(v, nbr)),
+            "dst": pa.array(np.maximum(v, nbr)),
+            "score": pa.array(side),
+        }
+    )
+
+
+def local_similarity_scores(
+    canon: ray.data.Dataset, num_nodes: int, *, num_parts: int | None = None
+) -> ray.data.Dataset:
+    """(src, dst, ls_score) — LocalSimilarity sparsification scores.
+
+    Reference: sparsification/LocalSimilarityScore.cpp — the LocalDegree
+    rank construction (1 at rank 1, else 1 − ln(rank)/ln(deg(u)), max
+    over both sides) applied with neighbors ranked by JACCARD similarity
+    (ties → smaller id) instead of degree: keeps each vertex's most
+    similar neighbors under a global threshold.
+    """
+    from networkit_ray.graph.triangles import jaccard_edge_scores
+
+    jac = jaccard_edge_scores(canon, num_nodes)
+
+    def both(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        j = t["jaccard"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "v": pa.array(np.concatenate([s, d])),
+                "nbr": pa.array(np.concatenate([d, s])),
+                "jaccard": pa.array(np.concatenate([j, j])),
+            }
+        )
+
+    bi = jac.map_batches(both, batch_format="pyarrow")
+    slices = partition_refs(bi, ["v"], num_parts or 16)
+    parts = [
+        _ls_rank_part.remote(*[s[p] for s in slices])
+        for p in range(len(slices[0]))
+    ]
+    keep = [r for r, ok in zip(parts, ray.get([_nonnull.remote(p) for p in parts])) if ok]
+    return (
+        ray.data.from_arrow_refs(keep)
+        .groupby(["src", "dst"])
+        .aggregate(Max("score", alias_name="ls_score"))
+    )

@@ -46,6 +46,8 @@ FAST_SUBSET = [
     "simmelian_overlap",
     "scan_clustering",
     "harmonic_closeness_exact",
+    "local_similarity",
+    "graph_difference",
     "tfidf_top_terms",
     "token_percentiles",
 ]

@@ -99,6 +99,19 @@ class TestPageRank:
         np.testing.assert_allclose(got, expect, atol=1e-12)
         assert info["iterations"] == 5
 
+    def test_check_every_same_fixpoint(self, sf_tiny):
+        # batched convergence checks may overshoot by <k supersteps but land
+        # on the same fixpoint within tol
+        edges, n = derived_edges(sf_tiny)
+        a, ia = pagerank(edges, n, num_parts=2, tol=1e-9)
+        b, ib = pagerank(edges, n, num_parts=2, tol=1e-9, check_every=7)
+        pa_ = a.to_pandas().sort_values("v")["score"].to_numpy()
+        pb = b.to_pandas().sort_values("v")["score"].to_numpy()
+        np.testing.assert_allclose(pa_, pb, atol=1e-8)
+        assert ib["iterations"] % 7 == 0
+        assert ib["iterations"] >= ia["iterations"]
+        assert ib["residual"] <= 1e-9
+
     def test_invariance_num_parts_derived(self, sf_tiny):
         edges, n = derived_edges(sf_tiny)
         a, _ = pagerank(edges, n, num_parts=2, tol=1e-9)

@@ -115,3 +115,59 @@ class TestSimmelianOverlap:
         exp = _so_oracle(10, canon, 2)
         for row in got.itertuples(index=False):
             assert row.overlap == exp[(row.src, row.dst)]
+
+
+def _ls_oracle(n, canon):
+    import collections
+
+    aset = set(canon)
+    adj = collections.defaultdict(set)
+    for a, b in canon:
+        adj[a].add(b)
+        adj[b].add(a)
+    deg = {v: len(adj[v]) for v in adj}
+
+    def jac(a, b):
+        a, b = min(a, b), max(a, b)
+        tri = len(adj[a] & adj[b])
+        union = deg[a] + deg[b] - 2 - tri
+        return tri / union if union > 0 else 1.0
+
+    out = {}
+    for u in adj:
+        ranked = sorted(adj[u], key=lambda x: (-jac(u, x), x))
+        for r, v in enumerate(ranked, 1):
+            s = 1.0 if r == 1 else 1.0 - np.log(r) / np.log(deg[u])
+            key = (min(u, v), max(u, v))
+            out[key] = max(out.get(key, -np.inf), s)
+    return out
+
+
+class TestLocalSimilarity:
+    def test_matches_bruteforce(self):
+        from networkit_ray.graph.sparsification import local_similarity_scores
+
+        for seed, n, m in [(5, 22, 70), (17, 38, 130)]:
+            canon = _random_canon(seed, n, m)
+            got = local_similarity_scores(_ds(canon).materialize(), n).to_pandas()
+            exp = _ls_oracle(n, canon)
+            assert len(got) == len(exp)
+            for row in got.itertuples(index=False):
+                assert abs(row.ls_score - exp[(row.src, row.dst)]) < 1e-9, (
+                    seed,
+                    row,
+                )
+
+    def test_parallelism_invariant(self):
+        from networkit_ray.graph.sparsification import local_similarity_scores
+
+        canon = _random_canon(5, 22, 70)
+        ds = _ds(canon).materialize()
+        a = local_similarity_scores(ds, 22, num_parts=2).to_pandas()
+        b = local_similarity_scores(
+            ds.repartition(5).materialize(), 22, num_parts=7
+        ).to_pandas()
+        a = a.sort_values(["src", "dst"]).reset_index(drop=True)
+        b = b.sort_values(["src", "dst"]).reset_index(drop=True)
+        assert np.allclose(a.ls_score, b.ls_score)
+        assert (a.src == b.src).all() and (a.dst == b.dst).all()
