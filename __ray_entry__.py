@@ -769,6 +769,13 @@ def q_graph_difference(sf_dir):
     return graph_difference(g1, g2).sort(["kind", "u", "v"])
 
 
+def q_reachable_nodes(sf_dir):
+    from networkit_ray.graph.reachability import reachable_counts
+
+    edges, n = _derived(sf_dir)
+    return reachable_counts(edges, n).sort("v")
+
+
 def q_local_similarity(sf_dir):
     from networkit_ray.graph.sparsification import local_similarity_scores
 
@@ -1530,6 +1537,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simmelian_overlap": q_simmelian_overlap,
         "local_similarity": q_local_similarity,
         "graph_difference": q_graph_difference,
+        "reachable_nodes": q_reachable_nodes,
         "scan_clustering": q_scan_clustering,
         "eccentricity": q_eccentricity,
         "random_walks": q_random_walks,
@@ -2739,6 +2747,21 @@ def oracle_sql() -> dict[str, str]:
                      FROM rk)
             SELECT src, dst, ROUND(MAX(s), 8) AS ls_score
             FROM side GROUP BY src, dst ORDER BY src, dst
+        """,
+        # ReachableNodes twin (reachability/ReachableNodes.cpp exact mode):
+        # transitive closure via recursive CTE; UNION dedups, so COUNT(*)
+        # per source = distinct reachable vertices (source included).
+        "reachable_nodes": f"""
+            WITH RECURSIVE g1 AS MATERIALIZED ({DERIVED_EDGES_SQL}),
+            nodes AS (SELECT DISTINCT nv FROM (
+                SELECT src AS nv FROM g1 UNION ALL SELECT dst FROM g1)),
+            r(s, t) AS (
+                SELECT nv, nv FROM nodes
+                UNION
+                SELECT r.s, e.dst FROM r JOIN g1 e ON e.src = r.t
+            )
+            SELECT s AS v, CAST(COUNT(*) AS BIGINT) AS reachable
+            FROM r GROUP BY s ORDER BY s
         """,
         # GraphDifference twin (dynamics/GraphDifference.cpp edit list);
         # perturbation mirrors q_graph_difference exactly.

@@ -48,6 +48,7 @@ FAST_SUBSET = [
     "harmonic_closeness_exact",
     "local_similarity",
     "graph_difference",
+    "reachable_nodes",
     "tfidf_top_terms",
     "token_percentiles",
 ]
