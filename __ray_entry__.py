@@ -744,14 +744,9 @@ def q_simmelian_overlap(sf_dir):
     return simmelian_overlap_scores(canon, n, max_rank=10).sort(["src", "dst"])
 
 
-def q_graph_difference(sf_dir):
-    """Edit list G1→G2: G2 = G1 minus (src+dst)%3==0 plus reversals of src%5==0."""
-    import pyarrow.compute as pc
-
+def _perturbed(g1):
+    """G2 = G1 minus (src+dst)%3==0 plus reversals of src%5==0 (SQL-twinned)."""
     from networkit_ray.graph.build import dedup_edges
-    from networkit_ray.graph.dynamics import graph_difference
-
-    g1, n = _derived(sf_dir)
 
     def perturb(t):
         s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -765,8 +760,25 @@ def q_graph_difference(sf_dir):
             }
         )
 
-    g2 = dedup_edges(g1.map_batches(perturb, batch_format="pyarrow"))
-    return graph_difference(g1, g2).sort(["kind", "u", "v"])
+    return dedup_edges(g1.map_batches(perturb, batch_format="pyarrow"))
+
+
+def q_graph_difference(sf_dir):
+    """Edit list G1→G2 over the deterministic perturbation of the derived graph."""
+    from networkit_ray.graph.dynamics import graph_difference
+
+    g1, n = _derived(sf_dir)
+    return graph_difference(g1, _perturbed(g1)).sort(["kind", "u", "v"])
+
+
+def q_apply_events_roundtrip(sf_dir):
+    """GraphUpdater law: apply_events(G1, graph_difference(G1, G2)) == G2."""
+    from networkit_ray.graph.dynamics import apply_events, graph_difference
+
+    g1, n = _derived(sf_dir)
+    g2 = _perturbed(g1)
+    diff = graph_difference(g1, g2).materialize()
+    return apply_events(g1, diff).sort(["src", "dst"])
 
 
 def q_reachable_nodes(sf_dir):
@@ -1538,6 +1550,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_similarity": q_local_similarity,
         "graph_difference": q_graph_difference,
         "reachable_nodes": q_reachable_nodes,
+        "apply_events_roundtrip": q_apply_events_roundtrip,
         "scan_clustering": q_scan_clustering,
         "eccentricity": q_eccentricity,
         "random_walks": q_random_walks,
@@ -2747,6 +2760,16 @@ def oracle_sql() -> dict[str, str]:
                      FROM rk)
             SELECT src, dst, ROUND(MAX(s), 8) AS ls_score
             FROM side GROUP BY src, dst ORDER BY src, dst
+        """,
+        # GraphUpdater twin: applying the G1→G2 edit list to G1 must yield
+        # exactly G2 (the perturbed graph), so the oracle IS G2.
+        "apply_events_roundtrip": f"""
+            WITH g1 AS MATERIALIZED ({DERIVED_EDGES_SQL})
+            SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM g1 WHERE (src + dst) % 3 <> 0
+                UNION ALL
+                SELECT dst AS src, src AS dst FROM g1 WHERE src % 5 = 0
+            ) ORDER BY src, dst
         """,
         # ReachableNodes twin (reachability/ReachableNodes.cpp exact mode):
         # transitive closure via recursive CTE; UNION dedups, so COUNT(*)

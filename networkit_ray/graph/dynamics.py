@@ -129,3 +129,71 @@ def graph_difference(
 
     nodes_out = nodes.map_batches(node_events, batch_format="pyarrow")
     return edges_out.union(nodes_out)
+
+
+def apply_events(
+    edges: ray.data.Dataset, events: ray.data.Dataset
+) -> ray.data.Dataset:
+    """Apply a ``graph_difference``-shaped edit table to an edge table.
+
+    Reference: dynamics/GraphUpdater.cpp:16-55 replays a GraphEvent stream
+    onto a graph; here edge_addition/edge_removal rows are applied in one
+    union + (src, dst) groupby pass (node events carry no edge payload, so
+    they are no-ops on an edge-table representation — isolated-vertex
+    bookkeeping lives with the caller's ``num_nodes``).  Round-trip law:
+    ``apply_events(g1, graph_difference(g1, g2)) == g2``.
+    """
+
+    def edge_edits(t: pa.Table) -> pa.Table:
+        kind = t["kind"].to_numpy(zero_copy_only=False)
+        keep = (kind == "edge_addition") | (kind == "edge_removal")
+        sign = np.where(kind[keep] == "edge_addition", 1, -1).astype(np.int64)
+        return pa.table(
+            {
+                "src": pc.take(t["u"], pa.array(np.flatnonzero(keep))),
+                "dst": pc.take(t["v"], pa.array(np.flatnonzero(keep))),
+                "delta": pa.array(sign),
+            }
+        )
+
+    base = edges.map_batches(
+        lambda t: pa.table(
+            {
+                "src": t["src"],
+                "dst": t["dst"],
+                "delta": pa.array(np.zeros(len(t), np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    edits = events.map_batches(edge_edits, batch_format="pyarrow")
+    from ray.data.aggregate import Count, Sum
+
+    merged = (
+        base.union(edits)
+        .groupby(["src", "dst"])
+        .aggregate(Sum("delta", alias_name="d"), Count(alias_name="c"))
+    )
+
+    def resolve(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "src" not in t.column_names:
+            return pa.table(
+                {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+            )
+        d = t["d"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False)
+        # base rows carry delta 0, removals -1, additions +1; a valid
+        # stream (graph_difference output) has at most one edit per edge
+        # and never adds an existing / removes a missing edge, so:
+        #   c==1, d==0  base only            -> present
+        #   c==1, d==1  addition of new edge -> present
+        #   c==2, d==-1 base + removal       -> absent
+        present = ((c == 1) & (d >= 0)) | ((c == 2) & (d == 1))
+        return pa.table(
+            {
+                "src": pc.take(t["src"], pa.array(np.flatnonzero(present))),
+                "dst": pc.take(t["dst"], pa.array(np.flatnonzero(present))),
+            }
+        )
+
+    return merged.map_batches(resolve, batch_format="pyarrow")

@@ -63,3 +63,23 @@ class TestGraphDifference:
     def test_identical_graphs_empty(self):
         e = [(0, 1), (1, 2)]
         assert graph_difference(_ds(e), _ds(e)).count() == 0
+
+
+class TestApplyEvents:
+    def test_roundtrip_law(self):
+        from networkit_ray.graph.dynamics import apply_events
+
+        rng = np.random.default_rng(9)
+        e1 = sorted({(int(a), int(b)) for a, b in rng.integers(0, 30, (90, 2)) if a != b})
+        e2 = sorted({(int(a), int(b)) for a, b in rng.integers(5, 35, (90, 2)) if a != b})
+        diff = graph_difference(_ds(e1), _ds(e2)).materialize()
+        got = apply_events(_ds(e1), diff).to_pandas()
+        assert {(r.src, r.dst) for r in got.itertuples(index=False)} == set(e2)
+
+    def test_empty_stream_identity(self):
+        from networkit_ray.graph.dynamics import apply_events
+
+        e = [(0, 1), (1, 2)]
+        diff = graph_difference(_ds(e), _ds(e)).materialize()
+        got = apply_events(_ds(e), diff).to_pandas()
+        assert {(r.src, r.dst) for r in got.itertuples(index=False)} == set(e)

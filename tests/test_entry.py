@@ -49,6 +49,7 @@ FAST_SUBSET = [
     "local_similarity",
     "graph_difference",
     "reachable_nodes",
+    "apply_events_roundtrip",
     "tfidf_top_terms",
     "token_percentiles",
 ]
