@@ -781,6 +781,32 @@ def q_apply_events_roundtrip(sf_dir):
     return apply_events(g1, diff).sort(["src", "dst"])
 
 
+def q_curveball_degrees(sf_dir):
+    """Degree histogram AFTER GlobalCurveball — must equal the original's
+    (exact degree-sequence preservation is the randomizer's invariant, and
+    the SQL twin is the pre-randomization histogram)."""
+    from ray.data.aggregate import Count
+
+    from networkit_ray.graph.curveball import global_curveball
+
+    canon, n = _canon(sf_dir)
+    out = global_curveball(canon, n, rounds=4, seed=7)
+
+    def endpoints(t):
+        s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"v": pa.array(np.concatenate([s, d]))})
+
+    return (
+        out.map_batches(endpoints, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Count(alias_name="deg"))
+        .groupby("deg")
+        .aggregate(Count(alias_name="n_nodes"))
+        .sort("deg")
+    )
+
+
 def q_reachable_nodes(sf_dir):
     from networkit_ray.graph.reachability import reachable_counts
 
@@ -1551,6 +1577,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_difference": q_graph_difference,
         "reachable_nodes": q_reachable_nodes,
         "apply_events_roundtrip": q_apply_events_roundtrip,
+        "curveball_degrees": q_curveball_degrees,
         "scan_clustering": q_scan_clustering,
         "eccentricity": q_eccentricity,
         "random_walks": q_random_walks,
@@ -2760,6 +2787,16 @@ def oracle_sql() -> dict[str, str]:
                      FROM rk)
             SELECT src, dst, ROUND(MAX(s), 8) AS ls_score
             FROM side GROUP BY src, dst ORDER BY src, dst
+        """,
+        # GlobalCurveball twin: the randomized graph preserves the degree
+        # sequence EXACTLY, so its degree histogram equals the canonical
+        # graph's pre-randomization histogram.
+        "curveball_degrees": f"""
+            WITH ce AS MATERIALIZED ({CANONICAL_EDGES_SQL}),
+            dg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+                SELECT src AS v FROM ce UNION ALL SELECT dst FROM ce) GROUP BY v)
+            SELECT deg, CAST(COUNT(*) AS BIGINT) AS n_nodes
+            FROM dg GROUP BY deg ORDER BY deg
         """,
         # GraphUpdater twin: applying the G1→G2 edit list to G1 must yield
         # exactly G2 (the perturbed graph), so the oracle IS G2.

@@ -50,6 +50,7 @@ FAST_SUBSET = [
     "graph_difference",
     "reachable_nodes",
     "apply_events_roundtrip",
+    "curveball_degrees",
     "tfidf_top_terms",
     "token_percentiles",
 ]
