@@ -781,6 +781,29 @@ def q_apply_events_roundtrip(sf_dir):
     return apply_events(g1, diff).sort(["src", "dst"])
 
 
+def q_simple_paths(sf_dir):
+    """Path-length histogram of all simple paths 0→1 with ≤5 edges."""
+    from ray.data.aggregate import Count
+
+    from networkit_ray.graph.reachability import all_simple_paths
+
+    edges, n = _derived(sf_dir)
+    paths = all_simple_paths(edges, 0, 1, 5)
+
+    def lengths(t):
+        if len(t) == 0 or "path" not in t.column_names:
+            return pa.table({"len": pa.array([], pa.int64())})
+        ln = np.array([len(p) - 1 for p in t["path"].to_pylist()], np.int64)
+        return pa.table({"len": pa.array(ln)})
+
+    return (
+        paths.map_batches(lengths, batch_format="pyarrow")
+        .groupby("len")
+        .aggregate(Count(alias_name="n_paths"))
+        .sort("len")
+    )
+
+
 def q_curveball_degrees(sf_dir):
     """Degree histogram AFTER GlobalCurveball — must equal the original's
     (exact degree-sequence preservation is the randomizer's invariant, and
@@ -1578,6 +1601,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reachable_nodes": q_reachable_nodes,
         "apply_events_roundtrip": q_apply_events_roundtrip,
         "curveball_degrees": q_curveball_degrees,
+        "simple_paths": q_simple_paths,
         "scan_clustering": q_scan_clustering,
         "eccentricity": q_eccentricity,
         "random_walks": q_random_walks,
@@ -2787,6 +2811,21 @@ def oracle_sql() -> dict[str, str]:
                      FROM rk)
             SELECT src, dst, ROUND(MAX(s), 8) AS ls_score
             FROM side GROUP BY src, dst ORDER BY src, dst
+        """,
+        # AllSimplePaths twin (reachability/AllSimplePaths.cpp): recursive
+        # CTE path enumeration with list_contains simplicity filter.
+        "simple_paths": f"""
+            WITH RECURSIVE g1 AS MATERIALIZED ({DERIVED_EDGES_SQL}),
+            r(node, path, len) AS (
+                SELECT CAST(0 AS BIGINT), [CAST(0 AS BIGINT)], 0
+                UNION ALL
+                SELECT e.dst, list_append(r.path, e.dst), r.len + 1
+                FROM r JOIN g1 e ON e.src = r.node
+                WHERE r.len < 5 AND r.node <> 1
+                  AND NOT list_contains(r.path, e.dst)
+            )
+            SELECT len, CAST(COUNT(*) AS BIGINT) AS n_paths
+            FROM r WHERE node = 1 GROUP BY len ORDER BY len
         """,
         # GlobalCurveball twin: the randomized graph preserves the degree
         # sequence EXACTLY, so its degree histogram equals the canonical

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 from ray.data.aggregate import Count
@@ -142,3 +143,100 @@ def reachable_counts(
         lambda t: pa.table({"v": t["v"], "reachable": t["reachable"]}),
         batch_format="pyarrow",
     )
+
+
+def all_simple_paths(
+    edges: ray.data.Dataset,
+    source: int,
+    target: int,
+    cutoff: int,
+) -> ray.data.Dataset:
+    """(path: list<int64>) — all simple directed paths source→target, ≤ cutoff edges.
+
+    Reference: reachability/AllSimplePaths.cpp (directed, unweighted,
+    source ≠ target).  Round-synchronous frontier expansion: at round d
+    every live path has exactly d+1 vertices, so the simplicity filter is
+    one vectorized (paths × 1) membership test on a dense matrix — no
+    per-row Python.  One hash-exchange join per round; worst case is the
+    reference's own exponential path count, so cutoff bounds the work.
+    """
+    from networkit_ray.common.exchange import exchange_join
+
+    if source == target:
+        raise ValueError("source must differ from target")
+    if cutoff < 1:
+        raise ValueError("cutoff must be >= 1")
+
+    enbr = edges.map_batches(
+        lambda t: pa.table({"head": t["src"], "nxt": t["dst"]}),
+        batch_format="pyarrow",
+    ).materialize()
+
+    path_type = pa.list_(pa.int64())
+    # the path is carried as one int64 column per position (p0..pL) — every
+    # live path has the same length within a round, and Arrow hash joins
+    # don't accept list payload columns; completed paths convert to a
+    # list<int64> column on collection
+    frontier = ray.data.from_arrow(
+        pa.table(
+            {
+                "head": pa.array([source], pa.int64()),
+                "p0": pa.array([source], pa.int64()),
+            }
+        )
+    )
+    done: list[ray.data.Dataset] = []
+
+    for d in range(cutoff):
+        joined = exchange_join(frontier, enbr, left_on=["head"])
+        pcols = [f"p{i}" for i in range(d + 1)]
+
+        def extend(t: pa.Table, pcols=pcols) -> pa.Table:
+            if len(t) == 0 or pcols[0] not in t.column_names:
+                cols = {"head": pa.array([], pa.int64())}
+                for c in pcols + [f"p{len(pcols)}"]:
+                    cols[c] = pa.array([], pa.int64())
+                return pa.table(cols)
+            mat = np.column_stack(
+                [
+                    t[c].to_numpy(zero_copy_only=False).astype(np.int64)
+                    for c in pcols
+                ]
+            )
+            nxt = t["nxt"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ok = ~(mat == nxt[:, None]).any(axis=1)
+            cols = {"head": pa.array(nxt[ok])}
+            for i, c in enumerate(pcols):
+                cols[c] = pa.array(mat[ok, i])
+            cols[f"p{len(pcols)}"] = pa.array(nxt[ok])
+            return pa.table(cols)
+
+        nxt_paths = joined.map_batches(extend, batch_format="pyarrow").materialize()
+        ncols = pcols + [f"p{d + 1}"]
+
+        def collect(t: pa.Table, ncols=ncols) -> pa.Table:
+            m = t.filter(pc.equal(t["head"], pa.scalar(target, pa.int64())))
+            mat = np.column_stack(
+                [
+                    m[c].to_numpy(zero_copy_only=False).astype(np.int64)
+                    for c in ncols
+                ]
+            ) if len(m) else np.empty((0, len(ncols)), np.int64)
+            return pa.table({"path": pa.array(list(mat), path_type)})
+
+        done.append(
+            nxt_paths.map_batches(collect, batch_format="pyarrow")
+        )
+        frontier = nxt_paths.map_batches(
+            lambda t: t.filter(
+                pc.not_equal(t["head"], pa.scalar(target, pa.int64()))
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        if frontier.count() == 0:
+            break
+
+    out = done[0]
+    for dd in done[1:]:
+        out = out.union(dd)
+    return out

@@ -51,6 +51,7 @@ FAST_SUBSET = [
     "reachable_nodes",
     "apply_events_roundtrip",
     "curveball_degrees",
+    "simple_paths",
     "tfidf_top_terms",
     "token_percentiles",
 ]

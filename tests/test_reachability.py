@@ -77,3 +77,56 @@ class TestReachableNodes:
             .reset_index(drop=True)
         )
         assert a.equals(b)
+
+
+def _paths_oracle(edges, s, t, cutoff):
+    import collections
+
+    adj = collections.defaultdict(list)
+    for a, b in edges:
+        adj[a].append(b)
+    out = []
+
+    def dfs(path):
+        if len(path) - 1 > cutoff:
+            return
+        if path[-1] == t:
+            out.append(tuple(path))
+            return
+        for nxt in adj[path[-1]]:
+            if nxt not in path:
+                dfs(path + [nxt])
+
+    dfs([s])
+    return {p for p in out if len(p) - 1 <= cutoff}
+
+
+class TestAllSimplePaths:
+    def test_matches_dfs_oracle(self):
+        from networkit_ray.graph.reachability import all_simple_paths
+
+        rng = np.random.default_rng(13)
+        n = 12
+        edges = sorted(
+            {(int(a), int(b)) for a, b in rng.integers(0, n, (30, 2)) if a != b}
+        )
+        for s, t, cutoff in [(0, 5, 4), (1, 8, 5), (3, 5, 6)]:
+            exp = _paths_oracle(edges, s, t, cutoff)
+            got = all_simple_paths(_ds(edges), s, t, cutoff).to_pandas()
+            # an all-empty result loses its columns in to_pandas (Ray quirk)
+            got_set = {tuple(p) for p in got["path"]} if "path" in got else set()
+            assert got_set == exp, (s, t, cutoff, len(got_set), len(exp))
+
+    def test_diamond(self):
+        from networkit_ray.graph.reachability import all_simple_paths
+
+        edges = [(0, 1), (0, 2), (1, 3), (2, 3)]
+        got = all_simple_paths(_ds(edges), 0, 3, 3).to_pandas()
+        assert {tuple(p) for p in got["path"]} == {(0, 1, 3), (0, 2, 3)}
+
+    def test_cutoff_limits(self):
+        from networkit_ray.graph.reachability import all_simple_paths
+
+        edges = [(0, 1), (1, 2), (2, 3), (0, 3)]
+        got = all_simple_paths(_ds(edges), 0, 3, 1).to_pandas()
+        assert {tuple(p) for p in got["path"]} == {(0, 3)}
