@@ -781,6 +781,31 @@ def q_apply_events_roundtrip(sf_dir):
     return apply_events(g1, diff).sort(["src", "dst"])
 
 
+def q_gce_community(sf_dir):
+    """GCE objective-M expansion from two seeds (rows-only: greedy argmax)."""
+    from networkit_ray.graph.scd import gce_communities
+
+    sym, n = _sym(sf_dir)
+    return gce_communities(sym, n, [0, 7], radius=3, max_size=50).sort(
+        ["seed", "v"]
+    )
+
+
+def q_set_conductance(sf_dir):
+    """SetConductance of the v%5==0 vertex set on the symmetrized graph."""
+    import ray.data
+
+    from networkit_ray.common.hashing import round_half_away
+    from networkit_ray.graph.scd import set_conductance
+
+    sym, n = _sym(sf_dir)
+    comm = ray.data.from_arrow(
+        pa.table({"v": pa.array(np.arange(0, n, 5, dtype=np.int64))})
+    )
+    c = set_conductance(sym, comm)
+    return pa.table({"conductance": pa.array(round_half_away([c], 8))})
+
+
 def q_simple_paths(sf_dir):
     """Path-length histogram of all simple paths 0→1 with ≤5 edges."""
     from ray.data.aggregate import Count
@@ -1602,6 +1627,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "apply_events_roundtrip": q_apply_events_roundtrip,
         "curveball_degrees": q_curveball_degrees,
         "simple_paths": q_simple_paths,
+        "gce_community": q_gce_community,
+        "set_conductance": q_set_conductance,
         "scan_clustering": q_scan_clustering,
         "eccentricity": q_eccentricity,
         "random_walks": q_random_walks,
@@ -2811,6 +2838,19 @@ def oracle_sql() -> dict[str, str]:
                      FROM rk)
             SELECT src, dst, ROUND(MAX(s), 8) AS ls_score
             FROM side GROUP BY src, dst ORDER BY src, dst
+        """,
+        # SetConductance twin (scd/SetConductance.cpp): cut / min-side
+        # volume of the v%5==0 set on the symmetrized graph (each edge
+        # appears in both directions, so COUNT(*) is the total volume).
+        "set_conductance": f"""
+            WITH se AS MATERIALIZED ({SYMMETRIC_EDGES_SQL}),
+            t AS (SELECT
+                SUM(CASE WHEN src % 5 = 0 AND dst % 5 <> 0 THEN 1 ELSE 0 END) AS cut,
+                SUM(CASE WHEN src % 5 = 0 THEN 1 ELSE 0 END) AS vol_s,
+                COUNT(*) AS vol_all FROM se)
+            SELECT ROUND(CASE WHEN LEAST(vol_s, vol_all - vol_s) > 0
+                         THEN cut * 1.0 / LEAST(vol_s, vol_all - vol_s)
+                         ELSE 1.0 END, 8) AS conductance FROM t
         """,
         # AllSimplePaths twin (reachability/AllSimplePaths.cpp): recursive
         # CTE path enumeration with list_contains simplicity filter.

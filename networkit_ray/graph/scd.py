@@ -1,0 +1,252 @@
+"""Selective community detection: GCE seed expansion + SetConductance.
+
+Reference: scd/GCE.cpp (greedy community expansion, objective M =
+internal-edge-weight / cut, add the shell node with the largest positive
+ΔM until none improves) and scd/SetConductance.cpp (conductance of a
+GIVEN set: cut(S) / min(vol(S), vol(V∖S))).
+
+Engine shape: SCD is local by contract — one batched multi-source BFS
+tags every vertex within ``radius`` of each seed, two hash-exchange
+joins collect each seed's region edges (plus true global degrees so
+shell exterior-degree is exact), and a (seed) groupby runs the
+inherently sequential greedy loop once per seed in parallel.  The
+community may grow only within ``radius − 1`` of the seed (shell needs
+one more hop of edges); that cap is the locality contract the SCD
+family is built on — raise ``radius`` for pathological seeds.
+
+Deviation from the reference: ΔM ties break to the SMALLEST node id
+(the reference picks uniformly at random among ties;
+GCE.cpp:92-105) — deterministic and parallelism-invariant here.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Sum
+
+from networkit_ray.common.schema import enforce_schema
+
+_OUT_SCHEMA = pa.schema([("seed", pa.int64()), ("v", pa.int64())])
+
+
+def _gce_group(max_size: int):
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        seed = int(df["seed"].iloc[0])
+        u = df["u"].to_numpy().astype(np.int64)
+        w = df["v2"].to_numpy().astype(np.int64)
+        deg = dict(
+            zip(
+                np.concatenate([u, w]).tolist(),
+                np.concatenate(
+                    [df["du"].to_numpy(), df["dv"].to_numpy()]
+                ).astype(np.int64).tolist(),
+            )
+        )
+        adj: dict[int, set] = {}
+        for a, b in zip(u.tolist(), w.tolist()):
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        if seed not in adj:
+            return pd.DataFrame({"seed": [seed], "v": [seed]})
+
+        com = {seed}
+        int_w = 0.0
+        cut = float(deg[seed])
+        # shell intDeg map: edges from shell node into com
+        int_deg = {v: 1 for v in adj[seed]}
+        cur_q = int_w / cut if cut > 0 else float("inf")
+        while len(com) < max_size and int_deg:
+            best_v, best_dq = None, 0.0
+            for v in sorted(int_deg):
+                idg = int_deg[v]
+                edg = deg[v] - idg
+                denom = cut - idg + edg
+                q = (int_w + idg) / denom if denom > 0 else float("inf")
+                dq = q - cur_q
+                if dq > best_dq:
+                    best_v, best_dq = v, dq
+            if best_v is None:
+                break
+            v = best_v
+            com.add(v)
+            int_w += int_deg.pop(v)
+            cut = sum(deg[x] for x in com) - 2.0 * int_w
+            cur_q = int_w / cut if cut > 0 else float("inf")
+            for nbr in adj.get(v, ()):  # region cap: nbrs beyond radius absent
+                if nbr not in com:
+                    int_deg[nbr] = int_deg.get(nbr, 0) + 1
+            if cut <= 0:
+                break
+        return pd.DataFrame(
+            {"seed": np.full(len(com), seed, np.int64), "v": sorted(com)}
+        )
+
+    return fn
+
+
+def gce_communities(
+    sym_edges: ray.data.Dataset,
+    num_nodes: int,
+    seeds: list[int],
+    *,
+    radius: int = 3,
+    max_size: int = 10**9,
+    num_parts: int | None = None,
+) -> ray.data.Dataset:
+    """(seed, v) membership rows — GCE objective-M expansion per seed.
+
+    ``sym_edges``: symmetrized unweighted edge table (both directions).
+    """
+    from networkit_ray.common.exchange import exchange_join
+    from networkit_ray.graph.bfs import multi_bfs_refs
+    from networkit_ray.graph.bsp import build_pgraph
+    from networkit_ray.graph.build import degree_table
+
+    g = build_pgraph(sym_edges, num_nodes, num_parts=num_parts)
+    P = g.num_parts
+    src_arr = np.asarray(seeds, dtype=np.int64)
+
+    # region membership (seed, v) for dist <= radius, in K-seed batches
+    member_parts: list = []
+    import ray as _ray
+
+    @_ray.remote
+    def _region(vids, dist, batch):
+        rows_v, rows_s = [], []
+        for k in range(dist.shape[1]):
+            hit = (dist[:, k] >= 0) & (dist[:, k] <= radius)
+            rows_v.append(vids[hit].astype(np.int64))
+            rows_s.append(np.full(int(hit.sum()), batch[k], np.int64))
+        return pa.table(
+            {
+                "seed": pa.array(np.concatenate(rows_s)),
+                "rv": pa.array(np.concatenate(rows_v)),
+            }
+        )
+
+    for i in range(0, len(src_arr), 16):
+        batch = src_arr[i : i + 16]
+        dist_refs = multi_bfs_refs(g, batch)
+        member_parts += [
+            _region.remote(g.vid_refs[p], dist_refs[p], batch)
+            for p in range(P)
+        ]
+    members = ray.data.from_arrow_refs(member_parts).materialize()
+
+    deg = degree_table(sym_edges, key="src", out_name="deg")
+
+    # canonical region edges per seed with both endpoints in the region
+    canon = sym_edges.map_batches(
+        lambda t: t.filter(pc.less(t["src"], t["dst"])),
+        batch_format="pyarrow",
+    )
+    m_src = members.map_batches(
+        lambda t: pa.table({"seed": t["seed"], "src": t["rv"]}),
+        batch_format="pyarrow",
+    )
+    e1 = exchange_join(canon, m_src, left_on=["src"])  # adds seed per src hit
+    m_dst = members.map_batches(
+        lambda t: pa.table({"seed": t["seed"], "dst": t["rv"]}),
+        batch_format="pyarrow",
+    )
+    e2 = exchange_join(e1, m_dst, left_on=["seed", "dst"])
+
+    d_src = deg.map_batches(
+        lambda t: pa.table({"src": t["v"], "du": t["deg"]}),
+        batch_format="pyarrow",
+    )
+    d_dst = deg.map_batches(
+        lambda t: pa.table({"dst": t["v"], "dv": t["deg"]}),
+        batch_format="pyarrow",
+    )
+    e3 = exchange_join(exchange_join(e2, d_src, left_on=["src"]), d_dst, left_on=["dst"])
+    region_edges = e3.map_batches(
+        lambda t: pa.table(
+            {
+                "seed": t["seed"],
+                "u": t["src"],
+                "v2": t["dst"],
+                "du": t["du"],
+                "dv": t["dv"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    out = region_edges.groupby("seed").map_groups(
+        _gce_group(max_size), batch_format="pandas"
+    )
+    out = enforce_schema(out, _OUT_SCHEMA)
+    # a seed with no region edges produces no group at all; every
+    # community contains its seed, so union + distinct restores exactly
+    # the trivial {seed} rows without touching the rest
+    trivial = ray.data.from_arrow(
+        pa.table(
+            {
+                "seed": pa.array(src_arr),
+                "v": pa.array(src_arr),
+            }
+        )
+    )
+    from ray.data.aggregate import Count
+
+    distinct = (
+        out.union(trivial)
+        .groupby(["seed", "v"])
+        .aggregate(Count(alias_name="_c"))
+    )
+    return distinct.map_batches(
+        lambda t: t.select(["seed", "v"]), batch_format="pyarrow"
+    )
+
+
+def set_conductance(
+    sym_edges: ray.data.Dataset,
+    community: ray.data.Dataset,
+) -> float:
+    """Conductance of a GIVEN vertex set: cut(S) / min(vol(S), vol(V∖S)).
+
+    Reference: scd/SetConductance.cpp:12-45 (unweighted here; 1.0 when a
+    side has zero volume).  One broadcast membership lookup per batch —
+    no shuffle; ``community`` is the small side (a (v) table).
+    """
+    import ray as _ray
+
+    mem = set(
+        community.select_columns(["v"]).to_pandas()["v"].astype(np.int64)
+    )
+    mem_ref = _ray.put(np.fromiter(mem, np.int64, len(mem)))
+
+    def tally(t: pa.Table) -> pa.Table:
+        arr = np.asarray(_ray.get(mem_ref))
+        s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sin = np.isin(s, arr)
+        din = np.isin(d, arr)
+        # sym table: each undirected edge appears twice; vol(S) counts
+        # every incidence, the cut every (in, out) ordered pair once
+        return pa.table(
+            {
+                "cut": pa.array([int((sin & ~din).sum())]),
+                "vol_s": pa.array([int(sin.sum())]),
+                "vol_all": pa.array([len(t)]),
+            }
+        )
+
+    agg = (
+        sym_edges.map_batches(tally, batch_format="pyarrow")
+        .aggregate(
+            Sum("cut", alias_name="cut"),
+            Sum("vol_s", alias_name="vol_s"),
+            Sum("vol_all", alias_name="vol_all"),
+        )
+    )
+    cut = agg["cut"] or 0
+    vol_s = agg["vol_s"] or 0
+    rest = (agg["vol_all"] or 0) - vol_s
+    denom = min(vol_s, rest)
+    return float(cut) / denom if denom > 0 else 1.0

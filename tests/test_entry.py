@@ -52,6 +52,7 @@ FAST_SUBSET = [
     "apply_events_roundtrip",
     "curveball_degrees",
     "simple_paths",
+    "set_conductance",
     "tfidf_top_terms",
     "token_percentiles",
 ]
@@ -135,6 +136,7 @@ def test_queries_oracles_consistent():
         "spanning_edge_centrality",
         "electrical_closeness",
         "node2vec_walks",
+        "gce_community",
     }
 
 

@@ -1,0 +1,137 @@
+"""GCE seed expansion vs sequential numpy replica; SetConductance vs direct."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from networkit_ray.graph.build import symmetrize
+from networkit_ray.graph.scd import gce_communities, set_conductance
+
+
+def _ds(rows):
+    return rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([a for a, b in rows], pa.int64()),
+                "dst": pa.array([b for a, b in rows], pa.int64()),
+            }
+        )
+    )
+
+
+def _random_canon(seed, n, m):
+    rng = np.random.default_rng(seed)
+    return sorted(
+        {(int(min(a, b)), int(max(a, b))) for a, b in rng.integers(0, n, (m, 2)) if a != b}
+    )
+
+
+def _gce_oracle(canon, seed):
+    import collections
+
+    adj = collections.defaultdict(set)
+    for a, b in canon:
+        adj[a].add(b)
+        adj[b].add(a)
+    deg = {v: len(adj[v]) for v in adj}
+    if seed not in adj:
+        return {seed}
+    com = {seed}
+    int_w = 0.0
+    cut = float(deg[seed])
+    cur_q = 0.0 if cut > 0 else float("inf")
+    int_deg = {v: 1 for v in adj[seed]}
+    while int_deg:
+        best_v, best_dq = None, 0.0
+        for v in sorted(int_deg):
+            idg = int_deg[v]
+            edg = deg[v] - idg
+            denom = cut - idg + edg
+            q = (int_w + idg) / denom if denom > 0 else float("inf")
+            if q - cur_q > best_dq:
+                best_v, best_dq = v, q - cur_q
+        if best_v is None:
+            break
+        v = best_v
+        com.add(v)
+        int_w += int_deg.pop(v)
+        cut = sum(deg[x] for x in com) - 2.0 * int_w
+        cur_q = int_w / cut if cut > 0 else float("inf")
+        for nbr in adj[v]:
+            if nbr not in com:
+                int_deg[nbr] = int_deg.get(nbr, 0) + 1
+        if cut <= 0:
+            break
+    return com
+
+
+def _planted(seed, blocks, bsize, p_in_deg, bridges):
+    """Dense blocks joined by sparse bridge edges."""
+    rng = np.random.default_rng(seed)
+    edges = set()
+    for b in range(blocks):
+        base = b * bsize
+        for i in range(bsize):
+            for j in range(i + 1, bsize):
+                if rng.random() < p_in_deg:
+                    edges.add((base + i, base + j))
+    for _ in range(bridges):
+        b1, b2 = rng.choice(blocks, 2, replace=False)
+        edges.add(
+            (
+                int(min(b1 * bsize + rng.integers(bsize), b2 * bsize + rng.integers(bsize))),
+                int(max(b1 * bsize + rng.integers(bsize), b2 * bsize + rng.integers(bsize))),
+            )
+        )
+    return sorted(edges)
+
+
+class TestGCE:
+    def test_matches_sequential_replica(self):
+        for gseed, n, m in [(2, 24, 70), (9, 36, 120)]:
+            canon = _random_canon(gseed, n, m)
+            sym = symmetrize(_ds(canon)).materialize()
+            seeds = [0, 5, 11]
+            got = gce_communities(sym, n, seeds, radius=n).to_pandas()
+            for s in seeds:
+                exp = _gce_oracle(canon, s)
+                mine = set(got[got.seed == s]["v"])
+                assert mine == exp, (gseed, s, mine, exp)
+
+    def test_planted_block_recovered(self):
+        canon = _planted(3, blocks=3, bsize=8, p_in_deg=0.9, bridges=3)
+        sym = symmetrize(_ds(canon)).materialize()
+        got = gce_communities(sym, 24, [4], radius=24).to_pandas()
+        com = set(got["v"])
+        block = set(range(0, 8))
+        # GCE from a block member should stay inside its dense block
+        assert com <= block and len(com) >= 6, com
+
+    def test_isolated_seed(self):
+        canon = [(1, 2), (2, 3)]
+        sym = symmetrize(_ds(canon)).materialize()
+        got = gce_communities(sym, 10, [7], radius=4).to_pandas()
+        assert set(got["v"]) == {7}
+
+
+class TestSetConductance:
+    def test_matches_direct(self):
+        for gseed, n, m in [(4, 20, 60), (12, 30, 110)]:
+            canon = _random_canon(gseed, n, m)
+            sym = symmetrize(_ds(canon)).materialize()
+            comm = list(range(n // 3))
+            cds = rd.from_arrow(pa.table({"v": pa.array(comm, pa.int64())}))
+            got = set_conductance(sym, cds)
+            cset = set(comm)
+            cut = sum(1 for a, b in canon if (a in cset) != (b in cset))
+            vol_s = sum((a in cset) + (b in cset) for a, b in canon)
+            vol_rest = 2 * len(canon) - vol_s
+            denom = min(vol_s, vol_rest)
+            exp = cut / denom if denom > 0 else 1.0
+            assert abs(got - exp) < 1e-12, (gseed, got, exp)
+
+    def test_whole_graph_is_one(self):
+        canon = [(0, 1), (1, 2)]
+        sym = symmetrize(_ds(canon)).materialize()
+        cds = rd.from_arrow(pa.table({"v": pa.array([0, 1, 2], pa.int64())}))
+        assert set_conductance(sym, cds) == 1.0
