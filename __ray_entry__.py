@@ -781,6 +781,15 @@ def q_apply_events_roundtrip(sf_dir):
     return apply_events(g1, diff).sort(["src", "dst"])
 
 
+def q_clustering_generator(sf_dir):
+    """Continuous balanced k=7 synthetic partition over the customer universe."""
+    from networkit_ray.sources.derive import num_customers
+    from networkit_ray.sources.synth import generate_clustering
+
+    n = num_customers(sf_dir)
+    return generate_clustering(n, "continuous", k=7).sort("v")
+
+
 def q_gce_community(sf_dir):
     """GCE objective-M expansion from two seeds (rows-only: greedy argmax)."""
     from networkit_ray.graph.scd import gce_communities
@@ -789,6 +798,16 @@ def q_gce_community(sf_dir):
     return gce_communities(sym, n, [0, 7], radius=3, max_size=50).sort(
         ["seed", "v"]
     )
+
+
+def q_lfm_community(sf_dir):
+    """LFMLocal fitness expansion from two seeds (rows-only: greedy + purge)."""
+    from networkit_ray.graph.scd import lfm_communities
+
+    sym, n = _sym(sf_dir)
+    return lfm_communities(
+        sym, n, [0, 7], alpha=1.0, radius=3, max_size=50
+    ).sort(["seed", "v"])
 
 
 def q_set_conductance(sf_dir):
@@ -1628,6 +1647,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curveball_degrees": q_curveball_degrees,
         "simple_paths": q_simple_paths,
         "gce_community": q_gce_community,
+        "clustering_generator": q_clustering_generator,
+        "lfm_community": q_lfm_community,
         "set_conductance": q_set_conductance,
         "scan_clustering": q_scan_clustering,
         "eccentricity": q_eccentricity,
@@ -2838,6 +2859,18 @@ def oracle_sql() -> dict[str, str]:
                      FROM rk)
             SELECT src, dst, ROUND(MAX(s), 8) AS ls_score
             FROM side GROUP BY src, dst ORDER BY src, dst
+        """,
+        # ClusteringGenerator twin (community/ClusteringGenerator.cpp:48-75):
+        # k contiguous balanced blocks, first n%k blocks one node larger.
+        "clustering_generator": """
+            WITH c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer),
+            p AS (SELECT n, n // 7 AS q, n % 7 AS r FROM c)
+            SELECT CAST(cu.c_custkey AS BIGINT) AS v,
+                   CAST(CASE WHEN cu.c_custkey < p.r * (p.q + 1)
+                        THEN cu.c_custkey // (p.q + 1)
+                        ELSE p.r + (cu.c_custkey - p.r * (p.q + 1)) // p.q
+                        END AS BIGINT) AS label
+            FROM customer cu, p ORDER BY v
         """,
         # SetConductance twin (scd/SetConductance.cpp): cut / min-side
         # volume of the v%5==0 set on the symmetrized graph (each edge

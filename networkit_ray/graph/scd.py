@@ -88,19 +88,16 @@ def _gce_group(max_size: int):
     return fn
 
 
-def gce_communities(
+def _expand_seeds(
     sym_edges: ray.data.Dataset,
     num_nodes: int,
     seeds: list[int],
+    group_fn,
     *,
-    radius: int = 3,
-    max_size: int = 10**9,
-    num_parts: int | None = None,
+    radius: int,
+    num_parts: int | None,
 ) -> ray.data.Dataset:
-    """(seed, v) membership rows — GCE objective-M expansion per seed.
-
-    ``sym_edges``: symmetrized unweighted edge table (both directions).
-    """
+    """Shared SCD driver: region extraction + per-seed greedy group run."""
     from networkit_ray.common.exchange import exchange_join
     from networkit_ray.graph.bfs import multi_bfs_refs
     from networkit_ray.graph.bsp import build_pgraph
@@ -178,7 +175,7 @@ def gce_communities(
     )
 
     out = region_edges.groupby("seed").map_groups(
-        _gce_group(max_size), batch_format="pandas"
+        group_fn, batch_format="pandas"
     )
     out = enforce_schema(out, _OUT_SCHEMA)
     # a seed with no region edges produces no group at all; every
@@ -250,3 +247,130 @@ def set_conductance(
     rest = (agg["vol_all"] or 0) - vol_s
     denom = min(vol_s, rest)
     return float(cut) / denom if denom > 0 else 1.0
+
+
+def gce_communities(
+    sym_edges: ray.data.Dataset,
+    num_nodes: int,
+    seeds: list[int],
+    *,
+    radius: int = 3,
+    max_size: int = 10**9,
+    num_parts: int | None = None,
+) -> ray.data.Dataset:
+    """(seed, v) membership rows — GCE objective-M expansion per seed.
+
+    ``sym_edges``: symmetrized unweighted edge table (both directions).
+    """
+    return _expand_seeds(
+        sym_edges,
+        num_nodes,
+        seeds,
+        _gce_group(max_size),
+        radius=radius,
+        num_parts=num_parts,
+    )
+
+
+def _lfm_group(alpha: float, max_size: int):
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        seed = int(df["seed"].iloc[0])
+        u = df["u"].to_numpy().astype(np.int64)
+        w = df["v2"].to_numpy().astype(np.int64)
+        deg = dict(
+            zip(
+                np.concatenate([u, w]).tolist(),
+                np.concatenate([df["du"].to_numpy(), df["dv"].to_numpy()])
+                .astype(np.int64)
+                .tolist(),
+            )
+        )
+        adj: dict[int, set] = {}
+        for a, b in zip(u.tolist(), w.tolist()):
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        if seed not in adj:
+            return pd.DataFrame({"seed": [seed], "v": [seed]})
+
+        def fitness(int_w, cut):
+            tot = 2.0 * int_w + cut
+            return (2.0 * int_w) / tot**alpha if tot > 0 else 0.0
+
+        com = {seed}
+
+        def stats():
+            iw = sum(
+                1 for x in com for y in adj.get(x, ()) if y in com and x < y
+            )
+            ct = sum(deg[x] for x in com) - 2 * iw
+            return float(iw), float(ct)
+
+        int_w, cut = stats()
+        if int_w + cut == 0:
+            return pd.DataFrame({"seed": [seed], "v": [seed]})
+        cur_q = fitness(int_w, cut)
+        while len(com) < max_size:
+            shell = sorted(
+                {y for x in com for y in adj.get(x, ()) if y not in com}
+            )
+            best_v, best_dq = None, 0.0
+            for v in shell:
+                idg = sum(1 for y in adj[v] if y in com)
+                edg = deg[v] - idg
+                dq = fitness(int_w + idg, cut - idg + edg) - cur_q
+                if dq > best_dq:
+                    best_v, best_dq = v, dq
+            if best_v is None:
+                break
+            com.add(best_v)
+            int_w, cut = stats()
+            cur_q = fitness(int_w, cut)
+            # purge loop: remove any non-seed member whose removal improves
+            while True:
+                worst_v, worst_dq = None, 0.0
+                for x in sorted(com):
+                    if x == seed:
+                        continue
+                    idg = sum(1 for y in adj.get(x, ()) if y in com)
+                    edg = deg[x] - idg
+                    dq = cur_q - fitness(int_w - idg, cut + idg - edg)
+                    if dq < worst_dq:
+                        worst_v, worst_dq = x, dq
+                if worst_v is None:
+                    break
+                com.discard(worst_v)
+                int_w, cut = stats()
+                cur_q = fitness(int_w, cut)
+        return pd.DataFrame(
+            {"seed": np.full(len(com), seed, np.int64), "v": sorted(com)}
+        )
+
+    return fn
+
+
+def lfm_communities(
+    sym_edges: ray.data.Dataset,
+    num_nodes: int,
+    seeds: list[int],
+    *,
+    alpha: float = 1.0,
+    radius: int = 3,
+    max_size: int = 10**9,
+    num_parts: int | None = None,
+) -> ray.data.Dataset:
+    """(seed, v) — LFMLocal fitness expansion with purge steps.
+
+    Reference: scd/LFMLocal.cpp:12-98 — fitness f(C) = 2·intW /
+    (2·intW + cut)^alpha; greedily add the shell node with the largest
+    positive Δf, then repeatedly remove any non-seed member whose removal
+    raises f, until no addition improves.  Ties break to the smallest id
+    (the reference draws uniformly; deterministic here).
+    """
+    return _expand_seeds(
+        sym_edges,
+        num_nodes,
+        seeds,
+        _lfm_group(alpha, max_size),
+        radius=radius,
+        num_parts=num_parts,
+    )

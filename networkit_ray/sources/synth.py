@@ -216,3 +216,41 @@ def watts_strogatz_edges(
 
     edges = ray.data.range(n * half).map_batches(gen, batch_format="numpy")
     return dedup_edges(edges), n
+
+
+def generate_clustering(
+    num_nodes: int,
+    kind: str,
+    *,
+    k: int = 1,
+    seed: int = 42,
+) -> ray.data.Dataset:
+    """(v, label) synthetic partition over the dense vertex universe.
+
+    Reference: community/ClusteringGenerator.cpp — ``singleton`` (label=v),
+    ``one`` (label=0), ``continuous`` (k contiguous balanced blocks, the
+    first n%k blocks one larger, :48-75), ``noncontinuous`` (label = v%k,
+    :77-88), ``random`` (hashed uniform block in [0,k), :30-46 with the
+    counter-hash replacing the PRNG so the result is parallelism-invariant).
+    """
+    q, r = divmod(num_nodes, k) if k else (0, 0)
+    base = np.uint64(seed) * np.uint64(0x9E3779B97F4A7C15)
+
+    def gen(batch: dict) -> pa.Table:
+        v = batch["id"].astype(np.int64)
+        if kind == "singleton":
+            lab = v
+        elif kind == "one":
+            lab = np.zeros(len(v), np.int64)
+        elif kind == "noncontinuous":
+            lab = v % k
+        elif kind == "continuous":
+            cutoff = r * (q + 1)
+            lab = np.where(v < cutoff, v // max(1, q + 1), r + (v - cutoff) // max(1, q))
+        elif kind == "random":
+            lab = (_splitmix64(v.astype(np.uint64) + base) % np.uint64(k)).astype(np.int64)
+        else:
+            raise ValueError(f"unknown clustering kind: {kind}")
+        return pa.table({"v": pa.array(v), "label": pa.array(lab.astype(np.int64))})
+
+    return ray.data.range(num_nodes).map_batches(gen, batch_format="numpy")

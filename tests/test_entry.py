@@ -53,6 +53,7 @@ FAST_SUBSET = [
     "curveball_degrees",
     "simple_paths",
     "set_conductance",
+    "clustering_generator",
     "tfidf_top_terms",
     "token_percentiles",
 ]
@@ -137,6 +138,7 @@ def test_queries_oracles_consistent():
         "electrical_closeness",
         "node2vec_walks",
         "gce_community",
+        "lfm_community",
     }
 
 

@@ -135,3 +135,83 @@ class TestSetConductance:
         sym = symmetrize(_ds(canon)).materialize()
         cds = rd.from_arrow(pa.table({"v": pa.array([0, 1, 2], pa.int64())}))
         assert set_conductance(sym, cds) == 1.0
+
+
+def _lfm_oracle(canon, seed, alpha=1.0):
+    import collections
+
+    adj = collections.defaultdict(set)
+    for a, b in canon:
+        adj[a].add(b)
+        adj[b].add(a)
+    deg = {v: len(adj[v]) for v in adj}
+    if seed not in adj:
+        return {seed}
+
+    def fitness(iw, ct):
+        tot = 2.0 * iw + ct
+        return (2.0 * iw) / tot**alpha if tot > 0 else 0.0
+
+    com = {seed}
+
+    def stats():
+        iw = sum(1 for x in com for y in adj[x] if y in com and x < y)
+        ct = sum(deg[x] for x in com) - 2 * iw
+        return float(iw), float(ct)
+
+    iw, ct = stats()
+    if iw + ct == 0:
+        return {seed}
+    cur = fitness(iw, ct)
+    while True:
+        shell = sorted({y for x in com for y in adj[x] if y not in com})
+        best, bdq = None, 0.0
+        for v in shell:
+            idg = sum(1 for y in adj[v] if y in com)
+            dq = fitness(iw + idg, ct - idg + (deg[v] - idg)) - cur
+            if dq > bdq:
+                best, bdq = v, dq
+        if best is None:
+            break
+        com.add(best)
+        iw, ct = stats()
+        cur = fitness(iw, ct)
+        while True:
+            worst, wdq = None, 0.0
+            for x in sorted(com):
+                if x == seed:
+                    continue
+                idg = sum(1 for y in adj[x] if y in com)
+                dq = cur - fitness(iw - idg, ct + idg - (deg[x] - idg))
+                if dq < wdq:
+                    worst, wdq = x, dq
+            if worst is None:
+                break
+            com.discard(worst)
+            iw, ct = stats()
+            cur = fitness(iw, ct)
+    return com
+
+
+class TestLFMLocal:
+    def test_matches_sequential_replica(self):
+        from networkit_ray.graph.scd import lfm_communities
+
+        for gseed, n, m in [(5, 24, 70), (14, 36, 130)]:
+            canon = _random_canon(gseed, n, m)
+            sym = symmetrize(_ds(canon)).materialize()
+            seeds = [0, 6, 13]
+            got = lfm_communities(sym, n, seeds, radius=n).to_pandas()
+            for s in seeds:
+                exp = _lfm_oracle(canon, s)
+                mine = set(got[got.seed == s]["v"])
+                assert mine == exp, (gseed, s, mine, exp)
+
+    def test_planted_block(self):
+        from networkit_ray.graph.scd import lfm_communities
+
+        canon = _planted(3, blocks=3, bsize=8, p_in_deg=0.9, bridges=3)
+        sym = symmetrize(_ds(canon)).materialize()
+        got = lfm_communities(sym, 24, [4], radius=24).to_pandas()
+        com = set(got["v"])
+        assert com <= set(range(8)) and len(com) >= 6, com
