@@ -800,6 +800,14 @@ def q_gce_community(sf_dir):
     )
 
 
+def q_biconnected(sf_dir):
+    """Per-edge biconnected-component labels (rows-only: Tarjan-Vishkin)."""
+    from networkit_ray.graph.biconnected import biconnected_components
+
+    sym, n = _sym(sf_dir)
+    return biconnected_components(sym, n).sort(["src", "dst"])
+
+
 def q_lfm_community(sf_dir):
     """LFMLocal fitness expansion from two seeds (rows-only: greedy + purge)."""
     from networkit_ray.graph.scd import lfm_communities
@@ -1649,6 +1657,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gce_community": q_gce_community,
         "clustering_generator": q_clustering_generator,
         "lfm_community": q_lfm_community,
+        "biconnected_components": q_biconnected,
         "set_conductance": q_set_conductance,
         "scan_clustering": q_scan_clustering,
         "eccentricity": q_eccentricity,

@@ -139,6 +139,7 @@ def test_queries_oracles_consistent():
         "node2vec_walks",
         "gce_community",
         "lfm_community",
+        "biconnected_components",
     }
 
 
