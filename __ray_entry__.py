@@ -882,6 +882,63 @@ def q_curveball_degrees(sf_dir):
     )
 
 
+def q_bloom_prefilter(sf_dir):
+    """Bloom no-false-negative invariant: probing the member set itself
+    finds every distinct doc_id (count twin = COUNT(DISTINCT doc_id))."""
+    import ray.data
+
+    from networkit_ray.common.bloom import bloom_probe, build_bloom
+    from ray.data.aggregate import Sum
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).materialize()
+    ref = build_bloom(docs, "doc_id", m_bits=1 << 20, num_hashes=4)
+    probed = bloom_probe(docs, "doc_id", ref, m_bits=1 << 20, num_hashes=4)
+    distinct = (
+        probed.map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "hit": pa.array(
+                        t["maybe_member"].to_numpy(zero_copy_only=False).astype(np.int64)
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("doc_id")
+        .aggregate(Sum("hit", alias_name="h"))
+    )
+    agg = distinct.map_batches(
+        lambda t: pa.table(
+            {
+                "n_found": pa.array(
+                    [int((t["h"].to_numpy(zero_copy_only=False) > 0).sum())]
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    ).aggregate(Sum("n_found", alias_name="n_found"))
+    return pa.table({"n_found": pa.array([int(agg["n_found"] or 0)], pa.int64())})
+
+
+def q_dgs_roundtrip(sf_dir):
+    """DGS write -> read -> apply replay must reproduce G2 (same oracle)."""
+    import os
+    import tempfile
+
+    from networkit_ray.graph.dynamics import apply_events, graph_difference
+    from networkit_ray.sources.dgs import read_dgs, write_dgs
+
+    g1, n = _derived(sf_dir)
+    diff = graph_difference(g1, _perturbed(g1)).materialize()
+    path = os.path.join(tempfile.mkdtemp(prefix="dgs_"), "stream.dgs")
+    write_dgs(diff, path)
+    back = read_dgs(path).materialize()
+    return apply_events(g1, back).sort(["src", "dst"])
+
+
 def q_reachable_nodes(sf_dir):
     from networkit_ray.graph.reachability import reachable_counts
 
@@ -1652,6 +1709,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_difference": q_graph_difference,
         "reachable_nodes": q_reachable_nodes,
         "apply_events_roundtrip": q_apply_events_roundtrip,
+        "dgs_roundtrip": q_dgs_roundtrip,
+        "bloom_prefilter": q_bloom_prefilter,
         "curveball_degrees": q_curveball_degrees,
         "simple_paths": q_simple_paths,
         "gce_community": q_gce_community,
@@ -2922,6 +2981,19 @@ def oracle_sql() -> dict[str, str]:
         # GraphUpdater twin: applying the G1→G2 edit list to G1 must yield
         # exactly G2 (the perturbed graph), so the oracle IS G2.
         "apply_events_roundtrip": f"""
+            WITH g1 AS MATERIALIZED ({DERIVED_EDGES_SQL})
+            SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM g1 WHERE (src + dst) % 3 <> 0
+                UNION ALL
+                SELECT dst AS src, src AS dst FROM g1 WHERE src % 5 = 0
+            ) ORDER BY src, dst
+        """,
+        # Bloom no-false-negative twin: every member tests positive.
+        "bloom_prefilter": """
+            SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_found FROM documents
+        """,
+        # DGS roundtrip twin: write->read->apply must reproduce G2.
+        "dgs_roundtrip": f"""
             WITH g1 AS MATERIALIZED ({DERIVED_EDGES_SQL})
             SELECT DISTINCT src, dst FROM (
                 SELECT src, dst FROM g1 WHERE (src + dst) % 3 <> 0

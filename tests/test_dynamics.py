@@ -83,3 +83,33 @@ class TestApplyEvents:
         diff = graph_difference(_ds(e), _ds(e)).materialize()
         got = apply_events(_ds(e), diff).to_pandas()
         assert {(r.src, r.dst) for r in got.itertuples(index=False)} == set(e)
+
+
+class TestDGSRoundtrip:
+    def test_write_read_apply(self, tmp_path):
+        from networkit_ray.graph.dynamics import apply_events
+        from networkit_ray.sources.dgs import read_dgs, write_dgs
+
+        rng = np.random.default_rng(21)
+        e1 = sorted({(int(a), int(b)) for a, b in rng.integers(0, 25, (70, 2)) if a != b})
+        e2 = sorted({(int(a), int(b)) for a, b in rng.integers(3, 28, (70, 2)) if a != b})
+        diff = graph_difference(_ds(e1), _ds(e2)).materialize()
+        p = str(tmp_path / "stream.dgs")
+        write_dgs(diff, p)
+        back = read_dgs(p).materialize()
+        # identical event multiset after the roundtrip
+        a = {(r.kind, r.u, r.v) for r in diff.to_pandas().itertuples(index=False)}
+        b = {(r.kind, r.u, r.v) for r in back.to_pandas().itertuples(index=False)}
+        assert a == b
+        got = apply_events(_ds(e1), back).to_pandas()
+        assert {(r.src, r.dst) for r in got.itertuples(index=False)} == set(e2)
+
+    def test_header_written(self, tmp_path):
+        from networkit_ray.sources.dgs import write_dgs
+
+        diff = graph_difference(_ds([(0, 1)]), _ds([(0, 1), (1, 2)])).materialize()
+        p = str(tmp_path / "s.dgs")
+        write_dgs(diff, p)
+        lines = open(p).read().splitlines()
+        assert lines[0] == "DGS004"
+        assert any(l.startswith("ae 1-2") for l in lines)

@@ -54,6 +54,8 @@ FAST_SUBSET = [
     "simple_paths",
     "set_conductance",
     "clustering_generator",
+    "dgs_roundtrip",
+    "bloom_prefilter",
     "tfidf_top_terms",
     "token_percentiles",
 ]
