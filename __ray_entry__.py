@@ -800,6 +800,23 @@ def q_gce_community(sf_dir):
     )
 
 
+def q_clique_detect(sf_dir):
+    """CliqueDetect seed communities (rows-only: max-clique search)."""
+    from networkit_ray.graph.scd import clique_detect
+
+    sym, n = _sym(sf_dir)
+    return clique_detect(sym, n, [0, 7]).sort(["seed", "v"])
+
+
+def q_lp_degree_ordered(sf_dir):
+    """LPDegreeOrdered communities (rows-only: tiered argmax schedule)."""
+    from networkit_ray.graph.plp import lp_degree_ordered
+
+    sym, n = _sym(sf_dir)
+    labels, _info = lp_degree_ordered(sym, n, update_threshold=0)
+    return labels.sort("v")
+
+
 def q_biconnected(sf_dir):
     """Per-edge biconnected-component labels (rows-only: Tarjan-Vishkin)."""
     from networkit_ray.graph.biconnected import biconnected_components
@@ -1717,6 +1734,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustering_generator": q_clustering_generator,
         "lfm_community": q_lfm_community,
         "biconnected_components": q_biconnected,
+        "lp_degree_ordered": q_lp_degree_ordered,
+        "clique_detect": q_clique_detect,
         "set_conductance": q_set_conductance,
         "scan_clustering": q_scan_clustering,
         "eccentricity": q_eccentricity,

@@ -205,3 +205,108 @@ def plp(
     g = build_pgraph(sym_edges, num_nodes, num_parts=num_parts, weighted=weighted)
     refs, info = plp_refs(g, **kwargs)
     return bsp.state_to_dataset(g, refs, "label"), info
+
+
+@ray.remote
+def _block_deg(block: dict) -> np.ndarray:
+    return block["out_deg"].astype(np.int64)
+
+
+@ray.remote(num_returns=2)
+def _lpdo_reduce(labels: np.ndarray, deg: np.ndarray, tier: int, num_tiers: int, *partials):
+    """PLP reduce restricted to one log2-degree tier (LPDegreeOrdered).
+
+    tier(v) = min(num_tiers-1, floor(log2(deg(v)))) for deg >= 1; lower
+    tiers run first within an iteration, seeing the fresher labels the
+    reference's low-degree-first sequential sweep sees.
+    """
+    ds = [p[0] for p in partials if len(p[0])]
+    if not ds:
+        return labels, 0
+    d = np.concatenate(ds)
+    l = np.concatenate([p[1] for p in partials if len(p[0])])
+    w = np.concatenate([p[2] for p in partials if len(p[0])])
+    o = np.lexsort((l, d))
+    d, l, w = d[o], l[o], w[o]
+    change = np.empty(len(d), dtype=bool)
+    change[0] = True
+    change[1:] = (d[1:] != d[:-1]) | (l[1:] != l[:-1])
+    starts = np.flatnonzero(change)
+    d, l = d[starts], l[starts]
+    w = np.add.reduceat(w, starts)
+    o2 = np.lexsort((l, -w, d))
+    d, l = d[o2], l[o2]
+    first = np.empty(len(d), dtype=bool)
+    first[0] = True
+    first[1:] = d[1:] != d[:-1]
+    heads = np.flatnonzero(first)
+    new = labels.copy()
+    targets = d[heads]
+    with np.errstate(divide="ignore"):
+        tiers = np.minimum(
+            num_tiers - 1,
+            np.floor(np.log2(np.maximum(deg[targets], 1))).astype(np.int64),
+        )
+    sel = tiers == tier
+    new[targets[sel]] = l[heads][sel]
+    changed = int((new != labels).sum())
+    return new, changed
+
+
+def lp_degree_ordered(
+    sym_edges: ray.data.Dataset,
+    num_nodes: int,
+    *,
+    num_tiers: int = 4,
+    update_threshold: int | None = None,
+    max_iterations: int = 100,
+    num_parts: int | None = None,
+) -> tuple[ray.data.Dataset, dict]:
+    """(v, label) — LPDegreeOrdered community labels.
+
+    Reference: community/LPDegreeOrdered.cpp:18-88 — label propagation
+    with nodes processed in INCREASING degree order so low-degree nodes
+    commit first and high-degree nodes see their fresh labels.  The
+    distributed analog runs ``num_tiers`` sub-supersteps per iteration,
+    one log2-degree tier at a time (ascending); within a tier the update
+    is the standard synchronous argmax-min-label step.  Stops when an
+    iteration updates ≤ θ = n/1e5 labels (reference's threshold).
+    """
+    g = bsp.build_pgraph(sym_edges, num_nodes, num_parts=num_parts)
+    P = g.num_parts
+    theta = (
+        update_threshold
+        if update_threshold is not None
+        else g.num_nodes // 100000
+    )
+    labels = [_plp_init.remote(g.vid_refs[p]) for p in range(P)]
+    degs = [_block_deg.remote(b) for b in g.block_refs]
+    units = g.map_units()
+    iteration = 0
+    while iteration < max_iterations:
+        total_updated = 0
+        for tier in range(num_tiers):
+            map_out = [
+                _plp_map.options(num_returns=P).remote(
+                    g.block_refs[p], labels[p], c
+                )
+                for p, c in units
+            ]
+            new_labels, count_refs = [], []
+            for q in range(P):
+                s, c = _lpdo_reduce.remote(
+                    labels[q], degs[q], tier, num_tiers,
+                    *[mo[q] for mo in map_out],
+                )
+                new_labels.append(s)
+                count_refs.append(c)
+            total_updated += sum(ray.get(count_refs))
+            labels = new_labels
+        iteration += 1
+        if total_updated <= theta:
+            break
+    out = [_labels_i64.remote(r) for r in labels]
+    return (
+        bsp.state_to_dataset(g, out, "label"),
+        {"iterations": iteration},
+    )

@@ -374,3 +374,69 @@ def lfm_communities(
         radius=radius,
         num_parts=num_parts,
     )
+
+
+def _clique_group():
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        seed = int(df["seed"].iloc[0])
+        u = df["u"].to_numpy().astype(np.int64)
+        w = df["v2"].to_numpy().astype(np.int64)
+        adj: dict[int, set] = {}
+        for a, b in zip(u.tolist(), w.tolist()):
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        nbrs = sorted(adj.get(seed, ()))
+        if not nbrs:
+            return pd.DataFrame({"seed": [seed], "v": [seed]})
+        nset = set(nbrs)
+        sub = {v: (adj[v] & nset) for v in nbrs}
+        best: list = []
+
+        def bron(r, p, x):
+            nonlocal best
+            if not p and not x:
+                cand = sorted(r)
+                if len(cand) > len(best) or (
+                    len(cand) == len(best) and cand < best
+                ):
+                    best = cand
+                return
+            pivot = max(p | x, key=lambda v: (len(sub[v] & p), -v))
+            for v in sorted(p - sub[pivot]):
+                bron(r | {v}, p & sub[v], x & sub[v])
+                p = p - {v}
+                x = x | {v}
+
+        bron(set(), set(nbrs), set())
+        com = sorted([seed] + best)
+        return pd.DataFrame(
+            {"seed": np.full(len(com), seed, np.int64), "v": com}
+        )
+
+    return fn
+
+
+def clique_detect(
+    sym_edges: ray.data.Dataset,
+    num_nodes: int,
+    seeds: list[int],
+    *,
+    num_parts: int | None = None,
+) -> ray.data.Dataset:
+    """(seed, v) — seed plus the maximum clique among its neighbors.
+
+    Reference: scd/CliqueDetect.cpp:17-40 — the community of s is
+    {s} ∪ C where C is a maximum-cardinality clique of the subgraph
+    induced on N(s) (the reference picks uniformly among maximum cliques;
+    here the lexicographically smallest wins, deterministic).  The
+    radius-1 region driver ships exactly N(s)'s induced edges to one
+    Bron–Kerbosch task per seed.
+    """
+    return _expand_seeds(
+        sym_edges,
+        num_nodes,
+        seeds,
+        _clique_group(),
+        radius=1,
+        num_parts=num_parts,
+    )

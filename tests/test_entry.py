@@ -142,6 +142,8 @@ def test_queries_oracles_consistent():
         "gce_community",
         "lfm_community",
         "biconnected_components",
+        "lp_degree_ordered",
+        "clique_detect",
     }
 
 

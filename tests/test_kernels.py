@@ -265,3 +265,34 @@ class TestWarmStartPageRank:
         b = cold.to_pandas().sort_values("v")["score"].to_numpy()
         np.testing.assert_allclose(a, b, atol=1e-10)
         assert winfo["iterations"] < cinfo["iterations"], (winfo, cinfo)
+
+
+class TestLPDegreeOrdered:
+    def test_planted_cliques(self):
+        from networkit_ray.graph.plp import lp_degree_ordered
+
+        cliques = []
+        for base in (0, 10):
+            for i in range(10):
+                for j in range(i + 1, 10):
+                    cliques.append((base + i, base + j))
+        s = sym(cliques)
+        labels, info = lp_degree_ordered(
+            edges_ds(s), 20, num_parts=3, update_threshold=0
+        )
+        got = labels.to_pandas().sort_values("v")["label"].to_numpy()
+        assert len(np.unique(got)) == 2
+        assert len(np.unique(got[:10])) == 1 and len(np.unique(got[10:])) == 1
+
+    def test_parallelism_invariant(self):
+        from networkit_ray.graph.plp import lp_degree_ordered
+
+        rng = np.random.default_rng(8)
+        e = np.unique(rng.integers(0, 30, (120, 2)), axis=0)
+        e = e[e[:, 0] != e[:, 1]]
+        s = sym([tuple(x) for x in e])
+        a, _ = lp_degree_ordered(edges_ds(s), 30, num_parts=2, update_threshold=0)
+        b, _ = lp_degree_ordered(edges_ds(s), 30, num_parts=7, update_threshold=0)
+        pa_ = a.to_pandas().sort_values("v")["label"].to_numpy()
+        pb = b.to_pandas().sort_values("v")["label"].to_numpy()
+        assert np.array_equal(pa_, pb)

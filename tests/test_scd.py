@@ -215,3 +215,52 @@ class TestLFMLocal:
         got = lfm_communities(sym, 24, [4], radius=24).to_pandas()
         com = set(got["v"])
         assert com <= set(range(8)) and len(com) >= 6, com
+
+
+def _clique_oracle(canon, seed):
+    import itertools
+    import collections
+
+    adj = collections.defaultdict(set)
+    for a, b in canon:
+        adj[a].add(b)
+        adj[b].add(a)
+    nbrs = sorted(adj.get(seed, ()))
+    if not nbrs:
+        return {seed}
+    best = []
+    # brute force all subsets (neighborhoods small in tests)
+    for size in range(len(nbrs), 0, -1):
+        found = None
+        for comb in itertools.combinations(nbrs, size):
+            if all(b in adj[a] for a, b in itertools.combinations(comb, 2)):
+                cand = sorted(comb)
+                if found is None or cand < found:
+                    found = cand
+        if found is not None:
+            best = found
+            break
+    return set([seed] + best)
+
+
+class TestCliqueDetect:
+    def test_matches_bruteforce(self):
+        from networkit_ray.graph.scd import clique_detect
+
+        for gseed, n, m in [(6, 18, 60), (15, 25, 90)]:
+            canon = _random_canon(gseed, n, m)
+            sym = symmetrize(_ds(canon)).materialize()
+            seeds = [0, 4, 9]
+            got = clique_detect(sym, n, seeds).to_pandas()
+            for s in seeds:
+                exp = _clique_oracle(canon, s)
+                mine = set(got[got.seed == s]["v"])
+                assert mine == exp, (gseed, s, mine, exp)
+
+    def test_triangle_seed(self):
+        from networkit_ray.graph.scd import clique_detect
+
+        canon = [(0, 1), (0, 2), (1, 2), (0, 3)]
+        sym = symmetrize(_ds(canon)).materialize()
+        got = clique_detect(sym, 4, [0]).to_pandas()
+        assert set(got["v"]) == {0, 1, 2}
