@@ -800,6 +800,25 @@ def q_gce_community(sf_dir):
     )
 
 
+def q_scd_ground_truth(sf_dir):
+    """Best-match Jaccard/F1/precision/recall of v%5 communities vs the
+    continuous k=7 ground truth (SCDGroundTruthComparison, ignoreSeeds)."""
+    from networkit_ray.graph.scd import scd_ground_truth_comparison
+    from networkit_ray.sources.derive import num_customers
+    from networkit_ray.sources.synth import generate_clustering
+
+    n = num_customers(sf_dir)
+    found = generate_clustering(n, "noncontinuous", k=5).map_batches(
+        lambda t: pa.table({"seed": t["label"], "v": t["v"]}),
+        batch_format="pyarrow",
+    )
+    truth = generate_clustering(n, "continuous", k=7)
+    out = scd_ground_truth_comparison(found, truth)
+    for c in ["jaccard", "f1", "precision", "recall"]:
+        out = _round_col(out, c, 8)
+    return out.sort("seed")
+
+
 def q_clique_detect(sf_dir):
     """CliqueDetect seed communities (rows-only: max-clique search)."""
     from networkit_ray.graph.scd import clique_detect
@@ -1736,6 +1755,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "biconnected_components": q_biconnected,
         "lp_degree_ordered": q_lp_degree_ordered,
         "clique_detect": q_clique_detect,
+        "scd_ground_truth": q_scd_ground_truth,
         "set_conductance": q_set_conductance,
         "scan_clustering": q_scan_clustering,
         "eccentricity": q_eccentricity,
@@ -2946,6 +2966,39 @@ def oracle_sql() -> dict[str, str]:
                      FROM rk)
             SELECT src, dst, ROUND(MAX(s), 8) AS ls_score
             FROM side GROUP BY src, dst ORDER BY src, dst
+        """,
+        # SCDGroundTruthComparison twin: best-of-each-metric vs the
+        # continuous k=7 partition, found = v%5 groups.
+        "scd_ground_truth": """
+            WITH c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer),
+            p AS (SELECT n, n // 7 AS q, n % 7 AS r FROM c),
+            f AS (SELECT CAST(c_custkey % 5 AS BIGINT) AS seed,
+                         CAST(c_custkey AS BIGINT) AS v FROM customer),
+            t AS (SELECT CAST(cu.c_custkey AS BIGINT) AS v,
+                         CAST(CASE WHEN cu.c_custkey < p.r * (p.q + 1)
+                              THEN cu.c_custkey // (p.q + 1)
+                              ELSE p.r + (cu.c_custkey - p.r * (p.q + 1)) // p.q
+                              END AS BIGINT) AS label
+                  FROM customer cu, p),
+            fs AS (SELECT seed, CAST(COUNT(*) AS DOUBLE) AS fsize FROM f GROUP BY seed),
+            ts AS (SELECT label, CAST(COUNT(*) AS DOUBLE) AS tsize FROM t GROUP BY label),
+            ov AS (SELECT f.seed, t.label, CAST(COUNT(*) AS DOUBLE) AS ov
+                   FROM f JOIN t ON t.v = f.v GROUP BY f.seed, t.label),
+            sc AS (SELECT ov.seed,
+                          ov.ov / (fs.fsize + ts.tsize - ov.ov) AS jaccard,
+                          CASE WHEN ov.ov > 0 THEN
+                              2 * (ov.ov / fs.fsize) * (ov.ov / ts.tsize)
+                              / (ov.ov / fs.fsize + ov.ov / ts.tsize)
+                          ELSE 0 END AS f1,
+                          ov.ov / fs.fsize AS precision,
+                          ov.ov / ts.tsize AS recall
+                   FROM ov JOIN fs ON fs.seed = ov.seed
+                           JOIN ts ON ts.label = ov.label)
+            SELECT seed, ROUND(MAX(jaccard), 8) AS jaccard,
+                   ROUND(MAX(f1), 8) AS f1,
+                   ROUND(MAX(precision), 8) AS precision,
+                   ROUND(MAX(recall), 8) AS recall
+            FROM sc GROUP BY seed ORDER BY seed
         """,
         # ClusteringGenerator twin (community/ClusteringGenerator.cpp:48-75):
         # k contiguous balanced blocks, first n%k blocks one node larger.

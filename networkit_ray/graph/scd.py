@@ -440,3 +440,64 @@ def clique_detect(
         radius=1,
         num_parts=num_parts,
     )
+
+
+def scd_ground_truth_comparison(
+    found: ray.data.Dataset,
+    truth: ray.data.Dataset,
+) -> ray.data.Dataset:
+    """(seed, jaccard, f1, precision, recall) per found community.
+
+    Reference: scd/SCDGroundTruthComparison.cpp:40-115 (ignoreSeeds
+    semantics): for each found community F_seed, overlap it with every
+    ground-truth subset T and report the BEST value of each metric
+    independently — max Jaccard |F∩T|/|F∪T|, max F1, max precision
+    |F∩T|/|F|, max recall |F∩T|/|T|.
+
+    ``found``: (seed, v) membership rows; ``truth``: (v, label) rows.
+    One hash join on v + three groupby aggregates — fully SQL-twinned.
+    """
+    from networkit_ray.common.exchange import exchange_join
+    from ray.data.aggregate import Count, Max
+
+    fs = found.groupby("seed").aggregate(Count(alias_name="fsize")).materialize()
+    ts = truth.groupby("label").aggregate(Count(alias_name="tsize")).materialize()
+    j = exchange_join(found, truth, left_on=["v"])
+    ov = (
+        j.groupby(["seed", "label"])
+        .aggregate(Count(alias_name="ov"))
+        .materialize()
+    )
+    o1 = exchange_join(ov, fs, left_on=["seed"])
+    o2 = exchange_join(o1, ts, left_on=["label"])
+
+    def score(t: pa.Table) -> pa.Table:
+        ovr = t["ov"].to_numpy(zero_copy_only=False).astype(np.float64)
+        f = t["fsize"].to_numpy(zero_copy_only=False).astype(np.float64)
+        tt = t["tsize"].to_numpy(zero_copy_only=False).astype(np.float64)
+        jac = ovr / (f + tt - ovr)
+        prec = ovr / f
+        rec = ovr / tt
+        f1 = np.where(
+            (prec > 0) & (rec > 0), 2 * prec * rec / (prec + rec), 0.0
+        )
+        return pa.table(
+            {
+                "seed": t["seed"],
+                "jaccard": pa.array(jac),
+                "f1": pa.array(f1),
+                "precision": pa.array(prec),
+                "recall": pa.array(rec),
+            }
+        )
+
+    return (
+        o2.map_batches(score, batch_format="pyarrow")
+        .groupby("seed")
+        .aggregate(
+            Max("jaccard", alias_name="jaccard"),
+            Max("f1", alias_name="f1"),
+            Max("precision", alias_name="precision"),
+            Max("recall", alias_name="recall"),
+        )
+    )

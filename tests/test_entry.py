@@ -56,6 +56,7 @@ FAST_SUBSET = [
     "clustering_generator",
     "dgs_roundtrip",
     "bloom_prefilter",
+    "scd_ground_truth",
     "tfidf_top_terms",
     "token_percentiles",
 ]

@@ -264,3 +264,54 @@ class TestCliqueDetect:
         sym = symmetrize(_ds(canon)).materialize()
         got = clique_detect(sym, 4, [0]).to_pandas()
         assert set(got["v"]) == {0, 1, 2}
+
+
+class TestGroundTruthComparison:
+    def test_matches_bruteforce(self):
+        from networkit_ray.graph.scd import scd_ground_truth_comparison
+
+        rng = np.random.default_rng(17)
+        n = 40
+        found_rows = [(int(s), int(v)) for s in range(3) for v in rng.choice(n, 12, replace=False)]
+        truth_rows = [(int(v), int(v) % 4) for v in range(n)]
+        fds = rd.from_arrow(
+            pa.table(
+                {
+                    "seed": pa.array([a for a, b in found_rows], pa.int64()),
+                    "v": pa.array([b for a, b in found_rows], pa.int64()),
+                }
+            )
+        )
+        tds = rd.from_arrow(
+            pa.table(
+                {
+                    "v": pa.array([a for a, b in truth_rows], pa.int64()),
+                    "label": pa.array([b for a, b in truth_rows], pa.int64()),
+                }
+            )
+        )
+        got = scd_ground_truth_comparison(fds, tds).to_pandas().set_index("seed")
+        import collections
+
+        fsets = collections.defaultdict(set)
+        for s, v in found_rows:
+            fsets[s].add(v)
+        tsets = collections.defaultdict(set)
+        for v, l in truth_rows:
+            tsets[l].add(v)
+        for s, F in fsets.items():
+            bj = bf = bp = br = 0.0
+            for T in tsets.values():
+                o = len(F & T)
+                if o == 0:
+                    continue
+                j = o / len(F | T)
+                p = o / len(F)
+                r = o / len(T)
+                f1 = 2 * p * r / (p + r)
+                bj, bf, bp, br = max(bj, j), max(bf, f1), max(bp, p), max(br, r)
+            row = got.loc[s]
+            assert abs(row.jaccard - bj) < 1e-12
+            assert abs(row.f1 - bf) < 1e-12
+            assert abs(row.precision - bp) < 1e-12
+            assert abs(row.recall - br) < 1e-12
