@@ -800,6 +800,15 @@ def q_gce_community(sf_dir):
     )
 
 
+def q_agglomerative(sf_dir):
+    """Matching-based agglomerative communities (rows-only: iterative)."""
+    from networkit_ray.graph.agglomerative import agglomerative_communities
+
+    canon, n = _canon(sf_dir)
+    labels, _info = agglomerative_communities(canon, n, max_levels=4, num_parts=4)
+    return labels.sort("v")
+
+
 def q_scd_ground_truth(sf_dir):
     """Best-match Jaccard/F1/precision/recall of v%5 communities vs the
     continuous k=7 ground truth (SCDGroundTruthComparison, ignoreSeeds)."""
@@ -1756,6 +1765,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lp_degree_ordered": q_lp_degree_ordered,
         "clique_detect": q_clique_detect,
         "scd_ground_truth": q_scd_ground_truth,
+        "agglomerative_communities": q_agglomerative,
         "set_conductance": q_set_conductance,
         "scan_clustering": q_scan_clustering,
         "eccentricity": q_eccentricity,

@@ -145,6 +145,7 @@ def test_queries_oracles_consistent():
         "biconnected_components",
         "lp_degree_ordered",
         "clique_detect",
+        "agglomerative_communities",
     }
 
 
