@@ -800,6 +800,30 @@ def q_gce_community(sf_dir):
     )
 
 
+def q_kmeans_clusters(sf_dir):
+    """Spherical k-means cluster sizes over the embeddings table (rows-only)."""
+    import ray.data
+
+    from ray.data.aggregate import Count
+
+    from networkit_ray.ann.search import kmeans_assign
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return (
+        kmeans_assign(emb, n_centroids=8, lloyd_iters=3)
+        .groupby("cluster")
+        .aggregate(Count(alias_name="n_vecs"))
+        .sort("cluster")
+    )
+
+
+def q_normalize_text(sf_dir):
+    """Byte-deterministic normalization (lower, ws-collapse, trim)."""
+    from networkit_ray.text.analysis import normalize_text
+
+    return normalize_text(_docs(sf_dir)).sort("doc_id")
+
+
 def q_agglomerative(sf_dir):
     """Matching-based agglomerative communities (rows-only: iterative)."""
     from networkit_ray.graph.agglomerative import agglomerative_communities
@@ -1766,6 +1790,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clique_detect": q_clique_detect,
         "scd_ground_truth": q_scd_ground_truth,
         "agglomerative_communities": q_agglomerative,
+        "normalize_text": q_normalize_text,
+        "kmeans_clusters": q_kmeans_clusters,
         "set_conductance": q_set_conductance,
         "scan_clustering": q_scan_clustering,
         "eccentricity": q_eccentricity,
@@ -3021,6 +3047,13 @@ def oracle_sql() -> dict[str, str]:
                         ELSE p.r + (cu.c_custkey - p.r * (p.q + 1)) // p.q
                         END AS BIGINT) AS label
             FROM customer cu, p ORDER BY v
+        """,
+        # normalize_text twin: byte-identical LOWER + whitespace collapse
+        # + TRIM (web-text cleaning prefix).
+        "normalize_text": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')) AS norm
+            FROM documents ORDER BY doc_id
         """,
         # SetConductance twin (scd/SetConductance.cpp): cut / min-side
         # volume of the v%5==0 set on the symmetrized graph (each edge

@@ -301,3 +301,30 @@ def lsh_topk(
     )
     out = partial.groupby("query_id").map_groups(_final_topk(k), batch_format="pandas")
     return enforce_schema(out, _OUT_SCHEMA)
+
+
+def kmeans_assign(
+    emb: ray.data.Dataset,
+    *,
+    n_centroids: int = 16,
+    lloyd_iters: int = 3,
+    seed: int = 42,
+) -> ray.data.Dataset:
+    """(vec_id, cluster) — spherical k-means assignment as a first-class op.
+
+    Training is :func:`train_ivf_centroids` (hash-seeded init, one
+    combiner pass per Lloyd round, centroids always broadcast); the final
+    assignment is one more broadcast ``map_batches`` pass.  Deterministic
+    and parallelism-invariant, so downstream pipelines (IVF cells,
+    cluster-local dedup, stratified sampling) can rely on stable ids.
+    """
+    cents = train_ivf_centroids(
+        emb, n_centroids=n_centroids, lloyd_iters=lloyd_iters, seed=seed
+    )
+
+    def assign(t: pa.Table, c=cents) -> pa.Table:
+        m = _normalize(_emb_matrix(t))
+        cid = np.argmax(m @ c.T, axis=1).astype(np.int64)
+        return pa.table({"vec_id": t["vec_id"], "cluster": pa.array(cid)})
+
+    return emb.map_batches(assign, batch_format="pyarrow")

@@ -307,3 +307,25 @@ def tfidf_top_terms(
     ]
     keep = [r for r, ok in zip(parts, ray.get([_nonnull.remote(x) for x in parts])) if ok]
     return ray.data.from_arrow_refs(keep)
+
+
+def normalize_text(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, norm) byte-deterministic text normalization.
+
+    The standard web-text cleaning prefix before dedup / shingling:
+    lowercase → collapse all whitespace runs to one space → strip.  Every
+    step is a whole-batch Arrow kernel, and each has an exact DuckDB
+    equivalent (LOWER / REGEXP_REPLACE / TRIM), so the output is
+    byte-identical to the SQL twin — the same invariant the web extractor
+    maintains for extracted text per url.
+    """
+    import pyarrow.compute as pc
+
+    def f(t: pa.Table) -> pa.Table:
+        s = t["text"].combine_chunks()
+        s = pc.utf8_lower(s)
+        s = pc.replace_substring_regex(s, pattern=r"\s+", replacement=" ")
+        s = pc.utf8_trim_whitespace(s)
+        return pa.table({"doc_id": t["doc_id"], "norm": s})
+
+    return docs.map_batches(f, batch_format="pyarrow")

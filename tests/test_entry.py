@@ -57,6 +57,7 @@ FAST_SUBSET = [
     "dgs_roundtrip",
     "bloom_prefilter",
     "scd_ground_truth",
+    "normalize_text",
     "tfidf_top_terms",
     "token_percentiles",
 ]
@@ -146,6 +147,7 @@ def test_queries_oracles_consistent():
         "lp_degree_ordered",
         "clique_detect",
         "agglomerative_communities",
+        "kmeans_clusters",
     }
 
 

@@ -518,3 +518,60 @@ class TestEmbeddingExact:
             p = 1 - theta / np.pi
             recall = 1 - (1 - p**planes) ** bands
             assert recall >= 0.99, (thr, bands, planes, recall)
+
+
+class TestKMeansAssign:
+    def _emb(self, vecs):
+        import pyarrow as pa
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(len(vecs)), pa.int64()),
+                    "embedding": pa.array(
+                        [list(map(float, v)) for v in vecs],
+                        pa.list_(pa.float64()),
+                    ),
+                }
+            )
+        )
+
+    def test_planted_clusters_separate(self):
+        import numpy as np
+
+        from networkit_ray.ann.search import kmeans_assign
+
+        rng = np.random.default_rng(3)
+        centers = np.eye(4)
+        vecs = []
+        truth = []
+        for i in range(200):
+            c = i % 4
+            truth.append(c)
+            vecs.append(centers[c] + rng.normal(0, 0.05, 4))
+        out = kmeans_assign(self._emb(vecs), n_centroids=4, lloyd_iters=5).to_pandas()
+        assert len(out) == 200
+        # each planted group maps to exactly one k-means cluster
+        import collections
+
+        for c in range(4):
+            labs = out[np.array(truth) == c]["cluster"]
+            assert labs.nunique() == 1, c
+        assert out["cluster"].nunique() == 4
+
+    def test_deterministic_across_partitioning(self):
+        import numpy as np
+
+        from networkit_ray.ann.search import kmeans_assign
+
+        rng = np.random.default_rng(5)
+        vecs = rng.normal(0, 1, (150, 8))
+        ds = self._emb(vecs).materialize()
+        a = kmeans_assign(ds, n_centroids=6).to_pandas().sort_values("vec_id")
+        b = (
+            kmeans_assign(ds.repartition(7).materialize(), n_centroids=6)
+            .to_pandas()
+            .sort_values("vec_id")
+        )
+        assert (a["cluster"].to_numpy() == b["cluster"].to_numpy()).all()
