@@ -294,17 +294,38 @@ def _build_block(part: int, num_nodes: int, num_parts: int, chunk_size: int, *sl
     if w is not None:
         w = w[order]
     indptr = np.zeros(n_v + 1, dtype=np.int64)
-    np.add.at(indptr, src_local + 1, 1)
+    if len(src_local):
+        # src_local is sorted; bincount is ~10x np.add.at for histograms
+        indptr[1:] = np.bincount(src_local, minlength=n_v)
     np.cumsum(indptr, out=indptr)
 
     dst_part, dst_local = vplace(dst, num_nodes, num_parts)
 
-    # superstep-invariant grouped ordering by (dst_part, dst_local)
-    edge_order = np.lexsort((dst_local, dst_part))
-    dp_sorted = dst_part[edge_order]
-    dl_sorted = dst_local[edge_order]
-    part_bounds = np.searchsorted(dp_sorted, np.arange(num_parts + 1))
-    if len(dl_sorted):
+    # superstep-invariant grouped ordering by (dst_part, dst_local) — pack
+    # both into one int64 key so a single introsort + one diff replaces the
+    # two-key lexsort + two-array group detection (~2x on the build path;
+    # grouped sums/mins are order-independent within a group)
+    n_loc_max = part_size(num_nodes, 0, num_parts) + 1
+    if len(dst_local) and num_parts * n_loc_max < 2**62:
+        key = dst_part * n_loc_max + dst_local
+        edge_order = np.argsort(key)
+        ks = key[edge_order]
+        dp_sorted = ks // n_loc_max
+        dl_sorted = ks - dp_sorted * n_loc_max
+        key_change = np.empty(len(ks), dtype=bool)
+        key_change[0] = True
+        key_change[1:] = ks[1:] != ks[:-1]
+        group_starts = np.flatnonzero(key_change).astype(np.int64)
+        uniq_dst_local = dl_sorted[group_starts]
+        part_bounds = np.searchsorted(dp_sorted, np.arange(num_parts + 1))
+        group_bounds = np.searchsorted(
+            dp_sorted[group_starts], np.arange(num_parts + 1)
+        )
+    elif len(dst_local):
+        edge_order = np.lexsort((dst_local, dst_part))
+        dp_sorted = dst_part[edge_order]
+        dl_sorted = dst_local[edge_order]
+        part_bounds = np.searchsorted(dp_sorted, np.arange(num_parts + 1))
         key_change = np.empty(len(dl_sorted), dtype=bool)
         key_change[0] = True
         key_change[1:] = (dl_sorted[1:] != dl_sorted[:-1]) | (
@@ -314,6 +335,9 @@ def _build_block(part: int, num_nodes: int, num_parts: int, chunk_size: int, *sl
         uniq_dst_local = dl_sorted[group_starts]
         group_bounds = np.searchsorted(dp_sorted[group_starts], np.arange(num_parts + 1))
     else:
+        edge_order = np.empty(0, np.int64)
+        dp_sorted = np.empty(0, np.int64)
+        part_bounds = np.searchsorted(dp_sorted, np.arange(num_parts + 1))
         group_starts = np.empty(0, np.int64)
         uniq_dst_local = np.empty(0, np.int64)
         group_bounds = np.zeros(num_parts + 1, np.int64)
