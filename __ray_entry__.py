@@ -800,6 +800,40 @@ def q_gce_community(sf_dir):
     )
 
 
+def q_incremental_bfs(sf_dir):
+    """DynBFS analog: warm-start BFS after inserting reversals of src%7==0;
+    oracle = from-scratch BFS over the augmented graph."""
+    from networkit_ray.graph.bfs import bfs_distances, incremental_bfs
+    from networkit_ray.graph.build import dedup_edges
+
+    g1, n = _derived(sf_dir)
+
+    def aug(t):
+        s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rev = s % 7 == 0
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([s, d[rev]])),
+                "dst": pa.array(np.concatenate([d, s[rev]])),
+            }
+        )
+
+    full = dedup_edges(g1.map_batches(aug, batch_format="pyarrow")).materialize()
+    prev, _ = bfs_distances(g1, n, 0)
+    out, _info = incremental_bfs(full, n, 0, prev.materialize())
+    return out.sort("v")
+
+
+def q_bidirectional_bfs(sf_dir):
+    """Point-to-point hop distance 0→1 via alternating forward/backward waves."""
+    from networkit_ray.graph.bfs import bidirectional_bfs_distance
+
+    edges, n = _derived(sf_dir)
+    d, _info = bidirectional_bfs_distance(edges, n, 0, 1)
+    return pa.table({"dist": pa.array([d], pa.int64())})
+
+
 def q_kmeans_clusters(sf_dir):
     """Spherical k-means cluster sizes over the embeddings table (rows-only)."""
     import ray.data
@@ -1792,6 +1826,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agglomerative_communities": q_agglomerative,
         "normalize_text": q_normalize_text,
         "kmeans_clusters": q_kmeans_clusters,
+        "incremental_bfs": q_incremental_bfs,
+        "bidirectional_bfs": q_bidirectional_bfs,
         "set_conductance": q_set_conductance,
         "scan_clustering": q_scan_clustering,
         "eccentricity": q_eccentricity,
@@ -3102,6 +3138,35 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT dst AS src, src AS dst FROM g1 WHERE src % 5 = 0
             ) ORDER BY src, dst
+        """,
+        # DynBFS twin: scratch BFS over the augmented (derived + selected
+        # reversals) graph; warm-start must match exactly.
+        "incremental_bfs": f"""
+            WITH RECURSIVE e AS MATERIALIZED (
+                SELECT src, dst FROM ({DERIVED_EDGES_SQL})
+                UNION
+                SELECT dst AS src, src AS dst FROM ({DERIVED_EDGES_SQL})
+                WHERE src % 7 = 0
+            ),
+            nodes AS (SELECT CAST(c_custkey AS BIGINT) AS v FROM customer),
+            r(v, d) AS (
+                SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+                UNION
+                SELECT e.dst, r.d + 1 FROM r JOIN e ON e.src = r.v WHERE r.d < 4096
+            )
+            SELECT n.v, CAST(COALESCE(m.d, -1) AS BIGINT) AS dist
+            FROM nodes n LEFT JOIN (SELECT v, MIN(d) AS d FROM r GROUP BY v) m ON m.v = n.v
+            ORDER BY n.v
+        """,
+        # BidirectionalBFS twin: plain recursive BFS distance 0 -> 1.
+        "bidirectional_bfs": f"""
+            WITH RECURSIVE e AS MATERIALIZED ({DERIVED_EDGES_SQL}),
+            r(v, d) AS (
+                SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+                UNION
+                SELECT e.dst, r.d + 1 FROM r JOIN e ON e.src = r.v WHERE r.d < 4096
+            )
+            SELECT CAST(COALESCE((SELECT MIN(d) FROM r WHERE v = 1), -1) AS BIGINT) AS dist
         """,
         # Bloom no-false-negative twin: every member tests positive.
         "bloom_prefilter": """

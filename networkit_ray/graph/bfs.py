@@ -325,3 +325,163 @@ def spsp(
             "dist": pa.array(out_d, pa.int64()),
         }
     )
+
+
+@ray.remote
+def _ibfs_scatter(t, num_nodes: int, num_parts: int) -> tuple:
+    """Route (v, dist >= 0) rows to the owning partition (vowner layout)."""
+    v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+    d = t["dist"].to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = d >= 0
+    v, d = v[keep].astype(np.uint64), d[keep].astype(np.uint64)
+    parts = bsp.vowner(v, num_nodes, num_parts)
+    order = np.argsort(parts, kind="stable")
+    v, d, parts = v[order], d[order], parts[order]
+    cut = np.searchsorted(parts, np.arange(num_parts + 1))
+    return tuple(
+        (v[cut[q] : cut[q + 1]], d[cut[q] : cut[q + 1]])
+        for q in range(num_parts)
+    )
+
+
+@ray.remote
+def _ibfs_seed(vids: np.ndarray, num_nodes: int, num_parts: int, source: int, *slices):
+    dist = np.full(len(vids), _INF, dtype=np.uint64)
+    for v, d in slices:
+        if len(v):
+            dist[bsp.vlocal(v, num_nodes, num_parts)] = d
+    hit = np.flatnonzero(vids == np.uint64(source))
+    if len(hit):
+        dist[hit[0]] = 0
+    active = dist < _INF
+    return dist, active
+
+
+def incremental_bfs(
+    edges: ray.data.Dataset,
+    num_nodes: int,
+    source: int,
+    prev_dist: ray.data.Dataset,
+    *,
+    num_parts: int | None = None,
+) -> tuple[ray.data.Dataset, dict]:
+    """(v, dist) BFS after edge INSERTIONS, warm-started from old distances.
+
+    Reference: distance/DynBFS.cpp (edge-insertion distance update).
+    Under insertions hop distances only DECREASE, so yesterday's distances
+    are valid upper bounds; seeding the min-relaxation with them converges
+    to the exact new distances in supersteps ≈ the depth of the affected
+    region instead of the full eccentricity — identical result to a
+    from-scratch BFS over the augmented edge table.
+
+    ``prev_dist``: (v, dist) with -1 = unreachable (bfs_distances output).
+    """
+    g = build_pgraph(edges, num_nodes, num_parts=num_parts)
+    P = g.num_parts
+    scat = [
+        _ibfs_scatter.options(num_returns=P).remote(r, num_nodes, P)
+        for r in prev_dist.to_arrow_refs()
+    ]
+    state = [
+        _ibfs_seed.remote(g.vid_refs[q], num_nodes, P, source, *[s[q] for s in scat])
+        for q in range(P)
+    ]
+    units = g.map_units()
+    it = 0
+    while True:
+        map_out = [
+            _bfs_map.options(num_returns=P).remote(g.block_refs[p], state[p], c)
+            for p, c in units
+        ]
+        new_state, count_refs = [], []
+        for q in range(P):
+            s, c = _bfs_reduce.remote(state[q], *[mo[q] for mo in map_out])
+            new_state.append(s)
+            count_refs.append(c)
+        changed = sum(ray.get(count_refs))
+        state = new_state
+        it += 1
+        if changed == 0:
+            break
+    refs = [_bfs_out.remote(s) for s in state]
+    return bsp.state_to_dataset(g, refs, "dist"), {"supersteps": it}
+
+
+def bidirectional_bfs_distance(
+    edges: ray.data.Dataset,
+    num_nodes: int,
+    source: int,
+    target: int,
+    *,
+    num_parts: int | None = None,
+) -> tuple[int, dict]:
+    """Hop distance source→target, or -1 (directed; BidirectionalBFS.cpp).
+
+    Two frontier waves — forward from ``source`` on the graph, backward
+    from ``target`` on the transpose — expand alternately; the search
+    stops once the best meeting value Σ min_v (d_f(v)+d_b(v)) can no
+    longer improve (levels_f + levels_b ≥ best).  Supersteps ≈ d/2 + d/2
+    instead of d, and each wave touches only its own ball — the classic
+    point-to-point win over full BFS.
+    """
+    from networkit_ray.graph.build import transpose
+
+    if source == target:
+        return 0, {"supersteps": 0}
+    edges = edges.materialize()
+    g_f = build_pgraph(edges, num_nodes, num_parts=num_parts)
+    P = g_f.num_parts
+    g_b = build_pgraph(transpose(edges), num_nodes, num_parts=P)
+
+    sf = [_bfs_init.remote(g_f.vid_refs[p], source) for p in range(P)]
+    sb = [_bfs_init.remote(g_b.vid_refs[p], target) for p in range(P)]
+    units_f, units_b = g_f.map_units(), g_b.map_units()
+
+    @ray.remote
+    def _meet(st_f: tuple, st_b: tuple) -> int:
+        df, db = st_f[0], st_b[0]
+        tot = df + db  # uint64; INF sentinel + small stays huge
+        m = int(tot.min()) if len(tot) else int(_INF)
+        return m
+
+    best = int(_INF)
+    lvl_f = lvl_b = 0
+    it = 0
+    while True:
+        # expand the side with the shallower wave (balanced balls)
+        fwd = lvl_f <= lvl_b
+        g, st, units = (g_f, sf, units_f) if fwd else (g_b, sb, units_b)
+        map_out = [
+            _bfs_map.options(num_returns=P).remote(g.block_refs[p], st[p], c)
+            for p, c in units
+        ]
+        new_state, count_refs = [], []
+        for q in range(P):
+            s, c = _bfs_reduce.remote(st[q], *[mo[q] for mo in map_out])
+            new_state.append(s)
+            count_refs.append(c)
+        changed = sum(ray.get(count_refs))
+        if fwd:
+            sf = new_state
+            lvl_f += 1
+        else:
+            sb = new_state
+            lvl_b += 1
+        it += 1
+        best = min(best, min(ray.get([_meet.remote(sf[p], sb[p]) for p in range(P)])))
+        if changed == 0 and fwd and lvl_b >= lvl_f:
+            # forward wave exhausted; let backward also run to exhaustion
+            pass
+        if best <= lvl_f + lvl_b:
+            break
+        if changed == 0:
+            # current side exhausted; if the other side also cannot extend
+            # past the bound, stop
+            other_done_probe = lvl_f + lvl_b
+            if fwd:
+                lvl_f = 10**9  # never pick this side again
+            else:
+                lvl_b = 10**9
+            if lvl_f >= 10**9 and lvl_b >= 10**9:
+                break
+    return (best if best < int(_INF) else -1), {"supersteps": it}

@@ -244,3 +244,75 @@ class TestExactHarmonicCloseness:
             b.to_pandas().sort_values("v")["harmonic"].to_numpy(),
             atol=1e-12,
         )
+
+
+class TestIncrementalBFS:
+    def test_equals_scratch_after_insertions(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from networkit_ray.graph.bfs import bfs_distances, incremental_bfs
+
+        rng = np.random.default_rng(19)
+        n = 30
+        base = sorted({(int(a), int(b)) for a, b in rng.integers(0, n, (50, 2)) if a != b})
+        extra = sorted({(int(a), int(b)) for a, b in rng.integers(0, n, (25, 2)) if a != b} - set(base))
+
+        def ds(rows):
+            return rd.from_arrow(
+                pa.table(
+                    {
+                        "src": pa.array([a for a, b in rows], pa.int64()),
+                        "dst": pa.array([b for a, b in rows], pa.int64()),
+                    }
+                )
+            )
+
+        prev, _ = bfs_distances(ds(base), n, 0)
+        full = ds(base + extra).materialize()
+        inc, info = incremental_bfs(full, n, 0, prev.materialize())
+        scratch, _ = bfs_distances(full, n, 0)
+        a = inc.to_pandas().sort_values("v")["dist"].to_numpy()
+        b = scratch.to_pandas().sort_values("v")["dist"].to_numpy()
+        np.testing.assert_array_equal(a, b)
+
+
+class TestBidirectionalBFS:
+    def test_matches_full_bfs(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from networkit_ray.graph.bfs import (
+            bfs_distances,
+            bidirectional_bfs_distance,
+        )
+
+        rng = np.random.default_rng(23)
+        n = 25
+        rows = sorted({(int(a), int(b)) for a, b in rng.integers(0, n, (45, 2)) if a != b})
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array([a for a, b in rows], pa.int64()),
+                    "dst": pa.array([b for a, b in rows], pa.int64()),
+                }
+            )
+        ).materialize()
+        full, _ = bfs_distances(ds, n, 0)
+        dist = dict(
+            full.to_pandas()[["v", "dist"]].itertuples(index=False, name=None)
+        )
+        for t in [1, 5, 12, 24]:
+            got, info = bidirectional_bfs_distance(ds, n, 0, t)
+            assert got == dist.get(t, -1), (t, got, dist.get(t, -1))
+
+    def test_same_node_zero(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from networkit_ray.graph.bfs import bidirectional_bfs_distance
+
+        ds = rd.from_arrow(
+            pa.table({"src": pa.array([0], pa.int64()), "dst": pa.array([1], pa.int64())})
+        )
+        assert bidirectional_bfs_distance(ds, 2, 1, 1)[0] == 0

@@ -58,6 +58,8 @@ FAST_SUBSET = [
     "bloom_prefilter",
     "scd_ground_truth",
     "normalize_text",
+    "incremental_bfs",
+    "bidirectional_bfs",
     "tfidf_top_terms",
     "token_percentiles",
 ]
