@@ -800,6 +800,22 @@ def q_gce_community(sf_dir):
     )
 
 
+def q_binary_edgelist_roundtrip(sf_dir):
+    """Binary (little-endian u64 pair) edge-list write -> byte-range read."""
+    import os
+    import tempfile
+
+    from networkit_ray.sources.edgelist import (
+        read_binary_edge_list,
+        write_binary_edge_list,
+    )
+
+    g1, n = _derived(sf_dir)
+    d = tempfile.mkdtemp(prefix="binel_")
+    write_binary_edge_list(g1, d)
+    return read_binary_edge_list(d, records_per_task=2000).sort(["src", "dst"])
+
+
 def q_incremental_bfs(sf_dir):
     """DynBFS analog: warm-start BFS after inserting reversals of src%7==0;
     oracle = from-scratch BFS over the augmented graph."""
@@ -1827,6 +1843,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": q_normalize_text,
         "kmeans_clusters": q_kmeans_clusters,
         "incremental_bfs": q_incremental_bfs,
+        "binary_edgelist_roundtrip": q_binary_edgelist_roundtrip,
         "bidirectional_bfs": q_bidirectional_bfs,
         "set_conductance": q_set_conductance,
         "scan_clustering": q_scan_clustering,
@@ -3138,6 +3155,10 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT dst AS src, src AS dst FROM g1 WHERE src % 5 = 0
             ) ORDER BY src, dst
+        """,
+        # Binary edge-list roundtrip twin: the derived edge table itself.
+        "binary_edgelist_roundtrip": f"""
+            SELECT src, dst FROM ({DERIVED_EDGES_SQL}) ORDER BY src, dst
         """,
         # DynBFS twin: scratch BFS over the augmented (derived + selected
         # reversals) graph; warm-start must match exactly.

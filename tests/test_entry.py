@@ -59,6 +59,7 @@ FAST_SUBSET = [
     "scd_ground_truth",
     "normalize_text",
     "incremental_bfs",
+    "binary_edgelist_roundtrip",
     "bidirectional_bfs",
     "tfidf_top_terms",
     "token_percentiles",

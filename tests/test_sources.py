@@ -440,3 +440,80 @@ class TestWattsStrogatz:
         got = set(map(tuple, da.to_numpy()))
         frac_kept = len(got & ring) / len(ring)
         assert 0.6 < frac_kept < 0.8  # ~70% kept at p=0.3
+
+
+class TestBinaryEdgeList:
+    def test_roundtrip_both_widths(self, tmp_path):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from networkit_ray.sources.edgelist import (
+            read_binary_edge_list,
+            write_binary_edge_list,
+        )
+
+        rng = np.random.default_rng(2)
+        rows = sorted({(int(a), int(b)) for a, b in rng.integers(0, 500, (300, 2))})
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array([a for a, b in rows], pa.int64()),
+                    "dst": pa.array([b for a, b in rows], pa.int64()),
+                }
+            )
+        ).repartition(4).materialize()
+        for width in (4, 8):
+            d = str(tmp_path / f"w{width}")
+            write_binary_edge_list(ds, d, width=width)
+            back = read_binary_edge_list(d, width=width).to_pandas()
+            got = sorted(back.itertuples(index=False, name=None))
+            assert got == rows, width
+
+    def test_byte_range_split(self, tmp_path):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from networkit_ray.sources.edgelist import (
+            read_binary_edge_list,
+            write_binary_edge_list,
+        )
+
+        rows = [(i, i + 1) for i in range(1000)]
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array([a for a, b in rows], pa.int64()),
+                    "dst": pa.array([b for a, b in rows], pa.int64()),
+                }
+            )
+        ).materialize()
+        d = str(tmp_path / "one")
+        write_binary_edge_list(ds, d)
+        # tiny ranges: forces many byte-range tasks over one file
+        back = read_binary_edge_list(d, records_per_task=64).to_pandas()
+        assert sorted(back.itertuples(index=False, name=None)) == rows
+
+    def test_first_node_offset(self, tmp_path):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from networkit_ray.sources.edgelist import (
+            read_binary_edge_list,
+            write_binary_edge_list,
+        )
+
+        rows = [(1, 2), (2, 3)]
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array([a for a, b in rows], pa.int64()),
+                    "dst": pa.array([b for a, b in rows], pa.int64()),
+                }
+            )
+        )
+        d = str(tmp_path / "fn")
+        write_binary_edge_list(ds, d)
+        back = read_binary_edge_list(d, first_node=1).to_pandas()
+        assert sorted(back.itertuples(index=False, name=None)) == [(0, 1), (1, 2)]
