@@ -800,6 +800,16 @@ def q_gce_community(sf_dir):
     )
 
 
+def q_tce_community(sf_dir):
+    """TCE conductance-guarded expansion from two seeds (rows-only)."""
+    from networkit_ray.graph.scd import tce_communities
+
+    sym, n = _sym(sf_dir)
+    return tce_communities(sym, n, [0, 7], radius=3, max_size=50).sort(
+        ["seed", "v"]
+    )
+
+
 def q_binary_edgelist_roundtrip(sf_dir):
     """Binary (little-endian u64 pair) edge-list write -> byte-range read."""
     import os
@@ -1844,6 +1854,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": q_kmeans_clusters,
         "incremental_bfs": q_incremental_bfs,
         "binary_edgelist_roundtrip": q_binary_edgelist_roundtrip,
+        "tce_community": q_tce_community,
         "bidirectional_bfs": q_bidirectional_bfs,
         "set_conductance": q_set_conductance,
         "scan_clustering": q_scan_clustering,

@@ -501,3 +501,101 @@ def scd_ground_truth_comparison(
             Max("recall", alias_name="recall"),
         )
     )
+
+
+def _tce_group(max_size: int):
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        seed = int(df["seed"].iloc[0])
+        u = df["u"].to_numpy().astype(np.int64)
+        w = df["v2"].to_numpy().astype(np.int64)
+        deg = dict(
+            zip(
+                np.concatenate([u, w]).tolist(),
+                np.concatenate([df["du"].to_numpy(), df["dv"].to_numpy()])
+                .astype(np.int64)
+                .tolist(),
+            )
+        )
+        adj: dict[int, set] = {}
+        for a, b in zip(u.tolist(), w.tolist()):
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        if seed not in adj:
+            return pd.DataFrame({"seed": [seed], "v": [seed]})
+
+        result = {seed}
+        score: dict[int, float] = {}
+        cut_edges: dict[int, float] = {}
+        active: set = set()
+
+        def add_member_scores(x: int):
+            # accumulate score(v) += (1 + |N(x) ∩ N(v)|) / (min(deg) * deg(v))
+            # and (re-)activate v — the reference's addressable heap update
+            # reinserts previously popped nodes (TCE.cpp updateShell)
+            for v in adj.get(x, ()):
+                if v in result:
+                    continue
+                tri = len(adj[x] & adj.get(v, set()))
+                nom = 1.0 + tri
+                denom = min(deg[v], deg[x]) * deg[v]
+                if denom > 0:
+                    score[v] = score.get(v, 0.0) + nom / denom
+                cut_edges[v] = cut_edges.get(v, 0.0) + 1.0
+                active.add(v)
+
+        volume = float(deg[seed])
+        add_member_scores(seed)
+        num_cut = sum(
+            1.0 for v in adj[seed] if v not in result
+        )
+        while active and len(result) < max_size:
+            # pop max score, ties -> smallest id (reference pops heap order)
+            vmax = min(active, key=lambda v: (-score.get(v, 0.0), v))
+            active.discard(vmax)
+            ce = cut_edges.get(vmax, 0.0)
+            vol_u = float(deg[vmax])
+            cut_new = num_cut + vol_u - 2.0 * ce
+            vol_new = volume + vol_u
+            if volume > 0 and (cut_new / vol_new) < (num_cut / volume):
+                result.add(vmax)
+                score.pop(vmax, None)
+                cut_edges.pop(vmax, None)
+                add_member_scores(vmax)
+                num_cut = cut_new
+                volume = vol_new
+        return pd.DataFrame(
+            {
+                "seed": np.full(len(result), seed, np.int64),
+                "v": sorted(result),
+            }
+        )
+
+    return fn
+
+
+def tce_communities(
+    sym_edges: ray.data.Dataset,
+    num_nodes: int,
+    seeds: list[int],
+    *,
+    radius: int = 3,
+    max_size: int = 10**9,
+    num_parts: int | None = None,
+) -> ray.data.Dataset:
+    """(seed, v) — Triadic Closure Expansion per seed.
+
+    Reference: scd/TCE.cpp:46-230 (unweighted, refine=False,
+    useJaccard=False): shell nodes accumulate per-member edge scores
+    (1 + common-neighbor count) / (min(deg)·deg(v)); the best-scoring
+    shell node is popped and ADDED only if the community's conductance
+    improves, else permanently discarded; loop until the shell drains.
+    Ties pop the smallest id (the reference's heap order is unspecified).
+    """
+    return _expand_seeds(
+        sym_edges,
+        num_nodes,
+        seeds,
+        _tce_group(max_size),
+        radius=radius,
+        num_parts=num_parts,
+    )

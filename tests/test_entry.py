@@ -151,6 +151,7 @@ def test_queries_oracles_consistent():
         "clique_detect",
         "agglomerative_communities",
         "kmeans_clusters",
+        "tce_community",
     }
 
 

@@ -315,3 +315,71 @@ class TestGroundTruthComparison:
             assert abs(row.f1 - bf) < 1e-12
             assert abs(row.precision - bp) < 1e-12
             assert abs(row.recall - br) < 1e-12
+
+
+def _tce_oracle(canon, seed):
+    import collections
+
+    adj = collections.defaultdict(set)
+    for a, b in canon:
+        adj[a].add(b)
+        adj[b].add(a)
+    deg = {v: len(adj[v]) for v in adj}
+    if seed not in adj:
+        return {seed}
+    result = {seed}
+    score = {}
+    cut_edges = {}
+    active = set()
+
+    def add_member(x):
+        for v in adj[x]:
+            if v in result:
+                continue
+            tri = len(adj[x] & adj[v])
+            denom = min(deg[v], deg[x]) * deg[v]
+            if denom > 0:
+                score[v] = score.get(v, 0.0) + (1.0 + tri) / denom
+            cut_edges[v] = cut_edges.get(v, 0.0) + 1.0
+            active.add(v)
+
+    volume = float(deg[seed])
+    add_member(seed)
+    num_cut = float(len(adj[seed]))
+    while active:
+        vmax = min(active, key=lambda v: (-score.get(v, 0.0), v))
+        active.discard(vmax)
+        ce = cut_edges.get(vmax, 0.0)
+        cut_new = num_cut + deg[vmax] - 2.0 * ce
+        vol_new = volume + deg[vmax]
+        if volume > 0 and cut_new / vol_new < num_cut / volume:
+            result.add(vmax)
+            score.pop(vmax, None)
+            cut_edges.pop(vmax, None)
+            add_member(vmax)
+            num_cut, volume = cut_new, vol_new
+    return result
+
+
+class TestTCE:
+    def test_matches_sequential_replica(self):
+        from networkit_ray.graph.scd import tce_communities
+
+        for gseed, n, m in [(7, 24, 80), (16, 36, 140)]:
+            canon = _random_canon(gseed, n, m)
+            sym = symmetrize(_ds(canon)).materialize()
+            seeds = [0, 6, 13]
+            got = tce_communities(sym, n, seeds, radius=n).to_pandas()
+            for s in seeds:
+                exp = _tce_oracle(canon, s)
+                mine = set(got[got.seed == s]["v"])
+                assert mine == exp, (gseed, s, mine, exp)
+
+    def test_planted_block(self):
+        from networkit_ray.graph.scd import tce_communities
+
+        canon = _planted(3, blocks=3, bsize=8, p_in_deg=0.9, bridges=3)
+        sym = symmetrize(_ds(canon)).materialize()
+        got = tce_communities(sym, 24, [4], radius=24).to_pandas()
+        com = set(got["v"])
+        assert com <= set(range(8)) and len(com) >= 6, com
