@@ -340,6 +340,7 @@ def _build_block(part: int, num_nodes: int, num_parts: int, chunk_size: int, *sl
     else:
         edge_order = np.empty(0, np.int64)
         dp_sorted = np.empty(0, np.int64)
+        dl_sorted = np.empty(0, np.int64)
         part_bounds = np.searchsorted(dp_sorted, np.arange(num_parts + 1))
         group_starts = np.empty(0, np.int64)
         uniq_dst_local = np.empty(0, np.int64)
