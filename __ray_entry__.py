@@ -800,6 +800,24 @@ def q_gce_community(sf_dir):
     )
 
 
+def q_combined_scd(sf_dir):
+    """CliqueDetect-anchored GCE expansion (rows-only)."""
+    from networkit_ray.graph.scd import combined_scd
+
+    sym, n = _sym(sf_dir)
+    return combined_scd(sym, n, [0, 7], radius=3, max_size=50).sort(
+        ["seed", "v"]
+    )
+
+
+def q_random_bfs_community(sf_dir):
+    """BFS-order community of 25 nodes around seed 0 ((dist, id) order)."""
+    from networkit_ray.graph.scd import random_bfs_community
+
+    sym, n = _sym(sf_dir)
+    return random_bfs_community(sym, n, 0, 25).sort(["seed", "v"])
+
+
 def q_tce_community(sf_dir):
     """TCE conductance-guarded expansion from two seeds (rows-only)."""
     from networkit_ray.graph.scd import tce_communities
@@ -1855,6 +1873,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_bfs": q_incremental_bfs,
         "binary_edgelist_roundtrip": q_binary_edgelist_roundtrip,
         "tce_community": q_tce_community,
+        "random_bfs_community": q_random_bfs_community,
+        "combined_scd": q_combined_scd,
         "bidirectional_bfs": q_bidirectional_bfs,
         "set_conductance": q_set_conductance,
         "scan_clustering": q_scan_clustering,
@@ -3170,6 +3190,19 @@ def oracle_sql() -> dict[str, str]:
         # Binary edge-list roundtrip twin: the derived edge table itself.
         "binary_edgelist_roundtrip": f"""
             SELECT src, dst FROM ({DERIVED_EDGES_SQL}) ORDER BY src, dst
+        """,
+        # RandomBFS twin: first 25 vertices by (hop distance from 0, id)
+        # on the symmetrized graph.
+        "random_bfs_community": f"""
+            WITH RECURSIVE e AS MATERIALIZED ({SYMMETRIC_EDGES_SQL}),
+            r(v, d) AS (
+                SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+                UNION
+                SELECT e.dst, r.d + 1 FROM r JOIN e ON e.src = r.v WHERE r.d < 4096
+            ),
+            md AS (SELECT v, MIN(d) AS d FROM r GROUP BY v)
+            SELECT CAST(0 AS BIGINT) AS seed, v FROM md
+            ORDER BY d, v LIMIT 25
         """,
         # DynBFS twin: scratch BFS over the augmented (derived + selected
         # reversals) graph; warm-start must match exactly.

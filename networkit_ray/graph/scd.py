@@ -599,3 +599,136 @@ def tce_communities(
         radius=radius,
         num_parts=num_parts,
     )
+
+
+def random_bfs_community(
+    sym_edges: ray.data.Dataset,
+    num_nodes: int,
+    seed: int,
+    size: int,
+    *,
+    num_parts: int | None = None,
+) -> ray.data.Dataset:
+    """(seed, v) — BFS-order community of ``size`` nodes around the seed.
+
+    Reference: scd/RandomBFS.cpp:11-60 — the SCD baseline: expand BFS
+    level by level until the target size (there, the seed's ground-truth
+    community size; level overflow resolved by random sampling).  Here
+    overflow resolves by SMALLEST ID — deterministic and SQL-twinnable:
+    the community is exactly the first ``size`` vertices ordered by
+    (hop distance, id).
+    """
+    from networkit_ray.graph.bfs import bfs_distances
+
+    dist, _ = bfs_distances(sym_edges, num_nodes, seed, num_parts=num_parts)
+    reach = dist.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["dist"], pa.scalar(0, pa.int64()))),
+        batch_format="pyarrow",
+    )
+    top = reach.sort(["dist", "v"]).limit(size)
+    return top.map_batches(
+        lambda t: pa.table(
+            {
+                "seed": pa.array(np.full(len(t), seed, np.int64)),
+                "v": t["v"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _gce_set_group(max_size: int, init_sets: dict):
+    """GCE objective-M expansion from a SEED SET per seed (GCE.cpp:28-35
+    initializes LocalCommunity with every seed before expanding)."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        seed = int(df["seed"].iloc[0])
+        init = sorted(set(init_sets.get(seed, [seed])))
+        u = df["u"].to_numpy().astype(np.int64)
+        w = df["v2"].to_numpy().astype(np.int64)
+        deg = dict(
+            zip(
+                np.concatenate([u, w]).tolist(),
+                np.concatenate([df["du"].to_numpy(), df["dv"].to_numpy()])
+                .astype(np.int64)
+                .tolist(),
+            )
+        )
+        adj: dict[int, set] = {}
+        for a, b in zip(u.tolist(), w.tolist()):
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        com = {v for v in init if v in adj} or set(init[:1])
+        if not any(v in adj for v in com):
+            return pd.DataFrame(
+                {"seed": np.full(len(com), seed, np.int64), "v": sorted(com)}
+            )
+        int_w = sum(
+            1 for x in com for y in adj.get(x, ()) if y in com and x < y
+        )
+        cut = float(sum(deg.get(x, 0) for x in com) - 2 * int_w)
+        int_deg: dict[int, int] = {}
+        for x in com:
+            for y in adj.get(x, ()):
+                if y not in com:
+                    int_deg[y] = int_deg.get(y, 0) + 1
+        cur_q = int_w / cut if cut > 0 else float("inf")
+        while len(com) < max_size and int_deg:
+            best_v, best_dq = None, 0.0
+            for v in sorted(int_deg):
+                idg = int_deg[v]
+                edg = deg[v] - idg
+                denom = cut - idg + edg
+                q = (int_w + idg) / denom if denom > 0 else float("inf")
+                dq = q - cur_q
+                if dq > best_dq:
+                    best_v, best_dq = v, dq
+            if best_v is None:
+                break
+            v = best_v
+            com.add(v)
+            int_w += int_deg.pop(v)
+            cut = sum(deg[x] for x in com) - 2.0 * int_w
+            cur_q = int_w / cut if cut > 0 else float("inf")
+            for nbr in adj.get(v, ()):
+                if nbr not in com:
+                    int_deg[nbr] = int_deg.get(nbr, 0) + 1
+            if cut <= 0:
+                break
+        return pd.DataFrame(
+            {"seed": np.full(len(com), seed, np.int64), "v": sorted(com)}
+        )
+
+    return fn
+
+
+def combined_scd(
+    sym_edges: ray.data.Dataset,
+    num_nodes: int,
+    seeds: list[int],
+    *,
+    radius: int = 3,
+    max_size: int = 10**9,
+    num_parts: int | None = None,
+) -> ray.data.Dataset:
+    """(seed, v) — CliqueDetect then GCE expansion from the clique.
+
+    Reference: scd/CombinedSCD.cpp composes two detectors: the first's
+    community becomes the second's seed set.  This is the reference's
+    recommended clique+GCE pairing: the max clique around the seed anchors
+    the expansion so single-edge bridges don't derail it.
+    """
+    first = clique_detect(
+        sym_edges, num_nodes, seeds, num_parts=num_parts
+    ).to_pandas()
+    init_sets = {
+        int(s): g["v"].tolist() for s, g in first.groupby("seed")
+    }
+    return _expand_seeds(
+        sym_edges,
+        num_nodes,
+        seeds,
+        _gce_set_group(max_size, init_sets),
+        radius=radius,
+        num_parts=num_parts,
+    )

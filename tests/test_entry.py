@@ -61,6 +61,7 @@ FAST_SUBSET = [
     "incremental_bfs",
     "binary_edgelist_roundtrip",
     "bidirectional_bfs",
+    "random_bfs_community",
     "tfidf_top_terms",
     "token_percentiles",
 ]
@@ -152,6 +153,7 @@ def test_queries_oracles_consistent():
         "agglomerative_communities",
         "kmeans_clusters",
         "tce_community",
+        "combined_scd",
     }
 
 

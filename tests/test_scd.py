@@ -383,3 +383,24 @@ class TestTCE:
         got = tce_communities(sym, 24, [4], radius=24).to_pandas()
         com = set(got["v"])
         assert com <= set(range(8)) and len(com) >= 6, com
+
+
+class TestCombinedSCD:
+    def test_clique_then_gce(self):
+        from networkit_ray.graph.scd import combined_scd
+
+        canon = _planted(3, blocks=3, bsize=8, p_in_deg=0.9, bridges=3)
+        sym = symmetrize(_ds(canon)).materialize()
+        got = combined_scd(sym, 24, [4], radius=24).to_pandas()
+        com = set(got["v"])
+        # the clique anchor keeps the expansion inside the dense block
+        assert com <= set(range(8)) and len(com) >= 6, com
+
+    def test_contains_initial_clique(self):
+        from networkit_ray.graph.scd import clique_detect, combined_scd
+
+        canon = _random_canon(8, 25, 90)
+        sym = symmetrize(_ds(canon)).materialize()
+        cl = clique_detect(sym, 25, [0]).to_pandas()
+        comb = combined_scd(sym, 25, [0], radius=25).to_pandas()
+        assert set(cl["v"]) <= set(comb["v"])
