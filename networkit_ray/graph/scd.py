@@ -732,3 +732,98 @@ def combined_scd(
         radius=radius,
         num_parts=num_parts,
     )
+
+
+def _l_group(max_size: int):
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        seed = int(df["seed"].iloc[0])
+        u = df["u"].to_numpy().astype(np.int64)
+        w = df["v2"].to_numpy().astype(np.int64)
+        deg = dict(
+            zip(
+                np.concatenate([u, w]).tolist(),
+                np.concatenate([df["du"].to_numpy(), df["dv"].to_numpy()])
+                .astype(np.int64)
+                .tolist(),
+            )
+        )
+        adj: dict[int, set] = {}
+        for a, b in zip(u.tolist(), w.tolist()):
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        if seed not in adj:
+            return pd.DataFrame({"seed": [seed], "v": [seed]})
+
+        com = {seed}
+
+        def stats(c):
+            iw = sum(1 for x in c for y in adj.get(x, ()) if y in c and x < y)
+            cut = float(sum(deg.get(x, 0) for x in c) - 2 * iw)
+            boundary = sum(
+                1 for x in c if any(y not in c for y in adj.get(x, ()))
+            )
+            lin = 2.0 * iw / len(c) if c else 0.0
+            lex = cut / boundary if boundary > 0 else float("inf")
+            return lin, lex
+
+        # phase 1: add while some shell node strictly raises lin AND L
+        while len(com) < max_size:
+            lin, lex = stats(com)
+            cur_l = lin / lex if lex > 0 and np.isfinite(lex) else 0.0
+            shell = sorted(
+                {y for x in com for y in adj.get(x, ()) if y not in com}
+            )
+            best_v, best_l = None, cur_l
+            for v in shell:
+                cand = com | {v}
+                nlin, nlex = stats(cand)
+                nl = nlin / nlex if nlex > 0 and np.isfinite(nlex) else 0.0
+                if nlin > lin and nl > best_l:
+                    best_v, best_l = v, nl
+            if best_v is None:
+                break
+            com.add(best_v)
+        # phase 2: remove nodes whose removal does NOT (reduce lin AND raise lex)
+        for v in sorted(com):
+            if v not in com or len(com) <= 1:
+                continue
+            lin, lex = stats(com)
+            nlin, nlex = stats(com - {v})
+            if not (lin > nlin and lex < nlex):
+                com.discard(v)
+        if seed not in com or not com:
+            com = {seed}  # deviation: the reference returns {} when a seed
+            # is purged; a membership table keeps the trivial community
+        return pd.DataFrame(
+            {"seed": np.full(len(com), seed, np.int64), "v": sorted(com)}
+        )
+
+    return fn
+
+
+def two_phase_l_communities(
+    sym_edges: ray.data.Dataset,
+    num_nodes: int,
+    seeds: list[int],
+    *,
+    radius: int = 3,
+    max_size: int = 10**9,
+    num_parts: int | None = None,
+) -> ray.data.Dataset:
+    """(seed, v) — TwoPhaseL expansion (L = Lin/Lex metric).
+
+    Reference: scd/TwoPhaseL.cpp:13-110 — phase 1 greedily adds the shell
+    node maximizing L = (2·intW/|C|) / (cut/|boundary|) among those that
+    strictly raise Lin; phase 2 removes members (ascending id here) whose
+    removal fails to strictly reduce Lin and raise Lex.  Ties → smallest
+    id; a purged seed yields the trivial {seed} row (the reference
+    returns the empty set).
+    """
+    return _expand_seeds(
+        sym_edges,
+        num_nodes,
+        seeds,
+        _l_group(max_size),
+        radius=radius,
+        num_parts=num_parts,
+    )

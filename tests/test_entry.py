@@ -154,6 +154,7 @@ def test_queries_oracles_consistent():
         "kmeans_clusters",
         "tce_community",
         "combined_scd",
+        "two_phase_l",
     }
 
 

@@ -404,3 +404,27 @@ class TestCombinedSCD:
         cl = clique_detect(sym, 25, [0]).to_pandas()
         comb = combined_scd(sym, 25, [0], radius=25).to_pandas()
         assert set(cl["v"]) <= set(comb["v"])
+
+
+class TestTwoPhaseL:
+    def test_planted_block(self):
+        from networkit_ray.graph.scd import two_phase_l_communities
+
+        canon = _planted(3, blocks=3, bsize=8, p_in_deg=0.9, bridges=3)
+        sym = symmetrize(_ds(canon)).materialize()
+        got = two_phase_l_communities(sym, 24, [4], radius=24).to_pandas()
+        com = set(got["v"])
+        assert com <= set(range(8)) and len(com) >= 5, com
+
+    def test_parallelism_invariant(self):
+        from networkit_ray.graph.scd import two_phase_l_communities
+
+        canon = _random_canon(10, 24, 80)
+        sym = symmetrize(_ds(canon)).materialize()
+        a = two_phase_l_communities(sym, 24, [0, 5], radius=24, num_parts=2).to_pandas()
+        b = two_phase_l_communities(
+            sym.repartition(5).materialize(), 24, [0, 5], radius=24, num_parts=7
+        ).to_pandas()
+        sa = a.sort_values(["seed", "v"]).reset_index(drop=True)
+        sb = b.sort_values(["seed", "v"]).reset_index(drop=True)
+        assert sa.equals(sb)
