@@ -800,6 +800,16 @@ def q_gce_community(sf_dir):
     )
 
 
+def q_localt_community(sf_dir):
+    """LocalT triangle-score expansion from two seeds (rows-only)."""
+    from networkit_ray.graph.scd import localt_communities
+
+    sym, n = _sym(sf_dir)
+    return localt_communities(sym, n, [0, 7], radius=3, max_size=40).sort(
+        ["seed", "v"]
+    )
+
+
 def q_two_phase_l(sf_dir):
     """TwoPhaseL L-metric expansion from two seeds (rows-only)."""
     from networkit_ray.graph.scd import two_phase_l_communities
@@ -1886,6 +1896,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_bfs_community": q_random_bfs_community,
         "combined_scd": q_combined_scd,
         "two_phase_l": q_two_phase_l,
+        "localt_community": q_localt_community,
         "bidirectional_bfs": q_bidirectional_bfs,
         "set_conductance": q_set_conductance,
         "scan_clustering": q_scan_clustering,

@@ -827,3 +827,100 @@ def two_phase_l_communities(
         radius=radius,
         num_parts=num_parts,
     )
+
+
+def _localt_group(max_size: int):
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        seed = int(df["seed"].iloc[0])
+        u = df["u"].to_numpy().astype(np.int64)
+        w = df["v2"].to_numpy().astype(np.int64)
+        adj: dict[int, set] = {}
+        for a, b in zip(u.tolist(), w.tolist()):
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        if seed not in adj:
+            return pd.DataFrame({"seed": [seed], "v": [seed]})
+
+        def tri_split(v, com):
+            """(both_in, semi, both_out) triangle counts at v."""
+            nb = sorted(adj.get(v, ()))
+            bi = se = bo = 0
+            for i, x in enumerate(nb):
+                ax = adj.get(x, set())
+                for y in nb[i + 1 :]:
+                    if y in ax:
+                        k = (x in com) + (y in com)
+                        if k == 2:
+                            bi += 1
+                        elif k == 1:
+                            se += 1
+                        else:
+                            bo += 1
+            return bi, se, bo
+
+        def totals(com):
+            int_t = ext_t = 0
+            for x in com:
+                bi, se, bo = tri_split(x, com - {x})
+                # categorize by the OTHER two vertices' membership
+                int_t += bi
+                ext_t += bo
+            return int_t // 3, ext_t
+
+        def score(i, e):
+            return max(0, i * (i - e))
+
+        com = {seed}
+        while len(com) < max_size:
+            int_t, ext_t = totals(com)
+            best = score(int_t, ext_t)
+            best_v, best_ext = None, None
+            shell = sorted(
+                {y for x in com for y in adj.get(x, ()) if y not in com}
+            )
+            for v in shell:
+                bi, se, bo = tri_split(v, com)
+                ni = int_t + bi
+                ne = ext_t + bo - se
+                ns = score(ni, ne)
+                if ns > best or (
+                    ns == best and (best_ext is None or ne < best_ext)
+                ):
+                    best_v, best, best_ext = v, ns, ne
+            if best_v is None:
+                break
+            com.add(best_v)
+        return pd.DataFrame(
+            {"seed": np.full(len(com), seed, np.int64), "v": sorted(com)}
+        )
+
+    return fn
+
+
+def localt_communities(
+    sym_edges: ray.data.Dataset,
+    num_nodes: int,
+    seeds: list[int],
+    *,
+    radius: int = 3,
+    max_size: int = 300,
+    num_parts: int | None = None,
+) -> ray.data.Dataset:
+    """(seed, v) — LocalT triangle-score expansion per seed.
+
+    Reference: scd/LocalT.cpp:14-190 — community score = max(0,
+    intT·(intT − extT)) where intT counts fully-internal triangles and
+    extT triangles with exactly one member; each step adds the shell node
+    giving the best (score, then fewest external triangles) — equal-score
+    adds are accepted, so ``max_size`` bounds growth on triangle-poor
+    graphs (remaining ties → smallest id; the reference's shell iteration
+    order is unspecified).
+    """
+    return _expand_seeds(
+        sym_edges,
+        num_nodes,
+        seeds,
+        _localt_group(max_size),
+        radius=radius,
+        num_parts=num_parts,
+    )

@@ -155,6 +155,7 @@ def test_queries_oracles_consistent():
         "tce_community",
         "combined_scd",
         "two_phase_l",
+        "localt_community",
     }
 
 

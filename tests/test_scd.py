@@ -428,3 +428,79 @@ class TestTwoPhaseL:
         sa = a.sort_values(["seed", "v"]).reset_index(drop=True)
         sb = b.sort_values(["seed", "v"]).reset_index(drop=True)
         assert sa.equals(sb)
+
+
+def _localt_oracle(canon, seed, max_size=300):
+    import collections
+
+    adj = collections.defaultdict(set)
+    for a, b in canon:
+        adj[a].add(b)
+        adj[b].add(a)
+    if seed not in adj:
+        return {seed}
+
+    def tri_split(v, com):
+        nb = sorted(adj[v])
+        bi = se = bo = 0
+        for i, x in enumerate(nb):
+            for y in nb[i + 1 :]:
+                if y in adj[x]:
+                    k = (x in com) + (y in com)
+                    if k == 2:
+                        bi += 1
+                    elif k == 1:
+                        se += 1
+                    else:
+                        bo += 1
+        return bi, se, bo
+
+    def totals(com):
+        it = et = 0
+        for x in com:
+            bi, se, bo = tri_split(x, com - {x})
+            it += bi
+            et += bo
+        return it // 3, et
+
+    com = {seed}
+    while len(com) < max_size:
+        it, et = totals(com)
+        best = max(0, it * (it - et))
+        bv, be = None, None
+        for v in sorted({y for x in com for y in adj[x] if y not in com}):
+            bi, se, bo = tri_split(v, com)
+            ni, ne = it + bi, et + bo - se
+            ns = max(0, ni * (ni - ne))
+            if ns > best or (ns == best and (be is None or ne < be)):
+                bv, best, be = v, ns, ne
+        if bv is None:
+            break
+        com.add(bv)
+    return com
+
+
+class TestLocalT:
+    def test_matches_sequential_replica(self):
+        from networkit_ray.graph.scd import localt_communities
+
+        for gseed, n, m in [(9, 20, 70), (18, 28, 110)]:
+            canon = _random_canon(gseed, n, m)
+            sym = symmetrize(_ds(canon)).materialize()
+            seeds = [0, 6]
+            got = localt_communities(
+                sym, n, seeds, radius=n, max_size=40
+            ).to_pandas()
+            for s in seeds:
+                exp = _localt_oracle(canon, s, max_size=40)
+                mine = set(got[got.seed == s]["v"])
+                assert mine == exp, (gseed, s, mine, exp)
+
+    def test_triangle_rich_block(self):
+        from networkit_ray.graph.scd import localt_communities
+
+        canon = _planted(3, blocks=3, bsize=8, p_in_deg=0.95, bridges=2)
+        sym = symmetrize(_ds(canon)).materialize()
+        got = localt_communities(sym, 24, [4], radius=24, max_size=12).to_pandas()
+        com = set(got["v"])
+        assert len(com & set(range(8))) >= 6, com
