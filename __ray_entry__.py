@@ -800,6 +800,16 @@ def q_gce_community(sf_dir):
     )
 
 
+def q_lte_community(sf_dir):
+    """LocalTightnessExpansion from two seeds (rows-only)."""
+    from networkit_ray.graph.scd import lte_communities
+
+    sym, n = _sym(sf_dir)
+    return lte_communities(sym, n, [0, 7], radius=3, max_size=50).sort(
+        ["seed", "v"]
+    )
+
+
 def q_localt_community(sf_dir):
     """LocalT triangle-score expansion from two seeds (rows-only)."""
     from networkit_ray.graph.scd import localt_communities
@@ -1897,6 +1907,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "combined_scd": q_combined_scd,
         "two_phase_l": q_two_phase_l,
         "localt_community": q_localt_community,
+        "lte_community": q_lte_community,
         "bidirectional_bfs": q_bidirectional_bfs,
         "set_conductance": q_set_conductance,
         "scan_clustering": q_scan_clustering,

@@ -924,3 +924,107 @@ def localt_communities(
         radius=radius,
         num_parts=num_parts,
     )
+
+
+def _lte_group(alpha: float, max_size: int):
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        seed = int(df["seed"].iloc[0])
+        u = df["u"].to_numpy().astype(np.int64)
+        w = df["v2"].to_numpy().astype(np.int64)
+        deg = dict(
+            zip(
+                np.concatenate([u, w]).tolist(),
+                np.concatenate([df["du"].to_numpy(), df["dv"].to_numpy()])
+                .astype(np.int64)
+                .tolist(),
+            )
+        )
+        adj: dict[int, set] = {}
+        for a, b in zip(u.tolist(), w.tolist()):
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        if seed not in adj:
+            return pd.DataFrame({"seed": [seed], "v": [seed]})
+
+        import math
+
+        def sim(a, b):
+            tri = len(adj[a] & adj[b])
+            return (2.0 + tri) / (
+                math.sqrt(1.0 + deg[a]) * math.sqrt(1.0 + deg[b])
+            )
+
+        com = {seed}
+        active: set = set(adj[seed])
+
+        def split_sim(v):
+            si = se = 0.0
+            for x in adj.get(v, ()):
+                s_ = sim(v, x)
+                if x in com:
+                    si += s_
+                else:
+                    se += s_
+            return si, se
+
+        while active and len(com) < max_size:
+            # pop max internal similarity, ties -> smallest id
+            scored = {v: split_sim(v) for v in active}
+            vmax = min(scored, key=lambda v: (-scored[v][0], v))
+            si, se = scored.pop(vmax)
+            active.discard(vmax)
+            if si <= 0:
+                continue
+            X = sum(
+                sim(x, y)
+                for x in com
+                for y in adj.get(x, ())
+                if y in com
+            )
+            E = sum(
+                sim(x, y)
+                for x in com
+                for y in adj.get(x, ())
+                if y not in com
+            )
+            ratio = (E / X) if X > 0 else float("inf")
+            if ratio - (alpha * se - si) / (2.0 * si) > 0:
+                com.add(vmax)
+                for nbr in adj.get(vmax, ()):  # heap update re-inserts
+                    if nbr not in com:
+                        active.add(nbr)
+        return pd.DataFrame(
+            {"seed": np.full(len(com), seed, np.int64), "v": sorted(com)}
+        )
+
+    return fn
+
+
+def lte_communities(
+    sym_edges: ray.data.Dataset,
+    num_nodes: int,
+    seeds: list[int],
+    *,
+    alpha: float = 1.0,
+    radius: int = 3,
+    max_size: int = 10**9,
+    num_parts: int | None = None,
+) -> ray.data.Dataset:
+    """(seed, v) — LocalTightnessExpansion per seed.
+
+    Reference: scd/LocalTightnessExpansion.cpp:100-330 (unweighted): edge
+    similarity s(u,v) = (2 + |N(u)∩N(v)|) / √(1+deg u)·√(1+deg v) (the
+    adjacency-cosine with unit self-loops); the shell node with the
+    largest internal similarity is popped and added iff
+    E/X − (α·ext(v) − int(v)) / (2·int(v)) > 0 where X/E are the
+    community's internal/external similarity mass; popped nodes re-enter
+    when a later member touches them.  Ties → smallest id.
+    """
+    return _expand_seeds(
+        sym_edges,
+        num_nodes,
+        seeds,
+        _lte_group(alpha, max_size),
+        radius=radius,
+        num_parts=num_parts,
+    )

@@ -156,6 +156,7 @@ def test_queries_oracles_consistent():
         "combined_scd",
         "two_phase_l",
         "localt_community",
+        "lte_community",
     }
 
 

@@ -504,3 +504,65 @@ class TestLocalT:
         got = localt_communities(sym, 24, [4], radius=24, max_size=12).to_pandas()
         com = set(got["v"])
         assert len(com & set(range(8))) >= 6, com
+
+
+def _lte_oracle(canon, seed, alpha=1.0):
+    import collections
+    import math
+
+    adj = collections.defaultdict(set)
+    for a, b in canon:
+        adj[a].add(b)
+        adj[b].add(a)
+    deg = {v: len(adj[v]) for v in adj}
+    if seed not in adj:
+        return {seed}
+
+    def sim(a, b):
+        tri = len(adj[a] & adj[b])
+        return (2.0 + tri) / (math.sqrt(1 + deg[a]) * math.sqrt(1 + deg[b]))
+
+    com = {seed}
+    active = set(adj[seed])
+    while active:
+        best = None
+        for v in sorted(active):
+            si = sum(sim(v, x) for x in adj[v] if x in com)
+            if best is None or si > best[1]:
+                best = (v, si)
+        v, si = best
+        se = sum(sim(v, x) for x in adj[v] if x not in com)
+        active.discard(v)
+        if si <= 0:
+            continue
+        X = sum(sim(x, y) for x in com for y in adj[x] if y in com)
+        E = sum(sim(x, y) for x in com for y in adj[x] if y not in com)
+        ratio = E / X if X > 0 else float("inf")
+        if ratio - (alpha * se - si) / (2 * si) > 0:
+            com.add(v)
+            active |= adj[v] - com
+    return com
+
+
+class TestLTE:
+    def test_matches_sequential_replica(self):
+        from networkit_ray.graph.scd import lte_communities
+
+        for gseed, n, m in [(11, 22, 75), (20, 30, 120)]:
+            canon = _random_canon(gseed, n, m)
+            sym = symmetrize(_ds(canon)).materialize()
+            seeds = [0, 7]
+            got = lte_communities(sym, n, seeds, radius=n).to_pandas()
+            for s in seeds:
+                exp = _lte_oracle(canon, s)
+                mine = set(got[got.seed == s]["v"])
+                assert mine == exp, (gseed, s, mine, exp)
+
+    def test_planted_block(self):
+        from networkit_ray.graph.scd import lte_communities
+
+        canon = _planted(3, blocks=3, bsize=8, p_in_deg=0.9, bridges=3)
+        sym = symmetrize(_ds(canon)).materialize()
+        got = lte_communities(sym, 24, [4], radius=24).to_pandas()
+        com = set(got["v"])
+        assert com <= set(range(8)) and len(com) >= 6, com
