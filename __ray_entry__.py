@@ -858,6 +858,18 @@ def q_tce_community(sf_dir):
     )
 
 
+def q_partitioned_sink_roundtrip(sf_dir):
+    """Resumable hash-bucketed Parquet sink: write -> read-complete-buckets."""
+    import tempfile
+
+    from networkit_ray.state.sink import read_partitioned, write_partitioned
+
+    g1, n = _derived(sf_dir)
+    d = tempfile.mkdtemp(prefix="sink_")
+    write_partitioned(g1, d, ["src"], num_buckets=8)
+    return read_partitioned(d).sort(["src", "dst"])
+
+
 def q_binary_edgelist_roundtrip(sf_dir):
     """Binary (little-endian u64 pair) edge-list write -> byte-range read."""
     import os
@@ -1902,6 +1914,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": q_kmeans_clusters,
         "incremental_bfs": q_incremental_bfs,
         "binary_edgelist_roundtrip": q_binary_edgelist_roundtrip,
+        "partitioned_sink_roundtrip": q_partitioned_sink_roundtrip,
         "tce_community": q_tce_community,
         "random_bfs_community": q_random_bfs_community,
         "combined_scd": q_combined_scd,
@@ -3219,6 +3232,10 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT dst AS src, src AS dst FROM g1 WHERE src % 5 = 0
             ) ORDER BY src, dst
+        """,
+        # Partitioned-sink roundtrip twin: the derived edge table itself.
+        "partitioned_sink_roundtrip": f"""
+            SELECT src, dst FROM ({DERIVED_EDGES_SQL}) ORDER BY src, dst
         """,
         # Binary edge-list roundtrip twin: the derived edge table itself.
         "binary_edgelist_roundtrip": f"""

@@ -60,6 +60,7 @@ FAST_SUBSET = [
     "normalize_text",
     "incremental_bfs",
     "binary_edgelist_roundtrip",
+    "partitioned_sink_roundtrip",
     "bidirectional_bfs",
     "random_bfs_community",
     "tfidf_top_terms",
