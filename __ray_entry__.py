@@ -744,6 +744,37 @@ def q_simmelian_overlap(sf_dir):
     return simmelian_overlap_scores(canon, n, max_rank=10).sort(["src", "dst"])
 
 
+def q_multiscale_scores(sf_dir):
+    from networkit_ray.graph.sparsification import multiscale_scores
+
+    sym, _ = _sym(sf_dir)
+
+    def add_w(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy(zero_copy_only=False)
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        return t.append_column("w", pa.array(((src + dst) % 7 + 1).astype(np.float64)))
+
+    sym_w = sym.map_batches(add_w, batch_format="pyarrow")
+    out = multiscale_scores(sym_w)
+    return _round_col(out, "ms_score", 8).sort(["src", "dst"])
+
+
+def q_chance_corrected_triangles(sf_dir):
+    from networkit_ray.graph.sparsification import chance_corrected_triangle_scores
+
+    canon, n = _canon(sf_dir)
+    out = chance_corrected_triangle_scores(canon, n)
+    return _round_col(out, "cct_score", 8).sort(["src", "dst"])
+
+
+def q_random_edge_scores(sf_dir):
+    from networkit_ray.graph.sparsification import random_edge_scores
+
+    canon, _ = _canon(sf_dir)
+    out = random_edge_scores(canon, seed=42)
+    return _round_col(out, "re_score", 8).sort(["src", "dst"])
+
+
 def _perturbed(g1):
     """G2 = G1 minus (src+dst)%3==0 plus reversals of src%5==0 (SQL-twinned)."""
     from networkit_ray.graph.build import dedup_edges
@@ -1895,6 +1926,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_degree_scores": q_local_degree_scores,
         "simmelian_overlap": q_simmelian_overlap,
         "local_similarity": q_local_similarity,
+        "multiscale_scores": q_multiscale_scores,
+        "chance_corrected_triangles": q_chance_corrected_triangles,
+        "random_edge_scores": q_random_edge_scores,
         "graph_difference": q_graph_difference,
         "reachable_nodes": q_reachable_nodes,
         "apply_events_roundtrip": q_apply_events_roundtrip,
@@ -3132,6 +3166,56 @@ def oracle_sql() -> dict[str, str]:
                      FROM rk)
             SELECT src, dst, ROUND(MAX(s), 8) AS ls_score
             FROM side GROUP BY src, dst ORDER BY src, dst
+        """,
+        # MultiscaleScore twin: per-side 1 − (1 − w/Σw)^(deg−1) over the
+        # weighted symmetric table (w = (src+dst)%7+1), max over sides.
+        "multiscale_scores": f"""
+            WITH sym AS MATERIALIZED ({SYMMETRIC_EDGES_SQL}),
+            w AS (SELECT src, dst,
+                         CAST((src + dst) % 7 + 1 AS DOUBLE) AS w FROM sym),
+            agg AS (SELECT src AS v, CAST(COUNT(*) AS DOUBLE) AS deg,
+                           SUM(w) AS s
+                    FROM w GROUP BY src),
+            side AS (SELECT LEAST(w.src, w.dst) AS src,
+                            GREATEST(w.src, w.dst) AS dst,
+                            1.0 - POWER(1.0 - w.w / a.s, a.deg - 1.0) AS p
+                     FROM w JOIN agg a ON a.v = w.src)
+            SELECT src, dst, ROUND(MAX(p), 8) AS ms_score
+            FROM side GROUP BY src, dst ORDER BY src, dst
+        """,
+        # ChanceCorrectedTriangleScore twin: tri·(n−2)/((deg u −1)(deg v −1))
+        # when tri>0, else 1 for a degree-1 endpoint, else 0.
+        "chance_corrected_triangles": f"""
+            WITH ce AS MATERIALIZED ({CANONICAL_EDGES_SQL}),
+            tc AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+                   FROM ce e1 JOIN ce e2 ON e2.src = e1.dst
+                   JOIN ce e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+            ex AS (SELECT LEAST(a,b) AS src, GREATEST(a,b) AS dst FROM tc
+                   UNION ALL SELECT LEAST(a,c), GREATEST(a,c) FROM tc
+                   UNION ALL SELECT LEAST(b,c), GREATEST(b,c) FROM tc),
+            cnt AS (SELECT src, dst, COUNT(*) AS tri FROM ex GROUP BY src, dst),
+            deg AS (SELECT v, CAST(COUNT(*) AS DOUBLE) AS deg FROM
+                      (SELECT src AS v FROM ce UNION ALL SELECT dst FROM ce)
+                    GROUP BY v)
+            SELECT ce.src, ce.dst,
+                   ROUND(CASE
+                     WHEN COALESCE(cnt.tri, 0) > 0 THEN
+                       cnt.tri * ({n_customers} - 2)
+                         / ((du.deg - 1.0) * (dv.deg - 1.0))
+                     WHEN du.deg = 1 OR dv.deg = 1 THEN 1.0
+                     ELSE 0.0 END, 8) AS cct_score
+            FROM ce JOIN deg du ON du.v = ce.src
+                    JOIN deg dv ON dv.v = ce.dst
+                    LEFT JOIN cnt ON cnt.src = ce.src AND cnt.dst = ce.dst
+            ORDER BY ce.src, ce.dst
+        """,
+        # RandomEdgeScore twin: the seeded hash-coin, exactly the engine's
+        # ((src·2654435761 + dst·40503 + 42) mod 2³¹) / 2³¹.
+        "random_edge_scores": f"""
+            SELECT src, dst,
+                   ROUND(((src * 2654435761 + dst * 40503 + 42) % 2147483648)
+                         / 2147483648.0, 8) AS re_score
+            FROM ({CANONICAL_EDGES_SQL}) ORDER BY src, dst
         """,
         # SCDGroundTruthComparison twin: best-of-each-metric vs the
         # continuous k=7 partition, found = v%5 groups.

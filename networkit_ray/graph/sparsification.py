@@ -28,7 +28,7 @@ import numpy as np
 import pyarrow as pa
 import ray
 import ray.data
-from ray.data.aggregate import Count, Max
+from ray.data.aggregate import Count, Max, Sum
 
 from networkit_ray.common.exchange import _nonnull, exchange_join, partition_refs
 
@@ -229,3 +229,127 @@ def local_similarity_scores(
         .groupby(["src", "dst"])
         .aggregate(Max("score", alias_name="ls_score"))
     )
+
+
+def multiscale_scores(sym_w: ray.data.Dataset) -> ray.data.Dataset:
+    """(src, dst, ms_score) — Multiscale backbone scores over a weighted graph.
+
+    Reference: sparsification/MultiscaleScore.cpp (getProbability:
+    ``1 − (1 − w/Σw)^(deg(u)−1)`` under the null hypothesis that a
+    degree-k node's normalized edge weights are uniform; Sparsifiers.cpp
+    MultiscaleSparsifier feeds raw edge weights).  Input is the
+    symmetrized weighted table (src, dst, w) with both directions
+    present; the edge score is the max of the two side probabilities.
+
+    Scale shape: one groupby (per-vertex degree + weight sum), one hash
+    join back onto edges, vectorized probability, canonical max — no
+    per-row Python, no driver materialization.
+    """
+    agg = sym_w.groupby("src").aggregate(
+        Count(alias_name="deg"), Sum("w", alias_name="wsum")
+    )
+    deg = agg.map_batches(
+        lambda t: pa.table(
+            {
+                "v": t["src"].combine_chunks().cast(pa.int64()),
+                "deg": t["deg"].combine_chunks().cast(pa.int64()),
+                "wsum": t["wsum"].combine_chunks().cast(pa.float64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    j = exchange_join(sym_w, deg, left_on=["src"], right_on=["v"])
+
+    def side(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = t["w"].to_numpy(zero_copy_only=False).astype(np.float64)
+        deg = t["deg"].to_numpy(zero_copy_only=False).astype(np.float64)
+        wsum = t["wsum"].to_numpy(zero_copy_only=False).astype(np.float64)
+        # pow(0,0)=1 (numpy and DuckDB agree), so a degree-1 vertex
+        # contributes side score 0 — matching the reference's pow().
+        p = 1.0 - (1.0 - w / wsum) ** (deg - 1.0)
+        return pa.table(
+            {
+                "src": pa.array(np.minimum(s, d)),
+                "dst": pa.array(np.maximum(s, d)),
+                "score": pa.array(p),
+            }
+        )
+
+    return (
+        j.map_batches(side, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .aggregate(Max("score", alias_name="ms_score"))
+    )
+
+
+def chance_corrected_triangle_scores(
+    canon: ray.data.Dataset, num_nodes: int
+) -> ray.data.Dataset:
+    """(src, dst, cct_score) — chance-corrected triangle scores.
+
+    Reference: sparsification/ChanceCorrectedTriangleScore.cpp — for edge
+    (u,v): ``tri·(n−2) / ((deg(u)−1)·(deg(v)−1))`` when tri > 0, else 1
+    if either endpoint has degree 1, else 0.  (A degree-1 endpoint can
+    never carry a triangle, so the divisor is safe whenever tri > 0.)
+
+    Scale shape: reuses the oriented-wedge triangle counts and the
+    degree table; two hash joins, vectorized arithmetic.
+    """
+    from networkit_ray.graph.triangles import edge_triangle_scores, undirected_degrees
+
+    tri = edge_triangle_scores(canon, num_nodes)
+    deg = undirected_degrees(canon)
+    j1 = exchange_join(tri, deg, left_on=["src"], right_on=["v"])
+    j1 = j1.map_batches(
+        lambda t: t.rename_columns(
+            ["degu" if c == "deg" else c for c in t.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+    j2 = exchange_join(j1, deg, left_on=["dst"], right_on=["v"])
+
+    def score(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tr = t["tri"].to_numpy(zero_copy_only=False).astype(np.float64)
+        du = t["degu"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dv = t["deg"].to_numpy(zero_copy_only=False).astype(np.float64)
+        denom = np.maximum((du - 1.0) * (dv - 1.0), 1.0)
+        val = np.where(
+            tr > 0,
+            tr * float(num_nodes - 2) / denom,
+            np.where((du == 1.0) | (dv == 1.0), 1.0, 0.0),
+        )
+        return pa.table(
+            {"src": pa.array(s), "dst": pa.array(d), "cct_score": pa.array(val)}
+        )
+
+    return j2.map_batches(score, batch_format="pyarrow")
+
+
+def random_edge_scores(canon: ray.data.Dataset, *, seed: int = 42) -> ray.data.Dataset:
+    """(src, dst, re_score) — seeded uniform 'random' edge scores.
+
+    Reference: sparsification/RandomEdgeScore.cpp (uniform [0,1) per
+    edge).  A mutable RNG is inherently sequential; the distributed
+    equivalent is the keyed hash-coin from graph/sampling.py —
+    ``((src·2654435761 + dst·40503 + seed) mod 2³¹) / 2³¹`` — identical
+    across runs, partitionings and cluster sizes, and exactly
+    reproducible by a SQL twin.
+    """
+    from networkit_ray.graph.sampling import _M, _coin
+
+    def f(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "src": pa.array(s),
+                "dst": pa.array(d),
+                "re_score": pa.array(_coin(s, d, seed).astype(np.float64) / _M),
+            }
+        )
+
+    return canon.map_batches(f, batch_format="pyarrow")

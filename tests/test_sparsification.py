@@ -171,3 +171,91 @@ class TestLocalSimilarity:
         b = b.sort_values(["src", "dst"]).reset_index(drop=True)
         assert np.allclose(a.ls_score, b.ls_score)
         assert (a.src == b.src).all() and (a.dst == b.dst).all()
+
+
+def _w(u, v):
+    return float((u + v) % 7 + 1)
+
+
+def test_multiscale_scores_match_oracle(ray_session):
+    from networkit_ray.graph.sparsification import multiscale_scores
+
+    canon = _random_canon(7, 40, 160)
+    bi = [(u, v) for u, v in canon] + [(v, u) for u, v in canon]
+    sym_w = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([u for u, v in bi], pa.int64()),
+                "dst": pa.array([v for u, v in bi], pa.int64()),
+                "w": pa.array([_w(u, v) for u, v in bi], pa.float64()),
+            }
+        )
+    )
+    got = {
+        (r["src"], r["dst"]): r["ms_score"]
+        for r in multiscale_scores(sym_w).take_all()
+    }
+
+    import collections
+
+    adj = collections.defaultdict(list)
+    for u, v in bi:
+        adj[u].append(v)
+    want = {}
+    for u in adj:
+        ssum = sum(_w(u, v) for v in adj[u])
+        k = len(adj[u])
+        for v in adj[u]:
+            p = 1.0 - (1.0 - _w(u, v) / ssum) ** (k - 1)
+            key = (min(u, v), max(u, v))
+            want[key] = max(want.get(key, -1.0), p)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12, k
+
+
+def test_chance_corrected_triangle_scores_match_oracle(ray_session):
+    from networkit_ray.graph.sparsification import chance_corrected_triangle_scores
+
+    n = 40
+    canon = _random_canon(11, n, 160)
+    got = {
+        (r["src"], r["dst"]): r["cct_score"]
+        for r in chance_corrected_triangle_scores(_ds(canon), n).take_all()
+    }
+
+    import collections
+
+    adj = collections.defaultdict(set)
+    for a, b in canon:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = {}
+    for a, b in canon:
+        tri = len(adj[a] & adj[b])
+        if tri > 0:
+            want[(a, b)] = tri * (n - 2) / ((len(adj[a]) - 1) * (len(adj[b]) - 1))
+        elif len(adj[a]) == 1 or len(adj[b]) == 1:
+            want[(a, b)] = 1.0
+        else:
+            want[(a, b)] = 0.0
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12, k
+
+
+def test_random_edge_scores_deterministic_uniform(ray_session):
+    from networkit_ray.graph.sparsification import random_edge_scores
+
+    canon = _random_canon(13, 60, 400)
+    a = {(r["src"], r["dst"]): r["re_score"]
+         for r in random_edge_scores(_ds(canon), seed=42).take_all()}
+    b = {(r["src"], r["dst"]): r["re_score"]
+         for r in random_edge_scores(_ds(canon).repartition(7), seed=42).take_all()}
+    assert a == b                       # partition-invariant
+    vals = np.array(list(a.values()))
+    assert (vals >= 0).all() and (vals < 1).all()
+    assert 0.3 < vals.mean() < 0.7      # roughly uniform
+    c = {(r["src"], r["dst"]): r["re_score"]
+         for r in random_edge_scores(_ds(canon), seed=1).take_all()}
+    assert a != c                       # seed-sensitive
