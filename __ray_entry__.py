@@ -353,6 +353,50 @@ def q_ari(sf_dir):
     return pa.table({"ari": pa.array(round_half_away([v], 8))})
 
 
+def q_jaccard_measure(sf_dir):
+    from networkit_ray.common.hashing import round_half_away
+    from networkit_ray.graph.quality import jaccard_measure
+
+    _, n = _canon(sf_dir)
+    v = jaccard_measure(_mod_labels(n, 10), _mod_labels(n, 7), n)
+    return pa.table({"jaccard_dissimilarity": pa.array(round_half_away([v], 8))})
+
+
+def q_node_rand(sf_dir):
+    from networkit_ray.common.hashing import round_half_away
+    from networkit_ray.graph.quality import node_structural_rand
+
+    _, n = _canon(sf_dir)
+    v = node_structural_rand(_mod_labels(n, 10), _mod_labels(n, 7), n)
+    return pa.table({"node_rand": pa.array(round_half_away([v], 8))})
+
+
+def q_graph_rand(sf_dir):
+    from networkit_ray.common.hashing import round_half_away
+    from networkit_ray.graph.quality import graph_structural_rand
+
+    canon, n = _canon(sf_dir)
+    v = graph_structural_rand(canon, _mod_labels(n, 10), _mod_labels(n, 7))
+    return pa.table({"graph_rand": pa.array(round_half_away([v], 8))})
+
+
+def q_partition_fragmentation(sf_dir):
+    from networkit_ray.graph.quality import partition_fragmentation
+
+    _, n = _canon(sf_dir)
+    cc = _cc_labels(sf_dir)
+    out = partition_fragmentation(_mod_labels(n, 6), cc[0])
+    return _round_col(out, "fragmentation", 8).sort("label")
+
+
+def q_expansion(sf_dir):
+    from networkit_ray.graph.quality import expansion_table
+
+    canon, n = _canon(sf_dir)
+    out = expansion_table(canon, _mod_labels(n, 10), n)
+    return _round_col(out, "expansion", 8).sort("label")
+
+
 def q_triangle_count(sf_dir):
     from networkit_ray.graph.triangles import triangle_count
 
@@ -1887,6 +1931,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conductance": q_conductance,
         "nmi": q_nmi,
         "ari": q_ari,
+        "jaccard_measure": q_jaccard_measure,
+        "node_rand": q_node_rand,
+        "graph_rand": q_graph_rand,
+        "partition_fragmentation": q_partition_fragmentation,
+        "expansion": q_expansion,
         "triangle_count": q_triangle_count,
         "triangles_per_vertex": q_triangles_per_vertex,
         "lcc": q_lcc,
@@ -2746,6 +2795,83 @@ def oracle_sql() -> dict[str, str]:
             c2n AS (SELECT n * (n - 1) / 2 AS c FROM n)
             SELECT ROUND(((SELECT s FROM s_ij) - (SELECT s FROM s_a) * (SELECT s FROM s_b) / (SELECT c FROM c2n))
                  / (0.5 * ((SELECT s FROM s_a) + (SELECT s FROM s_b)) - (SELECT s FROM s_a) * (SELECT s FROM s_b) / (SELECT c FROM c2n)), 8) AS ari
+        """,
+        # JaccardMeasure twin: 1 − 2·s11/(n(n−1) − 2·s00) via c2 sums of the
+        # partition-intersection cells and both marginals.
+        "jaccard_measure": """
+            WITH lab AS (SELECT CAST(c_custkey % 10 AS BIGINT) AS l1, CAST(c_custkey % 7 AS BIGINT) AS l2 FROM customer),
+            n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM lab),
+            cells AS (SELECT l1, l2, CAST(COUNT(*) AS DOUBLE) AS nij FROM lab GROUP BY l1, l2),
+            si AS (SELECT SUM(nij * (nij - 1) / 2) AS s FROM cells),
+            sz AS (SELECT SUM(a * (a - 1) / 2) AS s FROM (SELECT SUM(nij) AS a FROM cells GROUP BY l1)),
+            se AS (SELECT SUM(b * (b - 1) / 2) AS s FROM (SELECT SUM(nij) AS b FROM cells GROUP BY l2)),
+            s00 AS (SELECT (SELECT n FROM n) * ((SELECT n FROM n) - 1) / 2
+                         + (SELECT s FROM si) - (SELECT s FROM sz) - (SELECT s FROM se) AS s)
+            SELECT ROUND(CASE WHEN (SELECT n FROM n) * ((SELECT n FROM n) - 1) - 2 * (SELECT s FROM s00) > 0
+                THEN 1.0 - 2 * (SELECT s FROM si)
+                     / ((SELECT n FROM n) * ((SELECT n FROM n) - 1) - 2 * (SELECT s FROM s00))
+                ELSE 0.0 END, 8) AS jaccard_dissimilarity
+        """,
+        # NodeStructuralRandMeasure twin: 1 − 2A/(n(n−1)),
+        # A = n(n−1)/2 + 2·Σc2(cells) − Σc2(zeta) − Σc2(eta).
+        "node_rand": """
+            WITH lab AS (SELECT CAST(c_custkey % 10 AS BIGINT) AS l1, CAST(c_custkey % 7 AS BIGINT) AS l2 FROM customer),
+            n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM lab),
+            cells AS (SELECT l1, l2, CAST(COUNT(*) AS DOUBLE) AS nij FROM lab GROUP BY l1, l2),
+            si AS (SELECT SUM(nij * (nij - 1) / 2) AS s FROM cells),
+            sz AS (SELECT SUM(a * (a - 1) / 2) AS s FROM (SELECT SUM(nij) AS a FROM cells GROUP BY l1)),
+            se AS (SELECT SUM(b * (b - 1) / 2) AS s FROM (SELECT SUM(nij) AS b FROM cells GROUP BY l2)),
+            a AS (SELECT (SELECT n FROM n) * ((SELECT n FROM n) - 1) / 2
+                       + 2 * (SELECT s FROM si) - (SELECT s FROM sz) - (SELECT s FROM se) AS a)
+            SELECT ROUND(1.0 - 2 * (SELECT a FROM a)
+                         / ((SELECT n FROM n) * ((SELECT n FROM n) - 1)), 8) AS node_rand
+        """,
+        # GraphStructuralRandMeasure twin: 1 − (e11 + e00)/m over undirected
+        # (canonical) edges.
+        "graph_rand": f"""
+            WITH ce AS ({CANONICAL_EDGES_SQL}),
+            lab AS (SELECT CAST(c_custkey AS BIGINT) AS v,
+                           CAST(c_custkey % 10 AS BIGINT) AS l1,
+                           CAST(c_custkey % 7 AS BIGINT) AS l2 FROM customer),
+            el AS (SELECT a.l1 AS l1s, a.l2 AS l2s, b.l1 AS l1d, b.l2 AS l2d
+                   FROM ce JOIN lab a ON a.v = ce.src JOIN lab b ON b.v = ce.dst)
+            SELECT ROUND(1.0 - SUM(CASE WHEN l1s = l1d AND l2s = l2d THEN 1
+                                        WHEN l1s <> l1d AND l2s <> l2d THEN 1
+                                        ELSE 0 END) * 1.0 / COUNT(*), 8) AS graph_rand
+            FROM el
+        """,
+        # PartitionFragmentation twin: per cluster of the %6 partition,
+        # 1 − (largest CC piece)/(cluster size) using the hash-min CC labels.
+        "partition_fragmentation": f"""
+            WITH cc AS ({cc_sql}),
+            lab AS (SELECT CAST(c_custkey AS BIGINT) AS v,
+                           CAST(c_custkey % 6 AS BIGINT) AS label FROM customer),
+            cells AS (SELECT lab.label, cc.label AS c, CAST(COUNT(*) AS DOUBLE) AS n
+                      FROM lab JOIN cc ON cc.v = lab.v GROUP BY lab.label, cc.label),
+            per AS (SELECT label, MAX(n) AS big, SUM(n) AS size FROM cells GROUP BY label)
+            SELECT label, ROUND(1.0 - big / size, 8) AS fragmentation
+            FROM per ORDER BY label
+        """,
+        # IsolatedInterpartitionExpansion twin: cut(C)/min(|C|, n−|C|) per
+        # cluster, 0 for a whole-graph cluster.
+        "expansion": f"""
+            WITH ce AS ({CANONICAL_EDGES_SQL}),
+            lab AS (SELECT CAST(c_custkey AS BIGINT) AS v,
+                           CAST(c_custkey % 10 AS BIGINT) AS label FROM customer),
+            nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM lab),
+            el AS (SELECT l1.label AS ls, l2.label AS ld
+                   FROM ce JOIN lab l1 ON l1.v = ce.src JOIN lab l2 ON l2.v = ce.dst),
+            cuts AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS cut FROM (
+                SELECT ls AS label FROM el WHERE ls <> ld
+                UNION ALL SELECT ld FROM el WHERE ls <> ld) GROUP BY label),
+            sizes AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS size FROM lab GROUP BY label)
+            SELECT s.label, COALESCE(c.cut, 0) AS cut, s.size,
+                   ROUND(CASE WHEN LEAST(s.size * 1.0, (SELECT n FROM nn) - s.size) > 0
+                         THEN COALESCE(c.cut, 0)
+                              / LEAST(s.size * 1.0, (SELECT n FROM nn) - s.size)
+                         ELSE 0.0 END, 8) AS expansion
+            FROM sizes s LEFT JOIN cuts c ON c.label = s.label
+            ORDER BY s.label
         """,
         "triangle_count": f"SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles FROM ({tri_corners})",
         "triangles_per_vertex": tri_sql,

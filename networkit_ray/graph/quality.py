@@ -495,3 +495,153 @@ def intrapartition_density(
         return pa.table({"label": t["label"], "density": pa.array(d)})
 
     return j.map_batches(dens, batch_format="pyarrow")
+
+
+def _c2_sums(labels1: ray.data.Dataset, labels2: ray.data.Dataset):
+    """(Σc2(intersection cells), Σc2(zeta sizes), Σc2(eta sizes))."""
+
+    def c2(x):
+        return x * (x - 1.0) / 2.0
+
+    nij, ai, bj, _, _ = _confusion(labels1, labels2)
+    return float(np.sum(c2(nij))), float(np.sum(c2(ai))), float(np.sum(c2(bj)))
+
+
+def jaccard_measure(
+    labels1: ray.data.Dataset, labels2: ray.data.Dataset, num_nodes: int
+) -> float:
+    """Jaccard dissimilarity of two partitions (community/JaccardMeasure.cpp:
+    1 − 2·s11 / (n(n−1) − 2·s00) over node pairs, via cluster-size sums)."""
+    si, sz, se = _c2_sums(labels1, labels2)
+    n = float(num_nodes)
+    s11 = si
+    s00 = n * (n - 1.0) / 2.0 + si - (sz + se)
+    divisor = n * (n - 1.0) - 2.0 * s00
+    if divisor <= 0:
+        return 0.0
+    return 1.0 - (2.0 * s11) / divisor
+
+
+def node_structural_rand(
+    labels1: ray.data.Dataset, labels2: ray.data.Dataset, num_nodes: int
+) -> float:
+    """Node-structural Rand dissimilarity
+    (community/NodeStructuralRandMeasure.cpp: 1 − 2A/(n(n−1)) with
+    A = n(n−1)/2 + 2·Σc2(cells) − Σc2(zeta) − Σc2(eta))."""
+    si, sz, se = _c2_sums(labels1, labels2)
+    n = float(num_nodes)
+    a = n * (n - 1.0) / 2.0 + 2.0 * si - (sz + se)
+    return 1.0 - 2.0 * a / (n * (n - 1.0))
+
+
+def graph_structural_rand(
+    canon: ray.data.Dataset, labels1: ray.data.Dataset, labels2: ray.data.Dataset
+) -> float:
+    """Graph-structural Rand dissimilarity
+    (community/GraphStructuralRandMeasure.cpp): 1 − (e11 + e00)/m over the
+    undirected edge set, where e11 = connected pairs on which both
+    partitions agree, e00 = pairs on which both disagree."""
+    l2r = labels2.map_batches(
+        lambda t: pa.table({"v": t["v"], "label2": t["label"]}), batch_format="pyarrow"
+    )
+    both = exchange_join(labels1, l2r, left_on=["v"])
+    e1 = exchange_join(canon, both, left_on=["src"], right_on=["v"])
+    e1 = e1.map_batches(
+        lambda t: pa.table({"dst": t["dst"], "l1s": t["label"], "l2s": t["label2"]}),
+        batch_format="pyarrow",
+    )
+    e2 = exchange_join(e1, both, left_on=["dst"], right_on=["v"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        a1 = pc.equal(t["l1s"], t["label"]).to_numpy(zero_copy_only=False)
+        a2 = pc.equal(t["l2s"], t["label2"]).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "e11": pa.array([int(np.sum(a1 & a2))], pa.int64()),
+                "e00": pa.array([int(np.sum(~a1 & ~a2))], pa.int64()),
+                "m": pa.array([len(t)], pa.int64()),
+            }
+        )
+
+    agg = e2.map_batches(partial, batch_format="pyarrow")
+    tot = agg.sum(["e11", "e00", "m"])
+    m = tot["sum(m)"]
+    if m == 0:
+        raise ValueError("graph-structural rand measure undefined on an edgeless graph")
+    return 1.0 - (tot["sum(e11)"] + tot["sum(e00)"]) / m
+
+
+def partition_fragmentation(
+    labels: ray.data.Dataset, cc_labels: ray.data.Dataset
+) -> ray.data.Dataset:
+    """(label, fragmentation) per cluster of ``labels``
+    (community/PartitionFragmentation.cpp): 1 − (largest connected piece of
+    the cluster)/(cluster size), where pieces come from intersecting the
+    partition with connected components."""
+    ccr = cc_labels.map_batches(
+        lambda t: pa.table({"v": t["v"], "cc": t["label"]}), batch_format="pyarrow"
+    )
+    j = exchange_join(labels, ccr, left_on=["v"])
+    cells = j.groupby(["label", "cc"]).aggregate(Count(alias_name="n"))
+    per = cells.groupby("label").aggregate(
+        Max("n", alias_name="biggest"), Sum("n", alias_name="size")
+    )
+
+    def frag(t: pa.Table) -> pa.Table:
+        big = t["biggest"].to_numpy(zero_copy_only=False).astype(np.float64)
+        size = t["size"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {"label": t["label"], "fragmentation": pa.array(1.0 - big / size)}
+        )
+
+    return per.map_batches(frag, batch_format="pyarrow")
+
+
+def expansion_table(
+    canon: ray.data.Dataset, labels: ray.data.Dataset, num_nodes: int
+) -> ray.data.Dataset:
+    """(label, cut, size, expansion) per cluster
+    (community/IsolatedInterpartitionExpansion.cpp): expansion(C) =
+    cut(C) / min(|C|, n − |C|); a whole-graph cluster (denominator 0)
+    gets 0 — same degenerate-cluster convention as conductance_table."""
+    el = _edge_labels(canon, labels)
+    inter = el.map_batches(
+        lambda t: t.filter(pc.not_equal(t["ls"], t["ld"])), batch_format="pyarrow"
+    )
+    cuts = (
+        inter.map_batches(
+            lambda t: pa.table(
+                {
+                    "label": pa.concat_arrays(
+                        [t["ls"].combine_chunks(), t["ld"].combine_chunks()]
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("label")
+        .aggregate(Count(alias_name="cut"))
+    )
+    sizes = labels.groupby("label").aggregate(Count(alias_name="size")).materialize()
+    j = exchange_join(sizes, cuts, left_on=["label"], join_type="left outer")
+
+    def final(t: pa.Table) -> pa.Table:
+        size = t["size"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cut = (
+            t["cut"].to_numpy(zero_copy_only=False).astype(np.float64)
+            if "cut" in t.column_names
+            else np.zeros(len(size))
+        )
+        cut = np.where(np.isnan(cut), 0.0, cut)
+        denom = np.minimum(size, float(num_nodes) - size)
+        exp = np.where(denom > 0, cut / np.maximum(denom, 1.0), 0.0)
+        return pa.table(
+            {
+                "label": t["label"],
+                "cut": pa.array(cut.astype(np.int64)),
+                "size": pa.array(size.astype(np.int64)),
+                "expansion": pa.array(exp),
+            }
+        )
+
+    return j.map_batches(final, batch_format="pyarrow")
