@@ -353,6 +353,58 @@ def q_ari(sf_dir):
     return pa.table({"ari": pa.array(round_half_away([v], 8))})
 
 
+def q_ring_lattice(sf_dir):
+    from networkit_ray.sources.synth import ring_lattice_edges
+
+    _, n = _canon(sf_dir)
+    ds, _ = ring_lattice_edges(n, 3)
+    return ds.sort(["src", "dst"])
+
+
+def q_sbm_edges(sf_dir):
+    from networkit_ray.sources.synth import stochastic_blockmodel_edges
+
+    _, nc = _canon(sf_dir)
+    n = min(nc, 2000)
+    ds, _ = stochastic_blockmodel_edges(n, 10, 0.05, 0.005, seed=42)
+    return ds.sort(["src", "dst"])
+
+
+def q_havel_hakimi_degrees(sf_dir):
+    from networkit_ray.graph.triangles import undirected_degrees
+    from networkit_ray.sources.synth import havel_hakimi_edges
+
+    _, n = _canon(sf_dir)
+    seq = np.arange(n, dtype=np.int64) % 4 + 1
+    ds, _ = havel_hakimi_edges(seq)
+    return undirected_degrees(ds).sort("v")
+
+
+def q_dorogovtsev_mendes(sf_dir):
+    from networkit_ray.sources.synth import dorogovtsev_mendes_edges
+
+    _, n = _canon(sf_dir)
+    ds, _ = dorogovtsev_mendes_edges(n, seed=42)
+    t = ds.materialize()
+    m = t.count()
+    nodes = t.map_batches(
+        lambda b: pa.table(
+            {
+                "v": pa.concat_arrays(
+                    [b["src"].combine_chunks(), b["dst"].combine_chunks()]
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    ).unique("v")
+    return pa.table(
+        {
+            "n_nodes": pa.array([len(nodes)], pa.int64()),
+            "n_edges": pa.array([m], pa.int64()),
+        }
+    )
+
+
 def q_jaccard_measure(sf_dir):
     from networkit_ray.common.hashing import round_half_away
     from networkit_ray.graph.quality import jaccard_measure
@@ -2059,6 +2111,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_edges": q_er_edges,
         "chung_lu_edges": q_chung_lu_edges,
         "watts_strogatz_edges": q_watts_strogatz_edges,
+        "ring_lattice": q_ring_lattice,
+        "sbm_edges": q_sbm_edges,
+        "havel_hakimi_degrees": q_havel_hakimi_degrees,
+        "dorogovtsev_mendes": q_dorogovtsev_mendes,
         "tumbling_window": q_tumbling_window,
         "sliding_window": q_sliding_window,
         "asof_click_to_view": q_asof_click_to_view,
@@ -2151,6 +2207,29 @@ def _eigen_sql(edges_sql: str, nodes_sql: str, iters: int) -> str:
             f"s{k} AS MATERIALIZED (SELECT v, score / (SELECT SQRT(SUM(score*score)) FROM r{k}) AS score FROM r{k})"
         )
     return ",\n".join(parts) + f"\nSELECT v, ROUND(score, 8) AS score FROM s{iters}"
+
+
+def _sm64_sql(expr: str) -> str:
+    """SQL twin of sources/synth._splitmix64 over a HUGEINT expression.
+
+    128-bit signed HUGEINT can overflow on a 64×64-bit product, so each
+    multiply is decomposed into 32-bit halves and reduced mod 2⁶⁴; xors
+    and shifts run on UBIGINT.  Returns a UBIGINT-typed expression.
+    """
+    m = 2**64
+
+    def mulmod(a: str, c: int) -> str:
+        bh, bl = c >> 32, c & 0xFFFFFFFF
+        return (
+            f"((({a}) * {bl} % {m} + (({a}) * {bh} % 4294967296) * 4294967296) % {m})"
+        )
+
+    s1 = f"CAST((({expr}) + 11400714819323198485) % {m} AS UBIGINT)"
+    x1 = f"CAST(xor({s1}, {s1} >> 30) AS HUGEINT)"
+    s2 = f"CAST({mulmod(x1, 0xBF58476D1CE4E5B9)} AS UBIGINT)"
+    x2 = f"CAST(xor({s2}, {s2} >> 27) AS HUGEINT)"
+    s3 = f"CAST({mulmod(x2, 0x94D049BB133111EB)} AS UBIGINT)"
+    return f"xor({s3}, {s3} >> 31)"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2795,6 +2874,49 @@ def oracle_sql() -> dict[str, str]:
             c2n AS (SELECT n * (n - 1) / 2 AS c FROM n)
             SELECT ROUND(((SELECT s FROM s_ij) - (SELECT s FROM s_a) * (SELECT s FROM s_b) / (SELECT c FROM c2n))
                  / (0.5 * ((SELECT s FROM s_a) + (SELECT s FROM s_b)) - (SELECT s FROM s_a) * (SELECT s FROM s_b) / (SELECT c FROM c2n)), 8) AS ari
+        """,
+        # RegularRingLatticeGenerator twin: i ↔ (i+j) mod n, j = 1..3.
+        "ring_lattice": """
+            WITH nn AS (SELECT COUNT(*) AS n FROM customer),
+            i AS (SELECT CAST(c_custkey AS BIGINT) AS i FROM customer),
+            j AS (SELECT * FROM (VALUES (1), (2), (3)) AS t(j))
+            SELECT LEAST(i, (i + j) % (SELECT n FROM nn)) AS src,
+                   GREATEST(i, (i + j) % (SELECT n FROM nn)) AS dst
+            FROM i, j
+            ORDER BY src, dst
+        """,
+        # StochasticBlockmodel twin: pair (u,v), u<v, kept when
+        # splitmix64(u·n + v + 42·FNV) < p·2⁶⁴, p by block (u%10 vs v%10).
+        "sbm_edges": f"""
+            WITH nn AS (SELECT LEAST(COUNT(*), 2000) AS n FROM customer),
+            ids AS (SELECT CAST(c_custkey AS BIGINT) AS i FROM customer
+                    WHERE c_custkey < (SELECT n FROM nn)),
+            pairs AS (
+                SELECT a.i AS u, b.i AS v
+                FROM ids a, ids b
+                WHERE a.i < b.i),
+            coin AS (
+                SELECT u, v,
+                       CAST({_sm64_sql("CAST(u AS HUGEINT) * (SELECT n FROM nn) + v + 46179488384862")} AS HUGEINT) AS h
+                FROM pairs)
+            SELECT u AS src, v AS dst FROM coin
+            WHERE h < CASE WHEN u % 10 = v % 10
+                           THEN {int(0.05 * 2**64)} ELSE {int(0.005 * 2**64)} END
+            ORDER BY src, dst
+        """,
+        # HavelHakimiGenerator invariant twin: the realized degree table
+        # equals the input sequence v%4+1 exactly.
+        "havel_hakimi_degrees": """
+            SELECT CAST(c_custkey AS BIGINT) AS v,
+                   CAST(c_custkey % 4 + 1 AS BIGINT) AS deg
+            FROM customer ORDER BY v
+        """,
+        # DorogovtsevMendes invariant twin: every node appears and
+        # m = 3 + 2(n−3) exactly.
+        "dorogovtsev_mendes": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                   CAST(3 + 2 * (COUNT(*) - 3) AS BIGINT) AS n_edges
+            FROM customer
         """,
         # JaccardMeasure twin: 1 − 2·s11/(n(n−1) − 2·s00) via c2 sums of the
         # partition-intersection cells and both marginals.

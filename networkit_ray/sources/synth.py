@@ -254,3 +254,128 @@ def generate_clustering(
         return pa.table({"v": pa.array(v), "label": pa.array(lab.astype(np.int64))})
 
     return ray.data.range(num_nodes).map_batches(gen, batch_format="numpy")
+
+
+def ring_lattice_edges(n: int, k: int) -> tuple[ray.data.Dataset, int]:
+    """Regular ring lattice: node i ↔ (i+j) mod n for j = 1..k.
+
+    Reference: generators/RegularRingLatticeGenerator.cpp (k is clamped to
+    n/2 − 1, which also guarantees the n·k generated edges are distinct —
+    no dedup pass needed).  Embarrassingly parallel: edge counter
+    idx = i·k + (j−1) over ``ray.data.range(n*k)``.
+    """
+    k = min(k, n // 2 - 1)
+
+    def gen(batch: dict) -> pa.Table:
+        idx = batch["id"].astype(np.int64)
+        i = idx // k
+        j = idx % k + 1
+        t = (i + j) % n
+        return pa.table(
+            {"src": pa.array(np.minimum(i, t)), "dst": pa.array(np.maximum(i, t))}
+        )
+
+    return ray.data.range(n * k).map_batches(gen, batch_format="numpy"), n
+
+
+def stochastic_blockmodel_edges(
+    n: int,
+    num_blocks: int,
+    p_in: float,
+    p_out: float,
+    *,
+    seed: int = 42,
+) -> tuple[ray.data.Dataset, int]:
+    """Stochastic blockmodel over blocks b(v) = v mod B.
+
+    Reference: generators/StochasticBlockmodel.cpp (per-pair Bernoulli with
+    an affinity matrix; here the two-level in/out affinity).  Each ordered
+    pair index decodes to (u, v), kept when u < v and
+    ``splitmix64(pair_index + seed·FNV) < p·2⁶⁴`` for the block pair's p
+    — a well-mixed coin (the cheap 2³¹ LCG coin clumps badly at small p),
+    reproduced bit-exactly by the DuckDB twin via HUGEINT mod-2⁶⁴
+    arithmetic.  O(n²) counters, the model's inherent cost; deterministic
+    at any parallelism.
+    """
+    base = np.uint64(seed) * np.uint64(0x100000001B3)
+    t_in = np.uint64(min(int(p_in * 2**64), 2**64 - 1))
+    t_out = np.uint64(min(int(p_out * 2**64), 2**64 - 1))
+
+    def gen(batch: dict) -> pa.Table:
+        idx = batch["id"].astype(np.int64)
+        u = idx // n
+        v = idx % n
+        keep = u < v
+        idx, u, v = idx[keep], u[keep], v[keep]
+        same = (u % num_blocks) == (v % num_blocks)
+        thresh = np.where(same, t_in, t_out)
+        hit = _splitmix64(idx.astype(np.uint64) + base) < thresh
+        return pa.table({"src": pa.array(u[hit]), "dst": pa.array(v[hit])})
+
+    return ray.data.range(n * n).map_batches(gen, batch_format="numpy"), n
+
+
+def havel_hakimi_edges(degrees: "np.ndarray") -> tuple[ray.data.Dataset, int]:
+    """Havel–Hakimi realization of a degree sequence.
+
+    Reference: generators/HavelHakimiGenerator.cpp — repeatedly connect the
+    largest-deficit node to the next-largest ones.  The algorithm is
+    inherently sequential, so (like the METIS reader) this is a
+    SINGLE-TASK conformance generator: the sequence itself must fit in one
+    worker.  Raises ValueError when the sequence is not graphical.  When
+    it succeeds, the realized degree table equals the input sequence
+    exactly — the oracle invariant the driver query checks.
+    """
+    seq = np.asarray(degrees, dtype=np.int64)
+    n = len(seq)
+    if seq.sum() % 2:
+        raise ValueError("degree sequence has odd sum — not graphical")
+
+    @ray.remote
+    def build(seq: np.ndarray) -> pa.Table:
+        deficit = seq.copy()
+        src_out, dst_out = [], []
+        while True:
+            order = np.lexsort((np.arange(len(deficit)), -deficit))
+            u = order[0]
+            d = deficit[u]
+            if d == 0:
+                break
+            targets = order[1 : d + 1]
+            if len(targets) < d or deficit[targets[-1]] == 0:
+                raise ValueError("degree sequence is not graphical")
+            deficit[u] = 0
+            deficit[targets] -= 1
+            src_out.extend([int(u)] * d)
+            dst_out.extend(int(t) for t in targets)
+        lo = np.minimum(src_out, dst_out).astype(np.int64)
+        hi = np.maximum(src_out, dst_out).astype(np.int64)
+        return pa.table({"src": pa.array(lo), "dst": pa.array(hi)})
+
+    return ray.data.from_arrow_refs([build.remote(seq)]), n
+
+
+def dorogovtsev_mendes_edges(n: int, *, seed: int = 42) -> tuple[ray.data.Dataset, int]:
+    """Dorogovtsev–Mendes growing network (triangle seed; each new node
+    attaches to both endpoints of a seeded-random existing edge).
+
+    Reference: generators/DorogovtsevMendesGenerator.cpp.  Growth is
+    inherently sequential (each step samples the CURRENT edge list), so
+    this is a single-task conformance generator; m = 3 + 2(n−3) exactly.
+    """
+    if n < 3:
+        raise ValueError("n must be ≥ 3")
+
+    @ray.remote
+    def build() -> pa.Table:
+        src = [0, 0, 1]
+        dst = [1, 2, 2]
+        for v in range(3, n):
+            pick = int(_splitmix64(np.uint64(seed) + np.uint64(v)) % np.uint64(len(src)))
+            src.extend([src[pick], dst[pick]])
+            dst.extend([v, v])
+        lo = np.minimum(src, dst).astype(np.int64)
+        hi = np.maximum(src, dst).astype(np.int64)
+        return pa.table({"src": pa.array(lo), "dst": pa.array(hi)})
+
+    return ray.data.from_arrow_refs([build.remote()]), n

@@ -1,0 +1,108 @@
+"""Ring-lattice / SBM / Havel–Hakimi / Dorogovtsev–Mendes generators."""
+
+import collections
+
+import numpy as np
+import pytest
+
+
+def _pairs(ds):
+    return [(r["src"], r["dst"]) for r in ds.take_all()]
+
+
+def test_ring_lattice_structure(ray_session):
+    from networkit_ray.sources.synth import ring_lattice_edges
+
+    n, k = 20, 3
+    ds, nn = ring_lattice_edges(n, k)
+    got = sorted(_pairs(ds))
+    want = sorted(
+        (min(i, (i + j) % n), max(i, (i + j) % n))
+        for i in range(n)
+        for j in range(1, k + 1)
+    )
+    assert nn == n
+    assert got == want                      # distinct, complete
+    deg = collections.Counter()
+    for a, b in got:
+        deg[a] += 1
+        deg[b] += 1
+    assert all(deg[v] == 2 * k for v in range(n))
+
+
+def test_ring_lattice_parallelism_invariant(ray_session):
+    from networkit_ray.sources.synth import ring_lattice_edges
+
+    a, _ = ring_lattice_edges(50, 4)
+    b, _ = ring_lattice_edges(50, 4)
+    assert sorted(_pairs(a)) == sorted(_pairs(b.repartition(7)))
+
+
+def test_sbm_blocks_denser_inside(ray_session):
+    from networkit_ray.sources.synth import stochastic_blockmodel_edges
+
+    n, B = 120, 4
+    ds, _ = stochastic_blockmodel_edges(n, B, 0.5, 0.02, seed=7)
+    pairs = _pairs(ds)
+    assert len(pairs) == len(set(pairs))
+    intra = sum(1 for u, v in pairs if u % B == v % B)
+    inter = len(pairs) - intra
+    # expected intra ≈ 0.5 · B·(n/B choose 2) = 0.5·4·435 = 870,
+    # inter ≈ 0.02 · (n choose 2 − 1740) ≈ 107
+    assert intra > 5 * inter
+    # deterministic replica of the splitmix64 coin
+    from networkit_ray.sources.synth import _splitmix64
+
+    base = np.uint64(7) * np.uint64(0x100000001B3)
+    for u, v in pairs[:50]:
+        p = 0.5 if u % B == v % B else 0.02
+        h = _splitmix64(np.array([u * n + v], np.uint64) + base)[0]
+        assert h < np.uint64(int(p * 2**64))
+
+
+def test_havel_hakimi_realizes_sequence(ray_session):
+    from networkit_ray.sources.synth import havel_hakimi_edges
+
+    rng = np.random.default_rng(3)
+    seq = rng.integers(1, 6, 40)
+    if seq.sum() % 2:
+        seq[0] += 1
+    ds, n = havel_hakimi_edges(seq)
+    pairs = _pairs(ds)
+    assert len(pairs) == len(set(pairs))            # simple graph
+    assert all(a != b for a, b in pairs)            # no self loops
+    deg = collections.Counter()
+    for a, b in pairs:
+        deg[a] += 1
+        deg[b] += 1
+    assert [deg[v] for v in range(n)] == list(seq)  # exact realization
+
+
+def test_havel_hakimi_rejects_nongraphical(ray_session):
+    from networkit_ray.sources.synth import havel_hakimi_edges
+
+    # [3,3,1,1] fails Erdős–Gallai at k=2 (6 > 2 + 1 + 1)
+    with pytest.raises(ValueError):
+        havel_hakimi_edges(np.array([3, 3, 1, 1]))[0].take_all()
+    with pytest.raises(ValueError):
+        havel_hakimi_edges(np.array([1, 1, 1]))
+
+
+def test_dorogovtsev_mendes_structure(ray_session):
+    from networkit_ray.sources.synth import dorogovtsev_mendes_edges
+
+    n = 30
+    ds, nn = dorogovtsev_mendes_edges(n, seed=5)
+    pairs = _pairs(ds)
+    assert nn == n
+    assert len(pairs) == 3 + 2 * (n - 3)
+    assert len(pairs) == len(set(pairs))
+    # every node ≥ 3 has degree ≥ 2 (attached to an edge's two endpoints)
+    deg = collections.Counter()
+    for a, b in pairs:
+        deg[a] += 1
+        deg[b] += 1
+    assert all(deg[v] >= 2 for v in range(n))
+    # deterministic
+    again, _ = dorogovtsev_mendes_edges(n, seed=5)
+    assert sorted(_pairs(again)) == sorted(pairs)
