@@ -405,6 +405,43 @@ def q_dorogovtsev_mendes(sf_dir):
     )
 
 
+def _mod_cover(n, k, extra_mod, extra_base, extra_k):
+    """(v, c) cover: base cluster v%k for all v, plus cluster
+    extra_base + v%extra_k for every v with v%extra_mod == 0 (SQL-twinned)."""
+    import ray.data
+
+    v = np.arange(n, dtype=np.int64)
+    ev = v[v % extra_mod == 0]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "v": pa.array(np.concatenate([v, ev])),
+                "c": pa.array(
+                    np.concatenate([v % k, extra_base + ev % extra_k])
+                ),
+            }
+        )
+    )
+
+
+def q_cover_f1(sf_dir):
+    from networkit_ray.graph.cover import cover_f1_similarity
+
+    _, n = _canon(sf_dir)
+    out = cover_f1_similarity(
+        _mod_cover(n, 5, 3, 5, 7), _mod_cover(n, 6, 4, 6, 5)
+    )
+    return _round_col(out, "f1", 8).sort("c")
+
+
+def q_cover_hub_dominance(sf_dir):
+    from networkit_ray.graph.cover import cover_hub_dominance
+
+    canon, n = _canon(sf_dir)
+    out = cover_hub_dominance(canon, _mod_cover(n, 5, 3, 5, 7))
+    return _round_col(out, "dominance", 8).sort("c")
+
+
 def q_jaccard_measure(sf_dir):
     from networkit_ray.common.hashing import round_half_away
     from networkit_ray.graph.quality import jaccard_measure
@@ -1983,6 +2020,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conductance": q_conductance,
         "nmi": q_nmi,
         "ari": q_ari,
+        "cover_f1": q_cover_f1,
+        "cover_hub_dominance": q_cover_hub_dominance,
         "jaccard_measure": q_jaccard_measure,
         "node_rand": q_node_rand,
         "graph_rand": q_graph_rand,
@@ -2917,6 +2956,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
                    CAST(3 + 2 * (COUNT(*) - 3) AS BIGINT) AS n_edges
             FROM customer
+        """,
+        # CoverF1Similarity twin: best 2·ol/(|C_i|+|R_s|) per cover cluster.
+        "cover_f1": """
+            WITH c AS (SELECT CAST(c_custkey AS BIGINT) AS v, CAST(c_custkey % 5 AS BIGINT) AS c FROM customer
+                       UNION ALL SELECT c_custkey, 5 + c_custkey % 7 FROM customer WHERE c_custkey % 3 = 0),
+            r AS (SELECT CAST(c_custkey AS BIGINT) AS v, CAST(c_custkey % 6 AS BIGINT) AS s FROM customer
+                  UNION ALL SELECT c_custkey, 6 + c_custkey % 5 FROM customer WHERE c_custkey % 4 = 0),
+            cells AS (SELECT c.c, r.s, CAST(COUNT(*) AS DOUBLE) AS ol
+                      FROM c JOIN r ON r.v = c.v GROUP BY c.c, r.s),
+            a AS (SELECT c, CAST(COUNT(*) AS DOUBLE) AS a FROM c GROUP BY c),
+            b AS (SELECT s, CAST(COUNT(*) AS DOUBLE) AS b FROM r GROUP BY s),
+            best AS (SELECT cells.c, MAX(2 * ol / (a.a + b.b)) AS f1
+                     FROM cells JOIN a ON a.c = cells.c JOIN b ON b.s = cells.s
+                     GROUP BY cells.c)
+            SELECT a.c, ROUND(COALESCE(best.f1, 0), 8) AS f1
+            FROM a LEFT JOIN best ON best.c = a.c ORDER BY a.c
+        """,
+        # CoverHubDominance twin: max member internal degree / (|c|−1);
+        # singletons 1.
+        "cover_hub_dominance": f"""
+            WITH ce AS ({CANONICAL_EDGES_SQL}),
+            bi AS (SELECT src AS u, dst AS nbr FROM ce
+                   UNION ALL SELECT dst, src FROM ce),
+            c AS (SELECT CAST(c_custkey AS BIGINT) AS v, CAST(c_custkey % 5 AS BIGINT) AS c FROM customer
+                  UNION ALL SELECT c_custkey, 5 + c_custkey % 7 FROM customer WHERE c_custkey % 3 = 0),
+            internal AS (SELECT cu.c, bi.u
+                         FROM bi JOIN c cu ON cu.v = bi.u
+                         WHERE EXISTS (SELECT 1 FROM c cn
+                                       WHERE cn.v = bi.nbr AND cn.c = cu.c)),
+            per AS (SELECT c, u, CAST(COUNT(*) AS DOUBLE) AS ideg
+                    FROM internal GROUP BY c, u),
+            md AS (SELECT c, MAX(ideg) AS maxdeg FROM per GROUP BY c),
+            sizes AS (SELECT c, CAST(COUNT(*) AS DOUBLE) AS size FROM c GROUP BY c)
+            SELECT s.c,
+                   ROUND(CASE WHEN s.size > 1
+                              THEN COALESCE(md.maxdeg, 0) / (s.size - 1)
+                              ELSE 1.0 END, 8) AS dominance
+            FROM sizes s LEFT JOIN md ON md.c = s.c ORDER BY s.c
         """,
         # JaccardMeasure twin: 1 − 2·s11/(n(n−1) − 2·s00) via c2 sums of the
         # partition-intersection cells and both marginals.

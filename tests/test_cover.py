@@ -1,0 +1,98 @@
+"""Cover F1 similarity and hub dominance vs brute-force replicas."""
+
+import collections
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+
+def _cover_ds(memb):
+    return rd.from_arrow(
+        pa.table(
+            {
+                "v": pa.array([v for v, c in memb], pa.int64()),
+                "c": pa.array([c for v, c in memb], pa.int64()),
+            }
+        )
+    )
+
+
+def _edges_ds(rows):
+    return rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([u for u, v in rows], pa.int64()),
+                "dst": pa.array([v for u, v in rows], pa.int64()),
+            }
+        )
+    )
+
+
+def _rand_cover(seed, n, k, extra_p):
+    rng = np.random.default_rng(seed)
+    memb = [(v, int(v % k)) for v in range(n)]
+    for v in range(n):
+        if rng.random() < extra_p:
+            memb.append((v, int(k + rng.integers(0, 3))))
+    return sorted(set(memb))
+
+
+def test_cover_f1_similarity_matches_replica(ray_session):
+    from networkit_ray.graph.cover import cover_f1_similarity
+
+    n = 60
+    C = _rand_cover(1, n, 5, 0.4)
+    R = _rand_cover(2, n, 4, 0.3)
+    got = {r["c"]: r["f1"] for r in cover_f1_similarity(_cover_ds(C), _cover_ds(R)).take_all()}
+
+    csets = collections.defaultdict(set)
+    rsets = collections.defaultdict(set)
+    for v, c in C:
+        csets[c].add(v)
+    for v, s in R:
+        rsets[s].add(v)
+    want = {}
+    for c, mem in csets.items():
+        best = 0.0
+        for s, rm in rsets.items():
+            ol = len(mem & rm)
+            if ol:
+                best = max(best, 2.0 * ol / (len(mem) + len(rm)))
+        want[c] = best
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12, k
+
+
+def test_cover_hub_dominance_matches_replica(ray_session):
+    from networkit_ray.graph.cover import cover_hub_dominance
+
+    n = 50
+    rng = np.random.default_rng(5)
+    canon = sorted(
+        {(int(min(a, b)), int(max(a, b))) for a, b in rng.integers(0, n, (200, 2)) if a != b}
+    )
+    C = _rand_cover(7, n, 4, 0.5)
+    got = {
+        r["c"]: r["dominance"]
+        for r in cover_hub_dominance(_edges_ds(canon), _cover_ds(C)).take_all()
+    }
+
+    adj = collections.defaultdict(set)
+    for a, b in canon:
+        adj[a].add(b)
+        adj[b].add(a)
+    csets = collections.defaultdict(set)
+    for v, c in C:
+        csets[c].add(v)
+    want = {}
+    for c, mem in csets.items():
+        if len(mem) == 1:
+            want[c] = 1.0
+        else:
+            md = max(len(adj[u] & mem) for u in mem)
+            want[c] = md / (len(mem) - 1)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12, k
