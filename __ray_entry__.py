@@ -908,6 +908,22 @@ def q_random_edge_scores(sf_dir):
     return _round_col(out, "re_score", 8).sort(["src", "dst"])
 
 
+def q_jaccard_distance(sf_dir):
+    from networkit_ray.graph.triangles import jaccard_distances
+
+    canon, n = _canon(sf_dir)
+    out = jaccard_distances(canon, n)
+    return _round_col(out, "jaccard_distance", 8).sort(["src", "dst"])
+
+
+def q_adamic_adar_distance(sf_dir):
+    from networkit_ray.graph.triangles import adamic_adar_distances
+
+    canon, n = _canon(sf_dir)
+    out = adamic_adar_distances(canon, n)
+    return _round_col(out, "aa_distance", 8).sort(["src", "dst"])
+
+
 def _perturbed(g1):
     """G2 = G1 minus (src+dst)%3==0 plus reversals of src%5==0 (SQL-twinned)."""
     from networkit_ray.graph.build import dedup_edges
@@ -2067,6 +2083,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simmelian_overlap": q_simmelian_overlap,
         "local_similarity": q_local_similarity,
         "multiscale_scores": q_multiscale_scores,
+        "jaccard_distance": q_jaccard_distance,
+        "adamic_adar_distance": q_adamic_adar_distance,
         "chance_corrected_triangles": q_chance_corrected_triangles,
         "random_edge_scores": q_random_edge_scores,
         "graph_difference": q_graph_difference,
@@ -3532,6 +3550,48 @@ def oracle_sql() -> dict[str, str]:
             FROM ce JOIN deg du ON du.v = ce.src
                     JOIN deg dv ON dv.v = ce.dst
                     LEFT JOIN cnt ON cnt.src = ce.src AND cnt.dst = ce.dst
+            ORDER BY ce.src, ce.dst
+        """,
+        # JaccardDistance twin (distance/JaccardDistance.cpp convention):
+        # 1 − tri/(deg(u)+deg(v)−tri).
+        "jaccard_distance": f"""
+            WITH ce AS MATERIALIZED ({CANONICAL_EDGES_SQL}),
+            tc AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+                   FROM ce e1 JOIN ce e2 ON e2.src = e1.dst
+                   JOIN ce e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+            ex AS (SELECT LEAST(a,b) AS src, GREATEST(a,b) AS dst FROM tc
+                   UNION ALL SELECT LEAST(a,c), GREATEST(a,c) FROM tc
+                   UNION ALL SELECT LEAST(b,c), GREATEST(b,c) FROM tc),
+            cnt AS (SELECT src, dst, COUNT(*) AS tri FROM ex GROUP BY src, dst),
+            deg AS (SELECT v, CAST(COUNT(*) AS DOUBLE) AS deg FROM
+                      (SELECT src AS v FROM ce UNION ALL SELECT dst FROM ce)
+                    GROUP BY v)
+            SELECT ce.src, ce.dst,
+                   ROUND(1.0 - COALESCE(cnt.tri, 0) * 1.0
+                         / (du.deg + dv.deg - COALESCE(cnt.tri, 0)), 8)
+                       AS jaccard_distance
+            FROM ce JOIN deg du ON du.v = ce.src
+                    JOIN deg dv ON dv.v = ce.dst
+                    LEFT JOIN cnt ON cnt.src = ce.src AND cnt.dst = ce.dst
+            ORDER BY ce.src, ce.dst
+        """,
+        # AdamicAdarDistance twin: 1/Σ_{w∈Γ(u)∩Γ(v)} 1/ln(deg(w)), sentinel
+        # −1 when the edge has no common neighbor.
+        "adamic_adar_distance": f"""
+            WITH ce AS MATERIALIZED ({CANONICAL_EDGES_SQL}),
+            bi AS (SELECT src AS u, dst AS nbr FROM ce
+                   UNION ALL SELECT dst, src FROM ce),
+            deg AS (SELECT u AS v, CAST(COUNT(*) AS DOUBLE) AS deg
+                    FROM bi GROUP BY u),
+            common AS (SELECT ce.src, ce.dst, a.nbr AS w
+                       FROM ce JOIN bi a ON a.u = ce.src
+                               JOIN bi b ON b.u = ce.dst AND b.nbr = a.nbr),
+            s AS (SELECT src, dst, SUM(1.0 / LN(d.deg)) AS s
+                  FROM common JOIN deg d ON d.v = common.w GROUP BY src, dst)
+            SELECT ce.src, ce.dst,
+                   ROUND(CASE WHEN COALESCE(s.s, 0) > 0 THEN 1.0 / s.s
+                              ELSE -1.0 END, 8) AS aa_distance
+            FROM ce LEFT JOIN s ON s.src = ce.src AND s.dst = ce.dst
             ORDER BY ce.src, ce.dst
         """,
         # RandomEdgeScore twin: the seeded hash-coin, exactly the engine's

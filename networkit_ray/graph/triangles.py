@@ -368,3 +368,111 @@ def k_truss(
             break
         cur = nxt
     return cur, {"rounds": rounds}
+
+
+def jaccard_distances(
+    canon: ray.data.Dataset, num_nodes: int
+) -> ray.data.Dataset:
+    """(src, dst, jaccard_distance) per edge — distance/JaccardDistance.cpp:
+    1 − tri/(deg(u)+deg(v)−tri).  NOTE this is the cpp file's convention
+    (endpoints NOT excluded from the union), different from
+    :func:`jaccard_edge_scores`' sparsification convention."""
+    deg = undirected_degrees(canon)
+    scored = edge_triangle_scores(canon, num_nodes)
+    j1 = exchange_join(
+        scored,
+        deg.map_batches(
+            lambda t: pa.table({"src": t["v"], "du": t["deg"]}),
+            batch_format="pyarrow",
+        ),
+        left_on=["src"],
+    )
+    j2 = exchange_join(
+        j1,
+        deg.map_batches(
+            lambda t: pa.table({"dst": t["v"], "dv": t["deg"]}),
+            batch_format="pyarrow",
+        ),
+        left_on=["dst"],
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        tri = t["tri"].to_numpy(zero_copy_only=False).astype(np.float64)
+        du = t["du"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dv = t["dv"].to_numpy(zero_copy_only=False).astype(np.float64)
+        jd = 1.0 - tri / (du + dv - tri)
+        return pa.table(
+            {"src": t["src"], "dst": t["dst"], "jaccard_distance": pa.array(jd)}
+        )
+
+    return j2.map_batches(score, batch_format="pyarrow")
+
+
+def adamic_adar_distances(
+    canon: ray.data.Dataset, num_nodes: int
+) -> ray.data.Dataset:
+    """(src, dst, aa_distance) per edge — distance/AdamicAdarDistance.cpp:
+    1 / Σ_{w ∈ Γ(u)∩Γ(v)} 1/ln(deg(w)).  An edge with no common neighbor
+    has an infinite distance; it is reported as the sentinel −1 (SQL-
+    twinned the same way) so the column stays finite and hashable.
+
+    Scale shape: one triangle enumeration, one degree join on the
+    triangle corners, exploded per-edge contributions, one groupby —
+    no per-row Python.
+    """
+    deg = undirected_degrees(canon).materialize()
+    corners = triangle_corners(oriented_edges(canon, deg, num_nodes))
+
+    def explode(t: pa.Table) -> pa.Table:
+        x = t["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t["y"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t["corner"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # each triangle contributes to each of its edges 1/ln(deg(opposite))
+        e_lo = np.concatenate([np.minimum(x, y), np.minimum(x, c), np.minimum(y, c)])
+        e_hi = np.concatenate([np.maximum(x, y), np.maximum(x, c), np.maximum(y, c)])
+        opp = np.concatenate([c, y, x])
+        return pa.table(
+            {"src": pa.array(e_lo), "dst": pa.array(e_hi), "w": pa.array(opp)}
+        )
+
+    contrib = corners.map_batches(explode, batch_format="pyarrow")
+    jd = exchange_join(
+        contrib,
+        deg.map_batches(
+            lambda t: pa.table({"w": t["v"], "degw": t["deg"]}),
+            batch_format="pyarrow",
+        ),
+        left_on=["w"],
+    )
+
+    def inv_log(t: pa.Table) -> pa.Table:
+        d = t["degw"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {"src": t["src"], "dst": t["dst"], "s": pa.array(1.0 / np.log(d))}
+        )
+
+    sums = (
+        jd.map_batches(inv_log, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .aggregate(Sum("s", alias_name="aa_sum"))
+    )
+    filled = exchange_join(
+        canon.select_columns(["src", "dst"]),
+        sums,
+        left_on=["src", "dst"],
+        join_type="left outer",
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        s = (
+            t["aa_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+            if "aa_sum" in t.column_names
+            else np.zeros(len(t))
+        )
+        s = np.where(np.isnan(s), 0.0, s)
+        aa = np.where(s > 0, 1.0 / np.where(s > 0, s, 1.0), -1.0)
+        return pa.table(
+            {"src": t["src"], "dst": t["dst"], "aa_distance": pa.array(aa)}
+        )
+
+    return filled.map_batches(final, batch_format="pyarrow")

@@ -197,3 +197,77 @@ class TestEdgeTriangleScores:
         kept = sparsify_global_threshold(scored, 1).to_pandas()
         assert all(t >= 1 for t in kept["tri"])
         assert len(kept) == sum(1 for e, t in got.items() if t >= 1)
+
+
+def test_jaccard_distance_matches_replica(ray_session):
+    import collections
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from networkit_ray.graph.triangles import jaccard_distances
+
+    rng = np.random.default_rng(23)
+    n = 40
+    canon = sorted(
+        {(int(min(a, b)), int(max(a, b))) for a, b in rng.integers(0, n, (160, 2)) if a != b}
+    )
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([u for u, v in canon], pa.int64()),
+                "dst": pa.array([v for u, v in canon], pa.int64()),
+            }
+        )
+    )
+    got = {
+        (r["src"], r["dst"]): r["jaccard_distance"]
+        for r in jaccard_distances(ds, n).take_all()
+    }
+    adj = collections.defaultdict(set)
+    for a, b in canon:
+        adj[a].add(b)
+        adj[b].add(a)
+    for a, b in canon:
+        tri = len(adj[a] & adj[b])
+        want = 1.0 - tri / (len(adj[a]) + len(adj[b]) - tri)
+        assert abs(got[(a, b)] - want) < 1e-12, (a, b)
+    assert len(got) == len(canon)
+
+
+def test_adamic_adar_distance_matches_replica(ray_session):
+    import collections
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from networkit_ray.graph.triangles import adamic_adar_distances
+
+    rng = np.random.default_rng(29)
+    n = 40
+    canon = sorted(
+        {(int(min(a, b)), int(max(a, b))) for a, b in rng.integers(0, n, (200, 2)) if a != b}
+    )
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([u for u, v in canon], pa.int64()),
+                "dst": pa.array([v for u, v in canon], pa.int64()),
+            }
+        )
+    )
+    got = {
+        (r["src"], r["dst"]): r["aa_distance"]
+        for r in adamic_adar_distances(ds, n).take_all()
+    }
+    adj = collections.defaultdict(set)
+    for a, b in canon:
+        adj[a].add(b)
+        adj[b].add(a)
+    assert len(got) == len(canon)
+    for a, b in canon:
+        s = sum(1.0 / np.log(len(adj[w])) for w in adj[a] & adj[b])
+        want = 1.0 / s if s > 0 else -1.0
+        assert abs(got[(a, b)] - want) < 1e-12, (a, b)
