@@ -908,6 +908,14 @@ def q_random_edge_scores(sf_dir):
     return _round_col(out, "re_score", 8).sort(["src", "dst"])
 
 
+def q_forest_fire_scores(sf_dir):
+    from networkit_ray.graph.sparsification import forest_fire_scores
+
+    canon, n = _canon(sf_dir)
+    out = forest_fire_scores(canon, n, pf=0.7, num_fires=max(1, n // 50), seed=42)
+    return _round_col(out, "ff_score", 8).sort(["src", "dst"])
+
+
 def q_jaccard_distance(sf_dir):
     from networkit_ray.graph.triangles import jaccard_distances
 
@@ -2083,6 +2091,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simmelian_overlap": q_simmelian_overlap,
         "local_similarity": q_local_similarity,
         "multiscale_scores": q_multiscale_scores,
+        "forest_fire_scores": q_forest_fire_scores,
         "jaccard_distance": q_jaccard_distance,
         "adamic_adar_distance": q_adamic_adar_distance,
         "chance_corrected_triangles": q_chance_corrected_triangles,

@@ -353,3 +353,224 @@ def random_edge_scores(canon: ray.data.Dataset, *, seed: int = 42) -> ray.data.D
         )
 
     return canon.map_batches(f, batch_format="pyarrow")
+
+
+def _u64_unit(h: np.ndarray) -> np.ndarray:
+    return h.astype(np.float64) / 2.0**64
+
+
+def _ff_key(
+    f: np.ndarray, v: np.ndarray, r: int, t: np.ndarray, b: int, base: np.uint64
+) -> np.ndarray:
+    """Keyed counter hash for the forest-fire draws (splitmix64 twin of a
+    sequential RNG; every draw is a pure function of its coordinates)."""
+    from networkit_ray.sources.synth import _splitmix64
+
+    P1 = np.uint64(0x9E3779B97F4A7C15)
+    P2 = np.uint64(0xBF58476D1CE4E5B9)
+    P3 = np.uint64(0x94D049BB133111EB)
+    key = (
+        (f.astype(np.uint64) * P1 + v.astype(np.uint64)) * P2
+        + np.uint64(r)
+    ) * P3 + np.asarray(t, np.uint64) * np.uint64(2) + np.uint64(b) + base
+    return _splitmix64(key)
+
+
+def forest_fire_scores(
+    canon: ray.data.Dataset,
+    num_nodes: int,
+    *,
+    pf: float = 0.7,
+    num_fires: int | None = None,
+    seed: int = 42,
+    max_rounds: int = 64,
+) -> ray.data.Dataset:
+    """(src, dst, ff_score) — burnt-edge frequencies from seeded fires.
+
+    Reference: sparsification/ForestFireScore.cpp.  The reference runs
+    sequential fires with a mutable RNG until targetBurntRatio·m edges
+    burn; the distributed re-expression (normative semantics, mirrored by
+    the numpy replica in tests) is ROUND-SYNCHRONOUS with keyed-hash
+    draws:
+
+    - ``num_fires`` fires (default n/50) start at
+      splitmix64(fire)+seed mod n;
+    - each round, every active (fire, v) burns k unvisited neighbors,
+      where k counts the prefix of per-(fire,v,round) uniform draws ≤ pf
+      (the reference's truncated-geometric stopping rule) and the burn
+      targets are the k unvisited neighbors of smallest
+      splitmix64(fire,v,nbr) rank (uniform-without-replacement realized
+      by hash ranking);
+    - all burners in a round see the round-START visited set (two burners
+      may burn edges into the same new node; it joins the frontier once);
+    - scores are burn counts normalized by the max, like the reference.
+
+    Scale shape: each round is one adjacency join + one anti-join +
+    vectorized group math over the frontier; visited/frontier state is
+    fire-local, never the whole graph.
+    """
+    from ray.data.aggregate import Sum as _Sum
+
+    if num_fires is None:
+        num_fires = max(1, num_nodes // 50)
+    from networkit_ray.sources.synth import _splitmix64
+
+    base = np.uint64(seed) * np.uint64(0x100000001B3)
+
+    bi = canon.map_batches(
+        lambda t: pa.table(
+            {
+                "u": pa.concat_arrays(
+                    [
+                        t["src"].combine_chunks().cast(pa.int64()),
+                        t["dst"].combine_chunks().cast(pa.int64()),
+                    ]
+                ),
+                "nbr": pa.concat_arrays(
+                    [
+                        t["dst"].combine_chunks().cast(pa.int64()),
+                        t["src"].combine_chunks().cast(pa.int64()),
+                    ]
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    fires = np.arange(num_fires, dtype=np.uint64)
+    starts = (_splitmix64(fires + base) % np.uint64(num_nodes)).astype(np.int64)
+    frontier = ray.data.from_arrow(
+        pa.table(
+            {"f": pa.array(fires.astype(np.int64)), "v": pa.array(starts)}
+        )
+    ).materialize()
+    visited = frontier
+    burn_tables: list[ray.data.Dataset] = []
+
+    for r in range(max_rounds):
+        if frontier.count() == 0:
+            break
+        adj = exchange_join(frontier, bi, left_on=["v"], right_on=["u"])
+        cand = exchange_join(
+            adj,
+            visited,
+            left_on=["f", "nbr"],
+            right_on=["f", "v"],
+            join_type="left anti",
+        ).materialize()
+        if cand.count() == 0:
+            break
+
+        def burn(*tables, _r=r) -> pa.Table | None:
+            live = [t for t in tables if t is not None and len(t)]
+            if not live:
+                return None
+            t = pa.concat_tables(live)
+            f = t["f"].to_numpy(zero_copy_only=False).astype(np.int64)
+            v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+            nbr = t["nbr"].to_numpy(zero_copy_only=False).astype(np.int64)
+            # group rows by (f, v); rank neighbors by the keyed hash
+            # (t-slot = nbr, b=1: odd counters, disjoint from the q-draws)
+            h = _ff_key(f, v, _r, nbr, 1, base)
+            order = np.lexsort((h, v, f))
+            f, v, nbr = f[order], v[order], nbr[order]
+            n_ = len(f)
+            starts_ = np.flatnonzero(
+                np.r_[True, (f[1:] != f[:-1]) | (v[1:] != v[:-1])]
+            )
+            sizes = np.diff(np.r_[starts_, n_])
+            rank = np.arange(n_) - np.repeat(starts_, sizes)
+            # k per group: prefix of uniform draws ≤ pf, capped at 16
+            gf, gv = f[starts_], v[starts_]
+            cap = 16
+            qs = _u64_unit(
+                _ff_key(
+                    np.repeat(gf, cap),
+                    np.repeat(gv, cap),
+                    _r,
+                    np.tile(np.arange(cap), len(gf)),
+                    0,
+                    base,
+                )
+            ).reshape(len(gf), cap)
+            k = np.argmax(qs > pf, axis=1)
+            k = np.where((qs <= pf).all(axis=1), cap, k)
+            keep = rank < np.repeat(k, sizes)
+            return pa.table(
+                {
+                    "f": pa.array(f[keep]),
+                    "v": pa.array(v[keep]),
+                    "w": pa.array(nbr[keep]),
+                }
+            )
+
+        # the anti-join leaves cand partitioned by (f, nbr); the grouped
+        # burn math needs every (f, v) group whole in one task
+        burn_task = ray.remote(burn)
+        slices = partition_refs(cand, ["f", "v"], 16)
+        parts = [
+            burn_task.remote(*[s[p] for s in slices]) for p in range(len(slices[0]))
+        ]
+        keep = [
+            ref
+            for ref, ok in zip(parts, ray.get([_nonnull.remote(p) for p in parts]))
+            if ok
+        ]
+        if not keep:
+            break
+        burned = ray.data.from_arrow_refs(keep).materialize()
+        if burned.count() == 0:
+            break
+        burn_tables.append(
+            burned.map_batches(
+                lambda t: pa.table(
+                    {
+                        "src": pa.array(
+                            np.minimum(
+                                t["v"].to_numpy(zero_copy_only=False),
+                                t["w"].to_numpy(zero_copy_only=False),
+                            )
+                        ),
+                        "dst": pa.array(
+                            np.maximum(
+                                t["v"].to_numpy(zero_copy_only=False),
+                                t["w"].to_numpy(zero_copy_only=False),
+                            )
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            ).materialize()
+        )
+        new_front = (
+            burned.groupby(["f", "w"])
+            .aggregate(Count(alias_name="_c"))
+            .map_batches(
+                lambda t: pa.table({"f": t["f"], "v": t["w"]}),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        visited = visited.union(new_front).materialize()
+        frontier = new_front
+
+    if not burn_tables:
+        empty = pa.schema(
+            [("src", pa.int64()), ("dst", pa.int64()), ("ff_score", pa.float64())]
+        )
+        return ray.data.from_arrow(empty.empty_table())
+    all_burns = burn_tables[0]
+    for t in burn_tables[1:]:
+        all_burns = all_burns.union(t)
+    counts = all_burns.groupby(["src", "dst"]).aggregate(
+        Count(alias_name="burnt")
+    ).materialize()
+    mx = counts.max("burnt")
+
+    def norm(t: pa.Table) -> pa.Table:
+        b = t["burnt"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {"src": t["src"], "dst": t["dst"], "ff_score": pa.array(b / mx)}
+        )
+
+    return counts.map_batches(norm, batch_format="pyarrow")

@@ -158,6 +158,7 @@ def test_queries_oracles_consistent():
         "two_phase_l",
         "localt_community",
         "lte_community",
+        "forest_fire_scores",
     }
 
 

@@ -259,3 +259,94 @@ def test_random_edge_scores_deterministic_uniform(ray_session):
     c = {(r["src"], r["dst"]): r["re_score"]
          for r in random_edge_scores(_ds(canon), seed=1).take_all()}
     assert a != c                       # seed-sensitive
+
+
+def _ff_replica(canon, n, pf, num_fires, seed, max_rounds=64):
+    """Sequential replica of forest_fire_scores' round-synchronous rules."""
+    import collections
+
+    from networkit_ray.graph.sparsification import _ff_key, _u64_unit
+    from networkit_ray.sources.synth import _splitmix64
+
+    base = np.uint64(seed) * np.uint64(0x100000001B3)
+    adj = collections.defaultdict(list)
+    for a, b in canon:
+        adj[a].append(b)
+        adj[b].append(a)
+    fires = np.arange(num_fires, dtype=np.uint64)
+    starts = (_splitmix64(fires + base) % np.uint64(n)).astype(np.int64)
+    frontier = {(int(f), int(s)) for f, s in zip(fires, starts)}
+    visited = set(frontier)
+    burns = collections.Counter()
+    for r in range(max_rounds):
+        if not frontier:
+            break
+        new_front = set()
+        any_burn = False
+        for f, v in sorted(frontier):
+            nbrs = [w for w in adj[v] if (f, w) not in visited]
+            if not nbrs:
+                continue
+            qs = _u64_unit(
+                _ff_key(
+                    np.full(16, f), np.full(16, v), r, np.arange(16), 0, base
+                )
+            )
+            k = 16
+            for t in range(16):
+                if qs[t] > pf:
+                    k = t
+                    break
+            ranked = sorted(
+                nbrs,
+                key=lambda w: int(
+                    _ff_key(np.array([f]), np.array([v]), r, np.array([w]), 1, base)[0]
+                ),
+            )
+            for w in ranked[:k]:
+                burns[(min(v, w), max(v, w))] += 1
+                new_front.add((f, w))
+                any_burn = True
+        if not any_burn:
+            break
+        visited |= new_front
+        frontier = new_front
+    if not burns:
+        return {}
+    mx = max(burns.values())
+    return {e: c / mx for e, c in burns.items()}
+
+
+def test_forest_fire_scores_match_replica(ray_session):
+    from networkit_ray.graph.sparsification import forest_fire_scores
+
+    n = 60
+    canon = _random_canon(31, n, 240)
+    got = {
+        (r["src"], r["dst"]): r["ff_score"]
+        for r in forest_fire_scores(
+            _ds(canon), n, pf=0.7, num_fires=6, seed=9
+        ).take_all()
+    }
+    want = _ff_replica(canon, n, 0.7, 6, 9)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12, k
+
+
+def test_forest_fire_scores_partition_invariant(ray_session):
+    from networkit_ray.graph.sparsification import forest_fire_scores
+
+    n = 50
+    canon = _random_canon(37, n, 180)
+    a = {
+        (r["src"], r["dst"]): r["ff_score"]
+        for r in forest_fire_scores(_ds(canon), n, num_fires=5, seed=3).take_all()
+    }
+    b = {
+        (r["src"], r["dst"]): r["ff_score"]
+        for r in forest_fire_scores(
+            _ds(canon).repartition(7), n, num_fires=5, seed=3
+        ).take_all()
+    }
+    assert a == b
