@@ -678,6 +678,19 @@ def q_group_closeness(sf_dir):
     return pd.DataFrame(picks, columns=["rank", "v", "farness"])
 
 
+def q_group_harmonic_closeness(sf_dir):
+    import pandas as pd
+
+    from networkit_ray.common.hashing import round_half_away
+    from networkit_ray.graph.groupcent import group_harmonic_closeness
+
+    sym, n = _sym(sf_dir)
+    picks = group_harmonic_closeness(sym, n, 3, pool=8)
+    df = pd.DataFrame(picks, columns=["rank", "v", "harmonic"])
+    df["harmonic"] = round_half_away(df["harmonic"].to_numpy(), 8)
+    return df
+
+
 SEIR_PARAMS = {"t_max": 8, "trans_p": 0.3, "e_time": 2, "i_time": 3, "zero": 0}
 
 
@@ -906,6 +919,18 @@ def q_random_edge_scores(sf_dir):
     canon, _ = _canon(sf_dir)
     out = random_edge_scores(canon, seed=42)
     return _round_col(out, "re_score", 8).sort(["src", "dst"])
+
+
+def q_top_harmonic_closeness(sf_dir):
+    """centrality/TopHarmonicCloseness.cpp: top-k by exact harmonic score
+    (deterministic (harmonic DESC, v) tiebreak on both sides)."""
+    from networkit_ray.graph.closeness import exact_harmonic_closeness
+    from networkit_ray.sources.derive import supplier_ring_edges
+
+    sym, s = supplier_ring_edges(sf_dir)
+    out = exact_harmonic_closeness(sym.materialize(), s)
+    out = _round_col(_round_col(out, "harmonic", 8), "closeness", 8)
+    return out.sort(["harmonic", "v"], descending=[True, False]).limit(10)
 
 
 def q_forest_fire_scores(sf_dir):
@@ -2062,6 +2087,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "maximal_cliques": q_maximal_cliques,
         "group_degree": q_group_degree,
         "group_closeness": q_group_closeness,
+        "group_harmonic_closeness": q_group_harmonic_closeness,
         "node2vec_walks": q_node2vec_walks,
         "incremental_cc": q_incremental_cc,
         "warm_pagerank": q_warm_pagerank,
@@ -2091,6 +2117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simmelian_overlap": q_simmelian_overlap,
         "local_similarity": q_local_similarity,
         "multiscale_scores": q_multiscale_scores,
+        "top_harmonic_closeness": q_top_harmonic_closeness,
         "forest_fire_scores": q_forest_fire_scores,
         "jaccard_distance": q_jaccard_distance,
         "adamic_adar_distance": q_adamic_adar_distance,
@@ -2670,6 +2697,59 @@ def oracle_sql() -> dict[str, str]:
         .replace("{N}", n_customers)
     )
 
+    # GroupHarmonicCloseness twin: same unrolled greedy, objective
+    # Σ 1/d (members and unreachable contribute 0), argmax with ties → v.
+    def _group_harmonic_sql(k: int, pool: int) -> str:
+        parts = [
+            "WITH RECURSIVE se AS MATERIALIZED ({SYM})",
+            "nodes AS (SELECT CAST(c_custkey AS BIGINT) AS v FROM customer)",
+            f"""cand AS MATERIALIZED (
+                SELECT n.v FROM nodes n
+                LEFT JOIN (SELECT src AS v, COUNT(*) AS deg FROM se GROUP BY src) dg
+                  ON dg.v = n.v
+                ORDER BY COALESCE(dg.deg, 0) DESC, n.v LIMIT {pool})""",
+            """r(s, v, d) AS (
+                SELECT v, v, CAST(0 AS BIGINT) FROM cand
+                UNION
+                SELECT r.s, e.dst, r.d + 1 FROM r JOIN se e ON e.src = r.v
+                WHERE r.d < 64)""",
+            "md AS (SELECT s, v, MIN(d) AS d FROM r GROUP BY s, v)",
+            """dm AS MATERIALIZED (
+                SELECT c.v AS s, n.v AS v, COALESCE(md.d, {N}) AS d
+                FROM cand c CROSS JOIN nodes n
+                LEFT JOIN md ON md.s = c.v AND md.v = n.v)""",
+            "cur0 AS (SELECT v, CAST({N} AS BIGINT) AS d FROM nodes)",
+        ]
+        for r in range(1, k + 1):
+            excl = ""
+            if r > 1:
+                sel = " UNION ".join(f"SELECT v FROM p{i}" for i in range(1, r))
+                excl = f"WHERE dm.s NOT IN ({sel}) "
+            parts.append(
+                f"""t{r} AS (SELECT dm.s,
+                    SUM(CASE WHEN LEAST(c.d, dm.d) > 0 AND LEAST(c.d, dm.d) < {{N}}
+                             THEN 1.0 / LEAST(c.d, dm.d) ELSE 0 END) AS h
+                    FROM dm JOIN cur{r - 1} c ON c.v = dm.v {excl}GROUP BY dm.s)"""
+            )
+            parts.append(
+                f"""p{r} AS (SELECT s AS v, h FROM t{r} ORDER BY h DESC, s LIMIT 1)"""
+            )
+            parts.append(
+                f"""cur{r} AS MATERIALIZED (SELECT c.v, LEAST(c.d, dm.d) AS d
+                    FROM cur{r - 1} c JOIN dm ON dm.v = c.v JOIN p{r} p ON dm.s = p.v)"""
+            )
+        sel = "\nUNION ALL ".join(
+            f"SELECT {r} AS rank, v, ROUND(h, 8) AS harmonic FROM p{r}"
+            for r in range(1, k + 1)
+        )
+        return ",\n".join(parts) + f"\nSELECT * FROM ({sel}) ORDER BY rank"
+
+    group_harmonic_sql = (
+        _group_harmonic_sql(3, 8)
+        .replace("{SYM}", SYMMETRIC_EDGES_SQL)
+        .replace("{N}", n_customers)
+    )
+
     # Exact diameter twin: full-APSP recursive BFS over the supplier ring
     # graph (|V| = S suppliers — small enough that all-sources expansion
     # is cheap; the customer graph would be 200× costlier).  d-cap 64 >
@@ -2834,7 +2914,7 @@ def oracle_sql() -> dict[str, str]:
         ) GROUP BY v
     """
 
-    return {
+    sql = {
         "edge_table": DERIVED_EDGES_SQL,
         "edge_table_sym": SYMMETRIC_EDGES_SQL,
         "degree_table": f"SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS deg FROM ({DERIVED_EDGES_SQL}) GROUP BY src",
@@ -3163,6 +3243,7 @@ def oracle_sql() -> dict[str, str]:
         "k_truss": ktruss_sql,
         "group_degree": group_degree_sql,
         "group_closeness": group_closeness_sql,
+        "group_harmonic_closeness": group_harmonic_sql,
         "diameter": diameter_sql,
         "harmonic_closeness_exact": f"""
             WITH RECURSIVE base AS MATERIALIZED ({{SUPPLIER_RING_SQL}}),
@@ -4099,3 +4180,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "event_type_histogram": "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY event_type",
     }
+    sql["top_harmonic_closeness"] = (
+        "SELECT * FROM (" + sql["harmonic_closeness_exact"] + ") "
+        "ORDER BY harmonic DESC, v LIMIT 10"
+    )
+    return sql

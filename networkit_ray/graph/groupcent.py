@@ -193,3 +193,63 @@ def group_closeness(
         picks.append({"rank": r + 1, "v": int(cands[j]), "farness": int(best_far)})
         cur = [_gc_update.remote(dp[p], cur[p], j) for p in range(P)]
     return picks
+
+
+@ray.remote
+def _ghc_totals(dp: np.ndarray, cur: np.ndarray, n: int) -> np.ndarray:
+    m = np.minimum(dp, cur[:, None]).astype(np.float64)
+    inv = np.where((m > 0) & (m < n), 1.0 / np.where(m > 0, m, 1.0), 0.0)
+    return inv.sum(axis=0)
+
+
+def group_harmonic_closeness(
+    sym: ray.data.Dataset,
+    num_nodes: int,
+    k: int,
+    *,
+    pool: int = 8,
+    num_parts: int | None = None,
+) -> list[dict]:
+    """Greedy k-group maximizing Σ_v 1/d(v, S).
+
+    Reference: centrality/GroupHarmonicCloseness.cpp — greedy submodular
+    selection on the harmonic objective.  Normative semantics (mirrored by
+    the unrolled DuckDB twin): candidates are the top-``pool`` vertices by
+    (deg DESC, v ASC); each round picks the candidate maximizing the total
+    harmonic score (members and unreachable vertices contribute 0), ties →
+    smallest vertex id.  Returns [{rank, v, harmonic}, ...].
+
+    Scale shape: identical to :func:`group_closeness` — one multi-source
+    BFS over the candidate pool, then k rounds of per-partition
+    numpy reductions over (pool × partition-vertices) distance blocks;
+    only O(pool) scalars cross the driver per round.
+    """
+    from networkit_ray.graph.bfs import multi_bfs_refs
+    from networkit_ray.graph.bsp import build_pgraph
+
+    cands = _top_degree_pool(sym, num_nodes, pool)
+    g = build_pgraph(sym, num_nodes, num_parts=num_parts)
+    dist_refs = multi_bfs_refs(g, cands)
+    P = g.num_parts
+    dp = [_gc_pen.remote(dist_refs[p], num_nodes) for p in range(P)]
+
+    @ray.remote
+    def _init_cur(vids: np.ndarray) -> np.ndarray:
+        return np.full(len(vids), num_nodes, dtype=np.int64)
+
+    cur = [_init_cur.remote(g.vid_refs[p]) for p in range(P)]
+    taken = np.zeros(len(cands), dtype=bool)
+    picks: list[dict] = []
+    for r in range(min(k, len(cands))):
+        totals = np.sum(
+            ray.get([_ghc_totals.remote(dp[p], cur[p], num_nodes) for p in range(P)]),
+            axis=0,
+        )
+        totals[taken] = -np.inf
+        best = totals.max()
+        tied = np.where(totals == best)[0]
+        j = int(tied[np.argmin(cands[tied])])
+        taken[j] = True
+        picks.append({"rank": r + 1, "v": int(cands[j]), "harmonic": float(best)})
+        cur = [_gc_update.remote(dp[p], cur[p], j) for p in range(P)]
+    return picks

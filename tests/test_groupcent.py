@@ -151,3 +151,73 @@ class TestGroupCloseness:
         p1 = group_closeness(sym, 30, 3, pool=6)
         p2 = group_closeness(sym.repartition(7).materialize(), 30, 3, pool=6, num_parts=5)
         assert p1 == p2
+
+
+def _ghc_oracle(n, canon, k, pool):
+    """Brute-force greedy group-harmonic-closeness (normative semantics)."""
+    import collections
+
+    adj = collections.defaultdict(set)
+    deg = [0] * n
+    for a, b in canon:
+        adj[a].add(b)
+        adj[b].add(a)
+        deg[a] += 1
+        deg[b] += 1
+    cands = sorted(range(n), key=lambda v: (-deg[v], v))[:pool]
+
+    def bfs(s):
+        d = [n] * n
+        d[s] = 0
+        q = [s]
+        while q:
+            nq = []
+            for u in q:
+                for w in adj[u]:
+                    if d[w] == n:
+                        d[w] = d[u] + 1
+                        nq.append(w)
+            q = nq
+        return d
+
+    dist = {c: bfs(c) for c in cands}
+
+    def inv(x):
+        return 1.0 / x if 0 < x < n else 0.0
+
+    cur = [n] * n
+    taken = set()
+    picks = []
+    for r in range(min(k, len(cands))):
+        best_h, best_c = -1.0, None
+        for c in cands:
+            if c in taken:
+                continue
+            h = sum(inv(min(cur[v], dist[c][v])) for v in range(n))
+            if h > best_h or (h == best_h and c < best_c):
+                best_h, best_c = h, c
+        taken.add(best_c)
+        cur = [min(cur[v], dist[best_c][v]) for v in range(n)]
+        picks.append({"rank": r + 1, "v": best_c, "harmonic": best_h})
+    return picks
+
+
+class TestGroupHarmonicCloseness:
+    def test_matches_bruteforce(self):
+        from networkit_ray.graph.groupcent import group_harmonic_closeness
+
+        for seed, n, m in [(3, 30, 70), (9, 45, 120)]:
+            sym, canon = _random_sym(seed, n, m)
+            picks = group_harmonic_closeness(sym, n, 3, pool=6)
+            want = _ghc_oracle(n, canon, 3, 6)
+            assert [p["v"] for p in picks] == [p["v"] for p in want], (seed, picks)
+            for p, w in zip(picks, want):
+                assert abs(p["harmonic"] - w["harmonic"]) < 1e-9
+
+    def test_parallelism_invariant(self):
+        from networkit_ray.graph.groupcent import group_harmonic_closeness
+
+        sym, _ = _random_sym(3, 30, 70)
+        a = group_harmonic_closeness(sym, 30, 3, pool=6)
+        b = group_harmonic_closeness(sym.repartition(7).materialize(), 30, 3, pool=6)
+        assert [p["v"] for p in a] == [p["v"] for p in b]
