@@ -921,6 +921,14 @@ def q_random_edge_scores(sf_dir):
     return _round_col(out, "re_score", 8).sort(["src", "dst"])
 
 
+def q_k_path_centrality(sf_dir):
+    from networkit_ray.graph.walks import k_path_centrality
+
+    sym, n = _sym(sf_dir)
+    out = k_path_centrality(sym, n, k=5, num_walks=n // 2, seed=42)
+    return _round_col(out, "score", 8).sort("v")
+
+
 def q_top_harmonic_closeness(sf_dir):
     """centrality/TopHarmonicCloseness.cpp: top-k by exact harmonic score
     (deterministic (harmonic DESC, v) tiebreak on both sides)."""
@@ -2118,6 +2126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_similarity": q_local_similarity,
         "multiscale_scores": q_multiscale_scores,
         "top_harmonic_closeness": q_top_harmonic_closeness,
+        "k_path_centrality": q_k_path_centrality,
         "forest_fire_scores": q_forest_fire_scores,
         "jaccard_distance": q_jaccard_distance,
         "adamic_adar_distance": q_adamic_adar_distance,

@@ -316,3 +316,172 @@ def node2vec_walks(
     for o in out[1:]:
         res = res.union(o)
     return res
+
+
+_P3 = np.uint64(0x94D049BB133111EB)
+
+
+def k_path_centrality(
+    sym: ray.data.Dataset,
+    num_nodes: int,
+    *,
+    k: int = 5,
+    num_walks: int | None = None,
+    seed: int = 42,
+    num_parts: int = 16,
+) -> ray.data.Dataset:
+    """(v, score) — k-path centrality by seeded self-avoiding walks.
+
+    Reference: centrality/KPathCentrality.cpp — t random simple paths of
+    length ≤ k; score[v] = (visits of v) · k / t.  Normative deterministic
+    semantics (mirrored by the numpy replica in tests): walk w starts at
+    splitmix64-hash(w) mod n with length 1 + hash(w') mod k; at step j it
+    moves to the unvisited neighbor minimizing the keyed hash
+    h(w, j, nbr) (uniform-without-replacement realized by hash ranking,
+    like ForestFireScore), dying when none remains.  The reference's
+    global `explored` bleed-over between successive walks is an artifact
+    of its shared scratch array; independent per-walk visited sets are
+    the documented deviation that makes walks embarrassingly parallel.
+
+    Scale shape: per step one hash-exchange join (walker rows × adjacency)
+    plus a per-walk argmin inside w-partitioned tasks; visited state is
+    k+1 int64 columns per walker (pyarrow joins reject lists), never a
+    global structure.
+    """
+    from networkit_ray.common.exchange import _nonnull, partition_refs
+    from networkit_ray.sources.synth import _splitmix64
+
+    if num_walks is None:
+        num_walks = max(1, num_nodes // 2)
+    base = np.uint64(seed) * np.uint64(0x100000001B3)
+    vcols = [f"v{i}" for i in range(k + 1)]
+
+    w = np.arange(num_walks, dtype=np.uint64)
+    starts = (_splitmix64(w * _GOLD + base) % np.uint64(num_nodes)).astype(np.int64)
+    lengths = (
+        _splitmix64(w * _GOLD + _MIX + base) % np.uint64(k)
+    ).astype(np.int64) + 1
+    cols = {
+        "w": pa.array(w.astype(np.int64)),
+        "cur": pa.array(starts),
+        "l": pa.array(lengths),
+        "v0": pa.array(starts),
+    }
+    for c in vcols[1:]:
+        cols[c] = pa.array(np.full(num_walks, -1, dtype=np.int64))
+    walks = ray.data.from_arrow(pa.table(cols)).materialize()
+
+    bi = sym.map_batches(
+        lambda t: pa.table(
+            {
+                "u": t["src"].combine_chunks().cast(pa.int64()),
+                "nbr": t["dst"].combine_chunks().cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    picked_tables: list[ray.data.Dataset] = []
+    for j in range(k):
+        active = walks.map_batches(
+            lambda t, _j=j: t.filter(
+                pa.compute.greater(t["l"], pa.scalar(_j, pa.int64()))
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        if active.count() == 0:
+            break
+        cand = exchange_join(active, bi, left_on=["cur"], right_on=["u"])
+
+        def unvisited(t: pa.Table) -> pa.Table:
+            nbr = t["nbr"].to_numpy(zero_copy_only=False).astype(np.int64)
+            seen = np.zeros(len(t), dtype=bool)
+            for c in vcols:
+                if c in t.column_names:
+                    seen |= nbr == t[c].to_numpy(zero_copy_only=False).astype(np.int64)
+            return t.filter(pa.array(~seen))
+
+        cand = cand.map_batches(unvisited, batch_format="pyarrow")
+
+        def step(*tables, _j=j):
+            live = [t for t in tables if t is not None and len(t)]
+            if not live:
+                return None
+            t = pa.concat_tables(live)
+            wv = t["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+            nbr = t["nbr"].to_numpy(zero_copy_only=False).astype(np.int64)
+            h = _splitmix64(
+                (wv.astype(np.uint64) + np.uint64(1)) * _GOLD
+                + np.uint64(_j + 1) * _MIX
+                + nbr.astype(np.uint64) * _P3
+                + base
+            )
+            order = np.lexsort((h, wv))
+            first = np.flatnonzero(
+                np.r_[True, wv[order][1:] != wv[order][:-1]]
+            )
+            pick = order[first]
+            out = t.take(pa.array(pick))
+            # advance: cur = nbr, v_{j+1} = nbr
+            arrays, names = [], []
+            for c in out.column_names:
+                if c in ("u", "nbr"):
+                    continue
+                if c == "cur":
+                    arrays.append(out["nbr"])
+                elif c == f"v{_j + 1}":
+                    arrays.append(out["nbr"])
+                else:
+                    arrays.append(out[c])
+                names.append(c)
+            return pa.table(dict(zip(names, arrays)))
+
+        step_task = ray.remote(step)
+        slices = partition_refs(cand, ["w"], num_parts)
+        parts = [
+            step_task.remote(*[s[p] for s in slices]) for p in range(len(slices[0]))
+        ]
+        keep = [
+            ref
+            for ref, ok in zip(parts, ray.get([_nonnull.remote(p) for p in parts]))
+            if ok
+        ]
+        if not keep:
+            break
+        walks = ray.data.from_arrow_refs(keep).materialize()
+        picked_tables.append(
+            walks.map_batches(
+                lambda t: pa.table({"v": t["cur"]}), batch_format="pyarrow"
+            ).materialize()
+        )
+
+    allv = ray.data.from_arrow(
+        pa.table({"v": pa.array(np.arange(num_nodes, dtype=np.int64))})
+    )
+    if not picked_tables:
+        return allv.map_batches(
+            lambda t: t.append_column(
+                "score", pa.array(np.zeros(len(t), np.float64))
+            ),
+            batch_format="pyarrow",
+        )
+    visits = picked_tables[0]
+    for t in picked_tables[1:]:
+        visits = visits.union(t)
+    from ray.data.aggregate import Count
+
+    counts = visits.groupby("v").aggregate(Count(alias_name="cnt"))
+    joined = exchange_join(allv, counts, left_on=["v"], join_type="left outer")
+
+    def score(t: pa.Table) -> pa.Table:
+        c = (
+            t["cnt"].to_numpy(zero_copy_only=False).astype(np.float64)
+            if "cnt" in t.column_names
+            else np.zeros(len(t))
+        )
+        c = np.where(np.isnan(c), 0.0, c)
+        return pa.table(
+            {"v": t["v"], "score": pa.array(c * float(k) / float(num_walks))}
+        )
+
+    return joined.map_batches(score, batch_format="pyarrow")

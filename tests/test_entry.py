@@ -159,6 +159,7 @@ def test_queries_oracles_consistent():
         "localt_community",
         "lte_community",
         "forest_fire_scores",
+        "k_path_centrality",
     }
 
 

@@ -65,3 +65,102 @@ class TestRandomWalks:
         w_iso = int(np.where(starts == 3)[0][0])
         tw = t[t["walker"] == w_iso].sort_values("step")["v"].tolist()
         assert tw == [3, 3, 3, 3]
+
+
+def _kpath_replica(canon, n, k, num_walks, seed):
+    import collections
+
+    from networkit_ray.graph.walks import _GOLD, _MIX, _P3
+    from networkit_ray.sources.synth import _splitmix64
+
+    base = np.uint64(seed) * np.uint64(0x100000001B3)
+    adj = collections.defaultdict(set)
+    for a, b in canon:
+        adj[a].add(b)
+        adj[b].add(a)
+    counts = collections.Counter()
+    # NOTE: numpy SCALAR uint64 arithmetic promotes on overflow — all hash
+    # math must stay on arrays to wrap mod 2^64 like the engine's
+    ws = np.arange(num_walks, dtype=np.uint64)
+    starts = (_splitmix64(ws * _GOLD + base) % np.uint64(n)).astype(np.int64)
+    lengths = (_splitmix64(ws * _GOLD + _MIX + base) % np.uint64(k)).astype(
+        np.int64
+    ) + 1
+    for w in range(num_walks):
+        start, length = int(starts[w]), int(lengths[w])
+        visited = {start}
+        cur = start
+        for j in range(length):
+            nbrs = [x for x in adj[cur] if x not in visited]
+            if not nbrs:
+                break
+            hs = _splitmix64(
+                np.full(len(nbrs), w + 1, np.uint64) * _GOLD
+                + np.full(len(nbrs), j + 1, np.uint64) * _MIX
+                + np.array(nbrs, np.uint64) * _P3
+                + np.full(len(nbrs), base, np.uint64)
+            )
+            cur = nbrs[int(np.argmin(hs))]
+            visited.add(cur)
+            counts[cur] += 1
+    return {v: counts.get(v, 0) * k / num_walks for v in range(n)}
+
+
+def test_k_path_centrality_matches_replica(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from networkit_ray.graph.walks import k_path_centrality
+
+    rng = np.random.default_rng(41)
+    n = 40
+    canon = sorted(
+        {(int(min(a, b)), int(max(a, b))) for a, b in rng.integers(0, n, (150, 2)) if a != b}
+    )
+    both = canon + [(b, a) for a, b in canon]
+    sym = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([e[0] for e in both], pa.int64()),
+                "dst": pa.array([e[1] for e in both], pa.int64()),
+            }
+        )
+    ).materialize()
+    got = {
+        r["v"]: r["score"]
+        for r in k_path_centrality(sym, n, k=4, num_walks=30, seed=11).take_all()
+    }
+    want = _kpath_replica(canon, n, 4, 30, 11)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-12, v
+
+
+def test_k_path_centrality_partition_invariant(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from networkit_ray.graph.walks import k_path_centrality
+
+    rng = np.random.default_rng(43)
+    n = 30
+    canon = sorted(
+        {(int(min(a, b)), int(max(a, b))) for a, b in rng.integers(0, n, (90, 2)) if a != b}
+    )
+    both = canon + [(b, a) for a, b in canon]
+    sym = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([e[0] for e in both], pa.int64()),
+                "dst": pa.array([e[1] for e in both], pa.int64()),
+            }
+        )
+    ).materialize()
+    a = {r["v"]: r["score"] for r in k_path_centrality(sym, n, k=3, num_walks=20).take_all()}
+    b = {
+        r["v"]: r["score"]
+        for r in k_path_centrality(
+            sym.repartition(5).materialize(), n, k=3, num_walks=20
+        ).take_all()
+    }
+    assert a == b
