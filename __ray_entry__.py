@@ -442,6 +442,17 @@ def q_cover_hub_dominance(sf_dir):
     return _round_col(out, "dominance", 8).sort("c")
 
 
+def q_overlapping_nmi(sf_dir):
+    from networkit_ray.common.hashing import round_half_away
+    from networkit_ray.graph.cover import overlapping_nmi_distance
+
+    _, n = _canon(sf_dir)
+    v = overlapping_nmi_distance(
+        _mod_cover(n, 5, 3, 5, 7), _mod_cover(n, 6, 4, 6, 5), n
+    )
+    return pa.table({"onmi_distance": pa.array(round_half_away([v], 8))})
+
+
 def q_jaccard_measure(sf_dir):
     from networkit_ray.common.hashing import round_half_away
     from networkit_ray.graph.quality import jaccard_measure
@@ -2078,6 +2089,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nmi": q_nmi,
         "ari": q_ari,
         "cover_f1": q_cover_f1,
+        "overlapping_nmi": q_overlapping_nmi,
         "cover_hub_dominance": q_cover_hub_dominance,
         "jaccard_measure": q_jaccard_measure,
         "node_rand": q_node_rand,
@@ -2309,6 +2321,59 @@ def _eigen_sql(edges_sql: str, nodes_sql: str, iters: int) -> str:
             f"s{k} AS MATERIALIZED (SELECT v, score / (SELECT SQRT(SUM(score*score)) FROM r{k}) AS score FROM r{k})"
         )
     return ",\n".join(parts) + f"\nSELECT v, ROUND(score, 8) AS score FROM s{iters}"
+
+
+def _onmi_sql() -> str:
+    """OverlappingNMIDistance twin (MAX normalization) over the two
+    deterministic mod-covers — McDaid adjusted conditional entropy with
+    the h(a)+h(d) ≥ h(b)+h(c) gate, all from size/intersection aggregates."""
+    N = "(SELECT n FROM nn)"
+
+    def h(e: str) -> str:
+        return f"(CASE WHEN ({e}) > 0 THEN -(({e})*1.0) * LOG2(({e})*1.0/{N}) ELSE 0 END)"
+
+    def ent(e: str) -> str:
+        return f"({h(e)} + {h(f'{N} - ({e})')})"
+
+    ha, hb, hc, hd = h("cj.a"), h("cj.b"), h("cj.cc"), h("cj.d")
+    hxy_sum = f"({ha} + {hb} + {hc} + {hd})"
+    cond = f"{ha} + {hd} >= {hb} + {hc}"
+    return f"""
+        WITH cx AS (SELECT CAST(c_custkey AS BIGINT) AS v, CAST(c_custkey % 5 AS BIGINT) AS c FROM customer
+                    UNION ALL SELECT c_custkey, 5 + c_custkey % 7 FROM customer WHERE c_custkey % 3 = 0),
+        cy AS (SELECT CAST(c_custkey AS BIGINT) AS v, CAST(c_custkey % 6 AS BIGINT) AS s FROM customer
+               UNION ALL SELECT c_custkey, 6 + c_custkey % 5 FROM customer WHERE c_custkey % 4 = 0),
+        nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM customer),
+        sx AS (SELECT c, CAST(COUNT(*) AS DOUBLE) AS sz FROM cx GROUP BY c),
+        sy AS (SELECT s, CAST(COUNT(*) AS DOUBLE) AS sz FROM cy GROUP BY s),
+        cells AS (SELECT cx.c, cy.s, CAST(COUNT(*) AS DOUBLE) AS ol
+                  FROM cx JOIN cy ON cy.v = cx.v GROUP BY cx.c, cy.s),
+        cj AS (SELECT cells.c, cells.s, sx.sz AS szx, sy.sz AS szy,
+                      {N} + cells.ol - sx.sz - sy.sz AS a,
+                      sy.sz - cells.ol AS b,
+                      sx.sz - cells.ol AS cc,
+                      cells.ol AS d
+               FROM cells JOIN sx ON sx.c = cells.c JOIN sy ON sy.s = cells.s),
+        condx AS (SELECT c, MIN(v) AS v FROM (
+            SELECT c, {ent("sz")} AS v FROM sx
+            UNION ALL
+            SELECT cj.c, CASE WHEN {cond} THEN {hxy_sum} - {ent("cj.szy")}
+                              ELSE {ent("cj.szx")} END FROM cj
+        ) GROUP BY c),
+        condy AS (SELECT s, MIN(v) AS v FROM (
+            SELECT s, {ent("sz")} AS v FROM sy
+            UNION ALL
+            SELECT cj.s, CASE WHEN {cond} THEN {hxy_sum} - {ent("cj.szx")}
+                              ELSE {ent("cj.szy")} END FROM cj
+        ) GROUP BY s),
+        hx AS (SELECT SUM({ent("sz")}) AS h FROM sx),
+        hy AS (SELECT SUM({ent("sz")}) AS h FROM sy),
+        mi AS (SELECT 0.5 * ((SELECT h FROM hx) - (SELECT SUM(v) FROM condx)
+                           + (SELECT h FROM hy) - (SELECT SUM(v) FROM condy)) AS mi)
+        SELECT ROUND(1.0 - LEAST(GREATEST((SELECT mi FROM mi)
+                     / GREATEST((SELECT h FROM hx), (SELECT h FROM hy)), 0.0), 1.0), 8)
+               AS onmi_distance
+    """
 
 
 def _sm64_sql(expr: str) -> str:
@@ -3111,6 +3176,7 @@ def oracle_sql() -> dict[str, str]:
                               ELSE 1.0 END, 8) AS dominance
             FROM sizes s LEFT JOIN md ON md.c = s.c ORDER BY s.c
         """,
+        "overlapping_nmi": _onmi_sql(),
         # JaccardMeasure twin: 1 − 2·s11/(n(n−1) − 2·s00) via c2 sums of the
         # partition-intersection cells and both marginals.
         "jaccard_measure": """

@@ -120,3 +120,83 @@ def cover_hub_dominance(
         return pa.table({"c": t["c"], "dominance": pa.array(d)})
 
     return j.map_batches(dom, batch_format="pyarrow")
+
+
+def _h(w: np.ndarray, n: float) -> np.ndarray:
+    w = np.asarray(w, np.float64)
+    return np.where(w > 0, -w * np.log2(np.where(w > 0, w, 1.0) / n), 0.0)
+
+
+def overlapping_nmi_distance(
+    cover1: ray.data.Dataset,
+    cover2: ray.data.Dataset,
+    num_nodes: int,
+    *,
+    normalization: str = "max",
+) -> float:
+    """LFK/McDaid overlapping-NMI dissimilarity of two covers.
+
+    Reference: community/OverlappingNMIDistance.cpp (default MAX
+    normalization).  MI = ½(H(X) − H(X|Y) + H(Y) − H(Y|X)) over per-node
+    cluster indicator variables; H(X_i|Y) = min_j H*(X_i|Y_j) with the
+    unadjusted-entropy fallback when h(a)+h(d) < h(b)+h(c); distance =
+    1 − MI/max(H(X), H(Y)).
+
+    Distributed part: the three size tables (two groupbys + one join
+    groupby) — cluster-count-sized, pulled to the driver like
+    :func:`~networkit_ray.graph.quality.nmi`'s confusion matrix; the
+    entropy algebra is O(#cells) numpy.
+    """
+    ref = cover2.map_batches(
+        lambda t: pa.table({"v": t["v"], "s": t["c"]}), batch_format="pyarrow"
+    )
+    cells = (
+        exchange_join(cover1, ref, left_on=["v"])
+        .groupby(["c", "s"])
+        .aggregate(Count(alias_name="ol"))
+        .to_pandas()
+    )
+    sx = cover1.groupby("c").aggregate(Count(alias_name="sz")).to_pandas()
+    sy = ref.groupby("s").aggregate(Count(alias_name="sz")).to_pandas()
+    n = float(num_nodes)
+    sizes_x = dict(zip(sx["c"], sx["sz"].astype(float)))
+    sizes_y = dict(zip(sy["s"], sy["sz"].astype(float)))
+    if not sizes_x and not sizes_y:
+        return 0.0
+    if (not sizes_x) != (not sizes_y):
+        return 1.0
+
+    def ent(size):
+        return float(_h(np.array([size]), n)[0] + _h(np.array([n - size]), n)[0])
+
+    def adjusted(szx, szy, ol):
+        a = n + ol - szx - szy
+        b = szy - ol
+        c = szx - ol
+        d = ol
+        ha, hb, hc, hd = (float(_h(np.array([x]), n)[0]) for x in (a, b, c, d))
+        if ha + hd >= hb + hc:
+            return (ha + hb + hc + hd) - ent(szy)
+        return ent(szx)
+
+    cond_x = {i: ent(s) for i, s in sizes_x.items()}
+    cond_y = {j: ent(s) for j, s in sizes_y.items()}
+    for i, j, ol in zip(cells["c"], cells["s"], cells["ol"].astype(float)):
+        cond_x[i] = min(cond_x[i], adjusted(sizes_x[i], sizes_y[j], ol))
+        cond_y[j] = min(cond_y[j], adjusted(sizes_y[j], sizes_x[i], ol))
+    hx = sum(ent(s) for s in sizes_x.values())
+    hy = sum(ent(s) for s in sizes_y.values())
+    mi = 0.5 * (hx - sum(cond_x.values()) + hy - sum(cond_y.values()))
+    if hx == 0.0 and hy == 0.0:
+        nmi = 1.0
+    else:
+        denom = {
+            "max": max(hx, hy),
+            "min": min(hx, hy),
+            "geometric_mean": (hx * hy) ** 0.5,
+            "arithmetic_mean": 0.5 * (hx + hy),
+            "joint_entropy": hx + hy - mi,
+        }[normalization]
+        nmi = mi / denom if denom > 0 else 0.0
+    nmi = min(max(nmi, 0.0), 1.0)
+    return 1.0 - nmi

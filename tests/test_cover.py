@@ -96,3 +96,65 @@ def test_cover_hub_dominance_matches_replica(ray_session):
     assert set(got) == set(want)
     for k in want:
         assert abs(got[k] - want[k]) < 1e-12, k
+
+
+def test_overlapping_nmi_identical_and_symmetry(ray_session):
+    from networkit_ray.graph.cover import overlapping_nmi_distance
+
+    n = 50
+    C = _rand_cover(3, n, 5, 0.4)
+    R = _rand_cover(4, n, 4, 0.3)
+    assert abs(overlapping_nmi_distance(_cover_ds(C), _cover_ds(C), n)) < 1e-12
+    d1 = overlapping_nmi_distance(_cover_ds(C), _cover_ds(R), n)
+    d2 = overlapping_nmi_distance(_cover_ds(R), _cover_ds(C), n)
+    assert abs(d1 - d2) < 1e-12
+    assert 0.0 < d1 <= 1.0
+
+
+def test_overlapping_nmi_matches_replica(ray_session):
+    """Independent scalar replica of the McDaid adjusted-conditional-entropy
+    formula (community/OverlappingNMIDistance.cpp)."""
+    import math
+
+    from networkit_ray.graph.cover import overlapping_nmi_distance
+
+    n = 40
+    C = _rand_cover(7, n, 4, 0.5)
+    R = _rand_cover(8, n, 3, 0.4)
+
+    def h(w):
+        return -w * math.log2(w / n) if w > 0 else 0.0
+
+    def ent(sz):
+        return h(sz) + h(n - sz)
+
+    csets = collections.defaultdict(set)
+    rsets = collections.defaultdict(set)
+    for v, c in C:
+        csets[c].add(v)
+    for v, s in R:
+        rsets[s].add(v)
+
+    def cond(xsets, ysets):
+        tot = 0.0
+        for i, xi in xsets.items():
+            best = ent(len(xi))
+            for j, yj in ysets.items():
+                ol = len(xi & yj)
+                if ol == 0:
+                    continue
+                a = n + ol - len(xi) - len(yj)
+                b = len(yj) - ol
+                c = len(xi) - ol
+                d = ol
+                if h(a) + h(d) >= h(b) + h(c):
+                    best = min(best, h(a) + h(b) + h(c) + h(d) - ent(len(yj)))
+            tot += best
+        return tot
+
+    hx = sum(ent(len(s)) for s in csets.values())
+    hy = sum(ent(len(s)) for s in rsets.values())
+    mi = 0.5 * (hx - cond(csets, rsets) + hy - cond(rsets, csets))
+    want = 1.0 - min(max(mi / max(hx, hy), 0.0), 1.0)
+    got = overlapping_nmi_distance(_cover_ds(C), _cover_ds(R), n)
+    assert abs(got - want) < 1e-10
