@@ -940,6 +940,13 @@ def q_k_path_centrality(sf_dir):
     return _round_col(out, "score", 8).sort("v")
 
 
+def q_volume(sf_dir):
+    from networkit_ray.graph.closeness import volume
+
+    sym, n = _sym(sf_dir)
+    return volume(sym, n, rs=(1, 2, 3), sample=8, seed=42)
+
+
 def q_top_harmonic_closeness(sf_dir):
     """centrality/TopHarmonicCloseness.cpp: top-k by exact harmonic score
     (deterministic (harmonic DESC, v) tiebreak on both sides)."""
@@ -2139,6 +2146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multiscale_scores": q_multiscale_scores,
         "top_harmonic_closeness": q_top_harmonic_closeness,
         "k_path_centrality": q_k_path_centrality,
+        "volume": q_volume,
         "forest_fire_scores": q_forest_fire_scores,
         "jaccard_distance": q_jaccard_distance,
         "adamic_adar_distance": q_adamic_adar_distance,
@@ -2453,6 +2461,18 @@ def oracle_sql() -> dict[str, str]:
                           THEN 8.0 * ({n_customers} - 1) / ({n_customers} * a.t)
                           ELSE 0 END, 8) AS closeness
         FROM nodes LEFT JOIN agg a ON a.v = nodes.v
+        """
+    ).replace("{SYM}", SYMMETRIC_EDGES_SQL)
+
+    # Volume.cpp twin: same pivots, ball sizes = rows with d ≤ r (d=0 self
+    # rows included), averaged over the 8 pivots.
+    volume_sql = (
+        _pivot_bfs_sql(8)
+        + """
+        , rs AS (SELECT CAST(r AS BIGINT) AS r FROM (VALUES (1), (2), (3)) t(r))
+        SELECT rs.r, CAST(COUNT(*) AS DOUBLE) / 8.0 AS volume
+        FROM rs JOIN md ON md.d <= rs.r
+        GROUP BY rs.r ORDER BY rs.r
         """
     ).replace("{SYM}", SYMMETRIC_EDGES_SQL)
 
@@ -3510,6 +3530,7 @@ def oracle_sql() -> dict[str, str]:
             40,
         ),
         "approx_closeness": closeness_sql,
+        "volume": volume_sql,
         "hop_histogram": hop_hist_sql,
         "stable_partition_nodes": f"""
             WITH se AS MATERIALIZED ({SYMMETRIC_EDGES_SQL}),

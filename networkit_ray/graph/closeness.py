@@ -143,3 +143,44 @@ def exact_harmonic_closeness(
     return ray.data.from_arrow_refs(
         [_to_table.remote(g.vid_refs[p], acc[p]) for p in range(P)]
     )
+
+
+def volume(
+    sym_edges: ray.data.Dataset,
+    num_nodes: int,
+    *,
+    rs: tuple[int, ...] = (1, 2, 3),
+    sample: int = 8,
+    seed: int = 42,
+    num_parts: int | None = None,
+):
+    """(r, volume) — average number of nodes within hop distance r of a
+    sampled node (the sampled node itself included, d = 0).
+
+    Reference: distance/Volume.cpp (bounded-radius BFS from random
+    samples).  Samples are the deterministic multiplicative-hash pivots
+    shared with approx closeness, so a DuckDB twin reproduces them
+    exactly; the per-pivot ball sizes come from one multi-source BFS and
+    per-partition counting — only |rs| scalars reach the driver.
+    """
+    import pyarrow as pa
+
+    pivots = _pivots(num_nodes, sample, seed)
+    g = build_pgraph(sym_edges, num_nodes, num_parts=num_parts)
+    dist_refs = multi_bfs_refs(g, pivots)
+    rarr = np.array(rs, dtype=np.int64)
+
+    @ray.remote
+    def _count(dists: np.ndarray) -> np.ndarray:
+        d = dists.astype(np.int64)  # (n_p, s), -1 unreachable
+        return np.array(
+            [((d >= 0) & (d <= r)).sum() for r in rarr], dtype=np.int64
+        )
+
+    counts = np.sum(ray.get([_count.remote(ref) for ref in dist_refs]), axis=0)
+    return pa.table(
+        {
+            "r": pa.array(rarr),
+            "volume": pa.array(counts.astype(np.float64) / len(pivots)),
+        }
+    )

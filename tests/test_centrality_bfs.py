@@ -316,3 +316,56 @@ class TestBidirectionalBFS:
             pa.table({"src": pa.array([0], pa.int64()), "dst": pa.array([1], pa.int64())})
         )
         assert bidirectional_bfs_distance(ds, 2, 1, 1)[0] == 0
+
+
+def test_volume_matches_replica(ray_session):
+    import collections
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from networkit_ray.graph.closeness import _pivots, volume
+
+    rng = np.random.default_rng(47)
+    n = 40
+    canon = sorted(
+        {(int(min(a, b)), int(max(a, b))) for a, b in rng.integers(0, n, (120, 2)) if a != b}
+    )
+    both = canon + [(b, a) for a, b in canon]
+    sym = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([e[0] for e in both], pa.int64()),
+                "dst": pa.array([e[1] for e in both], pa.int64()),
+            }
+        )
+    ).materialize()
+    adj = collections.defaultdict(set)
+    for a, b in canon:
+        adj[a].add(b)
+        adj[b].add(a)
+
+    def bfs(s):
+        d = {s: 0}
+        q = [s]
+        while q:
+            nq = []
+            for u in q:
+                for w in adj[u]:
+                    if w not in d:
+                        d[w] = d[u] + 1
+                        nq.append(w)
+            q = nq
+        return d
+
+    pivots = _pivots(n, 6, 42)
+    rs = (1, 2, 3)
+    want = {}
+    for r in rs:
+        want[r] = sum(
+            sum(1 for dv in bfs(int(p)).values() if dv <= r) for p in pivots
+        ) / len(pivots)
+    t = volume(sym, n, rs=rs, sample=6, seed=42)
+    got = dict(zip(t["r"].to_pylist(), t["volume"].to_pylist()))
+    assert got == want
