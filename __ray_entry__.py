@@ -940,6 +940,22 @@ def q_k_path_centrality(sf_dir):
     return _round_col(out, "score", 8).sort("v")
 
 
+def q_apsp(sf_dir):
+    from networkit_ray.graph.bfs import apsp_table
+    from networkit_ray.sources.derive import supplier_ring_edges
+
+    sym, s = supplier_ring_edges(sf_dir)
+    return apsp_table(sym.materialize(), s).sort(["s", "v"])
+
+
+def q_neighborhood_function(sf_dir):
+    from networkit_ray.graph.bfs import apsp_table, neighborhood_function
+    from networkit_ray.sources.derive import supplier_ring_edges
+
+    sym, s = supplier_ring_edges(sf_dir)
+    return neighborhood_function(apsp_table(sym.materialize(), s))
+
+
 def q_volume(sf_dir):
     from networkit_ray.graph.closeness import volume
 
@@ -2147,6 +2163,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_harmonic_closeness": q_top_harmonic_closeness,
         "k_path_centrality": q_k_path_centrality,
         "volume": q_volume,
+        "apsp": q_apsp,
+        "neighborhood_function": q_neighborhood_function,
         "forest_fire_scores": q_forest_fire_scores,
         "jaccard_distance": q_jaccard_distance,
         "adamic_adar_distance": q_adamic_adar_distance,
@@ -2463,6 +2481,41 @@ def oracle_sql() -> dict[str, str]:
         FROM nodes LEFT JOIN agg a ON a.v = nodes.v
         """
     ).replace("{SYM}", SYMMETRIC_EDGES_SQL)
+
+    # APSP.cpp twin: full recursive BFS closure over the supplier ring
+    # (reachable pairs only, self rows d = 0 included).
+    apsp_sql = """
+        WITH RECURSIVE base AS MATERIALIZED ({RING}),
+        sup AS (SELECT CAST(s_suppkey AS BIGINT) AS v FROM supplier),
+        r(s, v, d) AS (
+            SELECT v, v, CAST(0 AS BIGINT) FROM sup
+            UNION
+            SELECT r.s, e.dst, r.d + 1 FROM r JOIN base e ON e.src = r.v
+            WHERE r.d < 64
+        )
+        SELECT s, v, CAST(MIN(d) AS BIGINT) AS d FROM r GROUP BY s, v
+        ORDER BY s, v
+    """
+    # NeighborhoodFunction.cpp twin: cumulative ordered-pair counts per hop.
+    nf_sql = """
+        WITH RECURSIVE base AS MATERIALIZED ({RING}),
+        sup AS (SELECT CAST(s_suppkey AS BIGINT) AS v FROM supplier),
+        r(s, v, d) AS (
+            SELECT v, v, CAST(0 AS BIGINT) FROM sup
+            UNION
+            SELECT r.s, e.dst, r.d + 1 FROM r JOIN base e ON e.src = r.v
+            WHERE r.d < 64
+        ),
+        md AS (SELECT s, v, MIN(d) AS d FROM r GROUP BY s, v),
+        hs(h) AS (
+            SELECT CAST(1 AS BIGINT)
+            UNION
+            SELECT h + 1 FROM hs WHERE h + 1 <= (SELECT MAX(d) FROM md)
+        )
+        SELECT hs.h, CAST((SELECT COUNT(*) FROM md WHERE md.d > 0 AND md.d <= hs.h)
+                          AS BIGINT) AS nf
+        FROM hs ORDER BY hs.h
+    """
 
     # Volume.cpp twin: same pivots, ball sizes = rows with d ≤ r (d=0 self
     # rows included), averaged over the 8 pivots.
@@ -3531,6 +3584,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "approx_closeness": closeness_sql,
         "volume": volume_sql,
+        "apsp": apsp_sql.replace("{RING}", SUPPLIER_RING_SQL),
+        "neighborhood_function": nf_sql.replace("{RING}", SUPPLIER_RING_SQL),
         "hop_histogram": hop_hist_sql,
         "stable_partition_nodes": f"""
             WITH se AS MATERIALIZED ({SYMMETRIC_EDGES_SQL}),

@@ -485,3 +485,76 @@ def bidirectional_bfs_distance(
             if lvl_f >= 10**9 and lvl_b >= 10**9:
                 break
     return (best if best < int(_INF) else -1), {"supersteps": it}
+
+
+def apsp_table(
+    sym_edges: ray.data.Dataset,
+    num_nodes: int,
+    *,
+    batch_k: int = 16,
+    num_parts: int | None = None,
+) -> ray.data.Dataset:
+    """(s, v, d) hop distances for every REACHABLE ordered pair (d ≥ 0,
+    self rows d = 0 included; unreachable pairs are omitted, the sparse
+    analog of APSP's infinity entries).
+
+    Reference: distance/APSP.cpp (one BFS/Dijkstra per source).  Here the
+    sources run through the batched multi-source BFS (K per wave), and
+    each partition emits its (source, vertex, d) rows directly — the
+    result table is built distributed, never on the driver.  Exact mode
+    is for modest vertex counts (n²·8B output); use the sampled
+    hop-histogram / pivot estimators at web scale.
+    """
+    import pyarrow as pa
+
+    from networkit_ray.graph.bsp import build_pgraph
+
+    g = build_pgraph(sym_edges, num_nodes, num_parts=num_parts)
+    P = g.num_parts
+
+    @ray.remote
+    def _rows(vids: np.ndarray, dists: np.ndarray, sources: np.ndarray) -> pa.Table:
+        d = dists.astype(np.int64)  # (n_p, k)
+        k = d.shape[1]
+        vv = np.repeat(vids.astype(np.int64), k)
+        ss = np.tile(sources.astype(np.int64), len(vids))
+        dd = d.reshape(-1)
+        keep = dd >= 0
+        return pa.table(
+            {"s": pa.array(ss[keep]), "v": pa.array(vv[keep]), "d": pa.array(dd[keep])}
+        )
+
+    sources = np.arange(num_nodes, dtype=np.int64)
+    refs = []
+    for i in range(0, num_nodes, batch_k):
+        batch = sources[i : i + batch_k]
+        dist_refs = multi_bfs_refs(g, batch)
+        refs.extend(_rows.remote(g.vid_refs[p], dist_refs[p], batch) for p in range(P))
+    return ray.data.from_arrow_refs(refs)
+
+
+def neighborhood_function(
+    apsp: ray.data.Dataset, max_h: int | None = None
+) -> "pa.Table":
+    """(h, nf) — exact neighborhood function N(h) = # ordered pairs with
+    0 < d ≤ h (distance/NeighborhoodFunction.cpp), from an
+    :func:`apsp_table` result via one histogram + cumulative sum."""
+    import pyarrow as pa
+    from ray.data.aggregate import Count
+
+    hist = (
+        apsp.map_batches(
+            lambda t: t.filter(pa.compute.greater(t["d"], pa.scalar(0, pa.int64()))),
+            batch_format="pyarrow",
+        )
+        .groupby("d")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values("d")
+    )
+    ds = hist["d"].to_numpy().astype(np.int64)
+    ns = hist["n"].to_numpy().astype(np.int64)
+    top = int(max_h if max_h is not None else (ds.max() if len(ds) else 0))
+    hs = np.arange(1, top + 1, dtype=np.int64)
+    nf = np.array([ns[ds <= h].sum() for h in hs], dtype=np.int64)
+    return pa.table({"h": pa.array(hs), "nf": pa.array(nf)})

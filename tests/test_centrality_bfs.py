@@ -369,3 +369,59 @@ def test_volume_matches_replica(ray_session):
     t = volume(sym, n, rs=rs, sample=6, seed=42)
     got = dict(zip(t["r"].to_pylist(), t["volume"].to_pylist()))
     assert got == want
+
+
+def test_apsp_and_neighborhood_function_match_replica(ray_session):
+    import collections
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from networkit_ray.graph.bfs import apsp_table, neighborhood_function
+
+    rng = np.random.default_rng(53)
+    n = 30
+    canon = sorted(
+        {(int(min(a, b)), int(max(a, b))) for a, b in rng.integers(0, n, (60, 2)) if a != b}
+    )
+    both = canon + [(b, a) for a, b in canon]
+    sym = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([e[0] for e in both], pa.int64()),
+                "dst": pa.array([e[1] for e in both], pa.int64()),
+            }
+        )
+    ).materialize()
+    adj = collections.defaultdict(set)
+    for a, b in canon:
+        adj[a].add(b)
+        adj[b].add(a)
+
+    def bfs(s):
+        d = {s: 0}
+        q = [s]
+        while q:
+            nq = []
+            for u in q:
+                for w in adj[u]:
+                    if w not in d:
+                        d[w] = d[u] + 1
+                        nq.append(w)
+            q = nq
+        return d
+
+    want = {}
+    for s in range(n):
+        for v, dv in bfs(s).items():
+            want[(s, v)] = dv
+    apsp = apsp_table(sym, n, batch_k=7).materialize()
+    got = {(r["s"], r["v"]): r["d"] for r in apsp.take_all()}
+    assert got == want
+
+    nf = neighborhood_function(apsp)
+    nfd = dict(zip(nf["h"].to_pylist(), nf["nf"].to_pylist()))
+    maxd = max(want.values())
+    for h in range(1, maxd + 1):
+        assert nfd[h] == sum(1 for d in want.values() if 0 < d <= h)
