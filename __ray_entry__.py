@@ -1907,6 +1907,24 @@ def q_bfs_distances(sf_dir):
     return d
 
 
+def q_reverse_bfs(sf_dir):
+    from networkit_ray.graph.bfs import bfs_distances
+    from networkit_ray.graph.build import transpose
+
+    edges, n = _derived(sf_dir)
+    d, _ = bfs_distances(transpose(edges), n, 0)
+    return d
+
+
+def q_map_equation(sf_dir):
+    from networkit_ray.common.hashing import round_half_away
+    from networkit_ray.graph.quality import map_equation
+
+    canon, n = _canon(sf_dir)
+    v = map_equation(canon, _mod_labels(n, 10))
+    return pa.table({"map_eq": pa.array(round_half_away([v], 8))})
+
+
 def q_sample_edges(sf_dir):
     from networkit_ray.graph.sampling import sample_edges
 
@@ -2164,6 +2182,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_path_centrality": q_k_path_centrality,
         "volume": q_volume,
         "apsp": q_apsp,
+        "reverse_bfs": q_reverse_bfs,
+        "map_equation": q_map_equation,
         "neighborhood_function": q_neighborhood_function,
         "forest_fire_scores": q_forest_fire_scores,
         "jaccard_distance": q_jaccard_distance,
@@ -4161,6 +4181,46 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT n.v, CAST(COALESCE(m.d, -1) AS BIGINT) AS dist
             FROM nodes n LEFT JOIN (SELECT v, MIN(d) AS d FROM r GROUP BY v) m ON m.v = n.v
+        """,
+        # ReverseBFS twin: the bfs CTE with the join direction flipped
+        # (hops over INCOMING edges).
+        "reverse_bfs": f"""
+            WITH RECURSIVE e AS MATERIALIZED ({DERIVED_EDGES_SQL}),
+            nodes AS (SELECT CAST(c_custkey AS BIGINT) AS v FROM customer),
+            r(v, d) AS (
+                SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+                UNION
+                SELECT e.src, r.d + 1 FROM r JOIN e ON e.dst = r.v WHERE r.d < 4096
+            )
+            SELECT n.v, CAST(COALESCE(m.d, -1) AS BIGINT) AS dist
+            FROM nodes n LEFT JOIN (SELECT v, MIN(d) AS d FROM r GROUP BY v) m ON m.v = n.v
+        """,
+        # LouvainMapEquation twin: two-level map equation from per-cluster
+        # cut/vol aggregates; plogp(w) = (w/2m)·ln(w/2m).
+        "map_equation": f"""
+            WITH ce AS ({CANONICAL_EDGES_SQL}),
+            lab AS (SELECT CAST(c_custkey AS BIGINT) AS v, CAST(c_custkey % 10 AS BIGINT) AS label FROM customer),
+            tv AS (SELECT 2.0 * COUNT(*) AS tv FROM ce),
+            el AS (SELECT l1.label AS ls, l2.label AS ld FROM ce JOIN lab l1 ON l1.v = ce.src JOIN lab l2 ON l2.v = ce.dst),
+            cuts AS (SELECT label, CAST(COUNT(*) AS DOUBLE) AS cut FROM (
+                SELECT ls AS label FROM el WHERE ls <> ld
+                UNION ALL SELECT ld FROM el WHERE ls <> ld) GROUP BY label),
+            deg AS (SELECT v, COUNT(*) AS deg FROM (SELECT src AS v FROM ce UNION ALL SELECT dst FROM ce) GROUP BY v),
+            vols AS (SELECT l.label, CAST(SUM(d.deg) AS DOUBLE) AS vol FROM deg d JOIN lab l ON l.v = d.v GROUP BY l.label),
+            cv AS (SELECT v.label, COALESCE(c.cut, 0) AS cut, v.vol
+                   FROM vols v LEFT JOIN cuts c ON c.label = v.label),
+            terms AS (SELECT
+                SUM(CASE WHEN cut > 0 THEN (cut / (SELECT tv FROM tv)) * LN(cut / (SELECT tv FROM tv)) ELSE 0 END) AS s_cut,
+                SUM(CASE WHEN cut + vol > 0 THEN ((cut + vol) / (SELECT tv FROM tv)) * LN((cut + vol) / (SELECT tv FROM tv)) ELSE 0 END) AS s_cv,
+                SUM(CASE WHEN vol > 0 THEN (vol / (SELECT tv FROM tv)) * LN(vol / (SELECT tv FROM tv)) ELSE 0 END) AS s_vol,
+                SUM(cut) AS total_cut
+                FROM cv)
+            SELECT ROUND(
+                CASE WHEN total_cut > 0
+                     THEN (total_cut / (SELECT tv FROM tv)) * LN(total_cut / (SELECT tv FROM tv))
+                     ELSE 0 END
+                - 2 * s_cut + s_cv - s_vol, 8) AS map_eq
+            FROM terms
         """,
         "global_clustering": f"""
             WITH ce AS MATERIALIZED ({CANONICAL_EDGES_SQL}),

@@ -645,3 +645,36 @@ def expansion_table(
         )
 
     return j.map_batches(final, batch_format="pyarrow")
+
+
+def map_equation(canon: ray.data.Dataset, labels: ray.data.Dataset) -> float:
+    """Two-level map-equation codelength of a partition (nats).
+
+    Reference: community/LouvainMapEquation.cpp (mapEquation():
+    ``plogp(totalCut) − 2·Σ plogp(cut_i) + Σ plogp(cut_i + vol_i) −
+    Σ plogp(vol_i)`` with p = w / totalVolume, totalVolume = 2m).  The
+    optimizer's objective exposed as a first-class partition measure —
+    per-cluster cuts and volumes come from the same join/aggregate as
+    :func:`conductance_table`, so this is one small driver-side reduction
+    over a cluster-count-sized table.
+    """
+    m = canon.count()
+    tot_vol = 2.0 * m
+    if tot_vol == 0:
+        return 0.0
+    tbl = conductance_table(canon, labels).to_pandas()
+    cut = tbl["cut"].to_numpy().astype(np.float64)
+    vol = tbl["vol"].to_numpy().astype(np.float64)
+
+    def plogp(w):
+        w = np.asarray(w, np.float64)
+        p = w / tot_vol
+        return np.where(w > 0, p * np.log(np.where(w > 0, p, 1.0)), 0.0)
+
+    total_cut = float(cut.sum())
+    return float(
+        plogp(total_cut)
+        - 2.0 * plogp(cut).sum()
+        + plogp(cut + vol).sum()
+        - plogp(vol).sum()
+    )

@@ -133,3 +133,55 @@ def test_expansion_table_match_replica(ray_session):
     assert set(got) == set(want)
     for k in want:
         assert abs(got[k] - want[k]) < 1e-12
+
+
+def test_map_equation_matches_replica(ray_session):
+    from networkit_ray.graph.quality import map_equation
+
+    n = 50
+    canon = _rand_graph(19, n, 200)
+    rng = np.random.default_rng(23)
+    lab = rng.integers(0, 5, n)
+    got = map_equation(_edges_ds(canon), _labels_ds(lab))
+
+    deg = collections.Counter()
+    cut = collections.Counter()
+    vol = collections.Counter()
+    for u, v in canon:
+        deg[u] += 1
+        deg[v] += 1
+        if lab[u] != lab[v]:
+            cut[int(lab[u])] += 1
+            cut[int(lab[v])] += 1
+    for v in range(n):
+        vol[int(lab[v])] += deg[v]
+    tv = 2.0 * len(canon)
+
+    def plogp(w):
+        return (w / tv) * np.log(w / tv) if w > 0 else 0.0
+
+    labels = set(int(x) for x in lab)
+    total_cut = sum(cut.values())
+    want = (
+        plogp(total_cut)
+        - 2 * sum(plogp(cut[c]) for c in labels)
+        + sum(plogp(cut[c] + vol[c]) for c in labels)
+        - sum(plogp(vol[c]) for c in labels)
+    )
+    assert abs(got - want) < 1e-12
+
+
+def test_map_equation_prefers_good_partition(ray_session):
+    from networkit_ray.graph.quality import map_equation
+
+    # two cliques: the true 2-cluster partition has a lower codelength
+    # than a random split
+    canon = [(a, b) for a in range(6) for b in range(a + 1, 6)]
+    canon += [(a, b) for a in range(6, 12) for b in range(a + 1, 12)]
+    canon.append((0, 6))
+    truth = [0] * 6 + [1] * 6
+    rng = np.random.default_rng(1)
+    rand = rng.integers(0, 2, 12)
+    good = map_equation(_edges_ds(canon), _labels_ds(truth))
+    bad = map_equation(_edges_ds(canon), _labels_ds(rand))
+    assert good < bad
