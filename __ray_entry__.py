@@ -866,7 +866,27 @@ def q_link_prediction(sf_dir):
     canon, _ = _canon(sf_dir)
     out = link_prediction_scores(sym, canon)
     out = _round_col(out, "jaccard", 8)
-    return _round_col(out, "adamic_adar", 8)
+    out = _round_col(out, "adamic_adar", 8)
+    return _round_col(out, "resource_alloc", 8)
+
+
+def q_degree_preserving_shuffle(sf_dir):
+    from networkit_ray.graph.randomize import degree_preserving_shuffle
+
+    sym, n = _sym(sf_dir)
+    return degree_preserving_shuffle(sym, n, seed=42).sort("v")
+
+
+def q_same_community(sf_dir):
+    from networkit_ray.graph.linkpred import (
+        link_prediction_scores,
+        same_community_index,
+    )
+
+    sym, n = _sym(sf_dir)
+    canon, _ = _canon(sf_dir)
+    pairs = link_prediction_scores(sym, canon)
+    return same_community_index(pairs, _mod_labels(n, 10)).sort(["u", "v"])
 
 
 def q_edge_triangle_scores(sf_dir):
@@ -2183,6 +2203,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "volume": q_volume,
         "apsp": q_apsp,
         "reverse_bfs": q_reverse_bfs,
+        "same_community": q_same_community,
+        "degree_preserving_shuffle": q_degree_preserving_shuffle,
         "map_equation": q_map_equation,
         "neighborhood_function": q_neighborhood_function,
         "forest_fire_scores": q_forest_fire_scores,
@@ -3625,15 +3647,51 @@ def oracle_sql() -> dict[str, str]:
             deg AS MATERIALIZED (SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS deg FROM se GROUP BY src),
             w AS (SELECT e1.dst AS a, e2.dst AS b, e1.src AS mid
                   FROM se e1 JOIN se e2 ON e1.src = e2.src AND e1.dst < e2.dst),
-            agg AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cn, SUM(1.0/ln(d.deg)) AS aa
+            agg AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cn, SUM(1.0/ln(d.deg)) AS aa,
+                           SUM(1.0/d.deg) AS ra
                     FROM w JOIN deg d ON d.v = w.mid GROUP BY a, b),
             ne AS (SELECT agg.* FROM agg LEFT JOIN ({CANONICAL_EDGES_SQL}) c
                    ON c.src = agg.a AND c.dst = agg.b WHERE c.src IS NULL)
             SELECT ne.a AS u, ne.b AS v, cn,
                    ROUND(CAST(cn AS DOUBLE) / (da.deg + db.deg - cn), 8) AS jaccard,
                    ROUND(aa, 8) AS adamic_adar,
-                   CAST(da.deg * db.deg AS BIGINT) AS pref_attach
+                   CAST(da.deg * db.deg AS BIGINT) AS pref_attach,
+                   ROUND(ra, 8) AS resource_alloc
             FROM ne JOIN deg da ON da.v = ne.a JOIN deg db ON db.v = ne.b
+        """,
+        # DegreePreservingShuffle twin: hash-rank within degree class →
+        # rank-th smallest member id; zero-degree nodes are their own class.
+        "degree_preserving_shuffle": f"""
+            WITH se AS MATERIALIZED ({SYMMETRIC_EDGES_SQL}),
+            nodes AS (SELECT CAST(c_custkey AS BIGINT) AS v FROM customer),
+            deg AS (SELECT n.v, CAST(COALESCE(d.deg, 0) AS BIGINT) AS deg
+                    FROM nodes n LEFT JOIN
+                      (SELECT src AS v, COUNT(*) AS deg FROM se GROUP BY src) d
+                      ON d.v = n.v),
+            ranked AS (SELECT v, deg,
+                              ROW_NUMBER() OVER (PARTITION BY deg
+                                  ORDER BY (v * 2654435761 + 42) % 2147483648, v)
+                                  AS rnk
+                       FROM deg),
+            srt AS (SELECT v AS tgt, deg,
+                           ROW_NUMBER() OVER (PARTITION BY deg ORDER BY v) AS rnk
+                    FROM deg)
+            SELECT r.v, CAST(s.tgt AS BIGINT) AS new_id
+            FROM ranked r JOIN srt s ON s.deg = r.deg AND s.rnk = r.rnk
+            ORDER BY r.v
+        """,
+        # SameCommunityIndex twin over the link-prediction candidate pairs.
+        "same_community": f"""
+            WITH se AS MATERIALIZED ({SYMMETRIC_EDGES_SQL}),
+            w AS (SELECT e1.dst AS a, e2.dst AS b
+                  FROM se e1 JOIN se e2 ON e1.src = e2.src AND e1.dst < e2.dst),
+            agg AS (SELECT a, b FROM w GROUP BY a, b),
+            ne AS (SELECT agg.* FROM agg LEFT JOIN ({CANONICAL_EDGES_SQL}) c
+                   ON c.src = agg.a AND c.dst = agg.b WHERE c.src IS NULL)
+            SELECT a AS u, b AS v,
+                   CAST(CASE WHEN a % 10 = b % 10 THEN 1 ELSE 0 END AS BIGINT)
+                       AS same_community
+            FROM ne ORDER BY u, v
         """,
         # SCAN twin (scan.py normative semantics): σ = (tri+2)/√((du+1)(dv+1)),
         # ε-cores, min-core-id clusters over the core–core ε-subgraph,

@@ -28,7 +28,8 @@ from networkit_ray.common.schema import enforce_schema
 
 
 def _wedge_pairs(sym: ray.data.Dataset, max_deg: int | None) -> ray.data.Dataset:
-    """(a, b, aaw) one row per wedge a—mid—b (a<b), aaw = 1/ln(deg(mid))."""
+    """(a, b, aaw, raw) one row per wedge a—mid—b (a<b): aaw = 1/ln(deg(mid)),
+    raw = 1/deg(mid) (the ResourceAllocationIndex.cpp mass)."""
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         nb = np.sort(g["dst"].to_numpy())
@@ -38,6 +39,7 @@ def _wedge_pairs(sym: ray.data.Dataset, max_deg: int | None) -> ray.data.Dataset
                 "a": np.empty(0, np.int64),
                 "b": np.empty(0, np.int64),
                 "aaw": np.empty(0, np.float64),
+                "raw": np.empty(0, np.float64),
             }
         )
         if k < 2 or (max_deg is not None and k > max_deg):
@@ -49,13 +51,21 @@ def _wedge_pairs(sym: ray.data.Dataset, max_deg: int | None) -> ray.data.Dataset
                 "b": nb[ju],
                 # ln(k) > 0 because k >= 2
                 "aaw": np.full(len(iu), 1.0 / np.log(k)),
+                "raw": np.full(len(iu), 1.0 / k),
             }
         )
 
     w = sym.groupby("src").map_groups(pairs, batch_format="pandas")
     return enforce_schema(
         w,
-        pa.schema([("a", pa.int64()), ("b", pa.int64()), ("aaw", pa.float64())]),
+        pa.schema(
+            [
+                ("a", pa.int64()),
+                ("b", pa.int64()),
+                ("aaw", pa.float64()),
+                ("raw", pa.float64()),
+            ]
+        ),
     )
 
 
@@ -72,10 +82,11 @@ def link_prediction_scores(
     - jaccard: cn / |Γ(u) ∪ Γ(v)|  (JaccardIndex.cpp)
     - adamic_adar: Σ_mid 1/ln(deg(mid))  (AdamicAdarIndex.cpp)
     - pref_attach: deg(u)·deg(v)   (PreferentialAttachmentIndex.cpp)
+    - resource_alloc: Σ_mid 1/deg(mid)  (ResourceAllocationIndex.cpp)
     """
     w = _wedge_pairs(sym, max_deg)
     agg = w.groupby(["a", "b"]).aggregate(
-        Count(alias_name="cn"), Sum("aaw", alias_name="aa")
+        Count(alias_name="cn"), Sum("aaw", alias_name="aa"), Sum("raw", alias_name="ra")
     )
     # drop pairs that are already edges (canonical lo<hi matches a<b)
     cand = exchange_join(
@@ -95,6 +106,7 @@ def link_prediction_scores(
     def score(t: pa.Table) -> pa.Table:
         cn = t["cn"].to_numpy(zero_copy_only=False).astype(np.int64)
         aa = t["aa"].to_numpy(zero_copy_only=False)
+        ra = t["ra"].to_numpy(zero_copy_only=False)
         du = t["da"].to_numpy(zero_copy_only=False).astype(np.int64)
         dv = t["db"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
@@ -105,7 +117,32 @@ def link_prediction_scores(
                 "jaccard": pa.array(cn.astype(np.float64) / (du + dv - cn)),
                 "adamic_adar": pa.array(aa),
                 "pref_attach": pa.array(du * dv),
+                "resource_alloc": pa.array(ra),
             }
         )
 
     return j2.map_batches(score, batch_format="pyarrow")
+
+
+def same_community_index(
+    pairs: ray.data.Dataset, labels: ray.data.Dataset
+) -> ray.data.Dataset:
+    """(u, v, same_community) — 1 when both endpoints share a partition
+    label, else 0 (linkprediction/SameCommunityIndex.cpp)."""
+    la = labels.map_batches(
+        lambda t: pa.table({"u": t["v"], "lu": t["label"]}), batch_format="pyarrow"
+    )
+    lb = labels.map_batches(
+        lambda t: pa.table({"v": t["v"], "lv": t["label"]}), batch_format="pyarrow"
+    )
+    j = exchange_join(pairs.select_columns(["u", "v"]), la, left_on=["u"])
+    j = exchange_join(j, lb, left_on=["v"])
+
+    def f(t: pa.Table) -> pa.Table:
+        sc = (
+            t["lu"].to_numpy(zero_copy_only=False)
+            == t["lv"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        return pa.table({"u": t["u"], "v": t["v"], "same_community": pa.array(sc)})
+
+    return j.map_batches(f, batch_format="pyarrow")

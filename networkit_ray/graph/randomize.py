@@ -236,3 +236,66 @@ def edge_switching(
         reverted = bad_props.map_batches(_old_edges, batch_format="pyarrow")
         cur = untouched.union(swapped).union(reverted).materialize()
     return cur, {"rounds": rounds, "accepted": accepted_total, "m": m}
+
+
+def degree_preserving_shuffle(
+    sym: ray.data.Dataset, num_nodes: int, *, seed: int = 42
+) -> ray.data.Dataset:
+    """(v, new_id) — a degree-preserving node-id permutation.
+
+    Reference: randomization/DegreePreservingShuffle.cpp (shuffle ids
+    within equal-degree classes; relabeling the graph by it preserves the
+    exact degree sequence).  Deterministic form (SQL-twinned): within
+    each degree class, member v's rank under the hash key
+    ``(v·2654435761 + seed) mod 2³¹`` (ties → v) maps it to the rank-th
+    smallest member id.
+
+    Scale note: a degree class is processed whole in one group (the
+    rank ↔ sorted-id pairing needs the class co-located) — the same
+    worker-fits-a-group assumption as sessionize, documented.
+    """
+    import pandas as pd
+
+    from networkit_ray.common.schema import enforce_schema
+
+    deg = sym.groupby("src").aggregate(Count(alias_name="deg"))
+    present = deg.map_batches(
+        lambda t: pa.table(
+            {"v": t["src"].combine_chunks().cast(pa.int64()), "deg": t["deg"]}
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    # zero-degree nodes form their own class
+    have = set(present["v"].tolist())
+    missing = np.array([v for v in range(num_nodes) if v not in have], np.int64)
+    all_deg = ray.data.from_arrow(
+        pa.table(
+            {
+                "v": pa.array(
+                    np.concatenate([present["v"].to_numpy().astype(np.int64), missing])
+                ),
+                "deg": pa.array(
+                    np.concatenate(
+                        [
+                            present["deg"].to_numpy().astype(np.int64),
+                            np.zeros(len(missing), np.int64),
+                        ]
+                    )
+                ),
+            }
+        )
+    )
+
+    def shuffle(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["v"].to_numpy().astype(np.int64)
+        key = (v * 2654435761 + seed) % 2**31
+        order = np.lexsort((v, key))
+        tgt = np.sort(v)
+        out = np.empty(len(v), np.int64)
+        out[order] = tgt
+        return pd.DataFrame({"v": v, "new_id": out})
+
+    shuffled = all_deg.groupby("deg").map_groups(shuffle, batch_format="pandas")
+    return enforce_schema(
+        shuffled, pa.schema([("v", pa.int64()), ("new_id", pa.int64())])
+    )

@@ -99,3 +99,53 @@ class TestSuitorMatching:
         ends = list(df.src.astype(int)) + list(df.dst.astype(int))
         assert len(ends) == len(set(ends))  # no vertex matched twice
         assert set(zip(df.src.astype(int), df.dst.astype(int))) <= set(canon)
+
+
+def test_degree_preserving_shuffle_matches_replica(ray_session):
+    import collections
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from networkit_ray.graph.randomize import degree_preserving_shuffle
+
+    rng = np.random.default_rng(61)
+    n = 40
+    canon = sorted(
+        {(int(min(a, b)), int(max(a, b))) for a, b in rng.integers(0, n, (100, 2)) if a != b}
+    )
+    both = canon + [(b, a) for a, b in canon]
+    sym = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([e[0] for e in both], pa.int64()),
+                "dst": pa.array([e[1] for e in both], pa.int64()),
+            }
+        )
+    ).materialize()
+    got = {
+        r["v"]: r["new_id"]
+        for r in degree_preserving_shuffle(sym, n, seed=42).take_all()
+    }
+    deg = collections.Counter()
+    for a, b in canon:
+        deg[a] += 1
+        deg[b] += 1
+    # bijection over all n ids
+    assert sorted(got) == list(range(n))
+    assert sorted(got.values()) == list(range(n))
+    # degree-preserving: new_id has the same degree as v
+    for v, nv in got.items():
+        assert deg[v] == deg[nv], (v, nv)
+    # replica of the hash-rank pairing
+    classes = collections.defaultdict(list)
+    for v in range(n):
+        classes[deg[v]].append(v)
+    for members in classes.values():
+        arr = np.array(members, np.int64)
+        key = (arr * 2654435761 + 42) % 2**31
+        order = np.lexsort((arr, key))
+        tgt = np.sort(arr)
+        for pos, idx in enumerate(order):
+            assert got[int(arr[idx])] == int(tgt[pos])
