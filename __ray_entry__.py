@@ -906,6 +906,25 @@ def q_sparsify_triangles(sf_dir):
     return sparsify_global_threshold(edge_triangle_scores(canon, n), 1)
 
 
+def q_quadrangle_scores(sf_dir):
+    from networkit_ray.graph.triangles import quadrangle_edge_scores
+
+    canon, n = _canon(sf_dir)
+    return quadrangle_edge_scores(canon, n).sort(["src", "dst"])
+
+
+def q_geometric_mean_scores(sf_dir):
+    from networkit_ray.graph.triangles import (
+        edge_triangle_scores,
+        geometric_mean_scores,
+    )
+
+    canon, n = _canon(sf_dir)
+    scored = edge_triangle_scores(canon, n).materialize()
+    out = geometric_mean_scores(scored, "tri")
+    return _round_col(out, "gm_score", 8).sort(["src", "dst"])
+
+
 def q_local_degree_scores(sf_dir):
     from networkit_ray.graph.sparsification import local_degree_scores
 
@@ -2198,6 +2217,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simmelian_overlap": q_simmelian_overlap,
         "local_similarity": q_local_similarity,
         "multiscale_scores": q_multiscale_scores,
+        "quadrangle_scores": q_quadrangle_scores,
+        "geometric_mean_scores": q_geometric_mean_scores,
         "top_harmonic_closeness": q_top_harmonic_closeness,
         "k_path_centrality": q_k_path_centrality,
         "volume": q_volume,
@@ -3870,6 +3891,47 @@ def oracle_sql() -> dict[str, str]:
                     JOIN deg dv ON dv.v = ce.dst
                     LEFT JOIN cnt ON cnt.src = ce.src AND cnt.dst = ce.dst
             ORDER BY ce.src, ce.dst
+        """,
+        # ChibaNishizekiQuadrangleEdgeScore twin: direct 4-cycle join from
+        # the canonical orientation (w ∈ N(v)\{u}; x ∈ N(w)∩N(u), x ≠ v).
+        "quadrangle_scores": f"""
+            WITH ce AS MATERIALIZED ({CANONICAL_EDGES_SQL}),
+            sym AS MATERIALIZED (SELECT src, dst FROM ce
+                                 UNION ALL SELECT dst, src FROM ce),
+            q AS (SELECT ce.src AS u, ce.dst AS v, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM ce
+                  JOIN sym w ON w.src = ce.dst AND w.dst <> ce.src
+                  JOIN sym x ON x.src = w.dst AND x.dst <> ce.dst
+                  JOIN sym ux ON ux.src = ce.src AND ux.dst = x.dst
+                  GROUP BY ce.src, ce.dst)
+            SELECT ce.src, ce.dst, CAST(COALESCE(q.c, 0) AS BIGINT) AS quad
+            FROM ce LEFT JOIN q ON q.u = ce.src AND q.v = ce.dst
+            ORDER BY ce.src, ce.dst
+        """,
+        # GeometricMeanScore twin over triangle counts:
+        # tri_e / √(Σ_u tri · Σ_v tri), 0 when tri_e = 0.
+        "geometric_mean_scores": f"""
+            WITH ce AS MATERIALIZED ({CANONICAL_EDGES_SQL}),
+            tc AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+                   FROM ce e1 JOIN ce e2 ON e2.src = e1.dst
+                   JOIN ce e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+            ex AS (SELECT LEAST(a,b) AS src, GREATEST(a,b) AS dst FROM tc
+                   UNION ALL SELECT LEAST(a,c), GREATEST(a,c) FROM tc
+                   UNION ALL SELECT LEAST(b,c), GREATEST(b,c) FROM tc),
+            cnt AS (SELECT src, dst, COUNT(*) AS tri FROM ex GROUP BY src, dst),
+            tri AS (SELECT ce.src, ce.dst,
+                           CAST(COALESCE(cnt.tri, 0) AS DOUBLE) AS tri
+                    FROM ce LEFT JOIN cnt
+                      ON cnt.src = ce.src AND cnt.dst = ce.dst),
+            ns AS (SELECT v, SUM(tri) AS s FROM (
+                       SELECT src AS v, tri FROM tri
+                       UNION ALL SELECT dst, tri FROM tri) GROUP BY v)
+            SELECT t.src, t.dst,
+                   ROUND(CASE WHEN t.tri > 0
+                              THEN t.tri / SQRT(a.s * b.s) ELSE 0 END, 8)
+                       AS gm_score
+            FROM tri t JOIN ns a ON a.v = t.src JOIN ns b ON b.v = t.dst
+            ORDER BY t.src, t.dst
         """,
         # JaccardDistance twin (distance/JaccardDistance.cpp convention):
         # 1 − tri/(deg(u)+deg(v)−tri).

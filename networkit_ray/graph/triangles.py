@@ -476,3 +476,152 @@ def adamic_adar_distances(
         )
 
     return filled.map_batches(final, batch_format="pyarrow")
+
+
+def quadrangle_edge_scores(
+    canon: ray.data.Dataset, num_nodes: int
+) -> ray.data.Dataset:
+    """(src, dst, quad) — per-edge quadrangle (4-cycle) counts.
+
+    Reference: edgescores/ChibaNishizekiQuadrangleEdgeScore.cpp.  Identity
+    used for the distributed form: for edge (u,v),
+    ``quad = Σ_{w ∈ N(v)\\{u}} (cn(u,w) − 1)`` — w ∈ N(v) always shares
+    the common neighbor v with u, which is exactly the disallowed x = v,
+    hence the −1; the remaining common neighbors x close a 4-cycle
+    u−v−w−x−u.  cn comes from one wedge pass (adjacent pairs INCLUDED,
+    unlike link prediction's anti-join).
+
+    Scale shape: one wedge groupby + one path-2 join + one aggregate —
+    Σdeg² rows, the same budget as triangle counting's wedge pass.
+    """
+    from networkit_ray.graph.linkpred import _wedge_pairs
+
+    sym = canon.map_batches(
+        lambda t: pa.table(
+            {
+                "src": pa.concat_arrays(
+                    [
+                        t["src"].combine_chunks().cast(pa.int64()),
+                        t["dst"].combine_chunks().cast(pa.int64()),
+                    ]
+                ),
+                "dst": pa.concat_arrays(
+                    [
+                        t["dst"].combine_chunks().cast(pa.int64()),
+                        t["src"].combine_chunks().cast(pa.int64()),
+                    ]
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    cn = (
+        _wedge_pairs(sym, None)
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="cn"))
+        .materialize()
+    )
+    # directed path-2 rows: (u, v, w) with w ∈ N(v), w ≠ u
+    e2 = exchange_join(
+        sym.map_batches(
+            lambda t: pa.table({"u": t["src"], "v": t["dst"]}),
+            batch_format="pyarrow",
+        ),
+        sym.map_batches(
+            lambda t: pa.table({"v": t["src"], "w": t["dst"]}),
+            batch_format="pyarrow",
+        ),
+        left_on=["v"],
+    )
+    def keyize(t: pa.Table) -> pa.Table:
+        t = t.filter(pa.compute.not_equal(t["u"], t["w"]))
+        u = t["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = t["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("a", pa.array(np.minimum(u, w))).append_column(
+            "b", pa.array(np.maximum(u, w))
+        )
+
+    e2 = e2.map_batches(keyize, batch_format="pyarrow")
+    j = exchange_join(e2, cn, left_on=["a", "b"])
+
+    def contrib(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t["cn"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "src": pa.array(np.minimum(u, v)),
+                "dst": pa.array(np.maximum(u, v)),
+                "q": pa.array(c - 1),
+            }
+        )
+
+    sums = (
+        j.map_batches(contrib, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .aggregate(Sum("q", alias_name="quad"))
+    )
+    filled = exchange_join(
+        canon.select_columns(["src", "dst"]),
+        sums,
+        left_on=["src", "dst"],
+        join_type="left outer",
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        q = (
+            t["quad"].to_numpy(zero_copy_only=False).astype(np.float64)
+            if "quad" in t.column_names
+            else np.zeros(len(t))
+        )
+        # each 4-cycle is found once per edge ORIENTATION (the path-2 rows
+        # run over both directions), so the per-edge sum is exactly 2×quad
+        q = (np.where(np.isnan(q), 0.0, q) / 2).astype(np.int64)
+        return pa.table({"src": t["src"], "dst": t["dst"], "quad": pa.array(q)})
+
+    return filled.map_batches(final, batch_format="pyarrow")
+
+
+def geometric_mean_scores(
+    scored: ray.data.Dataset, score_col: str
+) -> ray.data.Dataset:
+    """(src, dst, gm_score) — attribute normalized by the geometric mean of
+    its endpoint sums (edgescores/GeometricMeanScore.cpp):
+    ``a_e / √(Σ_u a · Σ_v a)``; edges with a_e = 0 score 0."""
+    both = scored.map_batches(
+        lambda t: pa.table(
+            {
+                "v": pa.concat_arrays(
+                    [
+                        t["src"].combine_chunks().cast(pa.int64()),
+                        t["dst"].combine_chunks().cast(pa.int64()),
+                    ]
+                ),
+                "a": pa.concat_arrays(
+                    [
+                        t[score_col].combine_chunks().cast(pa.float64()),
+                        t[score_col].combine_chunks().cast(pa.float64()),
+                    ]
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    sums = both.groupby("v").aggregate(Sum("a", alias_name="s")).materialize()
+    j = exchange_join(scored, sums, left_on=["src"], right_on=["v"])
+    j = j.map_batches(
+        lambda t: t.rename_columns(["su" if c == "s" else c for c in t.column_names]),
+        batch_format="pyarrow",
+    )
+    j = exchange_join(j, sums, left_on=["dst"], right_on=["v"])
+
+    def gm(t: pa.Table) -> pa.Table:
+        a = t[score_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        su = t["su"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sv = t["s"].to_numpy(zero_copy_only=False).astype(np.float64)
+        out = np.where(a > 0, a / np.sqrt(np.maximum(su * sv, 1e-300)), 0.0)
+        return pa.table(
+            {"src": t["src"], "dst": t["dst"], "gm_score": pa.array(out)}
+        )
+
+    return j.map_batches(gm, batch_format="pyarrow")

@@ -271,3 +271,87 @@ def test_adamic_adar_distance_matches_replica(ray_session):
         s = sum(1.0 / np.log(len(adj[w])) for w in adj[a] & adj[b])
         want = 1.0 / s if s > 0 else -1.0
         assert abs(got[(a, b)] - want) < 1e-12, (a, b)
+
+
+def test_quadrangle_edge_scores_match_replica(ray_session):
+    import collections
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from networkit_ray.graph.triangles import quadrangle_edge_scores
+
+    rng = np.random.default_rng(67)
+    n = 30
+    canon = sorted(
+        {(int(min(a, b)), int(max(a, b))) for a, b in rng.integers(0, n, (120, 2)) if a != b}
+    )
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([u for u, v in canon], pa.int64()),
+                "dst": pa.array([v for u, v in canon], pa.int64()),
+            }
+        )
+    )
+    got = {
+        (r["src"], r["dst"]): r["quad"]
+        for r in quadrangle_edge_scores(ds, n).take_all()
+    }
+    adj = collections.defaultdict(set)
+    eset = set(canon)
+    for a, b in canon:
+        adj[a].add(b)
+        adj[b].add(a)
+    assert len(got) == len(canon)
+    for u, v in canon:
+        # brute force: 4-cycles u-v-w-x-u
+        q = sum(
+            1
+            for w in adj[v]
+            if w != u
+            for x in adj[w]
+            if x != v and x != u and x in adj[u]
+        )
+        assert got[(u, v)] == q, (u, v, got[(u, v)], q)
+
+
+def test_geometric_mean_scores_match_replica(ray_session):
+    import collections
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from networkit_ray.graph.triangles import (
+        edge_triangle_scores,
+        geometric_mean_scores,
+    )
+
+    rng = np.random.default_rng(71)
+    n = 30
+    canon = sorted(
+        {(int(min(a, b)), int(max(a, b))) for a, b in rng.integers(0, n, (120, 2)) if a != b}
+    )
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([u for u, v in canon], pa.int64()),
+                "dst": pa.array([v for u, v in canon], pa.int64()),
+            }
+        )
+    )
+    scored = edge_triangle_scores(ds, n).materialize()
+    tri = {(r["src"], r["dst"]): r["tri"] for r in scored.take_all()}
+    got = {
+        (r["src"], r["dst"]): r["gm_score"]
+        for r in geometric_mean_scores(scored, "tri").take_all()
+    }
+    nodesum = collections.Counter()
+    for (u, v), t in tri.items():
+        nodesum[u] += t
+        nodesum[v] += t
+    for (u, v), t in tri.items():
+        want = t / np.sqrt(nodesum[u] * nodesum[v]) if t > 0 else 0.0
+        assert abs(got[(u, v)] - want) < 1e-12, (u, v)
