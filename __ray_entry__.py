@@ -889,6 +889,45 @@ def q_same_community(sf_dir):
     return same_community_index(pairs, _mod_labels(n, 10)).sort(["u", "v"])
 
 
+def q_link_roc(sf_dir):
+    """ROC/AUC of the common-neighbors predictor against a 30% held-out
+    hash-coin split of the canonical edges (ROCMetric.cpp flow)."""
+    from networkit_ray.graph.linkpred import (
+        link_prediction_roc,
+        link_prediction_scores,
+    )
+
+    canon, n = _canon(sf_dir)
+    thresh = int(0.3 * 2**31)
+
+    def coin_split(keep_test):
+        def f(t: pa.Table) -> pa.Table:
+            src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+            dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+            c = (src * 2654435761 + dst * 40503 + 7) % 2**31 < thresh
+            return t.filter(pa.array(c if keep_test else ~c))
+
+        return f
+
+    test = canon.map_batches(coin_split(True), batch_format="pyarrow").materialize()
+    train = canon.map_batches(coin_split(False), batch_format="pyarrow").materialize()
+    train_sym = train.map_batches(
+        lambda t: pa.table(
+            {
+                "src": pa.concat_arrays(
+                    [t["src"].combine_chunks(), t["dst"].combine_chunks()]
+                ),
+                "dst": pa.concat_arrays(
+                    [t["dst"].combine_chunks(), t["src"].combine_chunks()]
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    preds = link_prediction_scores(train_sym, train)
+    return link_prediction_roc(preds, test, "cn")
+
+
 def q_edge_triangle_scores(sf_dir):
     from networkit_ray.graph.triangles import edge_triangle_scores
 
@@ -2226,6 +2265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reverse_bfs": q_reverse_bfs,
         "same_community": q_same_community,
         "degree_preserving_shuffle": q_degree_preserving_shuffle,
+        "link_roc": q_link_roc,
         "map_equation": q_map_equation,
         "neighborhood_function": q_neighborhood_function,
         "forest_fire_scores": q_forest_fire_scores,
@@ -3700,6 +3740,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT r.v, CAST(s.tgt AS BIGINT) AS new_id
             FROM ranked r JOIN srt s ON s.deg = r.deg AND s.rnk = r.rnk
             ORDER BY r.v
+        """,
+        # ROCMetric twin: CN predictor on the 70% train split vs the 30%
+        # held-out test edges; window cumsums give the ROC points, LAG the
+        # trapezoid AUC.
+        "link_roc": f"""
+            WITH ce AS MATERIALIZED ({CANONICAL_EDGES_SQL}),
+            test AS MATERIALIZED (SELECT * FROM ce
+                WHERE (src * 2654435761 + dst * 40503 + 7) % 2147483648
+                      < CAST(0.3 * 2147483648 AS BIGINT)),
+            train AS MATERIALIZED (SELECT * FROM ce
+                WHERE NOT ((src * 2654435761 + dst * 40503 + 7) % 2147483648
+                           < CAST(0.3 * 2147483648 AS BIGINT))),
+            ts AS (SELECT src, dst FROM train UNION ALL SELECT dst, src FROM train),
+            w AS (SELECT e1.dst AS a, e2.dst AS b
+                  FROM ts e1 JOIN ts e2 ON e1.src = e2.src AND e1.dst < e2.dst),
+            agg AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cn FROM w GROUP BY a, b),
+            cand AS (SELECT agg.* FROM agg LEFT JOIN train t
+                     ON t.src = agg.a AND t.dst = agg.b WHERE t.src IS NULL),
+            lbl AS (SELECT CAST(cand.cn AS DOUBLE) AS thresh,
+                           CASE WHEN te.src IS NOT NULL THEN 1 ELSE 0 END AS pos
+                    FROM cand LEFT JOIN test te
+                    ON te.src = cand.a AND te.dst = cand.b),
+            hist AS (SELECT thresh, SUM(pos) AS p, SUM(1 - pos) AS ng
+                     FROM lbl GROUP BY thresh),
+            pts AS (SELECT thresh,
+                           SUM(p) OVER win AS tp, SUM(ng) OVER win AS fp
+                    FROM hist
+                    WINDOW win AS (ORDER BY thresh DESC ROWS UNBOUNDED PRECEDING)),
+            tot AS (SELECT GREATEST(MAX(tp), 1) AS pp, GREATEST(MAX(fp), 1) AS nn FROM pts),
+            rates AS (SELECT thresh, tp, fp,
+                             tp * 1.0 / (SELECT pp FROM tot) AS tpr,
+                             fp * 1.0 / (SELECT nn FROM tot) AS fpr
+                      FROM pts),
+            steps AS (SELECT fpr, tpr,
+                             COALESCE(LAG(fpr) OVER (ORDER BY thresh DESC), 0) AS pf,
+                             COALESCE(LAG(tpr) OVER (ORDER BY thresh DESC), 0) AS pt
+                      FROM rates),
+            auc AS (SELECT SUM((fpr - pf) * (tpr + pt) / 2) AS a FROM steps)
+            SELECT thresh, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+                   ROUND(tpr, 8) AS tpr, ROUND(fpr, 8) AS fpr,
+                   ROUND((SELECT a FROM auc), 8) AS auc
+            FROM rates ORDER BY thresh DESC
         """,
         # SameCommunityIndex twin over the link-prediction candidate pairs.
         "same_community": f"""

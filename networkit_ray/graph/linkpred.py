@@ -146,3 +146,84 @@ def same_community_index(
         return pa.table({"u": t["u"], "v": t["v"], "same_community": pa.array(sc)})
 
     return j.map_batches(f, batch_format="pyarrow")
+
+
+def link_prediction_roc(
+    preds: ray.data.Dataset,
+    test_edges: ray.data.Dataset,
+    score_col: str = "cn",
+    *,
+    decimals: int = 8,
+) -> pa.Table:
+    """(thresh, tp, fp, tpr, fpr) ROC points + trapezoid AUC row.
+
+    Reference: linkprediction/ROCMetric.cpp + MissingLinksFinder.cpp
+    evaluation flow — score candidate pairs on a TRAIN graph, rank by
+    score, measure against held-out TEST edges.  Normative semantics
+    (SQL-twinned): one ROC point per distinct (rounded) score, ties
+    grouped; positives = candidates present in the test set; AUC by
+    trapezoid over the (fpr, tpr) points with the (0,0) anchor.
+
+    Scale shape: candidates are labeled with one hash join and collapsed
+    to per-score (pos, neg) counts — the driver sees only the distinct-
+    score histogram, never the candidate table.
+    """
+    from networkit_ray.common.hashing import round_half_away
+
+    lbl = exchange_join(
+        preds,
+        test_edges.map_batches(
+            lambda t: pa.table(
+                {"u": t["src"].combine_chunks().cast(pa.int64()),
+                 "v": t["dst"].combine_chunks().cast(pa.int64()),
+                 "_pos": pa.array(np.ones(len(t), np.int64))}
+            ),
+            batch_format="pyarrow",
+        ),
+        left_on=["u", "v"],
+        join_type="left outer",
+    )
+
+    def bucket(t: pa.Table) -> pa.Table:
+        s = round_half_away(
+            t[score_col].to_numpy(zero_copy_only=False).astype(np.float64), decimals
+        )
+        pos = (
+            t["_pos"].to_numpy(zero_copy_only=False).astype(np.float64)
+            if "_pos" in t.column_names
+            else np.zeros(len(t))
+        )
+        pos = np.where(np.isnan(pos), 0.0, pos).astype(np.int64)
+        return pa.table(
+            {"thresh": pa.array(s), "pos": pa.array(pos), "neg": pa.array(1 - pos)}
+        )
+
+    hist = (
+        lbl.map_batches(bucket, batch_format="pyarrow")
+        .groupby("thresh")
+        .aggregate(Sum("pos", alias_name="p"), Sum("neg", alias_name="ng"))
+        .to_pandas()
+        .sort_values("thresh", ascending=False)
+    )
+    p = hist["p"].to_numpy().astype(np.int64)
+    ng = hist["ng"].to_numpy().astype(np.int64)
+    tp = np.cumsum(p)
+    fp = np.cumsum(ng)
+    P = max(int(tp[-1]) if len(tp) else 0, 1)
+    N = max(int(fp[-1]) if len(fp) else 0, 1)
+    tpr = tp / P
+    fpr = fp / N
+    # trapezoid AUC with the (0,0) anchor
+    fx = np.concatenate([[0.0], fpr])
+    ty = np.concatenate([[0.0], tpr])
+    auc = float(np.sum((fx[1:] - fx[:-1]) * (ty[1:] + ty[:-1]) / 2.0))
+    return pa.table(
+        {
+            "thresh": pa.array(hist["thresh"].to_numpy().astype(np.float64)),
+            "tp": pa.array(tp),
+            "fp": pa.array(fp),
+            "tpr": pa.array(round_half_away(tpr, 8)),
+            "fpr": pa.array(round_half_away(fpr, 8)),
+            "auc": pa.array(round_half_away(np.full(len(tp), auc), 8)),
+        }
+    )

@@ -158,3 +158,43 @@ def test_overlapping_nmi_matches_replica(ray_session):
     want = 1.0 - min(max(mi / max(hx, hy), 0.0), 1.0)
     got = overlapping_nmi_distance(_cover_ds(C), _cover_ds(R), n)
     assert abs(got - want) < 1e-10
+
+
+def test_link_prediction_roc_matches_replica(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from networkit_ray.graph.linkpred import link_prediction_roc
+
+    # synthetic candidate scores + test labels
+    rng = np.random.default_rng(77)
+    m = 200
+    u = np.arange(m, dtype=np.int64)
+    v = u + 1000
+    score = rng.integers(0, 10, m).astype(np.int64)
+    is_pos = rng.random(m) < 0.3
+    preds = rd.from_arrow(
+        pa.table({"u": pa.array(u), "v": pa.array(v), "cn": pa.array(score)})
+    )
+    test = rd.from_arrow(
+        pa.table(
+            {"src": pa.array(u[is_pos]), "dst": pa.array(v[is_pos])}
+        )
+    )
+    t = link_prediction_roc(preds, test, "cn")
+    # numpy replica
+    P, N = int(is_pos.sum()), int((~is_pos).sum())
+    threshs = np.sort(np.unique(score))[::-1]
+    tp = np.array([(is_pos & (score >= th)).sum() for th in threshs])
+    fp = np.array([(~is_pos & (score >= th)).sum() for th in threshs])
+    tpr, fpr = tp / P, fp / N
+    fx = np.concatenate([[0.0], fpr])
+    ty = np.concatenate([[0.0], tpr])
+    auc = float(np.sum((fx[1:] - fx[:-1]) * (ty[1:] + ty[:-1]) / 2.0))
+    assert t["thresh"].to_pylist() == [float(x) for x in threshs]
+    assert t["tp"].to_pylist() == tp.tolist()
+    assert t["fp"].to_pylist() == fp.tolist()
+    assert abs(t["auc"][0].as_py() - auc) < 1e-8
+    # random scores → AUC near 0.5, sanity
+    assert 0.2 < auc < 0.8
