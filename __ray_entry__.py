@@ -889,6 +889,19 @@ def q_same_community(sf_dir):
     return same_community_index(pairs, _mod_labels(n, 10)).sort(["u", "v"])
 
 
+def q_token_shards(sf_dir):
+    from networkit_ray.text.analysis import token_shards
+
+    return token_shards(_docs(sf_dir), 2000).sort("doc_id")
+
+
+def q_doc_sample(sf_dir):
+    from networkit_ray.text.analysis import sample_documents
+
+    out = sample_documents(_docs(sf_dir), 0.4, seed=3)
+    return out.select_columns(["doc_id", "lang"]).sort("doc_id")
+
+
 def q_link_roc(sf_dir):
     """ROC/AUC of the common-neighbors predictor against a 30% held-out
     hash-coin split of the canonical edges (ROCMetric.cpp flow)."""
@@ -2266,6 +2279,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "same_community": q_same_community,
         "degree_preserving_shuffle": q_degree_preserving_shuffle,
         "link_roc": q_link_roc,
+        "token_shards": q_token_shards,
+        "doc_sample": q_doc_sample,
         "map_equation": q_map_equation,
         "neighborhood_function": q_neighborhood_function,
         "forest_fire_scores": q_forest_fire_scores,
@@ -4444,6 +4459,26 @@ def oracle_sql() -> dict[str, str]:
                         ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
                    CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS BIGINT) AS n_bpeish
             FROM documents
+        """,
+        # token_shards twin: running whitespace-token cumsum // budget.
+        "token_shards": r"""
+            WITH tc AS (SELECT doc_id,
+                   CAST(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+                FROM documents),
+            c AS (SELECT doc_id, n_tokens,
+                         SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                           - n_tokens AS before
+                  FROM tc)
+            SELECT doc_id, n_tokens, CAST(before // 2000 AS BIGINT) AS shard
+            FROM c ORDER BY doc_id
+        """,
+        # sample_documents twin: the per-document hash coin.
+        "doc_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE (doc_id * 2654435761 + 3) % 2147483648
+                  < CAST(0.4 * 2147483648 AS BIGINT)
+            ORDER BY doc_id
         """,
         # TF-IDF twin (analysis.py:tfidf_top_terms normative semantics):
         # [a-z0-9]+ tokens of lower(text), score = tf·ln(N/df), top-3 by

@@ -329,3 +329,64 @@ def normalize_text(docs: ray.data.Dataset) -> ray.data.Dataset:
         return pa.table({"doc_id": t["doc_id"], "norm": s})
 
     return docs.map_batches(f, batch_format="pyarrow")
+
+
+def token_shards(
+    docs: ray.data.Dataset, budget: int
+) -> ray.data.Dataset:
+    """(doc_id, n_tokens, shard) — token-budget sharding for training-data
+    packing: documents in doc_id order are assigned to shard
+    ``floor(tokens_before / budget)``, where tokens_before is the global
+    running whitespace-token total of all smaller doc_ids.
+
+    No reference analog (training-pipeline op); SQL-twinned via a window
+    cumulative sum.  Distributed form: sort by doc_id, per-block token
+    sums → driver-side prefix offsets (one float per block, never the
+    rows), then a vectorized per-block cumsum + shard assignment.
+    """
+    tc = token_counts(docs).select_columns(["doc_id", "n_tokens"]).sort("doc_id")
+    mat = tc.materialize()
+    refs = mat.to_arrow_refs()
+
+    @ray.remote
+    def _bsum(t) -> int:
+        t = t if isinstance(t, pa.Table) else pa.Table.from_pandas(t)
+        return int(np.sum(t["n_tokens"].to_numpy(zero_copy_only=False)))
+
+    sums = np.array(ray.get([_bsum.remote(r) for r in refs]), dtype=np.int64)
+    offsets = np.concatenate([[0], np.cumsum(sums)[:-1]])
+
+    @ray.remote
+    def _assign(t, off: int) -> pa.Table:
+        t = t if isinstance(t, pa.Table) else pa.Table.from_pandas(t)
+        n = t["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+        before = off + np.cumsum(n) - n
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(n),
+                "shard": pa.array(before // budget),
+            }
+        )
+
+    out = [_assign.remote(r, int(offsets[i])) for i, r in enumerate(refs)]
+    return ray.data.from_arrow_refs(out)
+
+
+def sample_documents(
+    docs: ray.data.Dataset, fraction: float, *, seed: int = 42
+) -> ray.data.Dataset:
+    """Seeded Bernoulli document sample: keep doc iff
+    ``(doc_id·2654435761 + seed) mod 2³¹ < fraction·2³¹``.  The coin is
+    keyed per document, so every stratum (language, source, …) is sampled
+    at the same expected rate with NO shuffle — the scalable form of
+    stratified sampling for training-data curation (exact proportional
+    allocation would need a per-stratum rank-select).  SQL-twinned."""
+    thresh = int(fraction * 2**31)
+
+    def f(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (d * 2654435761 + seed) % 2**31 < thresh
+        return t.filter(pa.array(keep))
+
+    return docs.map_batches(f, batch_format="pyarrow")

@@ -575,3 +575,64 @@ class TestKMeansAssign:
             .sort_values("vec_id")
         )
         assert (a["cluster"].to_numpy() == b["cluster"].to_numpy()).all()
+
+
+def test_token_shards_matches_cumsum_replica(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from networkit_ray.text.analysis import token_counts, token_shards
+
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet").materialize()
+    budget = 500
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["shard"])
+        for r in token_shards(docs, budget).take_all()
+    }
+    tc = sorted(
+        (r["doc_id"], r["n_tokens"]) for r in token_counts(docs).take_all()
+    )
+    before = 0
+    for doc_id, n in tc:
+        assert got[doc_id] == (n, before // budget), doc_id
+        before += n
+    # shards are contiguous 0..max and roughly budget-sized
+    shards = sorted({s for _, s in got.values()})
+    assert shards == list(range(len(shards)))
+
+
+def test_token_shards_partition_invariant(ray_session):
+    import ray.data as rd
+
+    from networkit_ray.text.analysis import token_shards
+
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet").materialize()
+    a = sorted(map(tuple, token_shards(docs, 300).to_pandas().values.tolist()))
+    b = sorted(
+        map(
+            tuple,
+            token_shards(docs.repartition(7).materialize(), 300)
+            .to_pandas()
+            .values.tolist(),
+        )
+    )
+    assert a == b
+
+
+def test_sample_documents_deterministic(ray_session):
+    import ray.data as rd
+
+    from networkit_ray.text.analysis import sample_documents
+
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet").materialize()
+    a = sorted(sample_documents(docs, 0.4, seed=3).to_pandas()["doc_id"])
+    b = sorted(
+        sample_documents(docs.repartition(5).materialize(), 0.4, seed=3).to_pandas()[
+            "doc_id"
+        ]
+    )
+    assert a == b
+    n = docs.count()
+    assert 0.25 * n < len(a) < 0.55 * n
+    for d in a[:50]:
+        assert (d * 2654435761 + 3) % 2**31 < int(0.4 * 2**31)
