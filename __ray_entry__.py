@@ -628,6 +628,25 @@ def q_diameter(sf_dir):
     return pd.DataFrame([{"diameter": res["diameter"]}])
 
 
+def q_warm_katz(sf_dir):
+    """DynKatzCentrality-style warm start: the base graph's fixpoint-scale
+    Katz vector seeds the full-graph iteration (identical fixpoint);
+    rows-only — fixpoint-equality tests in tests/test_kernels.py."""
+    from networkit_ray.graph.centrality import katz, warm_start_katz
+
+    edges, n = _derived(sf_dir)
+
+    def base_only(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array((s + d) % 7 != 0))
+
+    base = edges.map_batches(base_only, batch_format="pyarrow").materialize()
+    raw, _ = katz(base, n, alpha=0.05, tol=1e-10, return_raw=True)
+    out, _ = warm_start_katz(edges, n, raw.materialize(), alpha=0.05, tol=1e-10)
+    return _round_col(out, "score", 8).sort("v")
+
+
 def q_warm_pagerank(sf_dir):
     """DynPageRank-style warm start: base-graph scores seed the full-graph
     power iteration (identical fixpoint, iterations track the score drift
@@ -2243,6 +2262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "node2vec_walks": q_node2vec_walks,
         "incremental_cc": q_incremental_cc,
         "warm_pagerank": q_warm_pagerank,
+        "warm_katz": q_warm_katz,
         "leiden_refine": q_leiden_refine,
         "ego_splitting": q_ego_splitting,
         "diameter": q_diameter,

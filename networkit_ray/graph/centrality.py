@@ -61,9 +61,11 @@ def _iterate(
     tol: float,
     max_iterations: int,
     normalize_each: bool,
+    init: list | None = None,
+    normalize_end: bool = True,
 ) -> tuple[list, dict]:
     P = g.num_parts
-    x = [_vec_init.remote(g.vid_refs[p], 1.0 / g.num_nodes) for p in range(P)]
+    x = init or [_vec_init.remote(g.vid_refs[p], 1.0 / g.num_nodes) for p in range(P)]
     units = g.map_units()
     it = 0
     resid = float("inf")
@@ -91,7 +93,7 @@ def _iterate(
             resid = float(np.sqrt(sum(s[0] for s in stats)))
             if resid <= tol:
                 break
-    if not normalize_each:
+    if not normalize_each and normalize_end:
         norm2 = float(
             np.sqrt(sum(ray.get([_sq_sum.remote(xp) for xp in x])))
         )
@@ -115,11 +117,55 @@ def katz(
     max_iterations: int = 10**9,
     num_parts: int | None = None,
     weighted: bool = False,
+    return_raw: bool = False,
 ) -> tuple[ray.data.Dataset, dict]:
-    """(v, score) Katz centrality, L2-normalized at convergence."""
+    """(v, score) Katz centrality, L2-normalized at convergence
+    (``return_raw=True`` skips the end normalization and returns the
+    fixpoint-scale vector — the seed format :func:`warm_start_katz`
+    expects)."""
     g = build_pgraph(edges, num_nodes, num_parts=num_parts, weighted=weighted)
     refs, info = _iterate(
-        g, alpha, beta, tol=tol, max_iterations=max_iterations, normalize_each=False
+        g, alpha, beta, tol=tol, max_iterations=max_iterations,
+        normalize_each=False, normalize_end=not return_raw,
+    )
+    return bsp.state_to_dataset(g, refs, "score"), info
+
+
+def warm_start_katz(
+    edges: ray.data.Dataset,
+    num_nodes: int,
+    prev_raw_scores: ray.data.Dataset,
+    *,
+    alpha: float = 0.1,
+    beta: float = 1.0,
+    tol: float = 1e-9,
+    max_iterations: int = 10**9,
+    num_parts: int | None = None,
+    weighted: bool = False,
+) -> tuple[ray.data.Dataset, dict]:
+    """Katz over an UPDATED graph seeded with previous FIXPOINT-SCALE
+    scores (the DynKatzCentrality analog of warm_start_pagerank).
+
+    The affine map x ← αA^T x + β is a contraction for α < 1/λ_max, so the
+    fixpoint is unique — the warm start changes iteration count, never the
+    answer.  Vertices absent from ``prev_raw_scores`` (new nodes) start at
+    1/n.  Output is L2-normalized like :func:`katz`.
+    """
+    from networkit_ray.graph.pagerank import _pr_scatter, _pr_seed
+
+    g = build_pgraph(edges, num_nodes, num_parts=num_parts, weighted=weighted)
+    P = g.num_parts
+    scat = [
+        _pr_scatter.options(num_returns=P).remote(r, num_nodes, P)
+        for r in prev_raw_scores.to_arrow_refs()
+    ]
+    init = [
+        _pr_seed.remote(g.vid_refs[q], num_nodes, P, *[s[q] for s in scat])
+        for q in range(P)
+    ]
+    refs, info = _iterate(
+        g, alpha, beta, tol=tol, max_iterations=max_iterations,
+        normalize_each=False, init=init,
     )
     return bsp.state_to_dataset(g, refs, "score"), info
 

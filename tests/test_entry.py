@@ -160,6 +160,7 @@ def test_queries_oracles_consistent():
         "lte_community",
         "forest_fire_scores",
         "k_path_centrality",
+        "warm_katz",
     }
 
 

@@ -296,3 +296,54 @@ class TestLPDegreeOrdered:
         pa_ = a.to_pandas().sort_values("v")["label"].to_numpy()
         pb = b.to_pandas().sort_values("v")["label"].to_numpy()
         assert np.array_equal(pa_, pb)
+
+
+def test_warm_start_katz_same_fixpoint_fewer_iterations(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from networkit_ray.graph.centrality import katz, warm_start_katz
+
+    rng = np.random.default_rng(83)
+    n = 40
+    edges = sorted({(int(a), int(b)) for a, b in rng.integers(0, n, (150, 2)) if a != b})
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([e[0] for e in edges], pa.int64()),
+                "dst": pa.array([e[1] for e in edges], pa.int64()),
+            }
+        )
+    ).materialize()
+    raw, info0 = katz(ds, n, alpha=0.05, tol=1e-12, return_raw=True)
+    raw = raw.materialize()
+
+    # warm restart on the SAME graph: converges almost immediately
+    warm, info1 = warm_start_katz(ds, n, raw, alpha=0.05, tol=1e-12)
+    assert info1["iterations"] <= 3 < info0["iterations"]
+
+    # and matches the scratch normalized result
+    cold, _ = katz(ds, n, alpha=0.05, tol=1e-12)
+    a = {r["v"]: r["score"] for r in warm.take_all()}
+    b = {r["v"]: r["score"] for r in cold.take_all()}
+    assert set(a) == set(b)
+    for v in b:
+        assert abs(a[v] - b[v]) < 1e-8
+
+    # perturbed graph: warm start still lands on the scratch fixpoint
+    edges2 = [e for e in edges if (e[0] + e[1]) % 5] + [(0, n - 1)]
+    ds2 = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([e[0] for e in edges2], pa.int64()),
+                "dst": pa.array([e[1] for e in edges2], pa.int64()),
+            }
+        )
+    ).materialize()
+    warm2, _ = warm_start_katz(ds2, n, raw, alpha=0.05, tol=1e-12)
+    cold2, _ = katz(ds2, n, alpha=0.05, tol=1e-12)
+    a2 = {r["v"]: r["score"] for r in warm2.take_all()}
+    b2 = {r["v"]: r["score"] for r in cold2.take_all()}
+    for v in b2:
+        assert abs(a2[v] - b2[v]) < 1e-7
