@@ -996,6 +996,26 @@ def q_geometric_mean_scores(sf_dir):
     return _round_col(out, "gm_score", 8).sort(["src", "dst"])
 
 
+def q_normalized_triangle_scores(sf_dir):
+    from networkit_ray.graph.sparsification import normalize_edge_scores
+    from networkit_ray.graph.triangles import edge_triangle_scores
+
+    canon, n = _canon(sf_dir)
+    scored = edge_triangle_scores(canon, n).materialize()
+    out = normalize_edge_scores(scored, "tri", invert=True)
+    return _round_col(out, "norm_score", 8).sort(["src", "dst"])
+
+
+def q_linearized_triangle_scores(sf_dir):
+    from networkit_ray.graph.sparsification import linearize_edge_scores
+    from networkit_ray.graph.triangles import edge_triangle_scores
+
+    canon, n = _canon(sf_dir)
+    scored = edge_triangle_scores(canon, n).materialize()
+    out = linearize_edge_scores(scored, "tri")
+    return _round_col(out, "lin_score", 8).sort(["src", "dst"])
+
+
 def q_local_degree_scores(sf_dir):
     from networkit_ray.graph.sparsification import local_degree_scores
 
@@ -2291,6 +2311,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multiscale_scores": q_multiscale_scores,
         "quadrangle_scores": q_quadrangle_scores,
         "geometric_mean_scores": q_geometric_mean_scores,
+        "normalized_triangle_scores": q_normalized_triangle_scores,
+        "linearized_triangle_scores": q_linearized_triangle_scores,
         "top_harmonic_closeness": q_top_harmonic_closeness,
         "k_path_centrality": q_k_path_centrality,
         "volume": q_volume,
@@ -4049,6 +4071,48 @@ def oracle_sql() -> dict[str, str]:
                        AS gm_score
             FROM tri t JOIN ns a ON a.v = t.src JOIN ns b ON b.v = t.dst
             ORDER BY t.src, t.dst
+        """,
+        # EdgeScoreNormalizer twin (invert=true, [0,1]):
+        # 1 − (tri − min)/(max − min).
+        "normalized_triangle_scores": f"""
+            WITH ce AS MATERIALIZED ({CANONICAL_EDGES_SQL}),
+            tc AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+                   FROM ce e1 JOIN ce e2 ON e2.src = e1.dst
+                   JOIN ce e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+            ex AS (SELECT LEAST(a,b) AS src, GREATEST(a,b) AS dst FROM tc
+                   UNION ALL SELECT LEAST(a,c), GREATEST(a,c) FROM tc
+                   UNION ALL SELECT LEAST(b,c), GREATEST(b,c) FROM tc),
+            cnt AS (SELECT src, dst, COUNT(*) AS tri FROM ex GROUP BY src, dst),
+            tri AS (SELECT ce.src, ce.dst,
+                           CAST(COALESCE(cnt.tri, 0) AS DOUBLE) AS tri
+                    FROM ce LEFT JOIN cnt
+                      ON cnt.src = ce.src AND cnt.dst = ce.dst),
+            mm AS (SELECT MIN(tri) AS mn, MAX(tri) AS mx FROM tri)
+            SELECT src, dst,
+                   ROUND(1.0 - (tri - (SELECT mn FROM mm))
+                         / ((SELECT mx FROM mm) - (SELECT mn FROM mm)), 8)
+                       AS norm_score
+            FROM tri ORDER BY src, dst
+        """,
+        # EdgeScoreLinearizer twin: global (score, src, dst) rank / (m−1).
+        "linearized_triangle_scores": f"""
+            WITH ce AS MATERIALIZED ({CANONICAL_EDGES_SQL}),
+            tc AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+                   FROM ce e1 JOIN ce e2 ON e2.src = e1.dst
+                   JOIN ce e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+            ex AS (SELECT LEAST(a,b) AS src, GREATEST(a,b) AS dst FROM tc
+                   UNION ALL SELECT LEAST(a,c), GREATEST(a,c) FROM tc
+                   UNION ALL SELECT LEAST(b,c), GREATEST(b,c) FROM tc),
+            cnt AS (SELECT src, dst, COUNT(*) AS tri FROM ex GROUP BY src, dst),
+            tri AS (SELECT ce.src, ce.dst,
+                           CAST(COALESCE(cnt.tri, 0) AS DOUBLE) AS tri
+                    FROM ce LEFT JOIN cnt
+                      ON cnt.src = ce.src AND cnt.dst = ce.dst),
+            m AS (SELECT COUNT(*) AS m FROM tri)
+            SELECT src, dst,
+                   ROUND((ROW_NUMBER() OVER (ORDER BY tri, src, dst) - 1) * 1.0
+                         / ((SELECT m FROM m) - 1), 8) AS lin_score
+            FROM tri ORDER BY src, dst
         """,
         # JaccardDistance twin (distance/JaccardDistance.cpp convention):
         # 1 − tri/(deg(u)+deg(v)−tri).

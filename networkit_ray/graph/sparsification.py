@@ -574,3 +574,79 @@ def forest_fire_scores(
         )
 
     return counts.map_batches(norm, batch_format="pyarrow")
+
+
+def normalize_edge_scores(
+    scored: ray.data.Dataset,
+    score_col: str,
+    *,
+    invert: bool = False,
+    lower: float = 0.0,
+    upper: float = 1.0,
+) -> ray.data.Dataset:
+    """(src, dst, norm_score) — linear rescale of an edge score to
+    [lower, upper] (edgescores/EdgeScoreNormalizer.cpp, incl. invert).
+    One global min/max aggregate, then a vectorized map."""
+    mn = scored.min(score_col)
+    mx = scored.max(score_col)
+    span = float(mx - mn) or 1.0
+    factor = (upper - lower) / span
+    offset = lower - mn * factor
+    if invert:
+        factor = -factor
+        offset = upper - mn * factor
+
+    def f(t: pa.Table) -> pa.Table:
+        s = t[score_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "src": t["src"],
+                "dst": t["dst"],
+                "norm_score": pa.array(factor * s + offset),
+            }
+        )
+
+    return scored.map_batches(f, batch_format="pyarrow")
+
+
+def linearize_edge_scores(
+    scored: ray.data.Dataset, score_col: str, *, inverse: bool = False
+) -> ray.data.Dataset:
+    """(src, dst, lin_score) — rank-uniform scores pos/(m−1) over the
+    global (score, src, dst) order (edgescores/EdgeScoreLinearizer.cpp;
+    the reference breaks score ties randomly, here deterministically by
+    edge id so the DuckDB twin reproduces it).
+
+    Distributed rank: one global sort, then per-block offsets (one count
+    per block on the driver) + a vectorized in-block arange.
+    """
+    srt = scored.sort(
+        [score_col, "src", "dst"], descending=[inverse, False, False]
+    ).materialize()
+    refs = srt.to_arrow_refs()
+
+    @ray.remote
+    def _cnt(t) -> int:
+        return len(t)
+
+    counts = np.array(ray.get([_cnt.remote(r) for r in refs]), np.int64)
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    m = int(counts.sum())
+    denom = float(max(m - 1, 1))
+
+    @ray.remote
+    def _rank(t, off: int) -> pa.Table:
+        t = t if isinstance(t, pa.Table) else pa.Table.from_pandas(t)
+        pos = off + np.arange(len(t), dtype=np.float64)
+        return pa.table(
+            {
+                "src": t["src"],
+                "dst": t["dst"],
+                "lin_score": pa.array(
+                    np.full(len(t), 0.5) if m == 1 else pos / denom
+                ),
+            }
+        )
+
+    out = [_rank.remote(r, int(offsets[i])) for i, r in enumerate(refs)]
+    return ray.data.from_arrow_refs(out)

@@ -350,3 +350,51 @@ def test_forest_fire_scores_partition_invariant(ray_session):
         ).take_all()
     }
     assert a == b
+
+
+def test_normalize_and_linearize_edge_scores(ray_session):
+    import ray.data as rd
+
+    from networkit_ray.graph.sparsification import (
+        linearize_edge_scores,
+        normalize_edge_scores,
+    )
+
+    canon = _random_canon(91, 30, 120)
+    rng = np.random.default_rng(5)
+    score = rng.integers(0, 20, len(canon)).astype(np.float64)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([u for u, v in canon], pa.int64()),
+                "dst": pa.array([v for u, v in canon], pa.int64()),
+                "s": pa.array(score),
+            }
+        )
+    ).materialize()
+
+    got = {
+        (r["src"], r["dst"]): r["norm_score"]
+        for r in normalize_edge_scores(ds, "s", lower=1.0, upper=3.0).take_all()
+    }
+    mn, mx = score.min(), score.max()
+    for (u, v), s in zip(canon, score):
+        want = 1.0 + (s - mn) * 2.0 / (mx - mn)
+        assert abs(got[(u, v)] - want) < 1e-12
+
+    inv = {
+        (r["src"], r["dst"]): r["norm_score"]
+        for r in normalize_edge_scores(ds, "s", invert=True).take_all()
+    }
+    for (u, v), s in zip(canon, score):
+        want = 1.0 - (s - mn) / (mx - mn)
+        assert abs(inv[(u, v)] - want) < 1e-12
+
+    lin = {
+        (r["src"], r["dst"]): r["lin_score"]
+        for r in linearize_edge_scores(ds, "s").take_all()
+    }
+    order = sorted(zip(score, [u for u, v in canon], [v for u, v in canon]))
+    m = len(canon)
+    for pos, (s, u, v) in enumerate(order):
+        assert abs(lin[(u, v)] - pos / (m - 1)) < 1e-12
