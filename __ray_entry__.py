@@ -628,6 +628,15 @@ def q_diameter(sf_dir):
     return pd.DataFrame([{"diameter": res["diameter"]}])
 
 
+def q_lfm_cover(sf_dir):
+    """Full LFM overlapping cover; rows-only — coverage/determinism/
+    per-seed-expansion-equality tests in tests/test_scd.py."""
+    from networkit_ray.graph.scd import lfm_cover
+
+    sym, n = _sym(sf_dir)
+    return lfm_cover(sym, n, seeds_per_round=16, seed=42).sort(["c", "v"])
+
+
 def q_warm_katz(sf_dir):
     """DynKatzCentrality-style warm start: the base graph's fixpoint-scale
     Katz vector seeds the full-graph iteration (identical fixpoint);
@@ -2283,6 +2292,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_cc": q_incremental_cc,
         "warm_pagerank": q_warm_pagerank,
         "warm_katz": q_warm_katz,
+        "lfm_cover": q_lfm_cover,
         "leiden_refine": q_leiden_refine,
         "ego_splitting": q_ego_splitting,
         "diameter": q_diameter,

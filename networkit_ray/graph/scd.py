@@ -1028,3 +1028,81 @@ def lte_communities(
         radius=radius,
         num_parts=num_parts,
     )
+
+
+def lfm_cover(
+    sym_edges: ray.data.Dataset,
+    num_nodes: int,
+    *,
+    alpha: float = 1.0,
+    seeds_per_round: int = 8,
+    max_rounds: int = 200,
+    seed: int = 42,
+    num_parts: int | None = None,
+) -> ray.data.Dataset:
+    """(c, v) — the full LFM overlapping cover (community/LFM.cpp).
+
+    The reference repeatedly picks a RANDOM unassigned node, expands an
+    LFMLocal community from it, and marks its members assigned, until all
+    nodes are covered.  Deterministic distributed re-expression: each
+    round expands the ``seeds_per_round`` unassigned nodes of smallest
+    ``splitmix64(v + round·FNV + seed)`` rank IN PARALLEL (expansions are
+    independent given the graph — the documented deviation from the
+    strictly sequential reference), community id = its seed node.
+    Communities may overlap, as in the reference; coverage is complete
+    when the loop ends.
+
+    Scale shape: seed selection is a sort+limit over the unassigned set
+    (vertex-sized, shrinking), each round's expansions run in one batched
+    :func:`lfm_communities` call; assignment tracking is one anti-join.
+    """
+    from networkit_ray.sources.synth import _splitmix64
+
+    unassigned = ray.data.from_arrow(
+        pa.table({"v": pa.array(np.arange(num_nodes, dtype=np.int64))})
+    ).materialize()
+    parts: list[ray.data.Dataset] = []
+    for r in range(max_rounds):
+        if unassigned.count() == 0:
+            break
+
+        def rank(t: pa.Table, _r=r) -> pa.Table:
+            v = t["v"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            h = _splitmix64(v + np.uint64(_r) * np.uint64(0x100000001B3) + np.uint64(seed))
+            return t.append_column("h", pa.array(h.astype(np.int64)))
+
+        seeds = [
+            int(row["v"])
+            for row in unassigned.map_batches(rank, batch_format="pyarrow")
+            .sort(["h", "v"])
+            .limit(seeds_per_round)
+            .take_all()
+        ]
+        memb = lfm_communities(
+            sym_edges, num_nodes, seeds, alpha=alpha, num_parts=num_parts
+        ).materialize()
+        parts.append(memb)
+        covered = memb.map_batches(
+            lambda t: pa.table({"v": t["v"].combine_chunks().cast(pa.int64())}),
+            batch_format="pyarrow",
+        )
+        from networkit_ray.common.exchange import exchange_join
+
+        unassigned = exchange_join(
+            unassigned.select_columns(["v"]),
+            covered,
+            left_on=["v"],
+            join_type="left anti",
+        ).materialize()
+    out = parts[0]
+    for t in parts[1:]:
+        out = out.union(t)
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "c": t["seed"].combine_chunks().cast(pa.int64()),
+                "v": t["v"].combine_chunks().cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )

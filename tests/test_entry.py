@@ -161,6 +161,7 @@ def test_queries_oracles_consistent():
         "forest_fire_scores",
         "k_path_centrality",
         "warm_katz",
+        "lfm_cover",
     }
 
 

@@ -566,3 +566,43 @@ class TestLTE:
         got = lte_communities(sym, 24, [4], radius=24).to_pandas()
         com = set(got["v"])
         assert com <= set(range(8)) and len(com) >= 6, com
+
+
+def test_lfm_cover_complete_and_deterministic(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from networkit_ray.graph.scd import lfm_communities, lfm_cover
+    from networkit_ray.sources.synth import _splitmix64
+
+    rng = np.random.default_rng(97)
+    n = 40
+    canon = sorted(
+        {(int(min(a, b)), int(max(a, b))) for a, b in rng.integers(0, n, (120, 2)) if a != b}
+    )
+    both = canon + [(b, a) for a, b in canon]
+    sym = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([e[0] for e in both], pa.int64()),
+                "dst": pa.array([e[1] for e in both], pa.int64()),
+            }
+        )
+    ).materialize()
+    cover = lfm_cover(sym, n, seeds_per_round=4, seed=7).materialize()
+    rows = [(r["c"], r["v"]) for r in cover.take_all()]
+    covered = {v for _, v in rows}
+    assert covered == set(range(n))          # complete cover
+    # community c is exactly the LFMLocal expansion of seed c
+    cids = sorted({c for c, _ in rows})
+    memb = {
+        (r["seed"], r["v"])
+        for r in lfm_communities(sym, n, cids).take_all()
+    }
+    assert set(rows) == memb
+    # deterministic
+    again = sorted(
+        (r["c"], r["v"]) for r in lfm_cover(sym, n, seeds_per_round=4, seed=7).take_all()
+    )
+    assert sorted(rows) == again
