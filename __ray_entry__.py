@@ -1915,6 +1915,15 @@ def q_sssp_distances(sf_dir):
     return _round_col(dists, "dist", 8)
 
 
+def q_bidirectional_sssp(sf_dir):
+    from networkit_ray.common.hashing import round_half_away
+    from networkit_ray.graph.bfs import bidirectional_sssp_distance
+
+    weighted, n = _weighted_derived(sf_dir)
+    d, _ = bidirectional_sssp_distance(weighted, n, 0, n // 2)
+    return pa.table({"dist": pa.array(round_half_away([d], 8))})
+
+
 def q_spanning_edge_centrality(sf_dir):
     """centrality/SpanningEdgeCentrality.cpp:68-105 runApproximation
     analog (k=48 JL sketch, counter-hash signs, one multi-RHS block-CG);
@@ -2293,6 +2302,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warm_pagerank": q_warm_pagerank,
         "warm_katz": q_warm_katz,
         "lfm_cover": q_lfm_cover,
+        "bidirectional_sssp": q_bidirectional_sssp,
         "leiden_refine": q_leiden_refine,
         "ego_splitting": q_ego_splitting,
         "diameter": q_diameter,
@@ -3751,6 +3761,15 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT src, dst, CAST((src + dst) % 7 + 1 AS DOUBLE) AS w FROM ({DERIVED_EDGES_SQL})",
             "SELECT CAST(c_custkey AS BIGINT) AS v FROM customer",
             40,
+        ),
+        "bidirectional_sssp": (
+            "SELECT dist FROM ("
+            + _sssp_sql(
+                f"SELECT src, dst, CAST((src + dst) % 7 + 1 AS DOUBLE) AS w FROM ({DERIVED_EDGES_SQL})",
+                "SELECT CAST(c_custkey AS BIGINT) AS v FROM customer",
+                40,
+            )
+            + f") WHERE v = {n_customers} // 2"
         ),
         "approx_closeness": closeness_sql,
         "volume": volume_sql,

@@ -558,3 +558,74 @@ def neighborhood_function(
     hs = np.arange(1, top + 1, dtype=np.int64)
     nf = np.array([ns[ds <= h].sum() for h in hs], dtype=np.int64)
     return pa.table({"h": pa.array(hs), "nf": pa.array(nf)})
+
+
+@ray.remote
+def _sssp_min_active(state: tuple) -> float:
+    dist, active = state
+    return float(dist[active].min()) if active.any() else float("inf")
+
+
+@ray.remote
+def _sssp_meet(st_f: tuple, st_b: tuple) -> float:
+    tot = st_f[0] + st_b[0]
+    return float(tot.min()) if len(tot) else float("inf")
+
+
+def bidirectional_sssp_distance(
+    edges: ray.data.Dataset,
+    num_nodes: int,
+    source: int,
+    target: int,
+    *,
+    num_parts: int | None = None,
+) -> tuple[float, dict]:
+    """Weighted source→target distance, or -1.0 (BidirectionalDijkstra.cpp).
+
+    Forward min-plus wave from ``source``, backward wave from ``target``
+    on the transpose, expanded alternately (smaller active-minimum first).
+    Stopping rule (safe for non-negative weights on the frontier
+    Bellman-Ford: the active minimum is non-decreasing, and any
+    not-yet-counted s→t path passes through an active vertex on each
+    unexhausted side): stop once min(activeMin_f, activeMin_b) ≥ best
+    meeting value.  Requires the ``w`` column.
+    """
+    from networkit_ray.graph.build import transpose
+    from networkit_ray.graph.bsp import build_pgraph
+
+    if source == target:
+        return 0.0, {"supersteps": 0}
+    edges = edges.materialize()
+    g_f = build_pgraph(edges, num_nodes, num_parts=num_parts, weighted=True)
+    P = g_f.num_parts
+    g_b = build_pgraph(transpose(edges), num_nodes, num_parts=P, weighted=True)
+
+    sf = [_sssp_init.remote(g_f.vid_refs[p], source) for p in range(P)]
+    sb = [_sssp_init.remote(g_b.vid_refs[p], target) for p in range(P)]
+    units_f, units_b = g_f.map_units(), g_b.map_units()
+    best = float("inf")
+    it = 0
+    while True:
+        min_f = min(ray.get([_sssp_min_active.remote(s) for s in sf]))
+        min_b = min(ray.get([_sssp_min_active.remote(s) for s in sb]))
+        if min(min_f, min_b) >= best:
+            break
+        fwd = min_f <= min_b
+        g, st, units = (g_f, sf, units_f) if fwd else (g_b, sb, units_b)
+        map_out = [
+            _sssp_map.options(num_returns=P).remote(g.block_refs[p], st[p], c)
+            for p, c in units
+        ]
+        new_state = []
+        for q in range(P):
+            s, _ = _bfs_reduce.remote(st[q], *[mo[q] for mo in map_out])
+            new_state.append(s)
+        if fwd:
+            sf = new_state
+        else:
+            sb = new_state
+        it += 1
+        best = min(
+            best, min(ray.get([_sssp_meet.remote(sf[p], sb[p]) for p in range(P)]))
+        )
+    return (best if np.isfinite(best) else -1.0), {"supersteps": it}

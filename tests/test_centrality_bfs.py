@@ -425,3 +425,51 @@ def test_apsp_and_neighborhood_function_match_replica(ray_session):
     maxd = max(want.values())
     for h in range(1, maxd + 1):
         assert nfd[h] == sum(1 for d in want.values() if 0 < d <= h)
+
+
+def test_bidirectional_sssp_matches_dijkstra(ray_session):
+    import heapq
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from networkit_ray.graph.bfs import bidirectional_sssp_distance
+
+    rng = np.random.default_rng(101)
+    n = 40
+    edges = sorted({(int(a), int(b)) for a, b in rng.integers(0, n, (160, 2)) if a != b})
+    ws = [float((a + b) % 7 + 1) for a, b in edges]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([e[0] for e in edges], pa.int64()),
+                "dst": pa.array([e[1] for e in edges], pa.int64()),
+                "w": pa.array(ws, pa.float64()),
+            }
+        )
+    ).materialize()
+
+    adj = {}
+    for (a, b), w in zip(edges, ws):
+        adj.setdefault(a, []).append((b, w))
+
+    def dijkstra(s, t):
+        dist = {s: 0.0}
+        pq = [(0.0, s)]
+        while pq:
+            d, u = heapq.heappop(pq)
+            if d > dist.get(u, np.inf):
+                continue
+            if u == t:
+                return d
+            for v, w in adj.get(u, []):
+                nd = d + w
+                if nd < dist.get(v, np.inf):
+                    dist[v] = nd
+                    heapq.heappush(pq, (nd, v))
+        return -1.0
+
+    for s, t in [(0, 17), (3, 29), (5, 5), (11, 2), (7, 38)]:
+        got, _ = bidirectional_sssp_distance(ds, n, s, t)
+        assert got == dijkstra(s, t), (s, t)
