@@ -453,6 +453,13 @@ def q_overlapping_nmi(sf_dir):
     return pa.table({"onmi_distance": pa.array(round_half_away([v], 8))})
 
 
+def q_hashing_overlapper(sf_dir):
+    from networkit_ray.graph.quality import hashing_overlapper
+
+    _, n = _canon(sf_dir)
+    return hashing_overlapper(_mod_labels(n, 6), _mod_labels(n, 4)).sort("v")
+
+
 def q_jaccard_measure(sf_dir):
     from networkit_ray.common.hashing import round_half_away
     from networkit_ray.graph.quality import jaccard_measure
@@ -2279,6 +2286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ari": q_ari,
         "cover_f1": q_cover_f1,
         "overlapping_nmi": q_overlapping_nmi,
+        "hashing_overlapper": q_hashing_overlapper,
         "cover_hub_dominance": q_cover_hub_dominance,
         "jaccard_measure": q_jaccard_measure,
         "node_rand": q_node_rand,
@@ -3430,6 +3438,20 @@ def oracle_sql() -> dict[str, str]:
             FROM sizes s LEFT JOIN md ON md.c = s.c ORDER BY s.c
         """,
         "overlapping_nmi": _onmi_sql(),
+        # HashingOverlapper twin: splitmix64 of the combined key, dense
+        # ranks ordered by hash value.
+        "hashing_overlapper": f"""
+            WITH lab AS (SELECT CAST(c_custkey AS BIGINT) AS v,
+                                CAST(c_custkey % 6 AS BIGINT) AS l1,
+                                CAST(c_custkey % 4 AS BIGINT) AS l2
+                         FROM customer),
+            hashed AS (SELECT v,
+                CAST(CAST({_sm64_sql("CAST(xor(l1, 65535) * 65536 + xor(l2, 65535) AS HUGEINT)")} AS HUGEINT)
+                     % 9223372036854775808 AS BIGINT) AS h
+                FROM lab)
+            SELECT v, CAST(DENSE_RANK() OVER (ORDER BY h) - 1 AS BIGINT) AS label
+            FROM hashed ORDER BY v
+        """,
         # JaccardMeasure twin: 1 − 2·s11/(n(n−1) − 2·s00) via c2 sums of the
         # partition-intersection cells and both marginals.
         "jaccard_measure": """

@@ -678,3 +678,45 @@ def map_equation(canon: ray.data.Dataset, labels: ray.data.Dataset) -> float:
         + plogp(cut + vol).sum()
         - plogp(vol).sum()
     )
+
+
+def hashing_overlapper(
+    labels1: ray.data.Dataset, labels2: ray.data.Dataset
+) -> ray.data.Dataset:
+    """(v, label) — hash-combined partition intersection
+    (overlap/HashingOverlapper.cpp, two-partition case): combined key =
+    ((l1 XOR 0xffff) << 16) | (l2 XOR 0xffff), hashed (splitmix64 standing
+    in for the reference's djb2 — any mixing hash, the reference compacts
+    afterwards) and compacted to dense labels ordered by hash value.
+
+    Scale shape: one hash join + a vectorized key map; the compaction map
+    is cluster-product-sized (small), built once on the driver.
+    """
+    from networkit_ray.sources.synth import _splitmix64
+
+    l2r = labels2.map_batches(
+        lambda t: pa.table({"v": t["v"], "label2": t["label"]}), batch_format="pyarrow"
+    )
+    j = exchange_join(labels1, l2r, left_on=["v"]).materialize()
+
+    def key(t: pa.Table) -> pa.Table:
+        l1 = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        l2 = t["label2"].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = ((l1 ^ 0xFFFF) << 16) | (l2 ^ 0xFFFF)
+        # mask to 63 bits so the value is int64-safe end to end and the
+        # SQL twin's ordering (mod 2^63) matches exactly
+        h = (_splitmix64(k.astype(np.uint64)) & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(
+            np.int64
+        )
+        return pa.table({"v": t["v"], "h": pa.array(h)})
+
+    hashed = j.map_batches(key, batch_format="pyarrow").materialize()
+    distinct = np.sort(np.array(hashed.unique("h"), dtype=np.int64))
+    rank = {int(h): i for i, h in enumerate(distinct)}
+
+    def compact(t: pa.Table) -> pa.Table:
+        h = t["h"].to_numpy(zero_copy_only=False)
+        lab = np.array([rank[int(x)] for x in h], dtype=np.int64)
+        return pa.table({"v": t["v"], "label": pa.array(lab)})
+
+    return hashed.map_batches(compact, batch_format="pyarrow")
