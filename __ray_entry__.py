@@ -1012,6 +1012,16 @@ def q_geometric_mean_scores(sf_dir):
     return _round_col(out, "gm_score", 8).sort(["src", "dst"])
 
 
+def q_prefix_jaccard_scores(sf_dir):
+    """Prefix-Jaccard edge scores (non-parametric Simmelian core);
+    rows-only — brute-force-replica tests in tests/test_sparsification.py."""
+    from networkit_ray.graph.sparsification import prefix_jaccard_scores
+
+    canon, n = _canon(sf_dir)
+    out = prefix_jaccard_scores(canon, n)
+    return _round_col(out, "pj_score", 8).sort(["src", "dst"])
+
+
 def q_normalized_triangle_scores(sf_dir):
     from networkit_ray.graph.sparsification import normalize_edge_scores
     from networkit_ray.graph.triangles import edge_triangle_scores
@@ -2339,6 +2349,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multiscale_scores": q_multiscale_scores,
         "quadrangle_scores": q_quadrangle_scores,
         "geometric_mean_scores": q_geometric_mean_scores,
+        "prefix_jaccard_scores": q_prefix_jaccard_scores,
         "normalized_triangle_scores": q_normalized_triangle_scores,
         "linearized_triangle_scores": q_linearized_triangle_scores,
         "top_harmonic_closeness": q_top_harmonic_closeness,

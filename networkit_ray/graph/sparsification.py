@@ -650,3 +650,174 @@ def linearize_edge_scores(
 
     out = [_rank.remote(r, int(offsets[i])) for i, r in enumerate(refs)]
     return ray.data.from_arrow_refs(out)
+
+
+@ray.remote
+def _pj_rank_part(*tables) -> pa.Table | None:
+    """(v, nbr, rank) — neighbors ranked by (attr DESC, ties share rank =
+    count of strictly-greater attrs), per vertex."""
+    live = [t for t in tables if t is not None and len(t)]
+    if not live:
+        return None
+    t = pa.concat_tables(live)
+    v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nbr = t["nbr"].to_numpy(zero_copy_only=False).astype(np.int64)
+    a = t["attr"].to_numpy(zero_copy_only=False).astype(np.float64)
+    order = np.lexsort((nbr, -a, v))
+    v, nbr, a = v[order], nbr[order], a[order]
+    new_v = np.r_[True, v[1:] != v[:-1]]
+    new_run = new_v | np.r_[True, a[1:] != a[:-1]]
+    starts = np.flatnonzero(new_v)
+    sizes = np.diff(np.r_[starts, len(v)])
+    pos = np.arange(len(v)) - np.repeat(starts, sizes)
+    run_start_pos = pos[np.flatnonzero(new_run)]
+    rank = np.repeat(
+        run_start_pos, np.diff(np.r_[np.flatnonzero(new_run), len(v)])
+    )
+    return pa.table(
+        {"v": pa.array(v), "nbr": pa.array(nbr), "rank": pa.array(rank.astype(np.int64))}
+    )
+
+
+@ray.remote
+def _pj_edge_part(*tables) -> pa.Table | None:
+    """Per-edge best prefix Jaccard from (src, dst, side, nbr, rank) rows."""
+    import pandas as pd
+
+    live = [t for t in tables if t is not None and len(t)]
+    if not live:
+        return None
+    df = pa.concat_tables(live).to_pandas()
+    # matched neighbors become common at max(rank_u, rank_v)
+    u_rows = df[df["side"] == 0]
+    v_rows = df[df["side"] == 1]
+    m = u_rows.merge(v_rows, on=["src", "dst", "nbr"], suffixes=("_u", "_v"))
+    ev = pd.concat(
+        [
+            pd.DataFrame(
+                {"src": df["src"], "dst": df["dst"], "r": df["rank"],
+                 "du": (df["side"] == 0).astype(np.int64),
+                 "dv": (df["side"] == 1).astype(np.int64),
+                 "dm": 0}
+            ),
+            pd.DataFrame(
+                {"src": m["src"], "dst": m["dst"],
+                 "r": np.maximum(m["rank_u"], m["rank_v"]),
+                 "du": 0, "dv": 0, "dm": 1}
+            ),
+        ],
+        ignore_index=True,
+    )
+    src = ev["src"].to_numpy(np.int64)
+    dst = ev["dst"].to_numpy(np.int64)
+    r = ev["r"].to_numpy(np.int64)
+    du = ev["du"].to_numpy(np.int64)
+    dv = ev["dv"].to_numpy(np.int64)
+    dm = ev["dm"].to_numpy(np.int64)
+    order = np.lexsort((r, dst, src))
+    src, dst, r, du, dv, dm = (x[order] for x in (src, dst, r, du, dv, dm))
+    new_e = np.r_[True, (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])]
+    starts = np.flatnonzero(new_e)
+    sizes = np.diff(np.r_[starts, len(src)])
+    base = np.repeat(starts, sizes)
+    cu = np.cumsum(du)
+    cv = np.cumsum(dv)
+    cm = np.cumsum(dm)
+    # group-local cumulative counts (subtract the prefix before the group)
+    cu = cu - np.where(base > 0, np.cumsum(du)[base - 1], 0)
+    cv = cv - np.where(base > 0, np.cumsum(dv)[base - 1], 0)
+    cm = cm - np.where(base > 0, np.cumsum(dm)[base - 1], 0)
+    # evaluate only at the LAST event of each (edge, rank) level
+    last_of_level = np.r_[
+        (src[1:] != src[:-1]) | (dst[1:] != dst[:-1]) | (r[1:] != r[:-1]), True
+    ]
+    denom = cu + cv - cm
+    j = np.where(denom > 0, cm / np.maximum(denom, 1), 0.0)
+    j = np.where(last_of_level, j, 0.0)
+    out = pd.DataFrame({"src": src, "dst": dst, "j": j})
+    best = out.groupby(["src", "dst"], sort=False)["j"].max().reset_index()
+    return pa.table(
+        {
+            "src": pa.array(best["src"].to_numpy(np.int64)),
+            "dst": pa.array(best["dst"].to_numpy(np.int64)),
+            "pj_score": pa.array(best["j"].to_numpy(np.float64)),
+        }
+    )
+
+
+def prefix_jaccard_scores(
+    canon: ray.data.Dataset, num_nodes: int, *, num_parts: int | None = None
+) -> ray.data.Dataset:
+    """(src, dst, pj_score) — best prefix-Jaccard of the endpoints' ranked
+    neighbor lists (edgescores/PrefixJaccardScore.cpp; the non-parametric
+    Simmelian backbone's core).  Neighbors are ranked per vertex by
+    (triangle strength DESC, ties share rank); for every rank level r,
+    J_r = |A_r ∩ B_r| / |A_r ∪ B_r| over the two rank-≤-r prefixes
+    (other endpoint excluded); the edge score is max_r J_r.
+
+    Scale shape: one triangle-strength build, one per-vertex ranking pass,
+    one per-edge event-cumsum pass — all vectorized inside hash-partitioned
+    tasks; Σdeg rows per side, no per-edge Python loop.
+    """
+    from networkit_ray.graph.triangles import edge_triangle_scores
+
+    tri = edge_triangle_scores(canon, num_nodes).materialize()
+
+    def both(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = t["tri"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "v": pa.array(np.concatenate([s, d])),
+                "nbr": pa.array(np.concatenate([d, s])),
+                "attr": pa.array(np.concatenate([w, w])),
+            }
+        )
+
+    bi = tri.map_batches(both, batch_format="pyarrow")
+    P = num_parts or 16
+    slices = partition_refs(bi, ["v"], P)
+    parts = [
+        _pj_rank_part.remote(*[s[p] for s in slices]) for p in range(len(slices[0]))
+    ]
+    keep = [r for r, ok in zip(parts, ray.get([_nonnull.remote(p) for p in parts])) if ok]
+    ranked = ray.data.from_arrow_refs(keep).materialize()
+
+    # side rows per canonical edge, other endpoint excluded
+    e = tri.select_columns(["src", "dst"])
+    def mk_side(exclude_col: str, side_id: int):
+        def f(t: pa.Table) -> pa.Table:
+            t = t.filter(pa.compute.not_equal(t["nbr"], t[exclude_col]))
+            t = t.select(["src", "dst", "nbr", "rank"])
+            return t.append_column(
+                "side", pa.array(np.full(len(t), side_id, np.int64))
+            )
+
+        return f
+
+    side_u = exchange_join(e, ranked, left_on=["src"], right_on=["v"]).map_batches(
+        mk_side("dst", 0), batch_format="pyarrow"
+    )
+    side_v = exchange_join(e, ranked, left_on=["dst"], right_on=["v"]).map_batches(
+        mk_side("src", 1), batch_format="pyarrow"
+    )
+    rows = side_u.union(side_v)
+    slices = partition_refs(rows, ["src", "dst"], P)
+    parts = [
+        _pj_edge_part.remote(*[s[p] for s in slices]) for p in range(len(slices[0]))
+    ]
+    keep = [r for r, ok in zip(parts, ray.get([_nonnull.remote(p) for p in parts])) if ok]
+    scored = ray.data.from_arrow_refs(keep)
+    filled = exchange_join(e, scored, left_on=["src", "dst"], join_type="left outer")
+
+    def fill(t: pa.Table) -> pa.Table:
+        s = (
+            t["pj_score"].to_numpy(zero_copy_only=False).astype(np.float64)
+            if "pj_score" in t.column_names
+            else np.zeros(len(t))
+        )
+        s = np.where(np.isnan(s), 0.0, s)
+        return pa.table({"src": t["src"], "dst": t["dst"], "pj_score": pa.array(s)})
+
+    return filled.map_batches(fill, batch_format="pyarrow")

@@ -162,6 +162,7 @@ def test_queries_oracles_consistent():
         "k_path_centrality",
         "warm_katz",
         "lfm_cover",
+        "prefix_jaccard_scores",
     }
 
 

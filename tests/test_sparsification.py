@@ -398,3 +398,47 @@ def test_normalize_and_linearize_edge_scores(ray_session):
     m = len(canon)
     for pos, (s, u, v) in enumerate(order):
         assert abs(lin[(u, v)] - pos / (m - 1)) < 1e-12
+
+
+def test_prefix_jaccard_scores_match_replica(ray_session):
+    import collections
+
+    from networkit_ray.graph.sparsification import prefix_jaccard_scores
+
+    n = 35
+    canon = _random_canon(103, n, 140)
+    got = {
+        (r["src"], r["dst"]): r["pj_score"]
+        for r in prefix_jaccard_scores(_ds(canon), n).take_all()
+    }
+
+    adj = collections.defaultdict(set)
+    for a, b in canon:
+        adj[a].add(b)
+        adj[b].add(a)
+    tri = {}
+    for a, b in canon:
+        tri[(a, b)] = tri[(b, a)] = len(adj[a] & adj[b])
+
+    def ranks(u):
+        nbrs = sorted(adj[u], key=lambda w: (-tri[(u, w)], w))
+        out = {}
+        r = 0
+        for i, w in enumerate(nbrs):
+            if i > 0 and tri[(u, nbrs[i - 1])] != tri[(u, w)]:
+                r = i
+            out[w] = r
+        return out
+
+    assert len(got) == len(canon)
+    for u, v in canon:
+        ru = {w: r for w, r in ranks(u).items() if w != v}
+        rv = {w: r for w, r in ranks(v).items() if w != u}
+        best = 0.0
+        levels = set(ru.values()) | set(rv.values())
+        for lev in sorted(levels):
+            A = {w for w, r in ru.items() if r <= lev}
+            B = {w for w, r in rv.items() if r <= lev}
+            if A | B:
+                best = max(best, len(A & B) / len(A | B))
+        assert abs(got[(u, v)] - best) < 1e-12, (u, v, got[(u, v)], best)
