@@ -1012,6 +1012,46 @@ def q_geometric_mean_scores(sf_dir):
     return _round_col(out, "gm_score", 8).sort(["src", "dst"])
 
 
+def q_blended_scores(sf_dir):
+    from networkit_ray.graph.sparsification import blend_edge_scores
+    from networkit_ray.graph.triangles import edge_triangle_scores, jaccard_edge_scores
+
+    canon, n = _canon(sf_dir)
+    a = edge_triangle_scores(canon, n).materialize()
+    b = jaccard_edge_scores(canon, n).materialize()
+    out = blend_edge_scores(a, "tri", b, "jaccard", 0.25)
+    return _round_col(out, "blend_score", 8).sort(["src", "dst"])
+
+
+def q_score_as_weight(sf_dir):
+    from networkit_ray.graph.build import weighted_degree_table
+    from networkit_ray.graph.sparsification import edge_score_as_weight
+    from networkit_ray.graph.triangles import edge_triangle_scores
+
+    canon, n = _canon(sf_dir)
+    scored = edge_score_as_weight(
+        edge_triangle_scores(canon, n), "tri", offset=1.0, factor=0.5
+    )
+    sym_w = scored.map_batches(
+        lambda t: pa.table(
+            {
+                "src": pa.concat_arrays(
+                    [t["src"].combine_chunks(), t["dst"].combine_chunks()]
+                ),
+                "dst": pa.concat_arrays(
+                    [t["dst"].combine_chunks(), t["src"].combine_chunks()]
+                ),
+                "w": pa.concat_arrays(
+                    [t["w"].combine_chunks(), t["w"].combine_chunks()]
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = weighted_degree_table(sym_w)
+    return _round_col(out, "wdeg", 8).sort("v")
+
+
 def q_prefix_jaccard_scores(sf_dir):
     """Prefix-Jaccard edge scores (non-parametric Simmelian core);
     rows-only — brute-force-replica tests in tests/test_sparsification.py."""
@@ -2350,6 +2390,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quadrangle_scores": q_quadrangle_scores,
         "geometric_mean_scores": q_geometric_mean_scores,
         "prefix_jaccard_scores": q_prefix_jaccard_scores,
+        "blended_scores": q_blended_scores,
+        "score_as_weight": q_score_as_weight,
         "normalized_triangle_scores": q_normalized_triangle_scores,
         "linearized_triangle_scores": q_linearized_triangle_scores,
         "top_harmonic_closeness": q_top_harmonic_closeness,
@@ -3566,6 +3608,44 @@ def oracle_sql() -> dict[str, str]:
                               ELSE 1.0 END, 8) AS jaccard
             FROM ce JOIN dg du ON du.v = ce.src JOIN dg dv ON dv.v = ce.dst
             LEFT JOIN cnt ON cnt.src = ce.src AND cnt.dst = ce.dst
+        """,
+        # EdgeScoreBlender twin: 0.25·tri + 0.75·jaccard (unrounded inputs).
+        "blended_scores": f"""
+            WITH ce AS MATERIALIZED ({CANONICAL_EDGES_SQL}),
+            tc AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+                   FROM ce e1 JOIN ce e2 ON e2.src = e1.dst
+                   JOIN ce e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+            ex AS (SELECT LEAST(a,b) AS src, GREATEST(a,b) AS dst FROM tc
+                   UNION ALL SELECT LEAST(a,c), GREATEST(a,c) FROM tc
+                   UNION ALL SELECT LEAST(b,c), GREATEST(b,c) FROM tc),
+            cnt AS (SELECT src, dst, COUNT(*) AS tri FROM ex GROUP BY src, dst),
+            dg AS (SELECT v, CAST(COUNT(*) AS DOUBLE) AS deg FROM (
+                SELECT src AS v FROM ce UNION ALL SELECT dst FROM ce) GROUP BY v)
+            SELECT ce.src, ce.dst,
+                   ROUND(0.25 * COALESCE(cnt.tri, 0)
+                       + 0.75 * CASE WHEN du.deg + dv.deg - 2 - COALESCE(cnt.tri, 0) > 0
+                                     THEN COALESCE(cnt.tri, 0) / (du.deg + dv.deg - 2 - COALESCE(cnt.tri, 0))
+                                     ELSE 1.0 END, 8) AS blend_score
+            FROM ce JOIN dg du ON du.v = ce.src JOIN dg dv ON dv.v = ce.dst
+            LEFT JOIN cnt ON cnt.src = ce.src AND cnt.dst = ce.dst
+            ORDER BY ce.src, ce.dst
+        """,
+        # EdgeScoreAsWeight twin: w = 1 + 0.5·tri, then weighted degrees.
+        "score_as_weight": f"""
+            WITH ce AS MATERIALIZED ({CANONICAL_EDGES_SQL}),
+            tc AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+                   FROM ce e1 JOIN ce e2 ON e2.src = e1.dst
+                   JOIN ce e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+            ex AS (SELECT LEAST(a,b) AS src, GREATEST(a,b) AS dst FROM tc
+                   UNION ALL SELECT LEAST(a,c), GREATEST(a,c) FROM tc
+                   UNION ALL SELECT LEAST(b,c), GREATEST(b,c) FROM tc),
+            cnt AS (SELECT src, dst, COUNT(*) AS tri FROM ex GROUP BY src, dst),
+            w AS (SELECT ce.src, ce.dst,
+                         1.0 + 0.5 * COALESCE(cnt.tri, 0) AS w
+                  FROM ce LEFT JOIN cnt ON cnt.src = ce.src AND cnt.dst = ce.dst)
+            SELECT v, ROUND(SUM(w), 8) AS wdeg FROM (
+                SELECT src AS v, w FROM w UNION ALL SELECT dst, w FROM w)
+            GROUP BY v ORDER BY v
         """,
         "hub_dominance": f"""
             WITH ce AS MATERIALIZED ({CANONICAL_EDGES_SQL}),

@@ -821,3 +821,52 @@ def prefix_jaccard_scores(
         return pa.table({"src": t["src"], "dst": t["dst"], "pj_score": pa.array(s)})
 
     return filled.map_batches(fill, batch_format="pyarrow")
+
+
+def blend_edge_scores(
+    a: ray.data.Dataset, col_a: str, b: ray.data.Dataset, col_b: str, factor: float
+) -> ray.data.Dataset:
+    """(src, dst, blend_score) = factor·a + (1−factor)·b per edge
+    (edgescores/EdgeScoreBlender.cpp) — one hash join + a vectorized map."""
+    br = b.map_batches(
+        lambda t: pa.table(
+            {"src": t["src"], "dst": t["dst"], "_b": pc_cast(t[col_b])}
+        ),
+        batch_format="pyarrow",
+    )
+    j = exchange_join(a, br, left_on=["src", "dst"])
+
+    def f(t: pa.Table) -> pa.Table:
+        av = t[col_a].to_numpy(zero_copy_only=False).astype(np.float64)
+        bv = t["_b"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "src": t["src"],
+                "dst": t["dst"],
+                "blend_score": pa.array(factor * av + (1.0 - factor) * bv),
+            }
+        )
+
+    return j.map_batches(f, batch_format="pyarrow")
+
+
+def pc_cast(col):
+    import pyarrow.compute as _pc
+
+    return _pc.cast(col, pa.float64())
+
+
+def edge_score_as_weight(
+    scored: ray.data.Dataset, score_col: str, *, offset: float = 0.0, factor: float = 1.0
+) -> ray.data.Dataset:
+    """(src, dst, w) — attach an edge score as the weight column
+    (edgescores/EdgeScoreAsWeight.cpp: w = offset + factor·score), making
+    any scored table directly consumable by the weighted kernels."""
+
+    def f(t: pa.Table) -> pa.Table:
+        s = t[score_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {"src": t["src"], "dst": t["dst"], "w": pa.array(offset + factor * s)}
+        )
+
+    return scored.map_batches(f, batch_format="pyarrow")
