@@ -724,6 +724,21 @@ def q_group_closeness(sf_dir):
     return pd.DataFrame(picks, columns=["rank", "v", "farness"])
 
 
+def q_ged_walk(sf_dir):
+    """GedWalk greedy group (truncated-levels normative semantics);
+    rows-only — dense-replica tests in tests/test_gedwalk.py."""
+    import pandas as pd
+
+    from networkit_ray.common.hashing import round_half_away
+    from networkit_ray.graph.gedwalk import ged_walk
+
+    edges, n = _derived(sf_dir)
+    picks = ged_walk(edges, n, 3, levels=5, pool=8)
+    df = pd.DataFrame(picks, columns=["rank", "v", "score"])
+    df["score"] = round_half_away(df["score"].to_numpy(), 6)
+    return df
+
+
 def q_group_harmonic_closeness(sf_dir):
     import pandas as pd
 
@@ -2355,6 +2370,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_degree": q_group_degree,
         "group_closeness": q_group_closeness,
         "group_harmonic_closeness": q_group_harmonic_closeness,
+        "ged_walk": q_ged_walk,
         "node2vec_walks": q_node2vec_walks,
         "incremental_cc": q_incremental_cc,
         "warm_pagerank": q_warm_pagerank,

@@ -1,0 +1,175 @@
+"""GedWalk group centrality — greedy walk-coverage maximization.
+
+Reference: centrality/GedWalk.cpp ("Group Centrality Maximization for
+Large-scale Graphs", Angriman et al.): the GedWalk score of a group S is
+``Σ_{ℓ≥1} α^ℓ · φ_ℓ(S)`` where φ_ℓ counts directed ℓ-walks that touch S.
+The reference runs a lazy-greedy with adaptive level bounds; the
+normative distributed re-expression (mirrored by the numpy replica in
+tests) TRUNCATES at a fixed ``levels`` L (the α^ℓ tail vanishes
+geometrically) and evaluates every candidate's marginal exactly:
+
+- walks hitting S = total walks − walks avoiding S:
+  φ_ℓ(S) = W_ℓ − M_ℓ(S), W_ℓ = 1ᵀAˡ1,
+  M_ℓ(S) via the masked out-walk DP o_0 = [v∉S],
+  o_{ℓ+1}(v) = [v∉S]·Σ_{(v,u)∈E} o_ℓ(u);
+- one greedy round evaluates ALL pool candidates in ONE batched BSP pass:
+  per-partition (n_p × C) matrices, one column per candidate's mask
+  S∪{c} — the same matrix-superstep shape as multi-source BFS.
+
+Scale shape: k rounds × L supersteps total, each an edge-linear
+matrix gather; only (C × L) scalars reach the driver per round.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from networkit_ray.graph import bsp
+from networkit_ray.graph.bsp import aggregate_messages, build_pgraph, chunk_edge_index
+
+
+@ray.remote
+def _gw_init(vids: np.ndarray, masks: np.ndarray) -> np.ndarray:
+    """(n_p, C) float64: column c is 1 except on masks[c]'s vertices."""
+    x = np.ones((len(vids), masks.shape[0]), dtype=np.float64)
+    for c in range(masks.shape[0]):
+        x[np.isin(vids.astype(np.int64), masks[c]), c] = 0.0
+    return x
+
+
+@ray.remote
+def _gw_map(block: dict, x: np.ndarray, chunk: int) -> tuple:
+    idx = chunk_edge_index(block, chunk)
+    return tuple(aggregate_messages(block, x[block["src_local"][idx]], chunk))
+
+
+@ray.remote(num_returns=2)
+def _gw_reduce(vids: np.ndarray, masks: np.ndarray, width: int, *partials):
+    new = np.zeros((len(vids), width), dtype=np.float64)
+    for idx, sums in partials:
+        if len(idx):
+            new[idx] += sums
+    for c in range(masks.shape[0]):
+        new[np.isin(vids.astype(np.int64), masks[c]), c] = 0.0
+    return new, new.sum(axis=0)
+
+
+def _walk_totals(g, levels: int) -> np.ndarray:
+    """W_ℓ = Σ_v (# ℓ-walks starting at v), ℓ = 1..levels."""
+    P = g.num_parts
+    none = np.empty((1, 0), dtype=np.int64)
+
+    @ray.remote
+    def _ones(vids):
+        return np.ones((len(vids), 1), dtype=np.float64)
+
+    x = [_ones.remote(g.vid_refs[p]) for p in range(P)]
+    units = g.map_units()
+    totals = []
+    for _ in range(levels):
+        map_out = [
+            _gw_map.options(num_returns=P).remote(g.block_refs[p], x[p], c)
+            for p, c in units
+        ]
+        new_x, sums = [], []
+        for q in range(P):
+            s, tot = _gw_reduce.remote(g.vid_refs[q], none, 1, *[mo[q] for mo in map_out])
+            new_x.append(s)
+            sums.append(tot)
+        totals.append(float(np.sum(ray.get(sums))))
+        x = new_x
+    return np.array(totals)
+
+
+def ged_walk(
+    edges: ray.data.Dataset,
+    num_nodes: int,
+    k: int,
+    *,
+    alpha: float | None = None,
+    levels: int = 6,
+    pool: int = 8,
+    num_parts: int | None = None,
+) -> list[dict]:
+    """Greedy k-group GedWalk; returns [{rank, v, score}, ...].
+
+    ``alpha`` defaults to the reference's plain-bound choice
+    1/(1 + maxInDeg + maxOutDeg); ties in the greedy argmax break to the
+    smallest vertex id.
+    """
+    from ray.data.aggregate import Count
+
+    from networkit_ray.graph.build import transpose
+
+    edges = edges.materialize()
+    dout = edges.groupby("src").aggregate(Count(alias_name="d"))
+    din = edges.groupby("dst").aggregate(Count(alias_name="d"))
+    max_out = int(dout.max("d") or 0)
+    max_in = int(din.max("d") or 0)
+    if alpha is None:
+        alpha = 1.0 / (1.0 + max_in + max_out)
+
+    # candidates: top total degree, padded like the group-closeness pool
+    tot = edges.map_batches(
+        lambda t: pa.table(
+            {
+                "v": pa.concat_arrays(
+                    [
+                        t["src"].combine_chunks().cast(pa.int64()),
+                        t["dst"].combine_chunks().cast(pa.int64()),
+                    ]
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    ).groupby("v").aggregate(Count(alias_name="deg"))
+    top = tot.sort(["deg", "v"], descending=[True, False]).limit(pool).to_pandas()
+    cands = top["v"].to_numpy().astype(np.int64)
+
+    # message flow must follow OUT-edges: build on the transpose
+    g = build_pgraph(transpose(edges), num_nodes, num_parts=num_parts)
+    P = g.num_parts
+    units = g.map_units()
+    w_tot = _walk_totals(g, levels)
+    alphas = alpha ** np.arange(1, levels + 1)
+
+    picked: list[int] = []
+    picked_scores: list[float] = []
+    taken = np.zeros(len(cands), dtype=bool)
+    for r in range(min(k, len(cands))):
+        live = np.flatnonzero(~taken)
+        masks = np.array(
+            [sorted(picked + [int(cands[c])]) for c in live], dtype=np.int64
+        )
+        C = len(live)
+        x = [_gw_init.remote(g.vid_refs[p], masks) for p in range(P)]
+        miss = np.zeros((levels, C))
+        for lv in range(levels):
+            map_out = [
+                _gw_map.options(num_returns=P).remote(g.block_refs[p], x[p], c)
+                for p, c in units
+            ]
+            new_x, sums = [], []
+            for q in range(P):
+                s, tot_ = _gw_reduce.remote(
+                    g.vid_refs[q], masks, C, *[mo[q] for mo in map_out]
+                )
+                new_x.append(s)
+                sums.append(tot_)
+            miss[lv] = np.sum(ray.get(sums), axis=0)
+            x = new_x
+        scores = (alphas[:, None] * (w_tot[:, None] - miss)).sum(axis=0)
+        best = scores.max()
+        tied = live[np.flatnonzero(scores == best)]
+        j = int(cands[tied].argmin())
+        pick = int(cands[tied][j])
+        taken[np.flatnonzero(cands == pick)[0]] = True
+        picked.append(pick)
+        picked_scores.append(float(best))
+    return [
+        {"rank": i + 1, "v": v, "score": s}
+        for i, (v, s) in enumerate(zip(picked, picked_scores))
+    ]

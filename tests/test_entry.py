@@ -163,6 +163,7 @@ def test_queries_oracles_consistent():
         "warm_katz",
         "lfm_cover",
         "prefix_jaccard_scores",
+        "ged_walk",
     }
 
 
