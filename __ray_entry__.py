@@ -939,6 +939,26 @@ def q_same_community(sf_dir):
     return same_community_index(pairs, _mod_labels(n, 10)).sort(["u", "v"])
 
 
+def q_contamination(sf_dir):
+    """Benchmark-contamination check: train docs sharing a word-trigram
+    with the doc_id%97==0 held-out benchmark slice."""
+    from networkit_ray.dedup.jaccard import contamination_check
+
+    docs = _docs(sf_dir)
+
+    def split(keep_bm):
+        def f(t: pa.Table) -> pa.Table:
+            d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            m = d % 97 == 0
+            return t.filter(pa.array(m if keep_bm else ~m))
+
+        return f
+
+    bm = docs.map_batches(split(True), batch_format="pyarrow")
+    tr = docs.map_batches(split(False), batch_format="pyarrow")
+    return contamination_check(tr, bm, k=3).sort("doc_id")
+
+
 def q_token_shards(sf_dir):
     from networkit_ray.text.analysis import token_shards
 
@@ -2419,6 +2439,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_preserving_shuffle": q_degree_preserving_shuffle,
         "link_roc": q_link_roc,
         "token_shards": q_token_shards,
+        "contamination": q_contamination,
         "doc_sample": q_doc_sample,
         "map_equation": q_map_equation,
         "neighborhood_function": q_neighborhood_function,
@@ -4701,6 +4722,26 @@ def oracle_sql() -> dict[str, str]:
                         ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
                    CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS BIGINT) AS n_bpeish
             FROM documents
+        """,
+        # contamination_check twin: distinct word-trigram overlap between
+        # the train slice and the %97 benchmark slice.
+        "contamination": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), t -> t <> '') AS ws
+              FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id, u.s AS s
+              FROM toks,
+                   UNNEST(list_transform(generate_series(1, GREATEST(len(ws) - 2, 0)),
+                                         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS u(s)),
+            bm AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+            tr AS (SELECT * FROM sh WHERE doc_id % 97 <> 0)
+            SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS hits
+            FROM tr JOIN bm ON bm.s = tr.s
+            GROUP BY tr.doc_id
+            HAVING COUNT(*) >= 1
+            ORDER BY tr.doc_id
         """,
         # token_shards twin: running whitespace-token cumsum // budget.
         "token_shards": r"""

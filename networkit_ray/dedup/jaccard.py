@@ -119,3 +119,39 @@ def jaccard_near_dups(
         )
 
     return with_b.map_batches(score, batch_format="pyarrow")
+
+
+def contamination_check(
+    train: ray.data.Dataset,
+    benchmark: ray.data.Dataset,
+    *,
+    k: int = 3,
+    min_hits: int = 1,
+) -> ray.data.Dataset:
+    """(doc_id, hits) — train documents sharing ≥ ``min_hits`` distinct
+    k-gram shingles with ANY benchmark document.
+
+    Training-data decontamination (no reference analog): flag training
+    documents that leak benchmark content before a training run.  The
+    benchmark side is usually tiny — its distinct shingles behave like a
+    broadcast filter; the train side streams through one hash join.
+
+    Scale shape: shingle both sides (the same 64-bit hashes as the exact
+    Jaccard dedup, so the DuckDB twin agrees exactly), distinct benchmark
+    shingles, one semi-ish join + per-doc count.
+    """
+    tr = shingle_rows(train, k)
+    bm = (
+        shingle_rows(benchmark, k)
+        .groupby("sh")
+        .aggregate(Count(alias_name="_c"))
+        .select_columns(["sh"])
+    )
+    hit = exchange_join(tr, bm, left_on=["sh"])
+    counts = hit.groupby("doc_id").aggregate(Count(alias_name="hits"))
+    return counts.map_batches(
+        lambda t: t.filter(
+            pa.compute.greater_equal(t["hits"], pa.scalar(min_hits, pa.int64()))
+        ),
+        batch_format="pyarrow",
+    )

@@ -636,3 +636,32 @@ def test_sample_documents_deterministic(ray_session):
     assert 0.25 * n < len(a) < 0.55 * n
     for d in a[:50]:
         assert (d * 2654435761 + 3) % 2**31 < int(0.4 * 2**31)
+
+
+def test_contamination_check_planted_leak(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from networkit_ray.dedup.jaccard import contamination_check
+
+    bench_text = "the quick brown fox jumps over the lazy dog"
+    train = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    [
+                        "completely unrelated words about graphs and rivers",
+                        "prefix then the quick brown fox appears here",
+                        "alpha beta gamma delta epsilon zeta eta theta",
+                    ]
+                ),
+            }
+        )
+    )
+    bench = rd.from_arrow(
+        pa.table({"doc_id": pa.array([100], pa.int64()), "text": pa.array([bench_text])})
+    )
+    got = {r["doc_id"]: r["hits"] for r in contamination_check(train, bench).take_all()}
+    # doc 2 shares the trigrams "the quick brown" and "quick brown fox"
+    assert got == {2: 2}
