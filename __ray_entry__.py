@@ -1948,6 +1948,15 @@ def q_rmat_edges(sf_dir):
     return edges
 
 
+def q_barabasi_albert(sf_dir):
+    """generators/BarabasiAlbertGenerator.cpp Batagelj form (hash draws);
+    rows-only — sequential-replica-exact tests in tests/test_generators2.py."""
+    from networkit_ray.sources.synth import barabasi_albert_edges
+
+    edges, _n = barabasi_albert_edges(1024, 4, seed=42)
+    return edges.sort(["src", "dst"])
+
+
 def q_er_edges(sf_dir):
     """generators/ErdosRenyiGenerator.cpp analog (G(n,m) counter hash);
     rows-only — determinism/density tests in tests/test_sources.py."""
@@ -2527,6 +2536,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_decode": q_multimodal_decode,
         "rmat_edges": q_rmat_edges,
         "er_edges": q_er_edges,
+        "barabasi_albert": q_barabasi_albert,
         "chung_lu_edges": q_chung_lu_edges,
         "watts_strogatz_edges": q_watts_strogatz_edges,
         "ring_lattice": q_ring_lattice,

@@ -379,3 +379,68 @@ def dorogovtsev_mendes_edges(n: int, *, seed: int = 42) -> tuple[ray.data.Datase
         return pa.table({"src": pa.array(lo), "dst": pa.array(hi)})
 
     return ray.data.from_arrow_refs([build.remote()]), n
+
+
+def barabasi_albert_edges(
+    n: int, k: int, *, seed: int = 42
+) -> tuple[ray.data.Dataset, int]:
+    """Barabási–Albert preferential attachment (Batagelj–Brandes form).
+
+    Reference: generators/BarabasiAlbertGenerator.cpp (generateBatagelj):
+    preferential attachment is realized WITHOUT degree bookkeeping by
+    sampling a uniform position of the growing endpoint array — every
+    vertex appears in it once per incident edge, so sampling positions IS
+    degree-proportional sampling.  Deterministic re-expression: the
+    sampled position of attachment i is ``splitmix64(i + seed·FNV) mod
+    (prefix length)``; odd positions form pointer chains that resolve by
+    vectorized chasing (expected O(log) gather rounds) — the structure a
+    distributed pointer-jumping implementation would use, here one task
+    (growth is globally ordered, like the reference).
+
+    Init: path 0−1−…−(k−1); nodes k..n−1 attach k edges each (possibly
+    parallel/self duplicates, deduplicated like the reference's addEdge
+    on the simple graph).
+    """
+    if k < 1 or n < k:
+        raise ValueError("need 1 <= k <= n")
+    base = np.uint64(seed) * np.uint64(0x100000001B3)
+
+    @ray.remote
+    def build() -> pa.Table:
+        # seed endpoint array: the init path's endpoints
+        S = np.repeat(np.arange(k, dtype=np.int64), 2)[1:-1]  # 0,1,1,2,...,k-1
+        s_len = len(S)
+        m = (n - k) * k  # attachment count
+        i = np.arange(m, dtype=np.uint64)
+        u = (i // np.uint64(k)).astype(np.int64) + k  # attaching node
+        # position array A = S ++ M, M[2i] = u_i, M[2i+1] = resolved target;
+        # attachment i samples a uniform position < s_len + 2i
+        r = (_splitmix64(i + base) % (np.uint64(s_len) + np.uint64(2) * i)).astype(
+            np.int64
+        )
+        # chase pointers: position p >= s_len and odd (M[2j+1]) forwards to
+        # attachment j's own sampled position; even → node (j // k + k);
+        # p < s_len → seed value S[p]
+        x = r.copy()
+        while True:
+            in_m = x >= s_len
+            off = x - s_len
+            odd = in_m & (off % 2 == 1)
+            if not odd.any():
+                break
+            j = (off[odd] - 1) // 2
+            x[odd] = r[j]
+        dst = np.where(
+            x < s_len,
+            S[np.minimum(x, s_len - 1)],
+            ((x - s_len) // 2 // k + k),
+        ).astype(np.int64)
+        src = np.concatenate([np.arange(1, k, dtype=np.int64), u])
+        dst = np.concatenate([np.arange(0, k - 1, dtype=np.int64), dst])
+        keep = src != dst
+        lo = np.minimum(src[keep], dst[keep])
+        hi = np.maximum(src[keep], dst[keep])
+        uniq = np.unique(np.stack([lo, hi], axis=1), axis=0)
+        return pa.table({"src": pa.array(uniq[:, 0]), "dst": pa.array(uniq[:, 1])})
+
+    return ray.data.from_arrow_refs([build.remote()]), n

@@ -164,6 +164,7 @@ def test_queries_oracles_consistent():
         "lfm_cover",
         "prefix_jaccard_scores",
         "ged_walk",
+        "barabasi_albert",
     }
 
 

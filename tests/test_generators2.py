@@ -106,3 +106,34 @@ def test_dorogovtsev_mendes_structure(ray_session):
     # deterministic
     again, _ = dorogovtsev_mendes_edges(n, seed=5)
     assert sorted(_pairs(again)) == sorted(pairs)
+
+
+def test_barabasi_albert_matches_sequential_batagelj(ray_session):
+    from networkit_ray.sources.synth import _splitmix64, barabasi_albert_edges
+
+    n, k, seed = 60, 3, 9
+    ds, nn = barabasi_albert_edges(n, k, seed=seed)
+    got = sorted(_pairs(ds))
+
+    # sequential Batagelj replica with the same hash draws
+    base = np.uint64(seed) * np.uint64(0x100000001B3)
+    S = list(np.repeat(np.arange(k), 2)[1:-1])
+    m = (n - k) * k
+    i = np.arange(m, dtype=np.uint64)
+    r = (_splitmix64(i + base) % (np.uint64(len(S)) + np.uint64(2) * i)).astype(int)
+    A = list(S)
+    edges = [(j - 1, j) for j in range(1, k)]
+    for j in range(m):
+        u = j // k + k
+        tgt = A[r[j]]
+        A.append(u)
+        A.append(tgt)
+        edges.append((u, tgt))
+    want = sorted({(min(a, b), max(a, b)) for a, b in edges if a != b})
+    assert got == want
+    # scale-free-ish: some node far exceeds the attachment degree
+    deg = collections.Counter()
+    for a, b in got:
+        deg[a] += 1
+        deg[b] += 1
+    assert max(deg.values()) >= 3 * k
