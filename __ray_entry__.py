@@ -762,6 +762,25 @@ def q_seir(sf_dir):
     return seir(sym, n, **SEIR_PARAMS)
 
 
+def q_path_growing_matching(sf_dir):
+    """Drake–Hougardy path-growing matching (single-task conformance);
+    rows-only — validity/half-approx/determinism tests in
+    tests/test_randomize_suitor.py."""
+    from networkit_ray.graph.matching import path_growing_matching
+
+    canon, n = _canon(sf_dir)
+
+    def with_w(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "w", pa.array(((src + dst) % 7 + 1).astype(np.float64))
+        )
+
+    cw = canon.map_batches(with_w, batch_format="pyarrow").materialize()
+    return path_growing_matching(cw, n).sort(["src", "dst"])
+
+
 def q_suitor_matching(sf_dir):
     from networkit_ray.graph.matching import suitor_matching
 
@@ -2412,6 +2431,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "harmonic_closeness_exact": q_harmonic_closeness_exact,
         "local_max_matching": q_local_max_matching,
         "suitor_matching": q_suitor_matching,
+        "path_growing_matching": q_path_growing_matching,
         "seir": q_seir,
         "edge_switch_degrees": q_edge_switch_degrees,
         "jaccard_edge_scores": q_jaccard_edge_scores,

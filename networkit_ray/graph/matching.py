@@ -172,3 +172,73 @@ def _dominant_rounds(
     for p_ in matched_parts[1:]:
         out = out.union(p_)
     return out, {"rounds": rounds}
+
+
+def path_growing_matching(
+    canon_w: ray.data.Dataset, num_nodes: int
+) -> ray.data.Dataset:
+    """(src, dst, w) — the Drake–Hougardy path-growing ½-approximation.
+
+    Reference: matching/PathGrowingMatcher.cpp — repeatedly start at the
+    highest-degree live vertex and grow a path along the HEAVIEST live
+    incident edge, adding edges alternately to matchings M1/M2 and
+    removing each visited vertex; return the heavier of M1, M2.
+    Deterministic normative ties (replica-tested): start vertex → smaller
+    id, heaviest edge → smaller neighbor id.
+
+    Path growth is inherently sequential (each step consumes the previous
+    vertex), so like Havel–Hakimi this is a SINGLE-TASK conformance
+    operator over the collected weighted edge table; the distributed
+    matchings are local-max and Suitor.
+    """
+    import ray
+
+    @ray.remote
+    def build(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = t["w"].to_numpy(zero_copy_only=False).astype(np.float64)
+        adj: dict[int, dict[int, float]] = {}
+        for a, b, ww in zip(src, dst, w):
+            adj.setdefault(int(a), {})[int(b)] = float(ww)
+            adj.setdefault(int(b), {})[int(a)] = float(ww)
+        alive = set(adj)
+        m = [[], []]  # M1, M2
+        wsum = [0.0, 0.0]
+        while alive:
+            u = max(alive, key=lambda v: (len(adj[v]), -v))
+            if not adj[u]:
+                alive.discard(u)
+                continue
+            take = 0
+            while True:
+                nbrs = adj[u]
+                if not nbrs:
+                    alive.discard(u)
+                    break
+                v = max(nbrs, key=lambda x: (nbrs[x], -x))
+                ww = nbrs[v]
+                m[take].append((min(u, v), max(u, v), ww))
+                wsum[take] += ww
+                take ^= 1
+                # remove u entirely
+                for x in list(adj[u]):
+                    del adj[x][u]
+                adj[u] = {}
+                alive.discard(u)
+                u = v
+        best = m[0] if wsum[0] >= wsum[1] else m[1]
+        best.sort()
+        return pa.table(
+            {
+                "src": pa.array([e[0] for e in best], pa.int64()),
+                "dst": pa.array([e[1] for e in best], pa.int64()),
+                "w": pa.array([e[2] for e in best], pa.float64()),
+            }
+        )
+
+    tbl = pa.concat_tables(
+        [r if isinstance(r, pa.Table) else pa.Table.from_pandas(r)
+         for r in ray.get(canon_w.to_arrow_refs())]
+    )
+    return ray.data.from_arrow_refs([build.remote(tbl)])

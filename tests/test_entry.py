@@ -165,6 +165,7 @@ def test_queries_oracles_consistent():
         "prefix_jaccard_scores",
         "ged_walk",
         "barabasi_albert",
+        "path_growing_matching",
     }
 
 

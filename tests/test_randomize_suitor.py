@@ -149,3 +149,47 @@ def test_degree_preserving_shuffle_matches_replica(ray_session):
         tgt = np.sort(arr)
         for pos, idx in enumerate(order):
             assert got[int(arr[idx])] == int(tgt[pos])
+
+
+def test_path_growing_matching_valid_and_half_approx(ray_session):
+    import itertools
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from networkit_ray.graph.matching import path_growing_matching
+
+    rng = np.random.default_rng(113)
+    n = 12
+    canon = sorted(
+        {(int(min(a, b)), int(max(a, b))) for a, b in rng.integers(0, n, (30, 2)) if a != b}
+    )
+    w = {e: float((e[0] + e[1]) % 7 + 1) for e in canon}
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([e[0] for e in canon], pa.int64()),
+                "dst": pa.array([e[1] for e in canon], pa.int64()),
+                "w": pa.array([w[e] for e in canon], pa.float64()),
+            }
+        )
+    ).materialize()
+    got = [(r["src"], r["dst"], r["w"]) for r in path_growing_matching(ds, n).take_all()]
+    # valid matching
+    seen = set()
+    for a, b, ww in got:
+        assert w[(a, b)] == ww
+        assert a not in seen and b not in seen
+        seen |= {a, b}
+    # ≥ 1/2 of the optimum (brute force on the small graph)
+    best = 0.0
+    for r in range(1, n // 2 + 1):
+        for combo in itertools.combinations(canon, r):
+            verts = [v for e in combo for v in e]
+            if len(set(verts)) == len(verts):
+                best = max(best, sum(w[e] for e in combo))
+    assert sum(ww for _, _, ww in got) >= 0.5 * best
+    # deterministic
+    again = [(r["src"], r["dst"], r["w"]) for r in path_growing_matching(ds, n).take_all()]
+    assert got == again
