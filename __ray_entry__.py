@@ -724,6 +724,21 @@ def q_group_closeness(sf_dir):
     return pd.DataFrame(picks, columns=["rank", "v", "farness"])
 
 
+def q_sgns_embeddings(sf_dir):
+    """Node2Vec's word2vec half (LearnEmbedding.cpp analog): SGNS over
+    the deterministic walks; rows-only — pair-replica and planted-cluster
+    separation tests in tests/test_embedding.py."""
+    from networkit_ray.graph.embedding import sgns_embeddings
+    from networkit_ray.graph.walks import random_walks
+
+    sym, n = _sym(sf_dir)
+    walks = random_walks(sym, n, n_walkers=128, length=8, seed=42).materialize()
+    out = sgns_embeddings(walks, n, dim=8, epochs=3, lr=0.05, seed=42)
+    for j in range(8):
+        out = _round_col(out, f"e{j}", 6)
+    return out.sort("v")
+
+
 def q_ged_walk(sf_dir):
     """GedWalk greedy group (truncated-levels normative semantics);
     rows-only — dense-replica tests in tests/test_gedwalk.py."""
@@ -2419,6 +2434,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_closeness": q_group_closeness,
         "group_harmonic_closeness": q_group_harmonic_closeness,
         "ged_walk": q_ged_walk,
+        "sgns_embeddings": q_sgns_embeddings,
         "node2vec_walks": q_node2vec_walks,
         "incremental_cc": q_incremental_cc,
         "warm_pagerank": q_warm_pagerank,

@@ -166,6 +166,7 @@ def test_queries_oracles_consistent():
         "ged_walk",
         "barabasi_albert",
         "path_growing_matching",
+        "sgns_embeddings",
     }
 
 
