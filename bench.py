@@ -251,25 +251,37 @@ def run_scaling() -> None:
         int(x)
         for x in os.environ.get("GRAFT_SCALING_CPUS", "4,16,32").split(",")
     ]
+    # the sandbox is shared: tenant load drifts on a minutes scale, i.e.
+    # ACROSS legs.  Interleave the legs over several cycles and keep each
+    # leg's best throughput so one noisy window can't skew the ratio.
+    cycles = int(os.environ.get("GRAFT_SCALING_CYCLES", "2"))
     out = {}
-    for ncpu in legs:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        # strong-scaling evidence needs enough per-superstep compute that
-        # parallelism, not fixed task overhead, is the bottleneck: scale-23
-        # R-MAT (8.4M vertices / 134M edges) unless the caller overrides
-        env.setdefault("GRAFT_RMAT_SCALE", "23")
-        env["GRAFT_KERNELS_ONLY"] = "1"
-        log(f"--- scaling run: num_cpus={ncpu} ---")
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env,
-            capture_output=True,
-            text=True,
-            check=True,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        )
-        sys.stderr.write(proc.stderr)
-        out[ncpu] = json.loads(proc.stdout.strip().splitlines()[-1])
+    for cy in range(cycles):
+        for ncpu in legs:
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+            # strong-scaling evidence needs enough per-superstep compute that
+            # parallelism, not fixed task overhead, is the bottleneck: scale-23
+            # R-MAT (8.4M vertices / 134M edges) unless the caller overrides
+            env.setdefault("GRAFT_RMAT_SCALE", "23")
+            env["GRAFT_KERNELS_ONLY"] = "1"
+            log(f"--- scaling run (cycle {cy + 1}/{cycles}): num_cpus={ncpu} ---")
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                capture_output=True,
+                text=True,
+                check=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            sys.stderr.write(proc.stderr)
+            leg = json.loads(proc.stdout.strip().splitlines()[-1])
+            best = out.get(ncpu)
+            if (
+                best is None
+                or leg["pagerank_edges_per_sec_superstep"]
+                > best["pagerank_edges_per_sec_superstep"]
+            ):
+                out[ncpu] = leg
     lo, hi = legs[0], legs[1]
     eps_lo = out[lo]["pagerank_edges_per_sec_superstep"]
     eps_hi = out[hi]["pagerank_edges_per_sec_superstep"]
