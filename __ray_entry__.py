@@ -1982,6 +1982,15 @@ def q_rmat_edges(sf_dir):
     return edges
 
 
+def q_hyperbolic_edges(sf_dir):
+    """generators/HyperbolicGenerator.cpp cold (T=0) threshold variant;
+    rows-only — replica-exact/power-law tests in tests/test_generators2.py."""
+    from networkit_ray.sources.synth import hyperbolic_edges
+
+    edges, _n = hyperbolic_edges(512, 6.0, 0.85, seed=42)
+    return edges.sort(["src", "dst"])
+
+
 def q_barabasi_albert(sf_dir):
     """generators/BarabasiAlbertGenerator.cpp Batagelj form (hash draws);
     rows-only — sequential-replica-exact tests in tests/test_generators2.py."""
@@ -2573,6 +2582,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rmat_edges": q_rmat_edges,
         "er_edges": q_er_edges,
         "barabasi_albert": q_barabasi_albert,
+        "hyperbolic_edges": q_hyperbolic_edges,
         "chung_lu_edges": q_chung_lu_edges,
         "watts_strogatz_edges": q_watts_strogatz_edges,
         "ring_lattice": q_ring_lattice,

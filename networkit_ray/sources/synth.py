@@ -444,3 +444,50 @@ def barabasi_albert_edges(
         return pa.table({"src": pa.array(uniq[:, 0]), "dst": pa.array(uniq[:, 1])})
 
     return ray.data.from_arrow_refs([build.remote()]), n
+
+
+def hyperbolic_edges(
+    n: int, radius: float, alpha: float = 1.0, *, seed: int = 42
+) -> tuple[ray.data.Dataset, int]:
+    """Cold (T = 0) hyperbolic random geometric graph.
+
+    Reference: generators/HyperbolicGenerator.cpp (threshold variant):
+    node i sits at angle θ_i ~ U[0, 2π) and radial coordinate with density
+    sinh(αr)/(cosh(αR) − 1) (inverse CDF: acosh(1 + u·(cosh(αR) − 1))/α);
+    an edge joins every pair at hyperbolic distance ≤ R, with
+    cosh d = cosh r₁ cosh r₂ − sinh r₁ sinh r₂ cos Δθ — the construction
+    whose degree distribution is a power law with exponent 2α + 1.
+
+    Coordinates are splitmix64-counter draws, so the graph is a pure
+    function of (n, R, α, seed) at any parallelism.  The pair check is
+    the O(n²) grid (conformance scale); the reference's quadtree / band
+    partitioning is the web-scale path and maps to a θ-range hash
+    partitioning of the same math.
+    """
+    base = np.uint64(seed) * np.uint64(0x100000001B3)
+    ids = np.arange(n, dtype=np.uint64)
+    theta = (
+        _splitmix64(ids * np.uint64(2) + base).astype(np.float64) / 2.0**64
+    ) * 2.0 * np.pi
+    u = _splitmix64(ids * np.uint64(2) + np.uint64(1) + base).astype(np.float64) / 2.0**64
+    r = np.arccosh(1.0 + u * (np.cosh(alpha * radius) - 1.0)) / alpha
+    cosh_r, sinh_r = np.cosh(r), np.sinh(r)
+    theta_ref = ray.put(theta)
+    cosh_ref = ray.put(cosh_r)
+    sinh_ref = ray.put(sinh_r)
+    thresh = np.cosh(radius)
+
+    def gen(batch: dict) -> pa.Table:
+        th = ray.get(theta_ref)
+        ch = ray.get(cosh_ref)
+        sh = ray.get(sinh_ref)
+        idx = batch["id"].astype(np.int64)
+        a = idx // n
+        b = idx % n
+        keep = a < b
+        a, b = a[keep], b[keep]
+        cosh_d = ch[a] * ch[b] - sh[a] * sh[b] * np.cos(th[a] - th[b])
+        hit = cosh_d <= thresh
+        return pa.table({"src": pa.array(a[hit]), "dst": pa.array(b[hit])})
+
+    return ray.data.range(n * n).map_batches(gen, batch_format="numpy"), n

@@ -167,6 +167,7 @@ def test_queries_oracles_consistent():
         "barabasi_albert",
         "path_growing_matching",
         "sgns_embeddings",
+        "hyperbolic_edges",
     }
 
 

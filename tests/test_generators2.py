@@ -137,3 +137,36 @@ def test_barabasi_albert_matches_sequential_batagelj(ray_session):
         deg[a] += 1
         deg[b] += 1
     assert max(deg.values()) >= 3 * k
+
+
+def test_hyperbolic_edges_match_replica(ray_session):
+    from networkit_ray.sources.synth import _splitmix64, hyperbolic_edges
+
+    n, R, alpha, seed = 80, 4.0, 0.75, 11
+    ds, nn = hyperbolic_edges(n, R, alpha, seed=seed)
+    got = sorted(_pairs(ds))
+
+    base = np.uint64(seed) * np.uint64(0x100000001B3)
+    ids = np.arange(n, dtype=np.uint64)
+    theta = (_splitmix64(ids * np.uint64(2) + base).astype(np.float64) / 2.0**64) * 2 * np.pi
+    u = _splitmix64(ids * np.uint64(2) + np.uint64(1) + base).astype(np.float64) / 2.0**64
+    r = np.arccosh(1.0 + u * (np.cosh(alpha * R) - 1.0)) / alpha
+    want = []
+    for a in range(n):
+        for b in range(a + 1, n):
+            cosh_d = np.cosh(r[a]) * np.cosh(r[b]) - np.sinh(r[a]) * np.sinh(
+                r[b]
+            ) * np.cos(theta[a] - theta[b])
+            if cosh_d <= np.cosh(R):
+                want.append((a, b))
+    assert got == sorted(want)
+    # heavy-tailed degrees: hub well above the average
+    deg = collections.Counter()
+    for a, b in got:
+        deg[a] += 1
+        deg[b] += 1
+    avg = 2 * len(got) / n
+    assert max(deg.values()) > 2.0 * avg
+    # deterministic across partitionings (counter draws)
+    again, _ = hyperbolic_edges(n, R, alpha, seed=seed)
+    assert sorted(_pairs(again.repartition(7))) == got
