@@ -2124,6 +2124,21 @@ def q_commute_time(sf_dir):
     return _round_col(ray.data.from_arrow(t), "ctd", 6)
 
 
+def q_cut_clustering(sf_dir):
+    """Flake–Tarjan cut clustering on the supplier ring graph (α = 0.8:
+    between the unit ring weights and the chord density); rows-only —
+    EK-replica-exact tests in tests/test_flow.py."""
+    from networkit_ray.graph.flow import cut_clustering
+    from networkit_ray.sources.derive import supplier_ring_edges
+
+    sym, s = supplier_ring_edges(sf_dir)
+    sym_w = sym.map_batches(
+        lambda t: t.append_column("w", pa.array(np.ones(len(t), np.float64))),
+        batch_format="pyarrow",
+    ).materialize()
+    return cut_clustering(sym_w, s, 0.8).sort("v")
+
+
 def q_max_flow(sf_dir):
     """flow/EdmondsKarp.cpp analog on the symmetrized weighted graph
     (capacity (src+dst)%7+1, symmetric so both directions agree);
@@ -2544,6 +2559,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_distances": q_bfs_distances,
         "spsp": q_spsp,
         "max_flow": q_max_flow,
+        "cut_clustering": q_cut_clustering,
         "commute_time": q_commute_time,
         "pivot_mds": q_pivot_mds,
         "spanning_edge_centrality": q_spanning_edge_centrality,

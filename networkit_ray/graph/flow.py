@@ -216,3 +216,66 @@ def max_flow(
     side = [_source_side.remote(g.vid_refs[p], state[p]) for p in range(P)]
     ds = bsp.state_to_dataset(g, side, "in_source_set")
     return flow, ds, {"augmentations": augs, "supersteps": supersteps}
+
+
+def cut_clustering(
+    sym_w: ray.data.Dataset,
+    num_nodes: int,
+    alpha: float,
+    *,
+    num_parts: int | None = None,
+) -> ray.data.Dataset:
+    """(v, label) — Flake–Tarjan cut clustering.
+
+    Reference: community/CutClustering.cpp — augment the weighted graph
+    with a sink t connected to every node by an α-edge; process nodes by
+    (degree DESC, id ASC); for each still-unassigned u, the SOURCE SIDE of
+    the minimum u–t cut becomes u's cluster (absorbing earlier labels).
+    The minimal source side (vertices reachable in the final residual) is
+    the canonical minimum cut, so the result is implementation-independent
+    and deterministic.
+
+    Scale note: the cluster-count many max-flows are the algorithm's
+    inherent sequential spine (same as the reference); each flow's BFS
+    supersteps are fully distributed.  The assignment array is vertex-
+    sized driver state — cluster-level, not edge-level.
+    """
+    import pyarrow as pa
+    from ray.data.aggregate import Count
+
+    t = num_nodes
+    ids = np.arange(num_nodes, dtype=np.int64)
+    sink_rows = pa.table(
+        {
+            "src": pa.array(np.concatenate([ids, np.full(num_nodes, t, np.int64)])),
+            "dst": pa.array(np.concatenate([np.full(num_nodes, t, np.int64), ids])),
+            "w": pa.array(np.full(2 * num_nodes, float(alpha))),
+        }
+    )
+    aug = sym_w.union(ray.data.from_arrow(sink_rows)).materialize()
+
+    deg = {
+        r["src"]: r["deg"]
+        for r in sym_w.groupby("src").aggregate(Count(alias_name="deg")).take_all()
+    }
+    order = sorted(range(num_nodes), key=lambda v: (-deg.get(v, 0), v))
+
+    labels = np.full(num_nodes, -1, dtype=np.int64)
+    n_flows = 0
+    for u in order:
+        if labels[u] != -1:
+            continue
+        _, side, _ = max_flow(aug, num_nodes + 1, u, t, num_parts=num_parts)
+        members = np.array(
+            [
+                r["v"]
+                for r in side.take_all()
+                if r["in_source_set"] and r["v"] != t
+            ],
+            dtype=np.int64,
+        )
+        labels[members] = u
+        n_flows += 1
+    return ray.data.from_arrow(
+        pa.table({"v": pa.array(ids), "label": pa.array(labels)})
+    )

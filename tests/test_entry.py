@@ -168,6 +168,7 @@ def test_queries_oracles_consistent():
         "path_growing_matching",
         "sgns_embeddings",
         "hyperbolic_edges",
+        "cut_clustering",
     }
 
 

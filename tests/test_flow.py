@@ -103,3 +103,69 @@ def test_max_flow_random_matches_oracle(ray_session):
     s_side = set(df[df["in_source_set"] == 1]["v"])
     cut = sum(w for (u, v, w) in edges if (u in s_side) != (v in s_side))
     assert cut == pytest.approx(f)
+
+
+def _cut_clustering_oracle(n, canon_w, alpha):
+    """Sequential Flake–Tarjan replica on the numpy EK oracle."""
+    import collections
+
+    t = n
+    aug = list(canon_w) + [(v, t, alpha) for v in range(n)]
+    deg = collections.Counter()
+    for u, v, w in canon_w:
+        deg[u] += 1
+        deg[v] += 1
+    labels = {v: -1 for v in range(n)}
+    for u in sorted(range(n), key=lambda v: (-deg[v], v)):
+        if labels[u] != -1:
+            continue
+        _, side = _ek_oracle(n + 1, aug, u, t)
+        for v in side:
+            if v != t:
+                labels[v] = u
+    return labels
+
+
+def test_cut_clustering_matches_replica(ray_session):
+    import numpy as np
+
+    from networkit_ray.graph.flow import cut_clustering
+
+    rng = np.random.default_rng(131)
+    n = 18
+    canon = sorted(
+        {(int(min(a, b)), int(max(a, b))) for a, b in rng.integers(0, n, (40, 2)) if a != b}
+    )
+    canon_w = [(u, v, float((u + v) % 3 + 1)) for u, v in canon]
+    got = {
+        r["v"]: r["label"]
+        for r in cut_clustering(_sym(canon_w), n, 1.5).take_all()
+    }
+    want = _cut_clustering_oracle(n, canon_w, 1.5)
+    assert got == want
+
+
+def test_cut_clustering_alpha_extremes(ray_session):
+    import numpy as np
+
+    from networkit_ray.graph.flow import cut_clustering
+
+    # two triangles joined by one light edge
+    canon_w = [
+        (0, 1, 2.0), (1, 2, 2.0), (0, 2, 2.0),
+        (3, 4, 2.0), (4, 5, 2.0), (3, 5, 2.0),
+        (2, 3, 0.5),
+    ]
+    n = 6
+    # α between the bridge (0.5) and the triangle weights → two clusters
+    got = {
+        r["v"]: r["label"] for r in cut_clustering(_sym(canon_w), n, 1.0).take_all()
+    }
+    assert len({got[0], got[3]}) == 2
+    assert got[0] == got[1] == got[2]
+    assert got[3] == got[4] == got[5]
+    # tiny α → everything in one cluster
+    one = {
+        r["v"]: r["label"] for r in cut_clustering(_sym(canon_w), n, 0.05).take_all()
+    }
+    assert len(set(one.values())) == 1
