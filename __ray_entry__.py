@@ -2124,6 +2124,17 @@ def q_commute_time(sf_dir):
     return _round_col(ray.data.from_arrow(t), "ctd", 6)
 
 
+def q_stress_layout(sf_dir):
+    """MaxentStress's sparse-stress half (pivot-anchored majorization);
+    rows-only — stress-descent/ring-geometry tests in tests/test_layout.py."""
+    from networkit_ray.graph.layout import stress_layout
+
+    sym, n = _sym(sf_dir)
+    out = stress_layout(sym, n, num_pivots=8, iterations=20, seed=42)
+    out = _round_col(out, "x", 6)
+    return _round_col(out, "y", 6).sort("v")
+
+
 def q_cut_clustering(sf_dir):
     """Flake–Tarjan cut clustering on the supplier ring graph (α = 0.8:
     between the unit ring weights and the chord density); rows-only —
@@ -2560,6 +2571,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spsp": q_spsp,
         "max_flow": q_max_flow,
         "cut_clustering": q_cut_clustering,
+        "stress_layout": q_stress_layout,
         "commute_time": q_commute_time,
         "pivot_mds": q_pivot_mds,
         "spanning_edge_centrality": q_spanning_edge_centrality,

@@ -169,6 +169,7 @@ def test_queries_oracles_consistent():
         "sgns_embeddings",
         "hyperbolic_edges",
         "cut_clustering",
+        "stress_layout",
     }
 
 

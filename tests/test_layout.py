@@ -86,3 +86,41 @@ def test_pivot_mds_matches_numpy_replication(ray_session):
     exp = _pmds_oracle(n, edges, 6, 2)
     np.testing.assert_allclose(df["x"].to_numpy(), exp[:, 0], atol=1e-8)
     np.testing.assert_allclose(df["y"].to_numpy(), exp[:, 1], atol=1e-8)
+
+
+def test_stress_layout_reduces_stress_and_orders_ring(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from networkit_ray.graph.layout import stress_layout
+
+    # ring of 40 nodes
+    n = 40
+    canon = [(i, (i + 1) % n) for i in range(n)]
+    both = canon + [(b, a) for a, b in canon]
+    sym = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([e[0] for e in both], pa.int64()),
+                "dst": pa.array([e[1] for e in both], pa.int64()),
+            }
+        )
+    ).materialize()
+    ds = stress_layout(sym, n, num_pivots=8, iterations=40, seed=3)
+    trace = ds._stress_trace
+    df = ds.to_pandas().sort_values("v")
+    assert len(df) == n
+    # stress drops substantially and the tail is (near-)monotone
+    assert trace[-1] < 0.2 * trace[0]
+    assert trace[-1] <= trace[len(trace) // 2] + 1e-9
+    # layout distance correlates with hop distance
+    xy = df[["x", "y"]].to_numpy()
+    hops, eucs = [], []
+    for a in range(0, n, 3):
+        for b in range(a + 1, n, 3):
+            h = min((b - a) % n, (a - b) % n)
+            hops.append(h)
+            eucs.append(np.linalg.norm(xy[a] - xy[b]))
+    r = np.corrcoef(hops, eucs)[0, 1]
+    assert r > 0.5, r
