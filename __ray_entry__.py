@@ -2307,6 +2307,17 @@ def q_betweenness(sf_dir):
     return _round_col(bc, "betweenness", 6)
 
 
+def q_adaptive_betweenness(sf_dir):
+    """Kadabra-style adaptively sampled betweenness (Hoeffding budget +
+    stability early stop); rows-only — eps-vs-exact tests in
+    tests/test_betweenness.py."""
+    from networkit_ray.graph.betweenness import adaptive_betweenness
+
+    edges, n = _derived(sf_dir)
+    bc, _ = adaptive_betweenness(edges, n, eps=0.2, delta=0.1, batch=16, seed=42)
+    return _round_col(bc, "betweenness", 6).sort("v")
+
+
 def q_core_decomposition(sf_dir):
     from networkit_ray.graph.core import core_decomposition
 
@@ -2580,6 +2591,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_clustering": q_global_clustering,
         "core_decomposition": q_core_decomposition,
         "betweenness": q_betweenness,
+        "adaptive_betweenness": q_adaptive_betweenness,
         "effective_diameter": q_effective_diameter,
         "hop_plot": q_hop_plot,
         "hop_histogram": q_hop_histogram,

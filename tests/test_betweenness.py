@@ -78,3 +78,60 @@ class TestBetweenness:
         np.testing.assert_allclose(ga, gb)  # partition-count invariant
         exp = brandes_ref(e, 25)
         assert np.corrcoef(ga, exp)[0, 1] > 0.6
+
+
+def test_adaptive_betweenness_within_eps_of_exact(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from networkit_ray.graph.betweenness import (
+        adaptive_betweenness,
+        estimate_betweenness,
+    )
+
+    rng = np.random.default_rng(137)
+    n = 30
+    canon = sorted(
+        {(int(min(a, b)), int(max(a, b))) for a, b in rng.integers(0, n, (70, 2)) if a != b}
+    )
+    both = canon + [(b, a) for a, b in canon]
+    sym = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([e[0] for e in both], pa.int64()),
+                "dst": pa.array([e[1] for e in both], pa.int64()),
+            }
+        )
+    ).materialize()
+    exact, _ = estimate_betweenness(sym, n, exact=True)
+    ex = {r["v"]: r["betweenness"] for r in exact.take_all()}
+    est, info = adaptive_betweenness(sym, n, eps=0.15, delta=0.1, batch=10, seed=3)
+    got = {r["v"]: r["betweenness"] for r in est.take_all()}
+    assert info["samples"] <= info["bound"]
+    assert set(got) == set(ex)
+    # normalized error within eps for this seeded run
+    norm = n * (n - 1)  # scaled scores / (n * (n-1)) = normalized fraction
+    for v in ex:
+        assert abs(got[v] - ex[v]) / norm <= 0.15, (v, got[v], ex[v])
+
+
+def test_adaptive_betweenness_early_stop_on_symmetric_graph(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from networkit_ray.graph.betweenness import adaptive_betweenness
+
+    # ring: every vertex equivalent — batch estimates stabilize immediately
+    n = 24
+    both = [(i, (i + 1) % n) for i in range(n)] + [((i + 1) % n, i) for i in range(n)]
+    sym = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([e[0] for e in both], pa.int64()),
+                "dst": pa.array([e[1] for e in both], pa.int64()),
+            }
+        )
+    ).materialize()
+    _, info = adaptive_betweenness(sym, n, eps=0.1, delta=0.1, batch=8, seed=3)
+    assert info["samples"] < info["bound"]

@@ -170,6 +170,7 @@ def test_queries_oracles_consistent():
         "hyperbolic_edges",
         "cut_clustering",
         "stress_layout",
+        "adaptive_betweenness",
     }
 
 
