@@ -973,6 +973,13 @@ def q_same_community(sf_dir):
     return same_community_index(pairs, _mod_labels(n, 10)).sort(["u", "v"])
 
 
+def q_lm_cross_entropy(sf_dir):
+    from networkit_ray.text.analysis import lm_cross_entropy
+
+    out = lm_cross_entropy(_docs(sf_dir))
+    return _round_col(out, "cross_entropy", 8).sort("doc_id")
+
+
 def q_contamination(sf_dir):
     """Benchmark-contamination check: train docs sharing a word-trigram
     with the doc_id%97==0 held-out benchmark slice."""
@@ -2531,6 +2538,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_roc": q_link_roc,
         "token_shards": q_token_shards,
         "contamination": q_contamination,
+        "lm_cross_entropy": q_lm_cross_entropy,
         "doc_sample": q_doc_sample,
         "map_equation": q_map_equation,
         "neighborhood_function": q_neighborhood_function,
@@ -4818,6 +4826,28 @@ def oracle_sql() -> dict[str, str]:
                         ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
                    CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS BIGINT) AS n_bpeish
             FROM documents
+        """,
+        # lm_cross_entropy twin: Laplace bigram LM trained on the corpus,
+        # per-doc cross-entropy; V = #contexts + 1.
+        "lm_cross_entropy": r"""
+            WITH toks AS (SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ws
+                FROM documents),
+            bi AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+                   FROM toks, UNNEST(generate_series(1, GREATEST(len(ws) - 1, 0))) AS g(i)),
+            c12 AS (SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS c FROM bi GROUP BY w1, w2),
+            c1 AS (SELECT w1, CAST(COUNT(*) AS DOUBLE) AS c FROM bi GROUP BY w1),
+            v AS (SELECT COUNT(*) + 1.0 AS v FROM c1),
+            scored AS (SELECT bi.doc_id,
+                              -LN((c12.c + 1.0) / (c1.c + (SELECT v FROM v))) AS nll
+                       FROM bi JOIN c12 ON c12.w1 = bi.w1 AND c12.w2 = bi.w2
+                               JOIN c1 ON c1.w1 = bi.w1),
+            agg AS (SELECT doc_id, SUM(nll) AS nll, CAST(COUNT(*) AS BIGINT) AS n
+                    FROM scored GROUP BY doc_id)
+            SELECT d.doc_id, CAST(COALESCE(a.n, 0) AS BIGINT) AS n_bigrams,
+                   ROUND(COALESCE(a.nll / a.n, 0), 8) AS cross_entropy
+            FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+            ORDER BY d.doc_id
         """,
         # contamination_check twin: distinct word-trigram overlap between
         # the train slice and the %97 benchmark slice.

@@ -390,3 +390,121 @@ def sample_documents(
         return t.filter(pa.array(keep))
 
     return docs.map_batches(f, batch_format="pyarrow")
+
+
+def lm_cross_entropy(
+    docs: ray.data.Dataset,
+    train_docs: ray.data.Dataset | None = None,
+    *,
+    k: float = 1.0,
+) -> ray.data.Dataset:
+    """(doc_id, n_bigrams, cross_entropy) — bigram-LM quality score.
+
+    The CCNet-style quality filter (no reference analog; training-data
+    curation op): train a Laplace-smoothed bigram LM on ``train_docs``
+    (default: the scored corpus itself) —
+    p(w₂|w₁) = (c(w₁w₂) + k) / (c(w₁·) + k·V) over ``[a-z0-9]+`` tokens of
+    lower(text), V = training context-vocabulary size + 1 — and score
+    every document by its per-bigram cross-entropy −Σ ln p / n_bigrams
+    (0 for docs with < 2 tokens).  Documents unlike the training corpus
+    (gibberish, boilerplate, wrong language) score HIGH.
+
+    Scale shape: one bigram-count groupby (vocabulary²-bounded, corpus-
+    frequency-distributed), one context-count groupby, two vocabulary-
+    keyed left-outer joins, one per-doc aggregate — no per-row Python
+    beyond the tokenizer that every text op here shares.
+    """
+    from ray.data.aggregate import Count as _Count
+
+    tok_re = re.compile(r"[a-z0-9]+")
+
+    def bigram_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_d, out_a, out_b = [], [], []
+        for i, s in enumerate(t["text"].to_pylist()):
+            ws = tok_re.findall(s.lower())
+            for j in range(len(ws) - 1):
+                out_d.append(ids[i])
+                out_a.append(ws[j])
+                out_b.append(ws[j + 1])
+        return pa.table(
+            {
+                "doc_id": pa.array(np.array(out_d, np.int64)),
+                "w1": pa.array(out_a, pa.string()),
+                "w2": pa.array(out_b, pa.string()),
+            }
+        )
+
+    grams = docs.select_columns(["doc_id", "text"]).map_batches(
+        bigram_rows, batch_format="pyarrow"
+    ).materialize()
+    train_grams = (
+        grams
+        if train_docs is None
+        else train_docs.select_columns(["doc_id", "text"])
+        .map_batches(bigram_rows, batch_format="pyarrow")
+        .materialize()
+    )
+    c12 = (
+        train_grams.groupby(["w1", "w2"]).aggregate(_Count(alias_name="c12")).materialize()
+    )
+    c1 = train_grams.groupby("w1").aggregate(_Count(alias_name="c1")).materialize()
+    vocab = float(c1.count() + 1)
+
+    from networkit_ray.common.exchange import exchange_join
+
+    j = exchange_join(grams, c12, left_on=["w1", "w2"], join_type="left outer")
+    j = exchange_join(j, c1, left_on=["w1"], join_type="left outer")
+
+    def logp(t: pa.Table) -> pa.Table:
+        a = (
+            t["c12"].to_numpy(zero_copy_only=False).astype(np.float64)
+            if "c12" in t.column_names
+            else np.zeros(len(t))
+        )
+        b = (
+            t["c1"].to_numpy(zero_copy_only=False).astype(np.float64)
+            if "c1" in t.column_names
+            else np.zeros(len(t))
+        )
+        a = np.where(np.isnan(a), 0.0, a)
+        b = np.where(np.isnan(b), 0.0, b)
+        p = (a + k) / (b + k * vocab)
+        return pa.table(
+            {"doc_id": t["doc_id"], "nll": pa.array(-np.log(p))}
+        )
+
+    from ray.data.aggregate import Sum as _Sum
+
+    per_doc = (
+        j.map_batches(logp, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(_Sum("nll", alias_name="nll"), _Count(alias_name="n_bigrams"))
+    )
+    # docs with < 2 tokens produce no bigram rows: left-outer fill with 0
+    all_docs = docs.select_columns(["doc_id"])
+    filled = exchange_join(all_docs, per_doc, left_on=["doc_id"], join_type="left outer")
+
+    def final(t: pa.Table) -> pa.Table:
+        n = (
+            t["n_bigrams"].to_numpy(zero_copy_only=False).astype(np.float64)
+            if "n_bigrams" in t.column_names
+            else np.zeros(len(t))
+        )
+        nll = (
+            t["nll"].to_numpy(zero_copy_only=False).astype(np.float64)
+            if "nll" in t.column_names
+            else np.zeros(len(t))
+        )
+        n = np.where(np.isnan(n), 0.0, n)
+        nll = np.where(np.isnan(nll), 0.0, nll)
+        ce = np.where(n > 0, nll / np.maximum(n, 1.0), 0.0)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_bigrams": pa.array(n.astype(np.int64)),
+                "cross_entropy": pa.array(ce),
+            }
+        )
+
+    return filled.map_batches(final, batch_format="pyarrow")

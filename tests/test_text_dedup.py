@@ -665,3 +665,59 @@ def test_contamination_check_planted_leak(ray_session):
     got = {r["doc_id"]: r["hits"] for r in contamination_check(train, bench).take_all()}
     # doc 2 shares the trigrams "the quick brown" and "quick brown fox"
     assert got == {2: 2}
+
+
+def test_lm_cross_entropy_matches_replica(ray_session):
+    import collections
+    import math
+    import re as _re
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from networkit_ray.text.analysis import lm_cross_entropy
+
+    texts = [
+        "the cat sat on the mat",
+        "the cat sat on the mat",
+        "the dog ran in the park",
+        "zxq qqq zxq",
+        "one",
+        "",
+    ]
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+    ).materialize()
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["cross_entropy"])
+        for r in lm_cross_entropy(docs).take_all()
+    }
+
+    tok = _re.compile(r"[a-z0-9]+")
+    c12 = collections.Counter()
+    c1 = collections.Counter()
+    doc_bi = {}
+    for d, s in enumerate(texts):
+        ws = tok.findall(s.lower())
+        bi = list(zip(ws, ws[1:]))
+        doc_bi[d] = bi
+        for g in bi:
+            c12[g] += 1
+            c1[g[0]] += 1
+    V = len(c1) + 1
+    for d, bi in doc_bi.items():
+        if not bi:
+            assert got[d] == (0, 0.0)
+            continue
+        ce = -sum(
+            math.log((c12[g] + 1.0) / (c1[g[0]] + V)) for g in bi
+        ) / len(bi)
+        assert got[d][0] == len(bi)
+        assert abs(got[d][1] - ce) < 1e-12, d
+    # the repeated common doc is more predictable than the one-off gibberish
+    assert got[0][1] < got[3][1]
