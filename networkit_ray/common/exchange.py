@@ -20,6 +20,8 @@ partition-count-invariant.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import ray
@@ -49,8 +51,13 @@ def _key_hash(t: pa.Table, key_cols: list[str]) -> np.ndarray:
 
 def _default_parts(n_refs: int | None = None) -> int:
     """Exchange width: CPU-bound, but never wider than the input block
-    count — tiny inputs otherwise pay P× fixed reduce-task overhead."""
-    p = max(2, min(64, int(ray.cluster_resources().get("CPU", 8))))
+    count — tiny inputs otherwise pay P× fixed reduce-task overhead.
+
+    Same deployment knob as ``graph.bsp.default_parts``: the 64-part cap is
+    sandbox-tuned and raised per cluster via ``NKR_MAX_PARTS`` (e.g. 256
+    nodes × 16 slots → ``NKR_MAX_PARTS=4096``)."""
+    max_parts = int(os.environ.get("NKR_MAX_PARTS", "64"))
+    p = max(2, min(max_parts, int(ray.cluster_resources().get("CPU", 8))))
     if n_refs is not None:
         p = max(2, min(p, n_refs))
     return p
@@ -81,10 +88,15 @@ def _group_agg(t: pa.Table, key_cols: list[str], aggs: list[tuple]) -> pa.Table:
 
 @ray.remote
 def _ex_map(key_cols: list[str], num_parts: int, pre_unique, *tables) -> tuple:
+    # len(t) counts rows for both pa.Table and pd.DataFrame: Ray 2.49
+    # forwards all-empty blocks past map_batches UNCONVERTED, so an empty
+    # pandas block from an upstream map_groups can arrive here.
     ts = [
         t
         for t in tables
-        if t is not None and t.num_rows and not set(key_cols) - set(t.column_names)
+        if t is not None
+        and len(t)
+        and not set(key_cols) - set(t.column_names if isinstance(t, pa.Table) else t.columns)
     ]
     if not ts:
         return tuple([None] * num_parts)

@@ -135,7 +135,9 @@ def embedding_near_dups(
     cand = enforce_schema(
         cand, pa.schema([("a", pa.int64()), ("b", pa.int64()), ("cos", pa.float64())])
     )
-    # enforce_schema materialized `cand`, so count() here is free
+    # pin the candidate table (small): count() below plus the groupby
+    # would otherwise execute the LSH pipeline twice
+    cand = cand.materialize()
     if cand.count() == 0:
         return cand
     from ray.data.aggregate import Max

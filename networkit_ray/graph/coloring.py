@@ -185,9 +185,10 @@ def greedy_coloring(
             return pd.DataFrame({"v": [int(g["v"].iloc[0])], "color": [m]})
 
         with_nbrs = wc.groupby("v").map_groups(mex, batch_format="pandas")
+        # materialize: consumed by the anti-join AND the union below
         with_nbrs = enforce_schema(
             with_nbrs, pa.schema([("v", pa.int64()), ("color", pa.int64())])
-        )
+        ).materialize()
         # winners with NO colored neighbor get color 0
         lonely = exchange_join(
             winners, with_nbrs, left_on=["v"], join_type="left anti"

@@ -158,5 +158,8 @@ def global_curveball(
         out = bi.groupby("pair").map_groups(
             _trade(round_seed), batch_format="pandas"
         )
-        edges = enforce_schema(out, _EDGE_SCHEMA)
+        # per-round materialize: the next round's groupby re-consumes
+        # `edges`, and enforce_schema is lazy — without a pin the lineage
+        # (and re-execution cost) would compound across rounds
+        edges = enforce_schema(out, _EDGE_SCHEMA).materialize()
     return edges

@@ -186,10 +186,12 @@ def approx_global_clustering(
     ranked = adj.groupby("src").map_groups(rank_groups, batch_format="pandas")
     from networkit_ray.common.schema import enforce_schema
 
+    # materialize: ranked is consumed by BOTH joins below; enforce_schema
+    # is lazy, so without a pin the ranking groupby would re-execute
     ranked = enforce_schema(
         ranked,
         pa.schema([("src", pa.int64()), ("dst", pa.int64()), ("rank", pa.int64())]),
-    )
+    ).materialize()
     j1 = exchange_join(samples, ranked, left_on=["sv", "j1"], right_on=["src", "rank"])
     j1 = j1.map_batches(
         lambda t: pa.table(
