@@ -30,6 +30,7 @@ from networkit_ray.dedup.tokenize import (
     _GOLD,
     _splitmix,
     shingle_hashes_batch,
+    pairwise_jaccard,
     shingle_sets,
 )
 
@@ -166,17 +167,12 @@ def near_dup_pairs(
     j2 = exchange_join(j1, texts, left_on=["b"], right_on=["doc_id"])
 
     def verify(t: pa.Table) -> pa.Table:
-        n = t.num_rows
         both = pa.concat_arrays(
             [t["text_a"].combine_chunks(), t["text"].combine_chunks()]
         )
-        sets = shingle_sets(both)  # batch-vectorized shingle hashing
-        ja = np.empty(n, dtype=np.float64)
-        for i in range(n):
-            sa, sb = sets[i], sets[n + i]
-            inter = np.intersect1d(sa, sb, assume_unique=True).size
-            union = sa.size + sb.size - inter
-            ja[i] = inter / union if union else 1.0
+        # fully vectorized per-pair exact Jaccard (two segmented lexsorts,
+        # no per-pair Python loop)
+        ja = pairwise_jaccard(both)
         out = pa.table({"a": t["a"], "b": t["b"], "jaccard": pa.array(ja)})
         return out.filter(pa.compute.greater_equal(out["jaccard"], threshold))
 

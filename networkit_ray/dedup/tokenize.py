@@ -132,3 +132,39 @@ def shingle_sets(texts: pa.Array | pa.ChunkedArray, k: int = 3) -> list[np.ndarr
     return [
         np.unique(sh[bounds[i] : bounds[i + 1]]) for i in range(len(starts))
     ]
+
+
+def pairwise_jaccard(texts: pa.Array | pa.ChunkedArray, k: int = 3) -> np.ndarray:
+    """Exact shingle-set Jaccard for n (a, b) pairs, fully vectorized.
+
+    ``texts`` holds 2n documents; doc i pairs with doc n+i.  One segmented
+    lexsort dedups shingles within every document, a second counts values
+    shared by both sides of each pair — no per-pair Python loop (the
+    MinHash verify stage's hot path).  Empty-vs-empty pairs score 1.0,
+    matching ``jaccard``'s union==0 convention.
+    """
+    sh, starts = shingle_hashes_batch(texts, k)
+    m = len(starts)
+    n = m // 2
+    lens = np.diff(np.append(starts, len(sh)))
+    doc = np.repeat(np.arange(m, dtype=np.int64), lens)
+    order = np.lexsort((sh, doc))
+    sv, dv = sh[order], doc[order]
+    keep = np.empty(len(sv), dtype=bool)
+    if len(sv):
+        keep[0] = True
+        keep[1:] = (sv[1:] != sv[:-1]) | (dv[1:] != dv[:-1])
+    sv, dv = sv[keep], dv[keep]
+    set_sizes = np.bincount(dv, minlength=m)
+    pair = dv % n
+    order2 = np.lexsort((sv, pair))
+    sv2, pv = sv[order2], pair[order2]
+    dup = np.zeros(len(sv2), dtype=bool)
+    if len(sv2) > 1:
+        dup[1:] = (sv2[1:] == sv2[:-1]) & (pv[1:] == pv[:-1])
+    inter = np.bincount(pv[dup], minlength=n)[:n] if len(sv2) else np.zeros(n, np.int64)
+    union = set_sizes[:n] + set_sizes[n:] - inter
+    out = np.ones(n, dtype=np.float64)
+    nz = union > 0
+    out[nz] = inter[nz] / union[nz]
+    return out

@@ -327,6 +327,51 @@ class TestEmptyBlockRegression:
         assert out.count() == 0
         assert out.schema().base_schema.names == ["k", "x"]
 
+    def test_exchange_join_p128_and_env_knob(self, monkeypatch):
+        """The Dataset-side exchange honors wide partition counts: an
+        explicit P=128 join matches the default-P result, and
+        NKR_MAX_PARTS (the same deployment knob as graph.bsp) raises the
+        _default_parts cap (VERDICT r2 #4)."""
+        from networkit_ray.common.exchange import _default_parts, exchange_join
+
+        left = ray.data.from_arrow(
+            pa.table(
+                {
+                    "k": pa.array(np.arange(500) % 97, pa.int64()),
+                    "a": pa.array(np.arange(500), pa.int64()),
+                }
+            )
+        )
+        right = ray.data.from_arrow(
+            pa.table(
+                {
+                    "k": pa.array(np.arange(97), pa.int64()),
+                    "b": pa.array(np.arange(97) * 10, pa.int64()),
+                }
+            )
+        )
+        wide = (
+            exchange_join(left, right, left_on=["k"], num_parts=128)
+            .to_pandas()
+            .sort_values(["a"])
+            .reset_index(drop=True)
+        )
+        dflt = (
+            exchange_join(left, right, left_on=["k"])
+            .to_pandas()
+            .sort_values(["a"])
+            .reset_index(drop=True)
+        )
+        assert len(wide) == 500
+        pd.testing.assert_frame_equal(wide[["k", "a", "b"]], dflt[["k", "a", "b"]])
+
+        monkeypatch.setenv("NKR_MAX_PARTS", "128")
+        assert _default_parts(256) == min(
+            128, max(2, int(ray.cluster_resources().get("CPU", 8)))
+        )
+        monkeypatch.setenv("NKR_MAX_PARTS", "2")
+        assert _default_parts(256) == 2
+
     def test_exchange_unique_carries_weights(self):
         from networkit_ray.common.exchange import exchange_unique
 
