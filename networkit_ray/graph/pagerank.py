@@ -50,31 +50,41 @@ def _pr_coef(block: dict) -> np.ndarray:
 
 
 @ray.remote
-def _pr_init(vids: np.ndarray, n: int) -> np.ndarray:
-    return np.full(len(vids), 1.0 / n, dtype=np.float64)
+def _pr_init(vids: np.ndarray, n: int, dtype: str = "float64") -> np.ndarray:
+    return np.full(len(vids), 1.0 / n, dtype=np.dtype(dtype))
 
 
 @ray.remote
 def _pr_map(block: dict, coef: np.ndarray, scores: np.ndarray, chunk: int) -> tuple:
     idx = chunk_edge_index(block, chunk)
-    vals = scores[block["src_local"][idx]] * coef[idx]
-    return tuple(aggregate_messages(block, vals, chunk))
+    # map-local math upcasts to float64 regardless of the state dtype
+    vals = scores[block["src_local"][idx]].astype(np.float64) * coef[idx]
+    out = aggregate_messages(block, vals, chunk)
+    if scores.dtype == np.float32:
+        # float32 message option (reference stores scores as f_weight =
+        # float32, Globals.hpp:28): halve the per-superstep exchange
+        # volume; accumulation above stayed float64
+        out = [(i, s.astype(np.float32)) for i, s in out]
+    return tuple(out)
 
 
 @ray.remote(num_returns=2)
 def _pr_reduce(old: np.ndarray, damp: float, n: int, *partials):
+    # float64 accumulator even on the float32 state path (the 1e-6 oracle)
     new = np.full(len(old), (1.0 - damp) / n, dtype=np.float64)
     for idx, sums in partials:
         if len(idx):
-            new[idx] += damp * sums  # idx unique within each partial
-    delta = new - old
+            new[idx] += damp * sums.astype(np.float64)  # idx unique per partial
+    delta = new - old.astype(np.float64)
     stats = (np.abs(delta).sum(), float(delta @ delta), new.sum())
-    return new, stats
+    return new.astype(old.dtype, copy=False), stats
 
 
 @ray.remote
 def _pr_scale(scores: np.ndarray, factor: float) -> np.ndarray:
-    return scores / factor
+    # output scores are always float64 (oracle schema), whatever the
+    # superstep state dtype was
+    return (scores.astype(np.float64)) / factor
 
 
 @ray.remote
@@ -100,6 +110,7 @@ def pagerank_refs(
     resume: bool = False,
     init_scores: list | None = None,
     check_every: int = 1,
+    dtype: str = "float64",
 ) -> tuple[list, dict]:
     """Run PageRank; returns (per-partition score refs, info dict).
 
@@ -113,7 +124,12 @@ def pagerank_refs(
     ``ray.get(stat_refs)`` each iteration (cluster-scale: hides stragglers
     and driver RTT).  May overshoot convergence by up to k-1 supersteps —
     extra power iterations only tighten the fixpoint, so scores still match
-    the reference within tol."""
+    the reference within tol.
+
+    ``dtype="float32"``: ship superstep state and messages as float32
+    (reference stores scores as f_weight = float32, Globals.hpp:28) —
+    halves exchange volume; all accumulation stays float64, and the final
+    scores are returned float64 (matches the float64 path within ~1e-7)."""
     P = g.num_parts
     n = g.num_nodes
     coef_refs = [_pr_coef.remote(b) for b in g.block_refs]
@@ -128,10 +144,12 @@ def pagerank_refs(
     if scores is None and init_scores is not None:
         scores = init_scores
     if scores is None:
-        scores = [_pr_init.remote(g.vid_refs[p], n) for p in range(P)]
+        scores = [_pr_init.remote(g.vid_refs[p], n, dtype) for p in range(P)]
 
     iteration = start_iter
     residual = float("inf")
+    prev_residual = float("inf")
+    stalls = 0
     max_it = max_iterations if max_iterations is not None else 10**9
     units = g.map_units()
     # fixed-iteration runs (tol<=0) never need the residual mid-run: skip
@@ -175,6 +193,18 @@ def pagerank_refs(
             )
         if residual <= tol:
             break
+        # numeric-floor guard: power iteration shrinks the residual by
+        # ~damp per superstep, so two consecutive checks without real
+        # progress mean the state dtype can't express further improvement
+        # (e.g. dtype="float32" floors the L1 residual near n·2⁻²⁴ — a
+        # tol below that would otherwise loop forever)
+        if residual >= prev_residual * 0.999:
+            stalls += 1
+            if stalls >= 2:
+                break
+        else:
+            stalls = 0
+        prev_residual = residual
 
     # final normalization (PageRank.cpp:73-90)
     if normalized:

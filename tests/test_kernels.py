@@ -120,6 +120,17 @@ class TestPageRank:
         pb = b.to_pandas().sort_values("v")["score"].to_numpy()
         np.testing.assert_allclose(pa_, pb, atol=1e-12)
 
+    def test_float32_state_matches_float64(self, sf_tiny):
+        # dtype="float32" ships f32 state/messages (halved exchange) with
+        # f64 accumulators; final scores are f64 and match within 1e-6
+        edges, n = derived_edges(sf_tiny)
+        a, _ = pagerank(edges, n, num_parts=3, tol=1e-8)
+        b, _ = pagerank(edges, n, num_parts=3, tol=1e-8, dtype="float32")
+        pa_ = a.to_pandas().sort_values("v")["score"].to_numpy()
+        pb = b.to_pandas().sort_values("v")["score"].to_numpy()
+        assert pb.dtype == np.float64
+        np.testing.assert_allclose(pa_, pb, atol=1e-6)
+
 
 class TestPLP:
     def test_planted_partition(self):
