@@ -138,52 +138,67 @@ def _pivot_ids(num_nodes: int, k: int, seed: int) -> np.ndarray:
     return np.sort(rng.choice(num_nodes, size=k, replace=False).astype(np.int64))
 
 
+def _brandes_batch(
+    g_fwd: PGraph, g_bwd: PGraph, batch: np.ndarray
+) -> tuple[list, list, int]:
+    """One K-pivot lockstep Brandes pass → (st_refs, delta_refs, supersteps).
+
+    st[p] holds the (n_p, K) dist/sigma state, delta[p] the (n_p, K)
+    per-pivot dependencies — retained by the Dyn* repair path."""
+    P = g_fwd.num_parts
+    units_f = g_fwd.map_units()
+    units_b = g_bwd.map_units()
+    sizes = g_fwd.part_sizes()
+    K = len(batch)
+    supersteps = 0
+    st = [_bw_init.remote(g_fwd.vid_refs[p], batch) for p in range(P)]
+    level = 0
+    while True:
+        supersteps += 1
+        mo = [
+            _bw_fwd_map.options(num_returns=P).remote(
+                g_fwd.block_refs[p], st[p], level, c
+            )
+            for p, c in units_f
+        ]
+        new_st, ch = [], []
+        for q in range(P):
+            s2, c2 = _bw_fwd_reduce.remote(st[q], level, *[m[q] for m in mo])
+            new_st.append(s2)
+            ch.append(c2)
+        grew = sum(ray.get(ch))
+        st = new_st
+        if grew == 0:
+            break
+        level += 1
+    max_level = max(ray.get([_bw_max_level.remote(x) for x in st]))
+    delta = [_bw_zero2.remote(sizes[p], K) for p in range(P)]
+    for L in range(max_level, 0, -1):
+        supersteps += 1
+        mo = [
+            _bw_bwd_map.options(num_returns=P).remote(
+                g_bwd.block_refs[p], st[p], delta[p], L, c
+            )
+            for p, c in units_b
+        ]
+        delta = [
+            _bw_bwd_reduce.remote(st[q], delta[q], L, *[m[q] for m in mo])
+            for q in range(P)
+        ]
+    return st, delta, supersteps
+
+
 def betweenness_refs(
     g_fwd: PGraph, g_bwd: PGraph, pivots: np.ndarray, *, pivot_batch: int = 16
 ) -> tuple[list, dict]:
     P = g_fwd.num_parts
-    units_f = g_fwd.map_units()
-    units_b = g_bwd.map_units()
     sizes = g_fwd.part_sizes()
     bc = [_bw_zero1.remote(sizes[p]) for p in range(P)]
     supersteps = 0
     for b0 in range(0, len(pivots), pivot_batch):
         batch = pivots[b0 : b0 + pivot_batch]
-        K = len(batch)
-        st = [_bw_init.remote(g_fwd.vid_refs[p], batch) for p in range(P)]
-        level = 0
-        while True:
-            supersteps += 1
-            mo = [
-                _bw_fwd_map.options(num_returns=P).remote(
-                    g_fwd.block_refs[p], st[p], level, c
-                )
-                for p, c in units_f
-            ]
-            new_st, ch = [], []
-            for q in range(P):
-                s2, c2 = _bw_fwd_reduce.remote(st[q], level, *[m[q] for m in mo])
-                new_st.append(s2)
-                ch.append(c2)
-            grew = sum(ray.get(ch))
-            st = new_st
-            if grew == 0:
-                break
-            level += 1
-        max_level = max(ray.get([_bw_max_level.remote(x) for x in st]))
-        delta = [_bw_zero2.remote(sizes[p], K) for p in range(P)]
-        for L in range(max_level, 0, -1):
-            supersteps += 1
-            mo = [
-                _bw_bwd_map.options(num_returns=P).remote(
-                    g_bwd.block_refs[p], st[p], delta[p], L, c
-                )
-                for p, c in units_b
-            ]
-            delta = [
-                _bw_bwd_reduce.remote(st[q], delta[q], L, *[m[q] for m in mo])
-                for q in range(P)
-            ]
+        _, delta, ss = _brandes_batch(g_fwd, g_bwd, batch)
+        supersteps += ss
         bc = [
             _bw_accum.remote(bc[p], delta[p], g_fwd.vid_refs[p], batch)
             for p in range(P)
@@ -251,17 +266,20 @@ def adaptive_betweenness(
     seed: int = 42,
     num_parts: int | None = None,
 ) -> tuple[ray.data.Dataset, dict]:
-    """(v, betweenness) — adaptively sampled betweenness with an
-    (ε, δ) absolute-error guarantee on the NORMALIZED score.
+    """(v, betweenness) — adaptively sampled betweenness; the (ε, δ)
+    Hoeffding guarantee holds when the FULL ``k_max`` budget is consumed.
 
     Reference: centrality/KadabraBetweenness.cpp — adaptive sampling with
     progressive stopping bounds.  Normative simplification (documented):
     the sample budget is the Hoeffding + union bound
     ``k_max = ln(2n/δ) / (2ε²)`` on the per-pivot normalized dependency
     δ_s(v)/(n−1) ∈ [0, 1] (Kadabra's Rademacher machinery tightens the
-    same guarantee), and sampling stops EARLY when two consecutive batch
-    rounds move no node's normalized estimate by more than ε/2 — the
-    adaptive behavior that makes Kadabra cheap on easy graphs.
+    same guarantee).  Sampling also stops EARLY when ONE batch round moves
+    no node's normalized estimate by more than ε/2 — a stability HEURISTIC
+    (the adaptive behavior that makes Kadabra cheap on easy graphs); when
+    it fires before ``k_max``, the result is a converged estimate without
+    the formal (ε, δ) bound.  Pass ``batch >= k_max`` to force the full
+    budget and keep the guarantee.
 
     Output is scaled like :func:`estimate_betweenness` (× n/k) so the two
     are directly comparable; info reports samples used vs the bound.
@@ -305,3 +323,192 @@ def adaptive_betweenness(
         bsp.state_to_dataset(g_fwd, scaled, "betweenness"),
         {"samples": k, "bound": k_max, "rounds": rounds, "eps": eps, "delta": delta},
     )
+
+
+# ---------------------------------------------------------------- Dyn repair
+@ray.remote
+def _bw_dist_rows(st: dict, local_idx: np.ndarray) -> np.ndarray:
+    """(len(local_idx), K) distance rows — the affected-pivot probe."""
+    return st["dist"][local_idx]
+
+
+@ray.remote
+def _bw_accum_cols(
+    bc: np.ndarray,
+    delta: np.ndarray,
+    vids: np.ndarray,
+    sources: np.ndarray,
+    keep: np.ndarray,
+) -> np.ndarray:
+    """Fold only the ``keep``-masked pivot columns of a batch's δ into bc."""
+    d = delta.copy()
+    for k, s in enumerate(sources):
+        if not keep[k]:
+            d[:, k] = 0.0
+            continue
+        hit = np.flatnonzero(vids == np.uint64(s))
+        if len(hit):
+            d[hit[0], k] = 0.0
+    return bc + d.sum(axis=1)
+
+
+class DynBetweennessState:
+    """Retained per-pivot Brandes state for incremental edge-insert repair.
+
+    ``batches`` is a list of (pivot ids, per-partition st refs, per-partition
+    δ refs); st holds each pivot's distance/σ table, δ its dependencies.
+    Memory: 3·n·n_samples floats across the cluster — the price of repair.
+    """
+
+    def __init__(self, edges, g_fwd, g_bwd, num_nodes, pivots, batches):
+        self.edges = edges
+        self.g_fwd = g_fwd
+        self.g_bwd = g_bwd
+        self.num_nodes = num_nodes
+        self.pivots = pivots
+        self.batches = batches
+
+
+def _dyn_scores(state: DynBetweennessState) -> ray.data.Dataset:
+    P = state.g_fwd.num_parts
+    sizes = state.g_fwd.part_sizes()
+    bc = [_bw_zero1.remote(sizes[p]) for p in range(P)]
+    for pivots_b, _, delta in state.batches:
+        bc = [
+            _bw_accum.remote(bc[p], delta[p], state.g_fwd.vid_refs[p], pivots_b)
+            for p in range(P)
+        ]
+    factor = state.num_nodes / len(state.pivots)
+    scaled = [_bw_scale.remote(r, factor) for r in bc]
+    return bsp.state_to_dataset(state.g_fwd, scaled, "betweenness")
+
+
+def dyn_betweenness(
+    edges: ray.data.Dataset,
+    num_nodes: int,
+    *,
+    n_samples: int = 16,
+    seed: int = 42,
+    num_parts: int | None = None,
+    pivot_batch: int = 16,
+) -> tuple[ray.data.Dataset, DynBetweennessState, dict]:
+    """Sampled betweenness with retained repair state.
+
+    Reference: centrality/DynApproxBetweenness.cpp (Bergamini–Meyerhenke
+    incremental approximate betweenness: keep each sampled source's SSSP
+    DAG; on edge insertion re-sample only the sources whose DAG changed).
+    Here the per-pivot state is the batched-Brandes (dist, σ, δ) tables,
+    kept as per-partition object refs.
+    """
+    from networkit_ray.graph.build import transpose
+
+    edges = edges.materialize()
+    g_fwd = build_pgraph(edges, num_nodes, num_parts=num_parts)
+    g_bwd = build_pgraph(transpose(edges), num_nodes, num_parts=g_fwd.num_parts)
+    pivots = _pivot_ids(num_nodes, n_samples, seed)
+    batches = []
+    supersteps = 0
+    for b0 in range(0, len(pivots), pivot_batch):
+        batch = pivots[b0 : b0 + pivot_batch]
+        st, delta, ss = _brandes_batch(g_fwd, g_bwd, batch)
+        supersteps += ss
+        batches.append((batch, st, delta))
+    state = DynBetweennessState(edges, g_fwd, g_bwd, num_nodes, pivots, batches)
+    info = {"pivots": len(pivots), "supersteps": supersteps}
+    return _dyn_scores(state), state, info
+
+
+def dyn_betweenness_update(
+    state: DynBetweennessState,
+    new_edges: ray.data.Dataset,
+    *,
+    pivot_batch: int = 16,
+) -> tuple[ray.data.Dataset, DynBetweennessState, dict]:
+    """Repair after an edge-INSERT batch (no deletions, no new vertices —
+    DynApproxBetweenness.cpp's supported event class).
+
+    Pivot s needs recomputation iff some inserted edge (u, v) satisfies
+    d_s(u) ≥ 0 and (v unreached or d_s(u)+1 ≤ d_s(v)) — i.e. the edge
+    shortens a distance or adds a shortest path, changing s's DAG.  All
+    other pivots keep their retained δ unchanged (their shortest-path DAGs
+    are untouched by the insertions), so the repair cost scales with the
+    number of AFFECTED pivots, not the sample size.
+
+    ``new_edges`` is an event batch — small by definition; endpoints are
+    pulled to the driver to build the probe (O(batch) rows).
+    """
+    from networkit_ray.graph.build import transpose
+    from networkit_ray.graph.bsp import vplace
+
+    P = state.g_fwd.num_parts
+    n = state.num_nodes
+    ep = new_edges.select_columns(["src", "dst"]).to_pandas()
+    u = ep["src"].to_numpy().astype(np.int64)
+    v = ep["dst"].to_numpy().astype(np.int64)
+    if len(u) and max(u.max(), v.max()) >= n:
+        raise ValueError("insert batch adds unknown vertices")
+
+    # distance rows for every distinct endpoint, per batch: O(1) placement
+    # arithmetic + one small gather per partition
+    ends = np.unique(np.concatenate([u, v]))
+    owner, local = vplace(ends, n, P)
+
+    edges2 = state.edges.union(new_edges.select_columns(["src", "dst"])).materialize()
+    g_fwd2 = build_pgraph(edges2, n, num_parts=P)
+    g_bwd2 = build_pgraph(transpose(edges2), n, num_parts=P)
+
+    new_batches = []
+    recomputed = 0
+    supersteps = 0
+    for pivots_b, st, delta in state.batches:
+        K = len(pivots_b)
+        dist_rows = np.full((len(ends), K), -1, dtype=np.int64)
+        for p in range(P):
+            sel = np.flatnonzero(owner == p)
+            if not len(sel):
+                continue
+            dist_rows[sel] = ray.get(
+                _bw_dist_rows.remote(st[p], local[sel].astype(np.int64))
+            )
+        pos = {int(e): i for i, e in enumerate(ends)}
+        du = dist_rows[[pos[int(x)] for x in u]] if len(u) else dist_rows[:0]
+        dv = dist_rows[[pos[int(x)] for x in v]] if len(v) else dist_rows[:0]
+        affected = (
+            ((du >= 0) & ((dv < 0) | (du + 1 <= dv))).any(axis=0)
+            if len(u)
+            else np.zeros(K, dtype=bool)
+        )
+        keep = ~affected
+        kept_pivots = pivots_b[keep]
+        if keep.any():
+            # retained δ/st stay valid on the NEW graph for these pivots
+            st_k = [_bw_slice_cols.remote(st[p], np.flatnonzero(keep)) for p in range(P)]
+            d_k = [_bw_col_select.remote(delta[p], np.flatnonzero(keep)) for p in range(P)]
+            new_batches.append((kept_pivots, st_k, d_k))
+        aff_pivots = pivots_b[affected]
+        for b0 in range(0, len(aff_pivots), pivot_batch):
+            batch = aff_pivots[b0 : b0 + pivot_batch]
+            st2, d2, ss = _brandes_batch(g_fwd2, g_bwd2, batch)
+            supersteps += ss
+            recomputed += len(batch)
+            new_batches.append((batch, st2, d2))
+
+    new_state = DynBetweennessState(
+        edges2, g_fwd2, g_bwd2, n, state.pivots, new_batches
+    )
+    info = {
+        "affected_pivots": recomputed,
+        "total_pivots": len(state.pivots),
+        "supersteps": supersteps,
+    }
+    return _dyn_scores(new_state), new_state, info
+
+
+@ray.remote
+def _bw_slice_cols(st: dict, cols: np.ndarray) -> dict:
+    return {"dist": st["dist"][:, cols], "sigma": st["sigma"][:, cols]}
+
+
+@ray.remote
+def _bw_col_select(delta: np.ndarray, cols: np.ndarray) -> np.ndarray:
+    return delta[:, cols]

@@ -135,3 +135,69 @@ def test_adaptive_betweenness_early_stop_on_symmetric_graph(ray_session):
     ).materialize()
     _, info = adaptive_betweenness(sym, n, eps=0.1, delta=0.1, batch=8, seed=3)
     assert info["samples"] < info["bound"]
+
+
+class TestDynBetweenness:
+    """centrality/DynApproxBetweenness.cpp analog: retained per-pivot SSSP
+    state; an edge-insert batch recomputes only the affected pivots."""
+
+    def _rand_graph(self, n=25, m=90, seed=5):
+        rng = np.random.default_rng(seed)
+        e = np.unique(rng.integers(0, n, size=(m, 2)), axis=0)
+        return [tuple(x) for x in e if x[0] != x[1]], n
+
+    def test_update_matches_full_recompute(self):
+        from networkit_ray.graph.betweenness import (
+            dyn_betweenness,
+            dyn_betweenness_update,
+            estimate_betweenness,
+        )
+
+        e, n = self._rand_graph()
+        base, extra = e[:-6], e[-6:]
+        ds0, state, _ = dyn_betweenness(ds_of(base), n, n_samples=10, num_parts=3)
+        upd, state2, info = dyn_betweenness_update(state, ds_of(extra))
+        full, _ = estimate_betweenness(
+            ds_of(base + extra), n, n_samples=10, num_parts=3
+        )
+        got = upd.to_pandas().sort_values("v")["betweenness"].to_numpy()
+        exp = full.to_pandas().sort_values("v")["betweenness"].to_numpy()
+        np.testing.assert_allclose(got, exp, atol=1e-9)
+        assert 0 <= info["affected_pivots"] <= info["total_pivots"]
+
+    def test_chained_updates_match(self):
+        from networkit_ray.graph.betweenness import (
+            dyn_betweenness,
+            dyn_betweenness_update,
+            estimate_betweenness,
+        )
+
+        e, n = self._rand_graph(seed=11)
+        base, b1, b2 = e[:-8], e[-8:-4], e[-4:]
+        _, state, _ = dyn_betweenness(ds_of(base), n, n_samples=8, num_parts=2)
+        _, state, _ = dyn_betweenness_update(state, ds_of(b1))
+        upd, state, info = dyn_betweenness_update(state, ds_of(b2))
+        full, _ = estimate_betweenness(ds_of(e), n, n_samples=8, num_parts=2)
+        got = upd.to_pandas().sort_values("v")["betweenness"].to_numpy()
+        exp = full.to_pandas().sort_values("v")["betweenness"].to_numpy()
+        np.testing.assert_allclose(got, exp, atol=1e-9)
+
+    def test_distant_insert_repairs_nothing(self):
+        from networkit_ray.graph.betweenness import (
+            dyn_betweenness,
+            dyn_betweenness_update,
+        )
+
+        # two components: pivots sampled in [0, 30); inserting an edge
+        # inside the unreachable far component touches no pivot DAG
+        path = [(i, i + 1) for i in range(29)]
+        far = [(40, 41), (41, 42)]
+        _, state, _ = dyn_betweenness(
+            ds_of(path + far), 45, n_samples=6, num_parts=2, seed=1
+        )
+        from networkit_ray.graph.betweenness import _pivot_ids
+
+        pivots = _pivot_ids(45, 6, 1)
+        if all(p < 40 for p in pivots):
+            _, _, info = dyn_betweenness_update(state, ds_of([(42, 43)]))
+            assert info["affected_pivots"] == 0
