@@ -153,8 +153,8 @@ def stress_layout(
     iterations: int = 30,
     seed: int = 42,
     num_parts: int | None = None,
-) -> ray.data.Dataset:
-    """(v, x, y) sparse stress-majorization layout against BFS pivots.
+) -> tuple[ray.data.Dataset, dict]:
+    """((v, x, y) layout, info with per-iteration "stress_trace").
 
     Reference: viz/MaxentStress.cpp — the reference minimizes a sparse
     stress term (known-distance pairs) plus a max-entropy repulsion term;
@@ -218,5 +218,4 @@ def stress_layout(
         )
 
     ds = ray.data.from_arrow_refs([_out.remote(g.vid_refs[p], coords[p]) for p in range(P)])
-    ds._stress_trace = stresses  # exposed for tests
-    return ds
+    return ds, {"stress_trace": stresses}

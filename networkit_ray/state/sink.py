@@ -26,7 +26,7 @@ def _write_bucket(out_dir: str, bucket: int, *tables) -> int:
     bdir = os.path.join(out_dir, f"bucket={bucket:05d}")
     done = os.path.join(bdir, "_DONE")
     if os.path.exists(done):
-        return 0  # resume: bucket already complete
+        return -1  # resume: bucket already complete (explicit skip flag)
     os.makedirs(bdir, exist_ok=True)
     live = [t for t in tables if t is not None and len(t)]
     t = (
@@ -68,16 +68,14 @@ def write_partitioned(
             for b in range(num_buckets)
         ]
     )
-    skipped = sum(
-        1
-        for b in range(num_buckets)
-        if results[b] == 0
-        and os.path.exists(os.path.join(out_dir, f"bucket={b:05d}", "_DONE"))
-        and not os.path.exists(
-            os.path.join(out_dir, f"bucket={b:05d}", "part.parquet")
-        )
-    )
-    return {"rows_written": int(sum(results)), "buckets_skipped": skipped}
+    # -1 is the writer's explicit "already complete, skipped" flag — no
+    # filesystem inference (a skipped nonempty bucket and a freshly-written
+    # empty bucket are otherwise indistinguishable)
+    skipped = sum(1 for r in results if r == -1)
+    return {
+        "rows_written": int(sum(r for r in results if r > 0)),
+        "buckets_skipped": skipped,
+    }
 
 
 def read_partitioned(out_dir: str) -> ray.data.Dataset:

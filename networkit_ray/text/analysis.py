@@ -401,11 +401,15 @@ def lm_cross_entropy(
     """(doc_id, n_bigrams, cross_entropy) — bigram-LM quality score.
 
     The CCNet-style quality filter (no reference analog; training-data
-    curation op): train a Laplace-smoothed bigram LM on ``train_docs``
+    curation op): train an add-k-smoothed bigram scorer on ``train_docs``
     (default: the scored corpus itself) —
     p(w₂|w₁) = (c(w₁w₂) + k) / (c(w₁·) + k·V) over ``[a-z0-9]+`` tokens of
-    lower(text), V = training context-vocabulary size + 1 — and score
-    every document by its per-bigram cross-entropy −Σ ln p / n_bigrams
+    lower(text), with V = training CONTEXT-vocabulary size + 1.  Note this
+    deviates from textbook Laplace smoothing (whose V is the successor
+    vocabulary), so p(·|w₁) does not normalize to exactly 1 — the scores
+    are a quasi-likelihood used for RANKING documents, not calibrated
+    probabilities (the SQL oracle twin uses the identical formula).  Each
+    document scores its per-bigram cross-entropy −Σ ln p / n_bigrams
     (0 for docs with < 2 tokens).  Documents unlike the training corpus
     (gibberish, boilerplate, wrong language) score HIGH.
 

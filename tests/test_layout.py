@@ -107,8 +107,8 @@ def test_stress_layout_reduces_stress_and_orders_ring(ray_session):
             }
         )
     ).materialize()
-    ds = stress_layout(sym, n, num_pivots=8, iterations=40, seed=3)
-    trace = ds._stress_trace
+    ds, info = stress_layout(sym, n, num_pivots=8, iterations=40, seed=3)
+    trace = info["stress_trace"]
     df = ds.to_pandas().sort_values("v")
     assert len(df) == n
     # stress drops substantially and the tail is (near-)monotone
