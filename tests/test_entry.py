@@ -137,6 +137,8 @@ def test_queries_oracles_consistent():
         "multimodal_decode",
         "approx_distinct_users",
         "rmat_edges",
+        "lfr_edges",
+        "lfr_mixing",
         "er_edges",
         "chung_lu_edges",
         "watts_strogatz_edges",
@@ -171,6 +173,7 @@ def test_queries_oracles_consistent():
         "cut_clustering",
         "stress_layout",
         "adaptive_betweenness",
+        "dyn_betweenness",
     }
 
 
