@@ -9,13 +9,26 @@ the north-rule numbers carried alongside:
 - per-query seconds for the sf-dir pipelines (extraction, kernels,
   dedup, ANN) in "queries".
 
+Noise protocol (the sandbox is a shared box; identical code has measured
+4-5× swings run-to-run):
+- every stage is timed best-of-N (default 2; kernels 3) — reruns within
+  one invocation, so the best leg reflects code, not tenant drift;
+- a CONTENTION SENTINEL (fixed 768² numpy matmul on the driver) is timed
+  before each stage; per-stage sentinel ms ship in the JSON under
+  "sentinel_ms" so a slow stage with a slow sentinel is attributable to
+  external load, not a regression (quiet-box sentinel ≈ its minimum);
+- "minhash_ab" carries an in-process A/B of the vectorized MinHash
+  signature kernel vs the round-1 per-gram hashlib loop on the same
+  fixture (speedup = loop_sec / vectorized_sec).
+
 Usage:
     python bench.py                 # one run; RAY_GRAFT_CPUS (default 32)
     python bench.py --scaling       # fresh 8-CPU and 32-CPU subprocesses +
                                     # scaling efficiency (north-rule evidence)
 
 Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS,
-GRAFT_RMAT_SCALE (default 20), GRAFT_BENCH_SUPERSTEPS (default 10).
+GRAFT_RMAT_SCALE (default 20), GRAFT_BENCH_SUPERSTEPS (default 10),
+GRAFT_BENCH_REPS (default 2).
 """
 
 from __future__ import annotations
@@ -31,6 +44,71 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+_SENT = None
+
+
+def _sentinel_ms() -> float:
+    """Fixed-work contention probe: one 768² matmul on the driver core.
+    ~10-30 ms quiet; inflates with external load on the shared box."""
+    global _SENT
+    import numpy as np
+
+    if _SENT is None:
+        _SENT = np.random.default_rng(0).random((768, 768))
+    t0 = time.perf_counter()
+    (_SENT @ _SENT).sum()
+    return (time.perf_counter() - t0) * 1000.0
+
+
+def _minhash_ab(sf_dir: str, n_docs: int = 4000) -> dict:
+    """A/B the vectorized signature kernel against the round-1 per-gram
+    hashlib loop on the same documents (identical H=64 permutations);
+    run on the driver so the ratio is pure kernel, not scheduling."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from networkit_ray.dedup.minhash import _perm_params, minhash_signatures_batch
+
+    texts = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )["text"].combine_chunks()[:n_docs]
+    a, b = _perm_params(64, 42)
+
+    t0 = time.perf_counter()
+    minhash_signatures_batch(texts, a, b)
+    vec = time.perf_counter() - t0
+
+    # round-1 shape: per-doc Python loop, hashlib.blake2b per shingle
+    t0 = time.perf_counter()
+    for s in texts.to_pylist():
+        toks = s.lower().split()
+        grams = (
+            [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+            if len(toks) >= 3
+            else [" ".join(toks)]
+        )
+        hs = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.blake2b(g.encode(), digest_size=8).digest(), "little"
+                )
+                for g in grams
+            ),
+            np.uint64,
+            len(grams),
+        ) if grams else np.array([0], np.uint64)
+        (a[:, None] * hs[None, :] + b[:, None]).min(axis=1)
+    loop = time.perf_counter() - t0
+    return {
+        "n_docs": n_docs,
+        "vectorized_sec": round(vec, 3),
+        "pergram_loop_sec": round(loop, 3),
+        "speedup": round(loop / vec, 1) if vec > 0 else None,
+    }
+
+
 def run_bench() -> dict:
     import ray
 
@@ -38,6 +116,7 @@ def run_bench() -> dict:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     rmat_scale = int(os.environ.get("GRAFT_RMAT_SCALE", "20"))
     supersteps = int(os.environ.get("GRAFT_BENCH_SUPERSTEPS", "10"))
+    reps = int(os.environ.get("GRAFT_BENCH_REPS", "2"))
 
     ray.init(
         address="local",
@@ -64,7 +143,20 @@ def run_bench() -> dict:
     from networkit_ray.web.htmlgen import num_documents, pages_dataset
 
     queries: dict[str, float] = {}
+    sentinel: dict[str, float] = {}
     t_total = time.perf_counter()
+
+    def stage(name: str, fn, n_rep: int = reps):
+        """best-of-n_rep wall time + pre-stage contention sentinel.
+        fn() must be re-runnable; the LAST run's return value is kept."""
+        sentinel[name] = round(_sentinel_ms(), 1)
+        best, result = float("inf"), None
+        for _ in range(max(1, n_rep)):
+            t0 = time.perf_counter()
+            result = fn()
+            best = min(best, time.perf_counter() - t0)
+        queries[name] = best
+        return result
 
     # Worker-pool warmup: the first task wave on fresh workers pays
     # process spawn + numpy/pyarrow imports (~1s per worker — measured
@@ -81,32 +173,41 @@ def run_bench() -> dict:
 
     # ---- R-MAT kernel throughput (the north-rule metric) -------------
     log(f"generating R-MAT scale={rmat_scale} ef=16 ...")
-    t0 = time.perf_counter()
-    edges, n = rmat_edges(rmat_scale, 16)
-    edges = edges.materialize()
+    edges = stage(
+        "rmat_generate", lambda: rmat_edges(rmat_scale, 16)[0].materialize(), 1
+    )
+    n = rmat_edges(rmat_scale, 16)[1]
     m = edges.count()
-    queries["rmat_generate"] = time.perf_counter() - t0
     log(f"R-MAT: n={n} m={m} in {queries['rmat_generate']:.1f}s")
 
-    t0 = time.perf_counter()
-    g = build_pgraph(edges, n)
-    # building is lazy (refs); force by running one superstep warmup below
-    refs, info = pagerank_refs(g, tol=0.0, max_iterations=1)
-    queries["csr_build_plus_warmup"] = time.perf_counter() - t0
+    def build_and_warm():
+        g = build_pgraph(edges, n)
+        pagerank_refs(g, tol=0.0, max_iterations=1)
+        return g
+
+    g = stage("csr_build_plus_warmup", build_and_warm)
 
     # steady-state superstep rate: best of N timed runs (the first run
-    # after a build still touches cold object-store pages; the scaling
-    # comparison takes 3 samples to shrink shared-sandbox noise)
-    n_rep = 3 if os.environ.get("GRAFT_KERNELS_ONLY") else 2
-    dts = []
-    for _ in range(n_rep):
-        t0 = time.perf_counter()
-        refs, info = pagerank_refs(g, tol=0.0, max_iterations=supersteps)
-        dts.append(time.perf_counter() - t0)
-    dt = min(dts)
-    queries["pagerank_supersteps"] = dt
+    # after a build still touches cold object-store pages)
+    n_rep = 3 if os.environ.get("GRAFT_KERNELS_ONLY") else max(2, reps)
+    stage(
+        "pagerank_supersteps",
+        lambda: pagerank_refs(g, tol=0.0, max_iterations=supersteps),
+        n_rep,
+    )
+    dt = queries["pagerank_supersteps"]
     pr_eps = m * supersteps / dt
     log(f"pagerank: {supersteps} supersteps in {dt:.2f}s → {pr_eps/1e6:.1f}M edges/s/superstep")
+
+    # float32 state/message option (halved exchange volume; same scores
+    # within 1e-6 — see graph/pagerank.py dtype)
+    stage(
+        "pagerank_supersteps_f32",
+        lambda: pagerank_refs(g, tol=0.0, max_iterations=supersteps, dtype="float32"),
+        n_rep,
+    )
+    pr_eps_f32 = m * supersteps / queries["pagerank_supersteps_f32"]
+    log(f"pagerank f32: {queries['pagerank_supersteps_f32']:.2f}s → {pr_eps_f32/1e6:.1f}M edges/s/superstep")
 
     if os.environ.get("GRAFT_KERNELS_ONLY"):
         # scaling mode: only the north-rule kernel numbers matter; the
@@ -118,117 +219,134 @@ def run_bench() -> dict:
             "value": round(total, 3),
             "unit": "sec",
             "queries": {k: round(v, 3) for k, v in queries.items()},
+            "sentinel_ms": sentinel,
             "sf": sf_dir,
             "num_cpus": num_cpus,
             "rmat": {"scale": rmat_scale, "n": n, "m": m},
             "pagerank_edges_per_sec_superstep": round(pr_eps, 0),
         }
 
-    t0 = time.perf_counter()
-    refs, info = pagerank_refs(g, tol=1e-6, norm="l1", check_every=5)
-    queries["pagerank_converge"] = time.perf_counter() - t0
-    pr_iters = info["iterations"]
+    pr_info = stage(
+        "pagerank_converge",
+        lambda: pagerank_refs(g, tol=1e-6, norm="l1", check_every=5)[1],
+    )
+    pr_iters = pr_info["iterations"]
     log(f"pagerank converged (L1≤1e-6) in {pr_iters} iters, {queries['pagerank_converge']:.2f}s")
 
+    sym = stage("symmetrize", lambda: symmetrize(edges).materialize())
 
-    t0 = time.perf_counter()
-    sym = symmetrize(edges).materialize()
-    queries["symmetrize"] = time.perf_counter() - t0
+    def build_sym():
+        gs = build_pgraph(sym, n)
+        ray.get(gs.block_refs)  # force the (lazy) build
+        return gs
 
-    t0 = time.perf_counter()
-    gs = build_pgraph(sym, n)
-    import ray as _ray
+    gs = stage("csr_build_sym", build_sym)
 
-    _ray.get(gs.block_refs)  # force the (lazy) build so kernels time cleanly
-    queries["csr_build_sym"] = time.perf_counter() - t0
-
-    t0 = time.perf_counter()
-    _, cc_info = connected_components_refs(gs)
-    queries["connected_components"] = time.perf_counter() - t0
+    cc_info = stage(
+        "connected_components", lambda: connected_components_refs(gs)[1]
+    )
     log(f"cc: {cc_info['iterations']} supersteps, {queries['connected_components']:.2f}s")
 
-    dts = []
-    for _ in range(2):
-        t0 = time.perf_counter()
-        _, plp_info = plp_refs(gs, max_iterations=5, update_threshold=0)
-        dts.append(time.perf_counter() - t0)
-    dt = min(dts)
-    queries["plp_5_iters"] = dt
+    stage(
+        "plp_5_iters",
+        lambda: plp_refs(gs, max_iterations=5, update_threshold=0),
+        max(2, reps),
+    )
+    dt = queries["plp_5_iters"]
     sym_m = sym.count()
     plp_eps = sym_m * 5 / dt
     log(f"plp: 5 iters in {dt:.2f}s → {plp_eps/1e6:.1f}M edge-scans/s/iter")
 
     # ---- sf-dir pipelines -------------------------------------------
-    t0 = time.perf_counter()
-    e2, n2 = derived_edges(sf_dir)
-    e2 = e2.materialize()
-    queries["derive_edges"] = time.perf_counter() - t0
+    e2holder = {}
 
-    t0 = time.perf_counter()
-    degree_table(e2).materialize()
-    queries["degree_table"] = time.perf_counter() - t0
+    def derive():
+        e, n2 = derived_edges(sf_dir)
+        e2holder["e"], e2holder["n"] = e.materialize(), n2
+        return e2holder["e"]
 
-    t0 = time.perf_counter()
-    canon = canonicalize(e2).materialize()
-    tc = triangle_count(canon, n2)
-    queries["triangles"] = time.perf_counter() - t0
+    e2 = stage("derive_edges", derive)
+    n2 = e2holder["n"]
+
+    stage("degree_table", lambda: degree_table(e2).materialize())
+
+    def tri():
+        canon = canonicalize(e2).materialize()
+        return triangle_count(canon, n2)
+
+    tc = stage("triangles", tri)
     log(f"triangles on derived sf graph: {tc} in {queries['triangles']:.2f}s")
 
-    t0 = time.perf_counter()
-    sym2 = symmetrize(e2).materialize()
     from networkit_ray.graph.louvain import louvain
 
-    _lv, lv_info = louvain(sym2, n2)
-    _lv = _lv.materialize()
-    queries["louvain"] = time.perf_counter() - t0
+    sym2 = symmetrize(e2).materialize()
+
+    def run_louvain():
+        lv, lv_info = louvain(sym2, n2)
+        lv.materialize()
+        return lv_info
+
+    lv_info = stage("louvain", run_louvain)
     log(f"louvain: {len(lv_info['levels'])} levels in {queries['louvain']:.2f}s")
 
-    t0 = time.perf_counter()
     from networkit_ray.graph.core import core_decomposition
 
-    _cores, core_info = core_decomposition(sym2, n2)
-    _cores = _cores.materialize()
-    queries["core_decomposition"] = time.perf_counter() - t0
+    def run_core():
+        cores, core_info = core_decomposition(sym2, n2)
+        cores.materialize()
+        return core_info
+
+    core_info = stage("core_decomposition", run_core)
     log(f"k-core: {core_info['rounds']} h-index rounds in {queries['core_decomposition']:.2f}s")
 
-    t0 = time.perf_counter()
-    pages = pages_dataset(sf_dir)
     nd = num_documents(sf_dir)
-    web_edges = extract_edges(pages, ids="hash").materialize()
-    queries["web_extract"] = time.perf_counter() - t0
+
+    def web():
+        pages = pages_dataset(sf_dir)
+        return extract_edges(pages, ids="hash").materialize()
+
+    web_edges = stage("web_extract", web)
     log(f"web extract: {web_edges.count()} edges from {nd} pages in {queries['web_extract']:.2f}s")
 
-    t0 = time.perf_counter()
     import ray.data
 
     from networkit_ray.dedup.minhash import candidate_pairs
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
-    cp = candidate_pairs(docs).count()
-    queries["minhash_candidates"] = time.perf_counter() - t0
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    cp = stage("minhash_candidates", lambda: candidate_pairs(docs).count())
     log(f"minhash: {cp} candidate pairs in {queries['minhash_candidates']:.2f}s")
 
-    t0 = time.perf_counter()
     from networkit_ray.ann.search import brute_force_topk
 
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    brute_force_topk(emb, list(range(8)), k=10).to_pandas()
-    queries["ann_topk"] = time.perf_counter() - t0
+    stage(
+        "ann_topk", lambda: brute_force_topk(emb, list(range(8)), k=10).to_pandas()
+    )
+
+    log("minhash signature kernel A/B (vectorized vs round-1 per-gram loop) ...")
+    ab = _minhash_ab(sf_dir)
+    log(f"minhash A/B: vectorized {ab['vectorized_sec']}s vs per-gram "
+        f"{ab['pergram_loop_sec']}s → {ab['speedup']}×")
 
     total = time.perf_counter() - t_total
     result = {
         "metric": (
-            "bench battery wall time (R-MAT kernels + sf pipelines; round 2 "
-            "ADDS louvain + k-core stages — compare per-query times, not "
-            "totals, against round 1)"
+            "bench battery wall time (R-MAT kernels + sf pipelines; every "
+            "stage best-of-2 with a per-stage contention sentinel — compare "
+            "per-query times, not totals, across rounds)"
         ),
         "value": round(total, 3),
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in queries.items()},
+        "sentinel_ms": sentinel,
+        "minhash_ab": ab,
         "sf": sf_dir,
         "num_cpus": num_cpus,
         "rmat": {"scale": rmat_scale, "n": n, "m": m},
         "pagerank_edges_per_sec_superstep": round(pr_eps, 0),
+        "pagerank_edges_per_sec_superstep_f32": round(pr_eps_f32, 0),
         "plp_edge_scans_per_sec_iter": round(plp_eps, 0),
         "pagerank_iters_to_1e6": pr_iters,
     }
