@@ -1454,6 +1454,116 @@ def q_binary_edgelist_roundtrip(sf_dir):
     return read_binary_edge_list(d, records_per_task=2000).sort(["src", "dst"])
 
 
+def q_graphtool_roundtrip(sf_dir):
+    """graph-tool binary write -> read (io/GraphToolBinary{Writer,Reader}.cpp):
+    the directed derived edge table must survive byte-exact."""
+    import tempfile
+
+    from networkit_ray.sources.binary_graph import (
+        read_graphtool_binary,
+        write_graphtool_binary,
+    )
+
+    g1, n = _derived(sf_dir)
+    p = tempfile.mktemp(prefix="gt_", suffix=".gt")
+    write_graphtool_binary(g1, n, p, directed=True)
+    out, n2, directed = read_graphtool_binary(p)
+    assert n2 == n and directed
+    return out.sort(["src", "dst"])
+
+
+def q_thrill_roundtrip(sf_dir):
+    """Thrill binary write -> read (io/ThrillGraphBinary{Writer,Reader}.cpp):
+    the canonical (lo, hi) undirected edge table must survive byte-exact."""
+    import tempfile
+
+    from networkit_ray.sources.binary_graph import (
+        read_thrill_binary,
+        write_thrill_binary,
+    )
+
+    canon, n = _canon(sf_dir)
+    p = tempfile.mktemp(prefix="thrill_", suffix=".bin")
+    write_thrill_binary(canon, n, p)
+    out, n2 = read_thrill_binary(p, n)
+    assert n2 == n
+    return out.sort(["src", "dst"])
+
+
+def q_dibap_roundtrip(sf_dir):
+    """DibaP 'GI' write -> read (io/DibapGraphReader.cpp): the canonical
+    undirected edge table must survive through the symmetric CSR layout."""
+    import tempfile
+
+    from networkit_ray.sources.binary_graph import read_dibap, write_dibap
+
+    canon, n = _canon(sf_dir)
+    p = tempfile.mktemp(prefix="dibap_", suffix=".gi")
+    write_dibap(canon, n, p)
+    out, n2, _coords = read_dibap(p)
+    assert n2 == n
+    return out.sort(["src", "dst"])
+
+
+def q_binary_partition_roundtrip(sf_dir):
+    """Fixed-width binary partition write -> read
+    (io/BinaryPartition{Writer,Reader}.cpp), labels = out-degrees so the
+    DuckDB twin is the degree table."""
+    import tempfile
+
+    from networkit_ray.graph.build import degree_table
+    from networkit_ray.sources.binary_graph import (
+        read_binary_partition,
+        write_binary_partition,
+    )
+    from networkit_ray.sources.derive import num_customers
+
+    edges, _ = _derived(sf_dir)
+    n = num_customers(sf_dir)
+    deg = degree_table(edges, key="src", out_name="label")
+    # cover all n nodes (degree_table only lists vertices with out-edges)
+    import ray.data as _rd
+
+    base = _rd.from_arrow(
+        pa.table(
+            {
+                "v": pa.array(np.arange(n, dtype=np.int64)),
+                "label": pa.array(np.zeros(n, dtype=np.int64)),
+            }
+        )
+    )
+    from networkit_ray.common.exchange import exchange_join
+
+    def fill(t: pa.Table) -> pa.Table:
+        # empty-right exchange partitions lack the joined column
+        lab = (
+            pa.compute.coalesce(t["lab2"], t["label"])
+            if "lab2" in t.column_names
+            else t["label"]
+        )
+        return pa.table({"v": t["v"], "label": lab})
+
+    merged = exchange_join(
+        base,
+        deg.map_batches(
+            lambda t: pa.table({"v": t["v"], "lab2": t["label"]}),
+            batch_format="pyarrow",
+        ),
+        left_on=["v"],
+        join_type="left outer",
+    ).map_batches(fill, batch_format="pyarrow")
+    p = tempfile.mktemp(prefix="binpart_", suffix=".bin")
+    write_binary_partition(merged, p, width=8)
+    out = read_binary_partition(p, width=8)
+    return out.map_batches(
+        lambda t: t.filter(pa.compute.greater(t["label"], 0)),
+        batch_format="pyarrow",
+    ).map_batches(
+        lambda t: pa.table({"v": t["v"], "deg": t["label"]}),
+        batch_format="pyarrow",
+    ).sort("v")
+
+
 def q_incremental_bfs(sf_dir):
     """DynBFS analog: warm-start BFS after inserting reversals of src%7==0;
     oracle = from-scratch BFS over the augmented graph."""
@@ -2658,6 +2768,10 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "incremental_bfs": q_incremental_bfs,
         "binary_edgelist_roundtrip": q_binary_edgelist_roundtrip,
         "partitioned_sink_roundtrip": q_partitioned_sink_roundtrip,
+        "graphtool_roundtrip": q_graphtool_roundtrip,
+        "thrill_roundtrip": q_thrill_roundtrip,
+        "dibap_roundtrip": q_dibap_roundtrip,
+        "binary_partition_roundtrip": q_binary_partition_roundtrip,
         "tce_community": q_tce_community,
         "random_bfs_community": q_random_bfs_community,
         "combined_scd": q_combined_scd,
@@ -4701,6 +4815,22 @@ def oracle_sql() -> dict[str, str]:
         # Binary edge-list roundtrip twin: the derived edge table itself.
         "binary_edgelist_roundtrip": f"""
             SELECT src, dst FROM ({DERIVED_EDGES_SQL}) ORDER BY src, dst
+        """,
+        # graph-tool binary roundtrip twin: the directed edge table itself.
+        "graphtool_roundtrip": f"""
+            SELECT src, dst FROM ({DERIVED_EDGES_SQL}) ORDER BY src, dst
+        """,
+        # Thrill / DibaP roundtrip twins: the canonical (lo, hi) edge table.
+        "thrill_roundtrip": f"""
+            SELECT src, dst FROM ({CANONICAL_EDGES_SQL}) ORDER BY src, dst
+        """,
+        "dibap_roundtrip": f"""
+            SELECT src, dst FROM ({CANONICAL_EDGES_SQL}) ORDER BY src, dst
+        """,
+        # Binary partition roundtrip twin: labels were the out-degrees.
+        "binary_partition_roundtrip": f"""
+            SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM ({DERIVED_EDGES_SQL}) GROUP BY src ORDER BY v
         """,
         # RandomBFS twin: first 25 vertices by (hop distance from 0, id)
         # on the symmetrized graph.
