@@ -60,6 +60,12 @@ def _sentinel_ms() -> float:
     return (time.perf_counter() - t0) * 1000.0
 
 
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 def _minhash_ab(sf_dir: str, n_docs: int = 4000) -> dict:
     """A/B the vectorized signature kernel against the round-1 per-gram
     hashlib loop on the same documents (identical H=64 permutations);
@@ -76,31 +82,35 @@ def _minhash_ab(sf_dir: str, n_docs: int = 4000) -> dict:
     )["text"].combine_chunks()[:n_docs]
     a, b = _perm_params(64, 42)
 
-    t0 = time.perf_counter()
-    minhash_signatures_batch(texts, a, b)
-    vec = time.perf_counter() - t0
+    # warm both sides (Arrow regex compile + allocator first-touch dominate a
+    # cold call), then best-of-2 — same discipline as the battery stages
+    minhash_signatures_batch(texts[:200], a, b)
+    vec = min(
+        _timed(lambda: minhash_signatures_batch(texts, a, b)) for _ in range(2)
+    )
 
     # round-1 shape: per-doc Python loop, hashlib.blake2b per shingle
-    t0 = time.perf_counter()
-    for s in texts.to_pylist():
-        toks = s.lower().split()
-        grams = (
-            [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
-            if len(toks) >= 3
-            else [" ".join(toks)]
-        )
-        hs = np.fromiter(
-            (
-                int.from_bytes(
-                    hashlib.blake2b(g.encode(), digest_size=8).digest(), "little"
-                )
-                for g in grams
-            ),
-            np.uint64,
-            len(grams),
-        ) if grams else np.array([0], np.uint64)
-        (a[:, None] * hs[None, :] + b[:, None]).min(axis=1)
-    loop = time.perf_counter() - t0
+    def _loop_side():
+        for s in texts.to_pylist():
+            toks = s.lower().split()
+            grams = (
+                [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+                if len(toks) >= 3
+                else [" ".join(toks)]
+            )
+            hs = np.fromiter(
+                (
+                    int.from_bytes(
+                        hashlib.blake2b(g.encode(), digest_size=8).digest(), "little"
+                    )
+                    for g in grams
+                ),
+                np.uint64,
+                len(grams),
+            ) if grams else np.array([0], np.uint64)
+            (a[:, None] * hs[None, :] + b[:, None]).min(axis=1)
+
+    loop = min(_timed(_loop_side) for _ in range(2))
     return {
         "n_docs": n_docs,
         "vectorized_sec": round(vec, 3),
