@@ -116,18 +116,79 @@ def candidate_pairs(
     """
     rows = band_rows(docs, num_hashes=num_hashes, bands=bands, seed=seed)
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].to_numpy())[:max_bucket]
-        if len(ids) < 2:
-            return pd.DataFrame({"a": np.empty(0, np.int64), "b": np.empty(0, np.int64)})
-        iu, ju = np.triu_indices(len(ids), 1)
-        return pd.DataFrame({"a": ids[iu], "b": ids[ju]})
+    # hash-exchange on the bucket key, then ONE vectorized all-buckets pair
+    # expansion per partition — the former groupby().map_groups ran a Python
+    # callback per bucket (~#docs × bands tiny groups), which dominated the
+    # whole pipeline; this is the same one-shuffle plan with O(1) Python calls
+    from networkit_ray.common.exchange import partition_refs
 
-    cand = rows.groupby(["band", "band_hash"]).map_groups(pairs, batch_format="pandas")
-    from networkit_ray.common.schema import enforce_schema
-
-    cand = enforce_schema(cand, pa.schema([("a", pa.int64()), ("b", pa.int64())]))
+    P = max(2, min(64, int(ray.cluster_resources().get("CPU", 8))))
+    slices = partition_refs(rows, ["band", "band_hash"], P)
+    pair_refs = [
+        _bucket_pairs.remote(max_bucket, *[s[p] for s in slices]) for p in range(P)
+    ]
+    keep = [
+        r
+        for r, ok in zip(pair_refs, ray.get([_nonnull.remote(t) for t in pair_refs]))
+        if ok
+    ]
+    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    if not keep:
+        return ray.data.from_arrow(pair_schema.empty_table())
+    cand = ray.data.from_arrow_refs(keep)
+    # cross-band duplicates live in different partitions: global distinct
     return cand.groupby(["a", "b"]).aggregate(Count(alias_name="_c")).drop_columns(["_c"])
+
+
+@ray.remote
+def _nonnull(t) -> bool:
+    return t is not None
+
+
+@ray.remote
+def _bucket_pairs(max_bucket: int, *tables) -> pa.Table | None:
+    """All (a < b) pairs within each (band, band_hash) bucket, vectorized
+    across every bucket in the partition; buckets are truncated to their
+    ``max_bucket`` smallest doc_ids (same guard as before)."""
+    tabs = [t for t in tables if t is not None and len(t)]
+    if not tabs:
+        return None
+    t = pa.concat_tables(tabs)
+    band = t["band"].to_numpy(zero_copy_only=False).astype(np.int64)
+    bh = t["band_hash"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    o = np.lexsort((ids, bh, band))
+    band, bh, ids = band[o], bh[o], ids[o]
+    new_seg = np.empty(len(ids), dtype=bool)
+    new_seg[0] = True
+    new_seg[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+    seg_id = np.cumsum(new_seg) - 1
+    k = np.arange(len(ids)) - np.flatnonzero(new_seg)[seg_id]
+    keep = k < max_bucket
+    ids, k = ids[keep], k[keep]
+    if not len(ids):
+        return None
+    seg_new = np.empty(len(ids), dtype=bool)
+    seg_new[0] = True
+    seg_new[1:] = k[1:] <= k[:-1]  # within-segment index resets ⇔ new bucket
+    seg_start_row = np.flatnonzero(seg_new)[np.cumsum(seg_new) - 1]
+    T = int(k.sum())
+    if T == 0:
+        return None
+    # row j (within-bucket index k[j]) pairs with the k[j] earlier rows of
+    # its bucket: b side repeats row j k[j] times, a side walks the bucket
+    b_rows = np.repeat(np.arange(len(ids), dtype=np.int64), k)
+    cum = np.zeros(len(ids) + 1, np.int64)
+    np.cumsum(k, out=cum[1:])
+    a_rows = seg_start_row[b_rows] + (np.arange(T, dtype=np.int64) - cum[b_rows])
+    a, b = ids[a_rows], ids[b_rows]
+    # partition-local distinct shrinks the global (a, b) dedup shuffle
+    o2 = np.lexsort((b, a))
+    a, b = a[o2], b[o2]
+    first = np.empty(T, dtype=bool)
+    first[0] = True
+    first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    return pa.table({"a": a[first], "b": b[first]})
 
 
 def jaccard(text_a: str, text_b: str, k: int = 3) -> float:

@@ -94,6 +94,43 @@ def _plp_map(block: dict, labels: np.ndarray, chunk: int) -> tuple:
     return tuple(out)
 
 
+@ray.remote
+def _plp_map_min(block: dict, chunk: int) -> tuple:
+    """Iteration-0 sweep for unweighted simple graphs: with singleton
+    initial labels every neighbor label is distinct and unit-weighted, so
+    the argmax-with-min-label rule degenerates to *min neighbor vid* — one
+    ``np.minimum.reduceat`` over the superstep-invariant dst grouping, no
+    per-(dst, label) sort, and per-part messages of size #distinct-dst
+    instead of #edges."""
+    from networkit_ray.graph.bsp import _reduceat_messages, chunk_edge_index
+
+    eo = chunk_edge_index(block, chunk)
+    # singleton label of local src i IS its vid
+    lab = block["vids"][block["src_local"][eo]]
+    return tuple(_reduceat_messages(block, lab, chunk, np.minimum))
+
+
+@ray.remote(num_returns=2)
+def _plp_reduce_min(labels: np.ndarray, *partials):
+    """Combine (dst, min_label) partials → per-dst min (iteration-0 twin of
+    ``_plp_reduce`` under the min-degenerate histogram)."""
+    ds = [p[0] for p in partials if len(p[0])]
+    if not ds:
+        return labels, 0
+    d = np.concatenate(ds)
+    m = np.concatenate([p[1] for p in partials if len(p[0])])
+    o = np.argsort(d, kind="stable")
+    d, m = d[o], m[o]
+    first = np.empty(len(d), dtype=bool)
+    first[0] = True
+    first[1:] = d[1:] != d[:-1]
+    starts = np.flatnonzero(first)
+    new = labels.copy()
+    new[d[starts]] = np.minimum.reduceat(m, starts)
+    changed = int((new != labels).sum())
+    return new, changed
+
+
 @ray.remote(num_returns=2)
 def _plp_reduce(labels: np.ndarray, *partials):
     """Combine (dst, label, w) partials → argmax label (ties → smallest label)."""
@@ -115,13 +152,22 @@ def _plp_reduce(labels: np.ndarray, *partials):
     starts = np.flatnonzero(change)
     d, l = d[starts], l[starts]
     w = np.add.reduceat(w, starts)
-    # argmax per dst, tie-break smallest label: sort by (dst, -w, label), take first
-    o2 = np.lexsort((l, -w, d))
-    d, l = d[o2], l[o2]
-    first = np.empty(len(d), dtype=bool)
+    # argmax per dst, tie-break smallest label.  Rows are already sorted by
+    # (dst, label), so per dst-segment the first row attaining the segment
+    # max weight IS the smallest label among the maxima — a reduceat +
+    # first-hit scan, O(n), replaces the former 3-key lexsort (the lexsort
+    # dominated the whole superstep on iteration-0-sized message volumes).
+    seg_change = d[1:] != d[:-1]
+    seg_starts = np.flatnonzero(np.concatenate(([True], seg_change)))
+    segmax = np.maximum.reduceat(w, seg_starts)
+    seg_id = np.zeros(len(d), np.int64)
+    seg_id[1:] = np.cumsum(seg_change)
+    hit = np.flatnonzero(w == segmax[seg_id])  # exact: same float values
+    seg_of_hit = seg_id[hit]
+    first = np.empty(len(hit), dtype=bool)
     first[0] = True
-    first[1:] = d[1:] != d[:-1]
-    heads = np.flatnonzero(first)
+    first[1:] = seg_of_hit[1:] != seg_of_hit[:-1]
+    heads = hit[first]
     new = labels.copy()
     new[d[heads]] = l[heads]
     changed = int((new != labels).sum())
@@ -152,8 +198,13 @@ def plp_refs(
                 return x.astype(np.uint64)
 
             labels = [_as_u64.remote(r) for r in raw]
+    min_sweep_first = False
     if labels is None:
         labels = [_plp_init.remote(g.vid_refs[p]) for p in range(P)]
+        # fresh singleton start on an unweighted simple graph: sweep 0 is
+        # exactly the min-neighbor-vid kernel (every neighbor label
+        # distinct, unit weight, min-label tie-break) — see _plp_map_min
+        min_sweep_first = not g.weighted
 
     iteration = start_iter
     timing = []
@@ -162,13 +213,21 @@ def plp_refs(
     units = g.map_units()
     while iteration < max_iterations:
         t0 = time.perf_counter()
-        map_out = [
-            _plp_map.options(num_returns=P).remote(g.block_refs[p], labels[p], c)
-            for p, c in units
-        ]
+        use_min = min_sweep_first and iteration == start_iter
+        if use_min:
+            map_out = [
+                _plp_map_min.options(num_returns=P).remote(g.block_refs[p], c)
+                for p, c in units
+            ]
+        else:
+            map_out = [
+                _plp_map.options(num_returns=P).remote(g.block_refs[p], labels[p], c)
+                for p, c in units
+            ]
+        reduce_fn = _plp_reduce_min if use_min else _plp_reduce
         new_labels, count_refs = [], []
         for q in range(P):
-            s, c = _plp_reduce.remote(labels[q], *[mo[q] for mo in map_out])
+            s, c = reduce_fn.remote(labels[q], *[mo[q] for mo in map_out])
             new_labels.append(s)
             count_refs.append(c)
         n_updated = sum(ray.get(count_refs))
@@ -234,12 +293,19 @@ def _lpdo_reduce(labels: np.ndarray, deg: np.ndarray, tier: int, num_tiers: int,
     starts = np.flatnonzero(change)
     d, l = d[starts], l[starts]
     w = np.add.reduceat(w, starts)
-    o2 = np.lexsort((l, -w, d))
-    d, l = d[o2], l[o2]
-    first = np.empty(len(d), dtype=bool)
+    # rows sorted by (dst, label): first row attaining the per-dst max
+    # weight is the min-label argmax (same O(n) scan as _plp_reduce)
+    seg_change = d[1:] != d[:-1]
+    seg_starts = np.flatnonzero(np.concatenate(([True], seg_change)))
+    segmax = np.maximum.reduceat(w, seg_starts)
+    seg_id = np.zeros(len(d), np.int64)
+    seg_id[1:] = np.cumsum(seg_change)
+    hit = np.flatnonzero(w == segmax[seg_id])
+    seg_of_hit = seg_id[hit]
+    first = np.empty(len(hit), dtype=bool)
     first[0] = True
-    first[1:] = d[1:] != d[:-1]
-    heads = np.flatnonzero(first)
+    first[1:] = seg_of_hit[1:] != seg_of_hit[:-1]
+    heads = hit[first]
     new = labels.copy()
     targets = d[heads]
     with np.errstate(divide="ignore"):
