@@ -21,10 +21,9 @@ partitioning and parallelism.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray.data
-from ray.data.aggregate import Count
+
 
 from networkit_ray.dedup.tokenize import (
     _GOLD,
@@ -137,7 +136,10 @@ def candidate_pairs(
         return ray.data.from_arrow(pair_schema.empty_table())
     cand = ray.data.from_arrow_refs(keep)
     # cross-band duplicates live in different partitions: global distinct
-    return cand.groupby(["a", "b"]).aggregate(Count(alias_name="_c")).drop_columns(["_c"])
+    # (task-based exchange; Dataset groupby pays ~2s fixed sort-shuffle cost)
+    from networkit_ray.common.exchange import exchange_unique
+
+    return exchange_unique(cand, ["a", "b"], schema=pair_schema)
 
 
 @ray.remote

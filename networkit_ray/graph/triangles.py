@@ -52,8 +52,20 @@ def undirected_degrees(canon: ray.data.Dataset) -> ray.data.Dataset:
         g = tt.group_by(["v"]).aggregate([([], "count_all")])
         return pa.table({"v": g["v"], "_pc": pa.compute.cast(g["count_all"], pa.int64())})
 
+    from networkit_ray.common.exchange import exchange_unique
+
     partial = canon.map_batches(endpoints, batch_format="pyarrow")
-    return partial.groupby("v").aggregate(Sum("_pc", alias_name="deg"))
+    # task-based exchange: the Dataset groupby's sort shuffle costs seconds
+    # of fixed overhead per call at this pipeline's 4-shuffle depth
+    out = exchange_unique(
+        partial,
+        ["v"],
+        agg=[("_pc", "sum")],
+        schema=pa.schema([("v", pa.int64()), ("_pc", pa.int64())]),
+    )
+    return out.map_batches(
+        lambda t: pa.table({"v": t["v"], "deg": t["_pc"]}), batch_format="pyarrow"
+    )
 
 
 def oriented_edges(
@@ -187,8 +199,18 @@ def triangles_per_vertex(
         g = tt.group_by(["v"]).aggregate([([], "count_all")])
         return pa.table({"v": g["v"], "_pc": pa.compute.cast(g["count_all"], pa.int64())})
 
+    from networkit_ray.common.exchange import exchange_unique
+
     partial = tri_rows.map_batches(corners, batch_format="pyarrow")
-    return partial.groupby("v").aggregate(Sum("_pc", alias_name="tri"))
+    out = exchange_unique(
+        partial,
+        ["v"],
+        agg=[("_pc", "sum")],
+        schema=pa.schema([("v", pa.int64()), ("_pc", pa.int64())]),
+    )
+    return out.map_batches(
+        lambda t: pa.table({"v": t["v"], "tri": t["_pc"]}), batch_format="pyarrow"
+    )
 
 
 def triangle_count(canon: ray.data.Dataset, num_nodes: int) -> int:
