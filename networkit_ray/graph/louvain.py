@@ -79,6 +79,41 @@ def _lv_init_vol(degw: np.ndarray) -> np.ndarray:
     return degw.copy()
 
 
+def _group_sum_dc(d, c, w):
+    """Group (d, c) rows summing w; returns (d, c, w) sorted by (d, c).
+    Packed single-key introsort when the key fits int64 (same trick as
+    the PLP map, ~10× a two-key lexsort); lexsort fallback otherwise."""
+    cl = c.astype(np.int64)
+    cmax = int(cl.max())
+    if (cmax + 1) * (int(d.max()) + 1) < 2**62:
+        o = np.argsort(d * (cmax + 1) + cl)
+    else:
+        o = np.lexsort((cl, d))
+    d, c, w = d[o], c[o], w[o]
+    newg = np.empty(len(d), dtype=bool)
+    newg[0] = True
+    newg[1:] = (d[1:] != d[:-1]) | (c[1:] != c[:-1])
+    starts = np.flatnonzero(newg)
+    return d[starts], c[starts], np.add.reduceat(w, starts)
+
+
+def _argmax_heads_per_d(d, gain):
+    """Per d-segment (rows sorted by (d, c)) the index of the first row
+    attaining the segment max gain — i.e. max-gain with min-c tie-break —
+    via reduceat + first-hit scan (O(n), replaces a 3-key lexsort)."""
+    seg_change = d[1:] != d[:-1]
+    seg_starts = np.flatnonzero(np.concatenate(([True], seg_change)))
+    segmax = np.maximum.reduceat(gain, seg_starts)
+    seg_id = np.zeros(len(d), np.int64)
+    seg_id[1:] = np.cumsum(seg_change)
+    hit = np.flatnonzero(gain == segmax[seg_id])
+    seg_of_hit = seg_id[hit]
+    first = np.empty(len(hit), dtype=bool)
+    first[0] = True
+    first[1:] = seg_of_hit[1:] != seg_of_hit[:-1]
+    return hit[first]
+
+
 @ray.remote
 def _lv_gather(num_nodes: int, num_parts: int, labels: np.ndarray, *partials) -> tuple:
     """Combine histogram partials; returns P owner-grouped unique-community
@@ -101,14 +136,7 @@ def _lv_gather(num_nodes: int, num_parts: int, labels: np.ndarray, *partials) ->
     c = np.concatenate([c, labels])
     w = np.concatenate([w, np.zeros(n_v, np.float64)])
     if len(d):
-        o = np.lexsort((c, d))
-        d, c, w = d[o], c[o], w[o]
-        newg = np.empty(len(d), dtype=bool)
-        newg[0] = True
-        newg[1:] = (d[1:] != d[:-1]) | (c[1:] != c[:-1])
-        starts = np.flatnonzero(newg)
-        d, c = d[starts], c[starts]
-        w = np.add.reduceat(w, starts)
+        d, c, w = _group_sum_dc(d, c, w)
 
     uniq, inv = np.unique(c, return_inverse=True)
     owner, loc = bsp.vplace(uniq, num_nodes, num_parts)
@@ -163,18 +191,14 @@ def _lv_apply(
         vol_c - (vol_A[d] - degw_d)
     ) / (2.0 * m * m)
     gain[is_own] = 0.0
-    # best per vertex: max gain, ties → smallest community id
-    o = np.lexsort((c, -gain, d))
-    dd, cc, gg = d[o], c[o], gain[o]
-    first = np.empty(len(dd), dtype=bool)
-    if len(dd):
-        first[0] = True
-        first[1:] = dd[1:] != dd[:-1]
-    heads = np.flatnonzero(first)
+    # best per vertex: max gain, ties → smallest community id (rows sorted
+    # by (d, c) since _group_sum_dc)
     best_c = labels.copy()
-    best_c[dd[heads]] = cc[heads]
     best_g = np.zeros(len(labels), np.float64)
-    best_g[dd[heads]] = gg[heads]
+    if len(d):
+        heads = _argmax_heads_per_d(d, gain)
+        best_c[d[heads]] = c[heads]
+        best_g[d[heads]] = gain[heads]
 
     move = (best_g > 1e-12) & (best_c != labels)
     # parity gate on a multiplicative-hash bit of the ORIGINAL vertex id:
@@ -434,14 +458,7 @@ def _local_move_one(
         d = np.concatenate([dst, np.arange(n, dtype=np.int64)])
         c = np.concatenate([labels[src], labels])
         ww = np.concatenate([w, np.zeros(n, np.float64)])
-        o = np.lexsort((c, d))
-        d, c, ww = d[o], c[o], ww[o]
-        newg = np.empty(len(d), dtype=bool)
-        newg[0] = True
-        newg[1:] = (d[1:] != d[:-1]) | (c[1:] != c[:-1])
-        starts = np.flatnonzero(newg)
-        d, c = d[starts], c[starts]
-        ww = np.add.reduceat(ww, starts)
+        d, c, ww = _group_sum_dc(d, c, ww)
 
         A = labels[d]
         degw_d = degw[d]
@@ -454,16 +471,11 @@ def _local_move_one(
             vol[c] - (vol_A[d] - degw_d)
         ) / (2.0 * m * m)
         gain[is_own] = 0.0
-        o2 = np.lexsort((c, -gain, d))
-        dd, cc, gg = d[o2], c[o2], gain[o2]
-        first = np.empty(len(dd), dtype=bool)
-        first[0] = True
-        first[1:] = dd[1:] != dd[:-1]
-        heads = np.flatnonzero(first)
+        heads = _argmax_heads_per_d(d, gain)
         best_c = labels.copy()
-        best_c[dd[heads]] = cc[heads]
+        best_c[d[heads]] = c[heads]
         best_g = np.zeros(n, np.float64)
-        best_g[dd[heads]] = gg[heads]
+        best_g[d[heads]] = gain[heads]
         move = (best_g > 1e-12) & (best_c != labels) & (color == (rnd & 1))
         n_moves = int(move.sum())
 
