@@ -2021,6 +2021,14 @@ def q_quality_scores(sf_dir):
     return quality_scores(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_repetition_scores(sf_dir):
+    """Gopher-style within-document repetition filters (duplicate word /
+    duplicate 3-gram fractions) — text/analysis.py:repetition_scores."""
+    from networkit_ray.text.analysis import repetition_scores
+
+    return repetition_scores(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def q_fingerprint_md5(sf_dir):
     from networkit_ray.text.analysis import fingerprints
 
@@ -2821,6 +2829,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "token_percentiles": q_token_percentiles,
         "tfidf_top_terms": q_tfidf_top_terms,
         "quality_scores": q_quality_scores,
+        "repetition_scores": q_repetition_scores,
         "fingerprint_md5": q_fingerprint_md5,
         "lang_histogram": q_lang_histogram,
         "langid": q_langid,
@@ -5201,6 +5210,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(quantile_disc(n, 0.9) AS BIGINT) AS p90,
                    CAST(quantile_disc(n, 0.99) AS BIGINT) AS p99
             FROM tc GROUP BY lang ORDER BY lang
+        """,
+        # Gopher-repetition twin: exact token/3-gram distinct ratios.
+        "repetition_scores": r"""
+            WITH toks AS (
+              SELECT doc_id, g.tok, g.ord FROM documents,
+              LATERAL (
+                SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok,
+                       generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9_]+'), 1) AS ord
+              ) g
+            ),
+            wd AS (
+              SELECT doc_id, COUNT(*) AS nt, COUNT(DISTINCT tok) AS ndt
+              FROM toks GROUP BY doc_id
+            ),
+            g3 AS (
+              SELECT doc_id,
+                     tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w AS gram,
+                     ord, COUNT(*) OVER (PARTITION BY doc_id) AS nt
+              FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+            ),
+            g3v AS (SELECT doc_id, gram FROM g3 WHERE gram IS NOT NULL AND ord <= nt - 2),
+            gd AS (SELECT doc_id, COUNT(*) AS ng, COUNT(DISTINCT gram) AS ndg FROM g3v GROUP BY doc_id)
+            SELECT d.doc_id,
+                   ROUND(CASE WHEN wd.nt > 0 THEN 1.0 - CAST(wd.ndt AS DOUBLE)/wd.nt ELSE 0 END, 6) AS dup_word_frac,
+                   ROUND(COALESCE(1.0 - CAST(gd.ndg AS DOUBLE)/gd.ng, 0), 6) AS dup_3gram_frac
+            FROM documents d
+            LEFT JOIN wd ON wd.doc_id = d.doc_id
+            LEFT JOIN gd ON gd.doc_id = d.doc_id
         """,
         "quality_scores": r"""
             SELECT doc_id,

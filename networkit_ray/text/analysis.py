@@ -90,6 +90,62 @@ def quality_scores(docs: ray.data.Dataset) -> ray.data.Dataset:
     return docs.map_batches(f, batch_format="pyarrow")
 
 
+def repetition_scores(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, dup_word_frac, dup_3gram_frac) — Gopher-style within-document
+    repetition filters (Rae et al. 2021 §A1.1, public method): the fraction
+    of duplicate word tokens and of duplicate word 3-grams per document.
+    Complements the cross-document dedup family (dedup/): these rules drop
+    degenerate pages (boilerplate loops, keyword stuffing) before corpus
+    dedup ever runs.
+
+    Fully vectorized: one Arrow tokenization + siphash per batch
+    (dedup/tokenize.py), per-doc distinct counting via one lexsort over
+    (doc, hash) — no Python loop over tokens.  Token semantics match
+    ``regexp_extract_all(lower(text), '[a-z0-9_]+')`` so the DuckDB twin
+    is exact (hash collisions would need ~2^32 distinct tokens per doc).
+    Documents with no tokens (resp. < 3 tokens) score 0.
+    """
+    from networkit_ray.common.hashing import round_half_away
+    from networkit_ray.dedup.tokenize import _GOLD, _splitmix, token_hashes
+
+    def f(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        h, counts = token_hashes(t["text"])
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+
+        def distinct_per_doc(vals: np.ndarray, docs_of: np.ndarray) -> np.ndarray:
+            if not len(vals):
+                return np.zeros(n, np.int64)
+            o = np.lexsort((vals, docs_of))
+            v, d = vals[o], docs_of[o]
+            new = np.empty(len(v), dtype=bool)
+            new[0] = True
+            new[1:] = (v[1:] != v[:-1]) | (d[1:] != d[:-1])
+            return np.bincount(d, weights=new, minlength=n).astype(np.int64)
+
+        ndist = distinct_per_doc(h, doc_idx)
+        dup_word = np.where(counts > 0, 1.0 - ndist / np.maximum(counts, 1), 0.0)
+
+        n3 = np.maximum(counts - 2, 0)
+        if len(h) >= 3:
+            g = (h[:-2] * _GOLD) ^ h[1:-1]
+            g = _splitmix((g * _GOLD) ^ h[2:])
+            valid = doc_idx[:-2] == doc_idx[2:]  # gram stays within one doc
+            ndist3 = distinct_per_doc(g[valid], doc_idx[:-2][valid])
+        else:
+            ndist3 = np.zeros(n, np.int64)
+        dup_3 = np.where(n3 > 0, 1.0 - ndist3 / np.maximum(n3, 1), 0.0)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "dup_word_frac": pa.array(round_half_away(dup_word, 6)),
+                "dup_3gram_frac": pa.array(round_half_away(dup_3, 6)),
+            }
+        )
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
 def fingerprints(docs: ray.data.Dataset) -> ray.data.Dataset:
     """(doc_id, md5, rhash64): md5 hex fingerprint (= DuckDB md5(text)) and a
     64-bit polynomial rolling hash of the whole text (engine-internal key)."""

@@ -62,6 +62,54 @@ class TestTextAnalysis:
         assert list(q["n_words"]) == [5, 0, 3]
         assert list(q["n_sentences"]) == [2, 0, 1]
 
+    def test_repetition_scores(self):
+        from networkit_ray.text.analysis import repetition_scores
+
+        docs = docs_ds(
+            [
+                "a b c a b c a b c",  # 3 distinct words / 9; grams: abc bca cab ×>1
+                "one two three four",  # all distinct, 2 grams distinct
+                "",  # no tokens → 0, 0
+                "x y",  # < 3 tokens → gram frac 0
+                "w w w w",  # 1 distinct word of 4; grams all 'w w w'
+            ]
+        )
+        got = (
+            repetition_scores(docs)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        np.testing.assert_allclose(
+            got["dup_word_frac"], [1 - 3 / 9, 0.0, 0.0, 0.0, 1 - 1 / 4], atol=1e-6
+        )
+        # doc 0: 7 grams, 3 distinct (abc,bca,cab); doc 4: 2 grams 1 distinct
+        np.testing.assert_allclose(
+            got["dup_3gram_frac"], [1 - 3 / 7, 0.0, 0.0, 0.0, 1 - 1 / 2], atol=1e-6
+        )
+
+    def test_repetition_scores_match_duckdb(self, sf_tiny):
+        import __ray_entry__ as E
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_tiny}/documents.parquet')"
+        )
+        df = (
+            E.queries()["repetition_scores"](sf_tiny)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        o = (
+            con.execute(E.oracle_sql()["repetition_scores"])
+            .df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert df.shape == o.shape
+        assert np.all(df[sorted(df.columns)].values == o[sorted(o.columns)].values)
+
     def test_langid(self):
         docs = docs_ds(
             [
