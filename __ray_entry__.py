@@ -1976,6 +1976,15 @@ def q_web_edges(sf_dir):
     return extract_edges(pages_dataset(sf_dir), ids="doc")
 
 
+def q_host_stats(sf_dir):
+    """Per-host page counts and byte volume parsed from the url column
+    (web/extract.py:host_stats); twin reconstructs hosts in SQL."""
+    from networkit_ray.web.extract import host_stats
+    from networkit_ray.web.htmlgen import pages_dataset
+
+    return host_stats(pages_dataset(sf_dir)).sort("host")
+
+
 def q_web_pagerank(sf_dir):
     from networkit_ray.graph.build import drop_self_loops
     from networkit_ray.graph.pagerank import pagerank
@@ -2823,6 +2832,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "approx_closeness": q_approx_closeness,
         "web_text_roundtrip": q_web_text_roundtrip,
         "web_edges": q_web_edges,
+        "host_stats": q_host_stats,
         "web_pagerank": q_web_pagerank,
         "exact_dedup": q_exact_dedup,
         "token_counts": q_token_counts,
@@ -5104,6 +5114,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "web_text_roundtrip": "SELECT doc_id, text FROM documents",
         "web_edges": WEB_EDGES_SQL,
+        # host parse twin: page_url(doc_id) = https://site{doc_id%50:04d}.example/...
+        "host_stats": """
+            SELECT 'site' || lpad(CAST(doc_id % 50 AS VARCHAR), 4, '0') || '.example' AS host,
+                   CAST(COUNT(*) AS BIGINT) AS n_pages,
+                   CAST(SUM(length(text)) AS BIGINT) AS total_chars
+            FROM documents GROUP BY host ORDER BY host
+        """,
         "web_pagerank": web_pr,
         "exact_dedup": "SELECT md5(text) AS text_md5, CAST(MIN(doc_id) AS BIGINT) AS doc_id FROM documents GROUP BY md5(text)",
         "token_counts": r"""

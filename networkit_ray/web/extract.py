@@ -146,3 +146,47 @@ def extract_texts(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+def host_stats(pages: ray.data.Dataset) -> ray.data.Dataset:
+    """(host, n_pages, total_chars) — per-host corpus statistics.
+
+    The host is parsed from the ``url`` column with vectorized Arrow
+    string kernels (scheme://HOST/...), then aggregated with a per-batch
+    combiner and one task-exchange groupby — the standard first look at a
+    Common-Crawl snapshot (host skew drives partition and politeness
+    decisions downstream).
+    """
+    import pyarrow.compute as pc
+
+    from networkit_ray.common.exchange import exchange_unique
+
+    def partial(t: pa.Table) -> pa.Table:
+        host = pc.list_element(pc.split_pattern(t["url"], "/"), 2)
+        tt = pa.table(
+            {
+                "host": host,
+                "n_pages": pa.array(np.ones(t.num_rows, np.int64)),
+                "total_chars": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+            }
+        )
+        g = tt.group_by(["host"]).aggregate(
+            [("n_pages", "sum"), ("total_chars", "sum")]
+        )
+        return pa.table(
+            {
+                "host": g["host"],
+                "n_pages": g["n_pages_sum"],
+                "total_chars": g["total_chars_sum"],
+            }
+        )
+
+    out = exchange_unique(
+        pages.map_batches(partial, batch_format="pyarrow"),
+        ["host"],
+        agg=[("n_pages", "sum"), ("total_chars", "sum")],
+        schema=pa.schema(
+            [("host", pa.string()), ("n_pages", pa.int64()), ("total_chars", pa.int64())]
+        ),
+    )
+    return out

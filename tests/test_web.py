@@ -75,3 +75,26 @@ class TestWebPipeline:
         n = num_documents(sf_tiny)
         t1, t2 = outlink_targets(0, n)
         assert len(ka) > 0
+
+    def test_host_stats_match_duckdb(self, sf_tiny):
+        import __ray_entry__ as E
+        import numpy as np
+
+        got = (
+            E.queries()["host_stats"](sf_tiny)
+            .to_pandas()
+            .sort_values("host")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_tiny}/documents.parquet')"
+        )
+        expect = (
+            con.execute(E.oracle_sql()["host_stats"])
+            .df()
+            .sort_values("host")
+            .reset_index(drop=True)
+        )
+        assert got.shape == expect.shape
+        assert np.all(got[sorted(got.columns)].values == expect[sorted(expect.columns)].values)
