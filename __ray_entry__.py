@@ -1976,6 +1976,15 @@ def q_web_edges(sf_dir):
     return extract_edges(pages_dataset(sf_dir), ids="doc")
 
 
+def q_host_capped_sample(sf_dir):
+    """Domain balancing: ≤ 5 pages per host, smallest doc_id first
+    (web/extract.py:cap_per_host); twin = ROW_NUMBER over host."""
+    from networkit_ray.web.extract import cap_per_host
+    from networkit_ray.web.htmlgen import pages_dataset
+
+    return cap_per_host(pages_dataset(sf_dir), 5).sort(["host", "doc_id"])
+
+
 def q_host_stats(sf_dir):
     """Per-host page counts and byte volume parsed from the url column
     (web/extract.py:host_stats); twin reconstructs hosts in SQL."""
@@ -2833,6 +2842,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "web_text_roundtrip": q_web_text_roundtrip,
         "web_edges": q_web_edges,
         "host_stats": q_host_stats,
+        "host_capped_sample": q_host_capped_sample,
         "web_pagerank": q_web_pagerank,
         "exact_dedup": q_exact_dedup,
         "token_counts": q_token_counts,
@@ -2892,7 +2902,8 @@ _DRIVER_VALIDATED = {
     "group_harmonic_closeness", "hashing_overlapper", "in_degree_table",
     "incremental_cc", "jaccard_measure", "k_truss", "katz", "lang_histogram",
     "langid", "lcc", "louvain", "louvain_modularity", "max_degree",
-    "maximal_cliques", "modularity", "multimodal_decode", "nmi",
+    "maximal_cliques", "minhash_near_dups", "modularity",
+    "multimodal_decode", "nmi", "simhash_near_dups",
     "node2vec_walks", "node_rand", "num_components", "overlapping_nmi",
     "pagerank", "pagerank_topk", "partition_fragmentation",
     "partition_intersection", "plp_communities", "quality_scores",
@@ -5120,6 +5131,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_pages,
                    CAST(SUM(length(text)) AS BIGINT) AS total_chars
             FROM documents GROUP BY host ORDER BY host
+        """,
+        # Domain-balancing twin: first 5 doc_ids per reconstructed host.
+        "host_capped_sample": """
+            SELECT doc_id,
+                   'site' || lpad(CAST(doc_id % 50 AS VARCHAR), 4, '0') || '.example' AS host
+            FROM documents
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id % 50 ORDER BY doc_id) <= 5
+            ORDER BY host, doc_id
         """,
         "web_pagerank": web_pr,
         "exact_dedup": "SELECT md5(text) AS text_md5, CAST(MIN(doc_id) AS BIGINT) AS doc_id FROM documents GROUP BY md5(text)",

