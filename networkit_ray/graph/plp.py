@@ -260,7 +260,14 @@ def plp(
     weighted: bool = False,
     **kwargs,
 ) -> tuple[ray.data.Dataset, dict]:
-    """Symmetrized edge table → (v, label) community assignment."""
+    """Symmetrized edge table → (v, label) community assignment.
+
+    ``sym_edges`` must be a *simple* symmetrized table (each direction
+    once, as ``symmetrize`` produces): the unweighted fresh-start fast
+    path serves sweep 0 as min-neighbor-vid, which treats parallel edges
+    as one edge.  For multigraph semantics pass ``weighted=True`` with an
+    explicit per-edge ``w``.
+    """
     g = build_pgraph(sym_edges, num_nodes, num_parts=num_parts, weighted=weighted)
     refs, info = plp_refs(g, **kwargs)
     return bsp.state_to_dataset(g, refs, "label"), info

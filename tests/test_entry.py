@@ -48,6 +48,14 @@ FAST_SUBSET = [
     "harmonic_closeness_exact",
     "local_similarity",
     "graph_difference",
+    # round-3 session additions
+    "graphtool_roundtrip",
+    "thrill_roundtrip",
+    "dibap_roundtrip",
+    "binary_partition_roundtrip",
+    "repetition_scores",
+    "host_stats",
+    "host_capped_sample",
     "reachable_nodes",
     "apply_events_roundtrip",
     "curveball_degrees",
