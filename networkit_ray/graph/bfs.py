@@ -19,7 +19,7 @@ import ray
 import ray.data
 
 from networkit_ray.graph import bsp
-from networkit_ray.graph.bsp import PGraph, build_pgraph, chunk_edge_index, min_messages
+from networkit_ray.graph.bsp import PGraph, build_pgraph, chunk_edge_index, grouped_src, min_messages
 
 _INF = np.uint64(0xFFFFFFFFFFFFFF)  # large sentinel; +1 never overflows uint64
 
@@ -39,7 +39,7 @@ def _bfs_init(vids: np.ndarray, source: int) -> tuple[np.ndarray, np.ndarray]:
 @ray.remote
 def _bfs_map(block: dict, state: tuple, chunk: int) -> tuple:
     dist, active = state
-    src_local = block["src_local"][chunk_edge_index(block, chunk)]
+    src_local = grouped_src(block, chunk)
     per_edge = np.where(active[src_local], dist[src_local] + np.uint64(1), _INF)
     return tuple(min_messages(block, per_edge, chunk))
 
@@ -80,7 +80,7 @@ def _mbfs_init(vids: np.ndarray, sources: np.ndarray) -> tuple[np.ndarray, np.nd
 @ray.remote
 def _mbfs_map(block: dict, state: tuple, chunk: int) -> tuple:
     dist, active = state
-    src_local = block["src_local"][chunk_edge_index(block, chunk)]
+    src_local = grouped_src(block, chunk)
     per_edge = np.where(
         active[src_local], dist[src_local] + np.uint64(1), _INF
     )  # (E, K)

@@ -351,6 +351,14 @@ def _build_block(part: int, num_nodes: int, num_parts: int, chunk_size: int, *sl
         len(dl_sorted), num_parts, chunk_size,
     )
 
+    # pre-gathered grouped-order locals: supersteps slice these contiguously
+    # instead of re-gathering src_local/dst_local through edge_order every
+    # iteration (two E-sized fancy gathers saved per map task per superstep).
+    # Kept at np.intp: numpy converts any other integer dtype to intp on
+    # EVERY fancy index — int32 here measured 3-4× slower per gather.
+    src_grouped = src_local[edge_order].astype(np.intp, copy=False)
+    dst_grouped = dl_sorted.astype(np.intp, copy=False)
+
     return {
         "chunks": chunks,
         "part": part,
@@ -362,6 +370,8 @@ def _build_block(part: int, num_nodes: int, num_parts: int, chunk_size: int, *sl
         "dst_local": dst_local,
         "w": w,
         "edge_order": edge_order,
+        "src_grouped": src_grouped,
+        "dst_grouped": dst_grouped,
         "part_bounds": part_bounds,
         "group_starts": group_starts,
         "uniq_dst_local": uniq_dst_local,
@@ -463,6 +473,24 @@ def state_to_dataset(g: PGraph, state_refs: list, col: str) -> ray.data.Dataset:
         for p in range(g.num_parts)
     ]
     return ray.data.from_arrow_refs(refs)
+
+
+def grouped_src(block: dict, chunk: int) -> np.ndarray:
+    """Grouped-order local src ids for (block, chunk) — a contiguous SLICE
+    of the build-time pre-gather, replacing ``src_local[chunk_edge_index]``
+    (an E-sized fancy gather) in per-superstep map tasks."""
+    if chunk < 0:
+        return block["src_grouped"]
+    c = block["chunks"][chunk]
+    return block["src_grouped"][c["start"] : c["end"]]
+
+
+def grouped_dst(block: dict, chunk: int) -> np.ndarray:
+    """Grouped-order local dst ids for (block, chunk) (contiguous slice)."""
+    if chunk < 0:
+        return block["dst_grouped"]
+    c = block["chunks"][chunk]
+    return block["dst_grouped"][c["start"] : c["end"]]
 
 
 def chunk_edge_index(block: dict, chunk: int) -> np.ndarray:

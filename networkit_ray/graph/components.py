@@ -44,8 +44,10 @@ def _cc_init(vids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 @ray.remote
 def _cc_map(block: dict, state: tuple, chunk: int) -> tuple:
+    from networkit_ray.graph.bsp import grouped_src
+
     labels, active = state
-    src_local = block["src_local"][chunk_edge_index(block, chunk)]
+    src_local = grouped_src(block, chunk)
     per_edge = labels[src_local]
     if not active.all():
         per_edge = np.where(active[src_local], per_edge, _SENTINEL)

@@ -39,14 +39,18 @@ from networkit_ray.state import checkpoint as ckpt
 
 @ray.remote
 def _pr_coef(block: dict) -> np.ndarray:
-    """Per-edge superstep-invariant coefficient w(u,v)/wdeg(u) (or 1/outdeg)."""
+    """Per-edge superstep-invariant coefficient w(u,v)/wdeg(u) (or 1/outdeg),
+    returned in GROUPED edge order so every superstep reads it as a
+    contiguous slice (no per-superstep coef[edge_order] gather)."""
     src_local = block["src_local"]
     if block["w"] is not None:
         wdeg = np.zeros(len(block["vids"]), dtype=np.float64)
         np.add.at(wdeg, src_local, block["w"])
-        return block["w"] / wdeg[src_local]
-    out_deg = block["out_deg"].astype(np.float64)
-    return 1.0 / out_deg[src_local]
+        coef = block["w"] / wdeg[src_local]
+    else:
+        out_deg = block["out_deg"].astype(np.float64)
+        coef = 1.0 / out_deg[src_local]
+    return coef[block["edge_order"]]
 
 
 @ray.remote
@@ -56,9 +60,16 @@ def _pr_init(vids: np.ndarray, n: int, dtype: str = "float64") -> np.ndarray:
 
 @ray.remote
 def _pr_map(block: dict, coef: np.ndarray, scores: np.ndarray, chunk: int) -> tuple:
-    idx = chunk_edge_index(block, chunk)
+    # grouped-order slices: one scores gather per edge, everything else
+    # contiguous sequential reads (coef arrives pre-grouped from _pr_coef)
+    sl = bsp.grouped_src(block, chunk)
+    if chunk < 0:
+        coef_s = coef
+    else:
+        c = block["chunks"][chunk]
+        coef_s = coef[c["start"] : c["end"]]
     # map-local math upcasts to float64 regardless of the state dtype
-    vals = scores[block["src_local"][idx]].astype(np.float64) * coef[idx]
+    vals = scores[sl].astype(np.float64) * coef_s
     out = aggregate_messages(block, vals, chunk)
     if scores.dtype == np.float32:
         # float32 message option (reference stores scores as f_weight =

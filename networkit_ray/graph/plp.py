@@ -47,14 +47,20 @@ def _plp_map(block: dict, labels: np.ndarray, chunk: int) -> tuple:
     """Per target partition: (dst_local, label, wsum) partial histograms."""
     from networkit_ray.graph.bsp import chunk_edge_index
 
+    from networkit_ray.graph.bsp import grouped_dst, grouped_src
+
     P = len(block["part_bounds"]) - 1
-    order = chunk_edge_index(block, chunk)
-    if not len(order):
+    sl = grouped_src(block, chunk)
+    if not len(sl):
         empty = (np.empty(0, np.int64), np.empty(0, np.uint64), np.empty(0, np.float64))
         return tuple([empty] * P)
-    lab = labels[block["src_local"][order]]
-    dl = block["dst_local"][order]
-    w = block["w"][order] if block["w"] is not None else np.ones(len(order), np.float64)
+    lab = labels[sl]
+    dl = grouped_dst(block, chunk)
+    w = (
+        block["w"][chunk_edge_index(block, chunk)]
+        if block["w"] is not None
+        else np.ones(len(sl), np.float64)
+    )
     if chunk < 0:
         pb = block["part_bounds"]
     else:
@@ -102,11 +108,10 @@ def _plp_map_min(block: dict, chunk: int) -> tuple:
     ``np.minimum.reduceat`` over the superstep-invariant dst grouping, no
     per-(dst, label) sort, and per-part messages of size #distinct-dst
     instead of #edges."""
-    from networkit_ray.graph.bsp import _reduceat_messages, chunk_edge_index
+    from networkit_ray.graph.bsp import _reduceat_messages, grouped_src
 
-    eo = chunk_edge_index(block, chunk)
     # singleton label of local src i IS its vid
-    lab = block["vids"][block["src_local"][eo]]
+    lab = block["vids"][grouped_src(block, chunk)]
     return tuple(_reduceat_messages(block, lab, chunk, np.minimum))
 
 
