@@ -2006,6 +2006,29 @@ def q_web_pagerank(sf_dir):
     return _round_col(scores, "score", 8)
 
 
+def q_host_edges(sf_dir):
+    """Weighted host-level link graph: distinct page edges grouped by
+    (host(src), host(dst)) with link-count weights (web/hostgraph.py:
+    host_edges); twin reconstructs hosts from doc ids."""
+    from networkit_ray.web.hostgraph import host_edges
+    from networkit_ray.web.htmlgen import pages_dataset
+
+    return host_edges(pages_dataset(sf_dir)).sort(["src", "dst"])
+
+
+def q_host_pagerank(sf_dir):
+    """Weighted PageRank over the host graph, self-loops dropped
+    (web/hostgraph.py:host_pagerank); twin is a weighted power-iteration
+    CTE over the reconstructed host edges."""
+    from networkit_ray.web.hostgraph import host_pagerank
+    from networkit_ray.web.htmlgen import pages_dataset
+
+    scores, _ = host_pagerank(
+        pages_dataset(sf_dir), tol=0.0, max_iterations=PR_ITERS
+    )
+    return _round_col(scores, "score", 8).sort("host")
+
+
 # ------- documents / text
 def q_exact_dedup(sf_dir):
     from networkit_ray.dedup.exact import exact_dedup_keepers
@@ -2844,6 +2867,8 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "host_stats": q_host_stats,
         "host_capped_sample": q_host_capped_sample,
         "web_pagerank": q_web_pagerank,
+        "host_edges": q_host_edges,
+        "host_pagerank": q_host_pagerank,
         "exact_dedup": q_exact_dedup,
         "token_counts": q_token_counts,
         "token_percentiles": q_token_percentiles,
@@ -2959,6 +2984,31 @@ def _pagerank_sql(edges_sql: str, iters: int) -> str:
     return (
         body
         + f"\nSELECT v, ROUND(score / (SELECT SUM(score) FROM s{iters}), 8) AS score FROM s{iters}"
+    )
+
+
+def _pagerank_w_sql(edges_sql: str, iters: int, v_as: str = "v") -> str:
+    """Weighted power-iteration twin (engine run with weighted=True, tol=0):
+    coefficient w(u,v)/wdeg(u), vertex universe = src ∪ dst of the edge
+    table, ids may be VARCHAR (host names)."""
+    parts = [
+        f"WITH e AS MATERIALIZED ({edges_sql})",
+        "od AS MATERIALIZED (SELECT src, CAST(SUM(w) AS DOUBLE) AS d FROM e GROUP BY src)",
+        "nodes AS MATERIALIZED (SELECT src AS v FROM e UNION SELECT dst FROM e)",
+        "nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)",
+        "s0 AS MATERIALIZED (SELECT v, 1.0/nn.n AS score FROM nodes CROSS JOIN nn)",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"s{k} AS MATERIALIZED (SELECT nodes.v, 0.15/nn.n + 0.85*COALESCE(m.inc, 0) AS score "
+            f"FROM nodes CROSS JOIN nn LEFT JOIN (SELECT e.dst AS v, SUM(p.score * e.w / od.d) AS inc "
+            f"FROM e JOIN s{k-1} p ON p.v = e.src JOIN od ON od.src = e.src "
+            f"GROUP BY e.dst) m ON m.v = nodes.v)"
+        )
+    body = ",\n".join(parts)
+    return (
+        body
+        + f"\nSELECT v AS {v_as}, ROUND(score / (SELECT SUM(score) FROM s{iters}), 8) AS score FROM s{iters}"
     )
 
 
@@ -5141,7 +5191,28 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY host, doc_id
         """,
         "web_pagerank": web_pr,
-        "exact_dedup": "SELECT md5(text) AS text_md5, CAST(MIN(doc_id) AS BIGINT) AS doc_id FROM documents GROUP BY md5(text)",
+        # Host graph twin: host(doc) = site{doc%50:04d}.example over the
+        # distinct page-level edge set; w = inter-page link count.
+        "host_edges": f"""
+            SELECT 'site' || lpad(CAST(src % 50 AS VARCHAR), 4, '0') || '.example' AS src,
+                   'site' || lpad(CAST(dst % 50 AS VARCHAR), 4, '0') || '.example' AS dst,
+                   CAST(COUNT(*) AS BIGINT) AS w
+            FROM ({WEB_EDGES_SQL}) GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "host_pagerank": (
+            _pagerank_w_sql(
+                f"""SELECT * FROM (
+                    SELECT 'site' || lpad(CAST(src % 50 AS VARCHAR), 4, '0') || '.example' AS src,
+                           'site' || lpad(CAST(dst % 50 AS VARCHAR), 4, '0') || '.example' AS dst,
+                           COUNT(*) AS w
+                    FROM ({WEB_EDGES_SQL}) GROUP BY 1, 2
+                ) WHERE src <> dst""",
+                PR_ITERS,
+                v_as="host",
+            )
+            + " ORDER BY host"
+        ),
+        "exact_dedup":"SELECT md5(text) AS text_md5, CAST(MIN(doc_id) AS BIGINT) AS doc_id FROM documents GROUP BY md5(text)",
         "token_counts": r"""
             SELECT doc_id,
                    CAST(CASE WHEN trim(text) = '' THEN 0

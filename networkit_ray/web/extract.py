@@ -61,7 +61,8 @@ class OutlinkExtractor:
 
     ``ids="hash"`` emits uint64 hash64(url) ids (production path);
     ``ids="doc"`` parses the fixture's /p/{doc_id} path into doc ids
-    (oracle-comparable path).
+    (oracle-comparable path); ``ids="url"`` keeps the normalized URL
+    strings (for host-level aggregation, which parses hosts downstream).
     """
 
     def __init__(self, ids: str = "hash"):
@@ -92,6 +93,9 @@ class OutlinkExtractor:
         if self.ids == "doc":
             src = pa.array([self._doc_id(u) for u in src_list], pa.int64())
             dst = pa.array([self._doc_id(u) for u in dst_list], pa.int64())
+        elif self.ids == "url":
+            src = pa.array(src_list, pa.string())
+            dst = pa.array(dst_list, pa.string())
         else:
             src = pa.array(hash64_array(src_list), pa.uint64())
             dst = pa.array(hash64_array(dst_list), pa.uint64())

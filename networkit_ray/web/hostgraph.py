@@ -1,0 +1,140 @@
+"""Host-level link graph: page edges → weighted host graph → host PageRank.
+
+The standard web-graph coarsening (the reference's only web analog,
+scripts/webgraph.py:27-49, aggregates urlparse().netloc exactly like this):
+every page-level edge is mapped to (host(src_url), host(dst_url)) and
+parallel edges collapse into an integer weight — the "host graph" whose
+weighted PageRank ranks domains rather than pages.
+
+Scale shape: the host parse is a vectorized Arrow split over the already
+page-deduplicated edge stream; host-edge aggregation is a per-batch
+``group_by`` combiner followed by one task-exchange ``exchange_unique`` on
+(src, dst) — host cardinality is orders of magnitude below page cardinality,
+so the exchange volume after the combiner is tiny.  The string→dense-id
+mapping for the PageRank kernel is the distributed compact_ids pattern
+(sort + zip_with_index + two hash joins), never a driver-side dict; the
+kernel itself is the partitioned-CSR BSP PageRank with ``weighted=True``
+(coefficient w(u,v)/wdeg(u), centrality/PageRank.cpp:54-64 semantics).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from networkit_ray.common.exchange import exchange_join, exchange_unique
+from networkit_ray.graph.build import drop_self_loops, zip_with_index
+from networkit_ray.web.extract import extract_edges
+
+
+def host_from_url(urls: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """scheme://HOST/... → host, vectorized (split on '/', element 2)."""
+    return pc.list_element(pc.split_pattern(urls, "/"), 2)
+
+
+def host_edges(pages: ray.data.Dataset) -> ray.data.Dataset:
+    """pages → (src, dst, w) weighted host-level edge table.
+
+    ``w`` counts the *distinct page-level* links between the two hosts
+    (within-page duplicates and cross-page repeats of the same (src_url,
+    dst_url) pair collapse first, like the reference's webgraph script
+    feeding a simple graph).  Host self-loops are kept — intra-host link
+    volume is meaningful corpus structure; PageRank drops them downstream.
+    """
+    page_edges = extract_edges(pages, ids="url", dedup=True)
+
+    def to_hosts(t: pa.Table) -> pa.Table:
+        tt = pa.table(
+            {
+                "src": host_from_url(t["src"]),
+                "dst": host_from_url(t["dst"]),
+                "w": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+        g = tt.group_by(["src", "dst"]).aggregate([("w", "sum")])
+        return g.rename_columns(["src", "dst", "w"])
+
+    he = page_edges.map_batches(to_hosts, batch_format="pyarrow")
+    return exchange_unique(
+        he,
+        ["src", "dst"],
+        agg=[("w", "sum")],
+        schema=pa.schema(
+            [("src", pa.string()), ("dst", pa.string()), ("w", pa.int64())]
+        ),
+    )
+
+
+def host_id_mapping(he: ray.data.Dataset) -> tuple[ray.data.Dataset, int]:
+    """(host, idx) dense-id mapping over src ∪ dst, ascending host order.
+
+    Distributed compact_ids first half (graph/build.py:compact_ids) with the
+    column named ``host`` so downstream joins never collide with the score
+    table's ``v``.
+    """
+    hs = he.select_columns(["src"]).map_batches(
+        lambda t: pa.table({"host": t["src"].combine_chunks().unique()}),
+        batch_format="pyarrow",
+    )
+    hd = he.select_columns(["dst"]).map_batches(
+        lambda t: pa.table({"host": t["dst"].combine_chunks().unique()}),
+        batch_format="pyarrow",
+    )
+    hosts = exchange_unique(hs.union(hd), ["host"]).sort("host")
+    mapping = zip_with_index(hosts, "idx").materialize()
+    return mapping, mapping.count()
+
+
+def host_pagerank(
+    pages: ray.data.Dataset,
+    *,
+    damp: float = 0.85,
+    tol: float = 0.0,
+    max_iterations: int | None = 30,
+    num_parts: int | None = None,
+) -> tuple[ray.data.Dataset, dict]:
+    """(host, score) weighted PageRank over the host graph.
+
+    Host self-loops are dropped (a self-link moves no rank mass in the
+    reference's normalization and would otherwise dominate wdeg for
+    navigation-heavy sites); edge weight = inter-host page-link count.
+    """
+    from networkit_ray.graph.pagerank import pagerank
+
+    he = drop_self_loops(host_edges(pages))
+    mapping, n_hosts = host_id_mapping(he)
+
+    e1 = exchange_join(he, mapping, left_on=["src"], right_on=["host"])
+    e1 = e1.map_batches(
+        lambda t: pa.table({"src_new": t["idx"], "dst": t["dst"], "w": t["w"]}),
+        batch_format="pyarrow",
+    )
+    e2 = exchange_join(e1, mapping, left_on=["dst"], right_on=["host"])
+    remapped = e2.map_batches(
+        lambda t: pa.table(
+            {
+                "src": t["src_new"],
+                "dst": t["idx"],
+                "w": pc.cast(t["w"], pa.float64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    scores, info = pagerank(
+        remapped,
+        n_hosts,
+        num_parts=num_parts,
+        weighted=True,
+        damp=damp,
+        tol=tol,
+        max_iterations=max_iterations,
+    )
+    named = exchange_join(scores, mapping, left_on=["v"], right_on=["idx"])
+    out = named.map_batches(
+        lambda t: pa.table({"host": t["host"], "score": t["score"]}),
+        batch_format="pyarrow",
+    )
+    return out, info

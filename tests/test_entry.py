@@ -73,6 +73,8 @@ FAST_SUBSET = [
     "random_bfs_community",
     "tfidf_top_terms",
     "token_percentiles",
+    "host_edges",
+    "host_pagerank",
 ]
 
 

@@ -99,6 +99,44 @@ class TestWebPipeline:
         assert got.shape == expect.shape
         assert np.all(got[sorted(got.columns)].values == expect[sorted(expect.columns)].values)
 
+    def test_host_edges_match_duckdb(self, sf_tiny):
+        import __ray_entry__ as E
+
+        got = (
+            E.queries()["host_edges"](sf_tiny)
+            .to_pandas()
+            .sort_values(["src", "dst"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_tiny}/documents.parquet')"
+        )
+        expect = con.execute(E.oracle_sql()["host_edges"]).df()
+        assert got.shape == expect.shape
+        for c in ("src", "dst", "w"):
+            assert (got[c].to_numpy() == expect[c].to_numpy()).all()
+
+    def test_host_pagerank_match_duckdb(self, sf_tiny):
+        import __ray_entry__ as E
+
+        got = (
+            E.queries()["host_pagerank"](sf_tiny)
+            .to_pandas()
+            .sort_values("host")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_tiny}/documents.parquet')"
+        )
+        expect = con.execute(E.oracle_sql()["host_pagerank"]).df()
+        assert got.shape == expect.shape
+        assert (got["host"].to_numpy() == expect["host"].to_numpy()).all()
+        assert np.abs(got["score"].to_numpy() - expect["score"].to_numpy()).max() < 1e-9
+        # rank mass is a probability distribution before rounding
+        assert abs(got["score"].sum() - 1.0) < 1e-4
+
     def test_cap_per_host(self, sf_tiny):
         import __ray_entry__ as E
         import numpy as np
