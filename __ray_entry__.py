@@ -2029,6 +2029,47 @@ def q_host_pagerank(sf_dir):
     return _round_col(scores, "score", 8).sort("host")
 
 
+def q_anchor_texts(sf_dir):
+    """Anchor-text link table (src, dst, anchor) with per-page first-wins
+    target dedup (web/extract.py:AnchorTextExtractor); twin replays the
+    fixture's link arithmetic with ROW_NUMBER first-wins."""
+    from networkit_ray.web.extract import extract_anchors
+    from networkit_ray.web.htmlgen import pages_dataset
+
+    return extract_anchors(pages_dataset(sf_dir), ids="doc").sort(["src", "dst"])
+
+
+def q_anchor_histogram(sf_dir):
+    """(anchor, n_links) global anchor-text histogram — per-batch combiner
+    plus one task-exchange groupby over the anchor string."""
+    from networkit_ray.common.exchange import exchange_unique
+    from networkit_ray.web.extract import extract_anchors
+    from networkit_ray.web.htmlgen import pages_dataset
+
+    import numpy as _np
+    import pyarrow as _pa
+
+    anchors = extract_anchors(pages_dataset(sf_dir), ids="doc")
+
+    def partial(t: _pa.Table) -> _pa.Table:
+        tt = _pa.table(
+            {
+                "anchor": t["anchor"],
+                "n_links": _pa.array(_np.ones(t.num_rows, _np.int64)),
+            }
+        )
+        g = tt.group_by(["anchor"]).aggregate([("n_links", "sum")])
+        return g.rename_columns(["anchor", "n_links"])
+
+    out = exchange_unique(
+        anchors.map_batches(partial, batch_format="pyarrow"),
+        ["anchor"],
+        agg=[("n_links", "sum")],
+        schema=_pa.schema([("anchor", _pa.string()), ("n_links", _pa.int64())]),
+    )
+    return out.sort("anchor")
+
+
 # ------- documents / text
 def q_exact_dedup(sf_dir):
     from networkit_ray.dedup.exact import exact_dedup_keepers
@@ -2869,6 +2910,8 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "web_pagerank": q_web_pagerank,
         "host_edges": q_host_edges,
         "host_pagerank": q_host_pagerank,
+        "anchor_texts": q_anchor_texts,
+        "anchor_histogram": q_anchor_histogram,
         "exact_dedup": q_exact_dedup,
         "token_counts": q_token_counts,
         "token_percentiles": q_token_percentiles,
@@ -3154,7 +3197,7 @@ def oracle_sql() -> dict[str, str]:
         DERIVED_EDGES_SQL,
         SYMMETRIC_EDGES_SQL,
     )
-    from networkit_ray.web.htmlgen import WEB_EDGES_SQL
+    from networkit_ray.web.htmlgen import A_MULT, D_DOMAINS, LINK_OFFSET, WEB_EDGES_SQL
 
     n_customers = "(SELECT COUNT(*) FROM customer)"
     n_docs = "(SELECT COUNT(*) FROM documents)"
@@ -5212,6 +5255,46 @@ def oracle_sql() -> dict[str, str]:
             )
             + " ORDER BY host"
         ),
+        # Anchor-text twins: replay the fixture's link arithmetic in document
+        # order (ref0..ref2, next; the #cite fragment and case duplicates
+        # always repeat ref0's target so first-wins drops them) and keep the
+        # first anchor per (src, dst) — exactly the extractor's per-page
+        # seen-set semantics (URL ↔ doc id is a bijection, N % 50 == 0).
+        "anchor_texts": f"""
+            WITH nd AS (SELECT COUNT(*) AS n FROM documents),
+            links AS (
+                SELECT doc_id AS src,
+                       CAST((doc_id * {A_MULT} + k.k * {LINK_OFFSET}) % nd.n AS BIGINT) AS dst,
+                       'ref' || CAST(k.k - 1 AS VARCHAR) AS anchor, k.k AS ord
+                FROM documents, nd, (VALUES (1), (2), (3)) k(k)
+                WHERE k.k <= 1 + doc_id % 3
+                UNION ALL
+                SELECT doc_id, CAST((doc_id + {D_DOMAINS}) % nd.n AS BIGINT), 'next', 4
+                FROM documents, nd
+            )
+            SELECT src, dst, anchor FROM links
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY src, dst ORDER BY ord) = 1
+            ORDER BY src, dst
+        """,
+        "anchor_histogram": f"""
+            WITH nd AS (SELECT COUNT(*) AS n FROM documents),
+            links AS (
+                SELECT doc_id AS src,
+                       CAST((doc_id * {A_MULT} + k.k * {LINK_OFFSET}) % nd.n AS BIGINT) AS dst,
+                       'ref' || CAST(k.k - 1 AS VARCHAR) AS anchor, k.k AS ord
+                FROM documents, nd, (VALUES (1), (2), (3)) k(k)
+                WHERE k.k <= 1 + doc_id % 3
+                UNION ALL
+                SELECT doc_id, CAST((doc_id + {D_DOMAINS}) % nd.n AS BIGINT), 'next', 4
+                FROM documents, nd
+            ),
+            fw AS (
+                SELECT anchor FROM links
+                QUALIFY ROW_NUMBER() OVER (PARTITION BY src, dst ORDER BY ord) = 1
+            )
+            SELECT anchor, CAST(COUNT(*) AS BIGINT) AS n_links FROM fw
+            GROUP BY anchor ORDER BY anchor
+        """,
         "exact_dedup":"SELECT md5(text) AS text_md5, CAST(MIN(doc_id) AS BIGINT) AS doc_id FROM documents GROUP BY md5(text)",
         "token_counts": r"""
             SELECT doc_id,

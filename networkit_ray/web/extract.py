@@ -29,6 +29,9 @@ from networkit_ray.common.hashing import hash64_array
 from networkit_ray.graph.build import dedup_edges
 
 _HREF_RE = re.compile(rb'<a\s+[^>]*href="([^"]*)"', re.IGNORECASE)
+_ANCHOR_RE = re.compile(
+    rb'<a\s+[^>]*href="([^"]*)"[^>]*>(.*?)</a>', re.IGNORECASE | re.DOTALL
+)
 _TEXT_RE = re.compile(rb"<p>(.*?)</p>", re.DOTALL)
 
 
@@ -119,6 +122,76 @@ def extract_edges(
         concurrency=concurrency,
     )
     return dedup_edges(edges) if dedup else edges
+
+
+class AnchorTextExtractor:
+    """Actor-pool batch UDF: pages → (src, dst, anchor) link rows with the
+    link's anchor text — the classic web-retrieval signal (anchor corpora
+    describe the *target* page).  Per-page dedup is first-wins on the
+    normalized target URL, matching :class:`OutlinkExtractor`'s edge set
+    exactly: a fragment/case duplicate of an earlier link contributes no
+    second row, so anchors biject with extracted edges.
+
+    ``ids="doc"`` parses fixture doc ids (oracle path); ``ids="hash"``
+    emits uint64 hash64(url) ids (production path).
+    """
+
+    def __init__(self, ids: str = "hash"):
+        self.ids = ids
+        self.anchor_re = _ANCHOR_RE
+        self.docid_re = re.compile(r"/p/(\d+)$")
+
+    def _doc_id(self, url: str) -> int:
+        m = self.docid_re.search(url)
+        return int(m.group(1)) if m else -1
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        htmls = batch["html"].to_pylist()
+        src_list: list[str] = []
+        dst_list: list[str] = []
+        anchors: list[str] = []
+        for url, html in zip(urls, htmls):
+            seen = set()
+            for m in self.anchor_re.finditer(html):
+                href = _html.unescape(m.group(1).decode("utf-8", "replace"))
+                target = normalize_url(url, href)
+                if target is None or target in seen:
+                    continue
+                seen.add(target)
+                src_list.append(url)
+                dst_list.append(target)
+                anchors.append(
+                    _html.unescape(m.group(2).decode("utf-8", "replace")).strip()
+                )
+        if self.ids == "doc":
+            src = pa.array([self._doc_id(u) for u in src_list], pa.int64())
+            dst = pa.array([self._doc_id(u) for u in dst_list], pa.int64())
+        else:
+            src = pa.array(hash64_array(src_list), pa.uint64())
+            dst = pa.array(hash64_array(dst_list), pa.uint64())
+        return pa.table(
+            {"src": src, "dst": dst, "anchor": pa.array(anchors, pa.string())}
+        )
+
+
+def extract_anchors(
+    pages: ray.data.Dataset,
+    *,
+    ids: str = "hash",
+    concurrency: int | tuple = (1, 4),
+    batch_size: int = 1024,
+) -> ray.data.Dataset:
+    """pages → (src, dst, anchor) anchor-text link table (no cross-page
+    dedup: the same (src, dst) pair appears once per page by construction
+    after the per-page first-wins pass)."""
+    return pages.map_batches(
+        AnchorTextExtractor,
+        fn_constructor_kwargs={"ids": ids},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
 
 
 class TextExtractor:

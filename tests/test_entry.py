@@ -75,6 +75,8 @@ FAST_SUBSET = [
     "token_percentiles",
     "host_edges",
     "host_pagerank",
+    "anchor_texts",
+    "anchor_histogram",
 ]
 
 

@@ -137,6 +137,41 @@ class TestWebPipeline:
         # rank mass is a probability distribution before rounding
         assert abs(got["score"].sum() - 1.0) < 1e-4
 
+    def test_anchor_texts_match_duckdb(self, sf_tiny):
+        import __ray_entry__ as E
+
+        got = (
+            E.queries()["anchor_texts"](sf_tiny)
+            .to_pandas()
+            .sort_values(["src", "dst"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_tiny}/documents.parquet')"
+        )
+        expect = con.execute(E.oracle_sql()["anchor_texts"]).df()
+        assert got.shape == expect.shape
+        for c in ("src", "dst", "anchor"):
+            assert (got[c].to_numpy() == expect[c].to_numpy()).all()
+        # anchors biject with the deduplicated page edge set
+        edges = extract_edges(pages_dataset(sf_tiny), ids="doc").to_pandas()
+        assert len(got) == len(edges)
+
+    def test_anchor_histogram_match_duckdb(self, sf_tiny):
+        import __ray_entry__ as E
+
+        got = E.queries()["anchor_histogram"](sf_tiny).to_pandas()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_tiny}/documents.parquet')"
+        )
+        expect = con.execute(E.oracle_sql()["anchor_histogram"]).df()
+        assert list(got["anchor"]) == list(expect["anchor"])
+        assert (got["n_links"].to_numpy() == expect["n_links"].to_numpy()).all()
+        # the #cite fragment and case-duplicate anchors never survive dedup
+        assert not set(got["anchor"]) & {"cite", "dup"}
+
     def test_cap_per_host(self, sf_tiny):
         import __ray_entry__ as E
         import numpy as np
