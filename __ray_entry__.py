@@ -27,6 +27,7 @@ import numpy as np
 import pyarrow as pa
 
 PR_ITERS = 30  # fixed power-iteration count shared by engine and SQL oracle
+HITS_ITERS = 20  # fixed HITS iteration count shared by engine and SQL oracle
 
 
 # ---------------------------------------------------------------- helpers
@@ -2029,6 +2030,22 @@ def q_host_pagerank(sf_dir):
     return _round_col(scores, "score", 8).sort("host")
 
 
+def q_web_hits(sf_dir):
+    """HITS hubs & authorities over the extracted page link graph
+    (graph/hits.py); twin is the L2-normalized power-iteration CTE."""
+    from networkit_ray.graph.build import drop_self_loops
+    from networkit_ray.graph.hits import hits
+    from networkit_ray.web.extract import extract_edges
+    from networkit_ray.web.htmlgen import num_documents, pages_dataset
+
+    n = num_documents(sf_dir)
+    edges = drop_self_loops(
+        extract_edges(pages_dataset(sf_dir), ids="doc")
+    ).materialize()
+    res, _ = hits(edges, n, iterations=HITS_ITERS)
+    return _round_col(_round_col(res, "hub", 8), "auth", 8).sort("v")
+
+
 def q_anchor_texts(sf_dir):
     """Anchor-text link table (src, dst, anchor) with per-page first-wins
     target dedup (web/extract.py:AnchorTextExtractor); twin replays the
@@ -2912,6 +2929,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "host_pagerank": q_host_pagerank,
         "anchor_texts": q_anchor_texts,
         "anchor_histogram": q_anchor_histogram,
+        "web_hits": q_web_hits,
         "exact_dedup": q_exact_dedup,
         "token_counts": q_token_counts,
         "token_percentiles": q_token_percentiles,
@@ -3052,6 +3070,40 @@ def _pagerank_w_sql(edges_sql: str, iters: int, v_as: str = "v") -> str:
     return (
         body
         + f"\nSELECT v AS {v_as}, ROUND(score / (SELECT SUM(score) FROM s{iters}), 8) AS score FROM s{iters}"
+    )
+
+
+def _hits_sql(edges_sql: str, nodes_sql: str, iters: int) -> str:
+    """HITS twin: auth_k = A^T hub_{k-1}, hub_k = A auth_k, each
+    L2-normalized — exact vs the engine's fixed-iteration run."""
+    parts = [
+        f"WITH e AS MATERIALIZED ({edges_sql})",
+        f"nodes AS MATERIALIZED ({nodes_sql})",
+        "nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)",
+        "h0 AS MATERIALIZED (SELECT v, 1.0/SQRT(nn.n) AS score FROM nodes CROSS JOIN nn)",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"a{k}r AS MATERIALIZED (SELECT nodes.v, COALESCE(m.s, 0) AS score FROM nodes "
+            f"LEFT JOIN (SELECT e.dst AS v, SUM(h.score) AS s FROM e "
+            f"JOIN h{k-1} h ON h.v = e.src GROUP BY e.dst) m ON m.v = nodes.v)"
+        )
+        parts.append(
+            f"a{k} AS MATERIALIZED (SELECT v, score / SQRT((SELECT SUM(score*score) FROM a{k}r)) AS score FROM a{k}r)"
+        )
+        parts.append(
+            f"h{k}r AS MATERIALIZED (SELECT nodes.v, COALESCE(m.s, 0) AS score FROM nodes "
+            f"LEFT JOIN (SELECT e.src AS v, SUM(a.score) AS s FROM e "
+            f"JOIN a{k} a ON a.v = e.dst GROUP BY e.src) m ON m.v = nodes.v)"
+        )
+        parts.append(
+            f"h{k} AS MATERIALIZED (SELECT v, score / SQRT((SELECT SUM(score*score) FROM h{k}r)) AS score FROM h{k}r)"
+        )
+    body = ",\n".join(parts)
+    return (
+        body
+        + f"\nSELECT h.v, ROUND(h.score, 8) AS hub, ROUND(a.score, 8) AS auth "
+        f"FROM h{iters} h JOIN a{iters} a USING (v) ORDER BY v"
     )
 
 
@@ -5254,6 +5306,11 @@ def oracle_sql() -> dict[str, str]:
                 v_as="host",
             )
             + " ORDER BY host"
+        ),
+        "web_hits": _hits_sql(
+            f"SELECT src, dst FROM ({WEB_EDGES_SQL}) WHERE src <> dst",
+            "SELECT CAST(doc_id AS BIGINT) AS v FROM documents",
+            HITS_ITERS,
         ),
         # Anchor-text twins: replay the fixture's link arithmetic in document
         # order (ref0..ref2, next; the #cite fragment and case duplicates

@@ -77,6 +77,7 @@ FAST_SUBSET = [
     "host_pagerank",
     "anchor_texts",
     "anchor_histogram",
+    "web_hits",
 ]
 
 
