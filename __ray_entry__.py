@@ -2030,6 +2030,20 @@ def q_host_pagerank(sf_dir):
     return _round_col(scores, "score", 8).sort("host")
 
 
+def q_host_trustrank(sf_dir):
+    """TrustRank over the host graph — weighted PPR restarting at a
+    4-host trusted whitelist (web/hostgraph.py:host_trustrank)."""
+    from networkit_ray.web.hostgraph import host_trustrank
+
+    from networkit_ray.web.htmlgen import pages_dataset
+
+    seeds = [f"site{i:04d}.example" for i in range(4)]
+    scores, _ = host_trustrank(
+        pages_dataset(sf_dir), seeds, iterations=PR_ITERS
+    )
+    return _round_col(scores, "score", 8).sort("host")
+
+
 def q_web_hits(sf_dir):
     """HITS hubs & authorities over the extracted page link graph
     (graph/hits.py); twin is the L2-normalized power-iteration CTE."""
@@ -2930,6 +2944,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "anchor_texts": q_anchor_texts,
         "anchor_histogram": q_anchor_histogram,
         "web_hits": q_web_hits,
+        "host_trustrank": q_host_trustrank,
         "exact_dedup": q_exact_dedup,
         "token_counts": q_token_counts,
         "token_percentiles": q_token_percentiles,
@@ -5306,6 +5321,38 @@ def oracle_sql() -> dict[str, str]:
                 v_as="host",
             )
             + " ORDER BY host"
+        ),
+        # TrustRank twin: weighted PPR, teleport uniform on the 4-host
+        # whitelist, strong convention (dangling mass leaks, no final
+        # normalization) — exact vs host_trustrank(iterations=PR_ITERS).
+        "host_trustrank": (lambda _he_sql, _seeds, _frac: (
+            ",\n".join(
+                [
+                    f"WITH e AS MATERIALIZED ({_he_sql})",
+                    "nodes AS MATERIALIZED (SELECT src AS v FROM e UNION SELECT dst FROM e)",
+                    "od AS MATERIALIZED (SELECT src AS v, CAST(SUM(w) AS DOUBLE) AS d FROM e GROUP BY src)",
+                    f"p0 AS MATERIALIZED (SELECT v, CASE WHEN v IN ({_seeds}) THEN {_frac} ELSE 0.0 END AS x FROM nodes)",
+                ]
+                + [
+                    f"p{k} AS MATERIALIZED (SELECT n.v, "
+                    f"0.15 * (CASE WHEN n.v IN ({_seeds}) THEN {_frac} ELSE 0.0 END) "
+                    f"+ 0.85 * COALESCE(m.inc, 0) AS x FROM nodes n LEFT JOIN "
+                    f"(SELECT e.dst AS v, SUM(p.x * e.w / od.d) AS inc "
+                    f"FROM e JOIN p{k-1} p ON p.v = e.src JOIN od ON od.v = e.src "
+                    f"GROUP BY e.dst) m ON m.v = n.v)"
+                    for k in range(1, PR_ITERS + 1)
+                ]
+            )
+            + f"\nSELECT v AS host, ROUND(x, 8) AS score FROM p{PR_ITERS} ORDER BY host"
+        ))(
+            f"""SELECT * FROM (
+                SELECT 'site' || lpad(CAST(src % 50 AS VARCHAR), 4, '0') || '.example' AS src,
+                       'site' || lpad(CAST(dst % 50 AS VARCHAR), 4, '0') || '.example' AS dst,
+                       COUNT(*) AS w
+                FROM ({WEB_EDGES_SQL}) GROUP BY 1, 2
+            ) WHERE src <> dst""",
+            ", ".join(f"'site{i:04d}.example'" for i in range(4)),
+            "0.25",
         ),
         "web_hits": _hits_sql(
             f"SELECT src, dst FROM ({WEB_EDGES_SQL}) WHERE src <> dst",

@@ -87,22 +87,13 @@ def host_id_mapping(he: ray.data.Dataset) -> tuple[ray.data.Dataset, int]:
     return mapping, mapping.count()
 
 
-def host_pagerank(
+def _build_host_graph(
     pages: ray.data.Dataset,
-    *,
-    damp: float = 0.85,
-    tol: float = 0.0,
-    max_iterations: int | None = 30,
-    num_parts: int | None = None,
-) -> tuple[ray.data.Dataset, dict]:
-    """(host, score) weighted PageRank over the host graph.
-
-    Host self-loops are dropped (a self-link moves no rank mass in the
-    reference's normalization and would otherwise dominate wdeg for
-    navigation-heavy sites); edge weight = inter-host page-link count.
-    """
-    from networkit_ray.graph.pagerank import pagerank
-
+) -> tuple[ray.data.Dataset, ray.data.Dataset, int]:
+    """Shared kernel input: (remapped weighted edges, (host, idx) mapping,
+    n_hosts) with host self-loops dropped (a self-link moves no rank mass in
+    the reference's normalization and would otherwise dominate wdeg for
+    navigation-heavy sites)."""
     he = drop_self_loops(host_edges(pages))
     mapping, n_hosts = host_id_mapping(he)
 
@@ -122,7 +113,32 @@ def host_pagerank(
         ),
         batch_format="pyarrow",
     )
+    return remapped, mapping, n_hosts
 
+
+def _named_scores(
+    scores: ray.data.Dataset, mapping: ray.data.Dataset
+) -> ray.data.Dataset:
+    named = exchange_join(scores, mapping, left_on=["v"], right_on=["idx"])
+    return named.map_batches(
+        lambda t: pa.table({"host": t["host"], "score": t["score"]}),
+        batch_format="pyarrow",
+    )
+
+
+def host_pagerank(
+    pages: ray.data.Dataset,
+    *,
+    damp: float = 0.85,
+    tol: float = 0.0,
+    max_iterations: int | None = 30,
+    num_parts: int | None = None,
+) -> tuple[ray.data.Dataset, dict]:
+    """(host, score) weighted PageRank over the host graph; edge weight =
+    inter-host page-link count."""
+    from networkit_ray.graph.pagerank import pagerank
+
+    remapped, mapping, n_hosts = _build_host_graph(pages)
     scores, info = pagerank(
         remapped,
         n_hosts,
@@ -132,9 +148,41 @@ def host_pagerank(
         tol=tol,
         max_iterations=max_iterations,
     )
-    named = exchange_join(scores, mapping, left_on=["v"], right_on=["idx"])
-    out = named.map_batches(
-        lambda t: pa.table({"host": t["host"], "score": t["score"]}),
+    return _named_scores(scores, mapping), info
+
+
+def host_trustrank(
+    pages: ray.data.Dataset,
+    seed_hosts: list[str],
+    *,
+    damp: float = 0.85,
+    iterations: int = 30,
+    num_parts: int | None = None,
+) -> tuple[ray.data.Dataset, dict]:
+    """(host, score) TrustRank: personalized PageRank whose teleport mass
+    restarts uniformly on a trusted seed-host whitelist (Gyöngyi et al.'s
+    web-spam demotion scheme) over the weighted host graph.  Dangling mass
+    leaks — the 'strong' PPR convention the engine's personalized_pagerank
+    uses, so scores are comparable across seed sets.
+    """
+    from networkit_ray.graph.pagerank import personalized_pagerank
+
+    remapped, mapping, n_hosts = _build_host_graph(pages)
+    seed_set = set(seed_hosts)
+    seed_rows = mapping.map_batches(
+        lambda t: t.filter(pc.is_in(t["host"], value_set=pa.array(sorted(seed_set)))),
         batch_format="pyarrow",
+    ).to_pandas()
+    seeds = [int(i) for i in seed_rows["idx"]]
+    if not seeds:
+        raise ValueError("host_trustrank: no seed host present in the graph")
+    scores, info = personalized_pagerank(
+        remapped,
+        n_hosts,
+        seeds,
+        damp=damp,
+        iterations=iterations,
+        num_parts=num_parts,
+        weighted=True,
     )
-    return out, info
+    return _named_scores(scores, mapping), info

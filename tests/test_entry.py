@@ -78,6 +78,7 @@ FAST_SUBSET = [
     "anchor_texts",
     "anchor_histogram",
     "web_hits",
+    "host_trustrank",
 ]
 
 

@@ -137,6 +137,28 @@ class TestWebPipeline:
         # rank mass is a probability distribution before rounding
         assert abs(got["score"].sum() - 1.0) < 1e-4
 
+    def test_host_trustrank_match_duckdb(self, sf_tiny):
+        import __ray_entry__ as E
+
+        got = (
+            E.queries()["host_trustrank"](sf_tiny)
+            .to_pandas()
+            .sort_values("host")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_tiny}/documents.parquet')"
+        )
+        expect = con.execute(E.oracle_sql()["host_trustrank"]).df()
+        assert got.shape == expect.shape
+        assert (got["host"].to_numpy() == expect["host"].to_numpy()).all()
+        assert np.abs(got["score"].to_numpy() - expect["score"].to_numpy()).max() < 1e-9
+        # trust concentrates at the whitelist: every seed outranks the median
+        seeds = {f"site{i:04d}.example" for i in range(4)}
+        med = got["score"].median()
+        assert (got[got["host"].isin(seeds)]["score"] > med).all()
+
     def test_anchor_texts_match_duckdb(self, sf_tiny):
         import __ray_entry__ as E
 
