@@ -2044,6 +2044,16 @@ def q_host_trustrank(sf_dir):
     return _round_col(scores, "score", 8).sort("host")
 
 
+def q_anchor_summary(sf_dir):
+    """Per-target anchor corpus: most common anchor per dst with total
+    in-links (web/extract.py:anchor_summary)."""
+    from networkit_ray.web.extract import anchor_summary, extract_anchors
+    from networkit_ray.web.htmlgen import pages_dataset
+
+    anchors = extract_anchors(pages_dataset(sf_dir), ids="doc")
+    return anchor_summary(anchors).sort("dst")
+
+
 def q_web_hits(sf_dir):
     """HITS hubs & authorities over the extracted page link graph
     (graph/hits.py); twin is the L2-normalized power-iteration CTE."""
@@ -2945,6 +2955,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "anchor_histogram": q_anchor_histogram,
         "web_hits": q_web_hits,
         "host_trustrank": q_host_trustrank,
+        "anchor_summary": q_anchor_summary,
         "exact_dedup": q_exact_dedup,
         "token_counts": q_token_counts,
         "token_percentiles": q_token_percentiles,
@@ -5379,6 +5390,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT src, dst, anchor FROM links
             QUALIFY ROW_NUMBER() OVER (PARTITION BY src, dst ORDER BY ord) = 1
             ORDER BY src, dst
+        """,
+        "anchor_summary": f"""
+            WITH nd AS (SELECT COUNT(*) AS n FROM documents),
+            links AS (
+                SELECT doc_id AS src,
+                       CAST((doc_id * {A_MULT} + k.k * {LINK_OFFSET}) % nd.n AS BIGINT) AS dst,
+                       'ref' || CAST(k.k - 1 AS VARCHAR) AS anchor, k.k AS ord
+                FROM documents, nd, (VALUES (1), (2), (3)) k(k)
+                WHERE k.k <= 1 + doc_id % 3
+                UNION ALL
+                SELECT doc_id, CAST((doc_id + {D_DOMAINS}) % nd.n AS BIGINT), 'next', 4
+                FROM documents, nd
+            ),
+            fw AS (
+                SELECT src, dst, anchor FROM links
+                QUALIFY ROW_NUMBER() OVER (PARTITION BY src, dst ORDER BY ord) = 1
+            ),
+            cnt AS (
+                SELECT dst, anchor, CAST(COUNT(*) AS BIGINT) AS n
+                FROM fw GROUP BY dst, anchor
+            ),
+            tot AS (SELECT dst, CAST(SUM(n) AS BIGINT) AS n_links FROM cnt GROUP BY dst)
+            SELECT c.dst, c.anchor AS top_anchor, t.n_links
+            FROM cnt c JOIN tot t USING (dst)
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY c.dst ORDER BY c.n DESC, c.anchor) = 1
+            ORDER BY c.dst
         """,
         "anchor_histogram": f"""
             WITH nd AS (SELECT COUNT(*) AS n FROM documents),

@@ -194,6 +194,77 @@ def extract_anchors(
     )
 
 
+def anchor_summary(anchors: ray.data.Dataset) -> ray.data.Dataset:
+    """(dst, top_anchor, n_links): the most common anchor text pointing at
+    each target (ties broken lexicographically) and the target's total
+    in-link count — the anchor-corpus aggregation retrieval systems build
+    per document.  Shape: per-batch (dst, anchor) count combiner → one hash
+    exchange on (dst, anchor) → re-partition by dst → vectorized per-group
+    argmax (lexsort + first-hit), no Python loop over targets.
+    """
+    import ray as _ray
+
+    from networkit_ray.common.exchange import (
+        _default_parts,
+        exchange_unique,
+        partition_refs,
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = pa.table(
+            {
+                "dst": t["dst"],
+                "anchor": t["anchor"],
+                "n": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+        g = tt.group_by(["dst", "anchor"]).aggregate([("n", "sum")])
+        return g.rename_columns(["dst", "anchor", "n"])
+
+    counts = exchange_unique(
+        anchors.map_batches(partial, batch_format="pyarrow"),
+        ["dst", "anchor"],
+        agg=[("n", "sum")],
+    )
+    P = _default_parts()
+    slices = partition_refs(counts, ["dst"], P)
+    out = [_top_anchor_part.remote(*[s[p] for s in slices]) for p in range(P)]
+    keep = [
+        r for r, ok in zip(out, _ray.get([_ch_nonnull.remote(t) for t in out])) if ok
+    ]
+    if not keep:
+        schema = pa.schema(
+            [("dst", pa.int64()), ("top_anchor", pa.string()), ("n_links", pa.int64())]
+        )
+        return ray.data.from_arrow(schema.empty_table())
+    return ray.data.from_arrow_refs(keep)
+
+
+@ray.remote
+def _top_anchor_part(*tables) -> pa.Table | None:
+    ts = [t for t in tables if t is not None and len(t)]
+    if not ts:
+        return None
+    t = pa.concat_tables(ts)
+    dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    # fixed-width unicode (np.lexsort does not take object arrays)
+    anchor = np.asarray(t["anchor"].to_pylist(), dtype=str)
+    n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((anchor, -n, dst))
+    dst, anchor, n = dst[order], anchor[order], n[order]
+    first = np.empty(len(dst), dtype=bool)
+    first[0] = True
+    first[1:] = dst[1:] != dst[:-1]
+    tot = np.add.reduceat(n, np.flatnonzero(first))
+    return pa.table(
+        {
+            "dst": pa.array(dst[first]),
+            "top_anchor": pa.array(list(anchor[first]), pa.string()),
+            "n_links": pa.array(tot),
+        }
+    )
+
+
 class TextExtractor:
     """Actor-pool batch UDF: pages → (url, text) with byte-identical text."""
 

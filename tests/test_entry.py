@@ -79,6 +79,7 @@ FAST_SUBSET = [
     "anchor_histogram",
     "web_hits",
     "host_trustrank",
+    "anchor_summary",
 ]
 
 

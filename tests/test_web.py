@@ -194,6 +194,21 @@ class TestWebPipeline:
         # the #cite fragment and case-duplicate anchors never survive dedup
         assert not set(got["anchor"]) & {"cite", "dup"}
 
+    def test_anchor_summary_match_duckdb(self, sf_tiny):
+        import __ray_entry__ as E
+
+        got = E.queries()["anchor_summary"](sf_tiny).to_pandas().reset_index(drop=True)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_tiny}/documents.parquet')"
+        )
+        expect = con.execute(E.oracle_sql()["anchor_summary"]).df()
+        assert got.shape == expect.shape
+        for c in ("dst", "top_anchor", "n_links"):
+            assert (got[c].to_numpy() == expect[c].to_numpy()).all()
+        # every target of the fixture graph receives at least one link
+        assert (got["n_links"] >= 1).all()
+
     def test_cap_per_host(self, sf_tiny):
         import __ray_entry__ as E
         import numpy as np
