@@ -2070,6 +2070,95 @@ def q_web_hits(sf_dir):
     return _round_col(_round_col(res, "hub", 8), "auth", 8).sort("v")
 
 
+def q_web_salsa(sf_dir):
+    """SALSA hubs & authorities over the page link graph (graph/salsa.py) —
+    degree-normalized alternating walk, L1 norms; twin is the exact
+    fixed-iteration CTE."""
+    from networkit_ray.graph.build import drop_self_loops
+    from networkit_ray.graph.salsa import salsa
+    from networkit_ray.web.extract import extract_edges
+    from networkit_ray.web.htmlgen import num_documents, pages_dataset
+
+    n = num_documents(sf_dir)
+    edges = drop_self_loops(
+        extract_edges(pages_dataset(sf_dir), ids="doc")
+    ).materialize()
+    res, _ = salsa(edges, n, iterations=HITS_ITERS)
+    return _round_col(_round_col(res, "hub", 8), "auth", 8).sort("v")
+
+
+# Deterministic edge thinning that gives the page graph a non-trivial
+# bow-tie (all six Broder regions populated at N=500 and N=5000): keep an
+# edge iff ((src*31 + dst*17) % 97) % 10 < 4 — shared verbatim with the SQL
+# twin.
+BOWTIE_KEEP_SQL = "((src * 31 + dst * 17) % 97) % 10 < 4"
+
+
+def q_web_bowtie(sf_dir):
+    """Broder bow-tie decomposition (CORE/IN/OUT/TUBE/TENDRIL/DISC) of the
+    deterministically thinned page graph (graph/bowtie.py); twin derives
+    every region from one recursive transitive closure."""
+    import numpy as _np
+    import pyarrow as _pa
+
+    from networkit_ray.graph.bowtie import bowtie_decomposition
+    from networkit_ray.graph.build import drop_self_loops
+    from networkit_ray.web.extract import extract_edges
+    from networkit_ray.web.htmlgen import num_documents, pages_dataset
+
+    n = num_documents(sf_dir)
+    edges = drop_self_loops(extract_edges(pages_dataset(sf_dir), ids="doc"))
+
+    def thin(t: _pa.Table) -> _pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        return t.filter(_pa.array((s * 31 + d * 17) % 97 % 10 < 4))
+
+    regions, _ = bowtie_decomposition(
+        edges.map_batches(thin, batch_format="pyarrow"), n
+    )
+    return regions.sort("v")
+
+
+def q_host_spam_mass(sf_dir):
+    """Relative spam mass per host: (pagerank - trustrank) / pagerank over
+    the weighted host graph, 4-host whitelist (web/hostgraph.py:
+    host_spam_mass); twin composes the two rank CTEs on identically
+    rounded scores."""
+    from networkit_ray.web.hostgraph import host_spam_mass
+    from networkit_ray.web.htmlgen import pages_dataset
+
+    seeds = [f"site{i:04d}.example" for i in range(4)]
+    return host_spam_mass(
+        pages_dataset(sf_dir), seeds, iterations=PR_ITERS
+    ).sort("host")
+
+
+def q_powerlaw_alpha_hosts(sf_dir):
+    """Hill/CSN power-law exponent of the weighted host in-degree
+    distribution (graph/powerlaw.py:hill_alpha, the estimation half of the
+    reference's generators/PowerlawDegreeSequence.cpp:1); twin is the
+    closed-form MLE in SQL."""
+    import pyarrow as _pa
+
+    from networkit_ray.common.exchange import exchange_unique
+    from networkit_ray.graph.powerlaw import hill_alpha_table
+    from networkit_ray.web.hostgraph import host_edges
+    from networkit_ray.web.htmlgen import pages_dataset
+
+    he = host_edges(pages_dataset(sf_dir))
+    ind = exchange_unique(
+        he.map_batches(
+            lambda t: _pa.table({"host": t["dst"], "deg": t["w"]}),
+            batch_format="pyarrow",
+        ),
+        ["host"],
+        agg=[("deg", "sum")],
+        schema=_pa.schema([("host", _pa.string()), ("deg", _pa.int64())]),
+    )
+    return hill_alpha_table(ind, col="deg", dmin=5)
+
+
 def q_anchor_texts(sf_dir):
     """Anchor-text link table (src, dst, anchor) with per-page first-wins
     target dedup (web/extract.py:AnchorTextExtractor); twin replays the
@@ -2954,6 +3043,10 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "anchor_texts": q_anchor_texts,
         "anchor_histogram": q_anchor_histogram,
         "web_hits": q_web_hits,
+        "web_salsa": q_web_salsa,
+        "web_bowtie": q_web_bowtie,
+        "host_spam_mass": q_host_spam_mass,
+        "powerlaw_alpha_hosts": q_powerlaw_alpha_hosts,
         "host_trustrank": q_host_trustrank,
         "anchor_summary": q_anchor_summary,
         "exact_dedup": q_exact_dedup,
@@ -3124,6 +3217,44 @@ def _hits_sql(edges_sql: str, nodes_sql: str, iters: int) -> str:
         )
         parts.append(
             f"h{k} AS MATERIALIZED (SELECT v, score / SQRT((SELECT SUM(score*score) FROM h{k}r)) AS score FROM h{k}r)"
+        )
+    body = ",\n".join(parts)
+    return (
+        body
+        + f"\nSELECT h.v, ROUND(h.score, 8) AS hub, ROUND(a.score, 8) AS auth "
+        f"FROM h{iters} h JOIN a{iters} a USING (v) ORDER BY v"
+    )
+
+
+def _salsa_sql(edges_sql: str, nodes_sql: str, iters: int) -> str:
+    """SALSA twin: degree-normalized alternating walk, L1-normalized each
+    half-step — exact vs the engine's fixed-iteration run (hub_0 = 1/n)."""
+    parts = [
+        f"WITH e AS MATERIALIZED ({edges_sql})",
+        f"nodes AS MATERIALIZED ({nodes_sql})",
+        "od AS MATERIALIZED (SELECT src AS v, CAST(COUNT(*) AS DOUBLE) AS d FROM e GROUP BY src)",
+        "ind AS MATERIALIZED (SELECT dst AS v, CAST(COUNT(*) AS DOUBLE) AS d FROM e GROUP BY dst)",
+        "nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)",
+        "h0 AS MATERIALIZED (SELECT v, 1.0/nn.n AS score FROM nodes CROSS JOIN nn)",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"a{k}r AS MATERIALIZED (SELECT nodes.v, COALESCE(m.s, 0) AS score FROM nodes "
+            f"LEFT JOIN (SELECT e.dst AS v, SUM(h.score / od.d) AS s FROM e "
+            f"JOIN h{k-1} h ON h.v = e.src JOIN od ON od.v = e.src GROUP BY e.dst) m "
+            f"ON m.v = nodes.v)"
+        )
+        parts.append(
+            f"a{k} AS MATERIALIZED (SELECT v, score / (SELECT SUM(score) FROM a{k}r) AS score FROM a{k}r)"
+        )
+        parts.append(
+            f"h{k}r AS MATERIALIZED (SELECT nodes.v, COALESCE(m.s, 0) AS score FROM nodes "
+            f"LEFT JOIN (SELECT e.src AS v, SUM(a.score / ind.d) AS s FROM e "
+            f"JOIN a{k} a ON a.v = e.dst JOIN ind ON ind.v = e.dst GROUP BY e.src) m "
+            f"ON m.v = nodes.v)"
+        )
+        parts.append(
+            f"h{k} AS MATERIALIZED (SELECT v, score / (SELECT SUM(score) FROM h{k}r) AS score FROM h{k}r)"
         )
     body = ",\n".join(parts)
     return (
@@ -5370,6 +5501,114 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(doc_id AS BIGINT) AS v FROM documents",
             HITS_ITERS,
         ),
+        "web_salsa": _salsa_sql(
+            f"SELECT src, dst FROM ({WEB_EDGES_SQL}) WHERE src <> dst",
+            "SELECT CAST(doc_id AS BIGINT) AS v FROM documents",
+            HITS_ITERS,
+        ),
+        # Bow-tie twin: one recursive transitive closure r(s, d) over the
+        # thinned page graph derives the SCC labels (min mutually reachable
+        # id), the largest-SCC core, and all four reachability sets.
+        "web_bowtie": f"""
+            WITH RECURSIVE e AS MATERIALIZED (
+                SELECT src, dst FROM ({WEB_EDGES_SQL})
+                WHERE src <> dst AND ((src * 31 + dst * 17) % 97) % 10 < 4
+            ),
+            nodes AS (SELECT CAST(doc_id AS BIGINT) AS v FROM documents),
+            r(s, d) AS (
+                SELECT v, v FROM nodes
+                UNION
+                SELECT r.s, e.dst FROM r JOIN e ON e.src = r.d
+            ),
+            scc AS (
+                SELECT a.s AS v, MIN(a.d) AS label
+                FROM r a JOIN r b ON b.s = a.d AND b.d = a.s GROUP BY a.s
+            ),
+            core_label AS (
+                SELECT label FROM scc GROUP BY label
+                ORDER BY COUNT(*) DESC, label LIMIT 1
+            ),
+            core AS (SELECT v FROM scc WHERE label = (SELECT label FROM core_label)),
+            f AS (SELECT DISTINCT r.d AS v FROM r WHERE r.s IN (SELECT v FROM core)),
+            b AS (SELECT DISTINCT r.s AS v FROM r WHERE r.d IN (SELECT v FROM core)),
+            inn AS (SELECT v FROM b WHERE v NOT IN (SELECT v FROM f)),
+            outt AS (SELECT v FROM f WHERE v NOT IN (SELECT v FROM b)),
+            fi AS (SELECT DISTINCT r.d AS v FROM r WHERE r.s IN (SELECT v FROM inn)),
+            bo AS (SELECT DISTINCT r.s AS v FROM r WHERE r.d IN (SELECT v FROM outt))
+            SELECT n.v, CASE
+                WHEN n.v IN (SELECT v FROM f) AND n.v IN (SELECT v FROM b) THEN 'CORE'
+                WHEN n.v IN (SELECT v FROM b) THEN 'IN'
+                WHEN n.v IN (SELECT v FROM f) THEN 'OUT'
+                WHEN n.v IN (SELECT v FROM fi) AND n.v IN (SELECT v FROM bo) THEN 'TUBE'
+                WHEN n.v IN (SELECT v FROM fi) OR n.v IN (SELECT v FROM bo) THEN 'TENDRIL'
+                ELSE 'DISC' END AS region
+            FROM nodes n ORDER BY n.v
+        """,
+        # Spam-mass twin: both rank CTEs emit scores rounded to 8 (the
+        # engine rounds its inputs identically before the ratio), so the
+        # division runs on bit-identical doubles on both sides.
+        "host_spam_mass": (lambda _pr_sql, _tr_sql: f"""
+            SELECT p.host,
+                   ROUND(CASE WHEN p.score > 0
+                         THEN (p.score - COALESCE(t.score, 0)) / p.score
+                         ELSE 0.0 END, 8) AS spam_mass
+            FROM ({_pr_sql}) p LEFT JOIN ({_tr_sql}) t ON t.host = p.host
+            ORDER BY p.host
+        """)(
+            _pagerank_w_sql(
+                f"""SELECT * FROM (
+                    SELECT 'site' || lpad(CAST(src % 50 AS VARCHAR), 4, '0') || '.example' AS src,
+                           'site' || lpad(CAST(dst % 50 AS VARCHAR), 4, '0') || '.example' AS dst,
+                           COUNT(*) AS w
+                    FROM ({WEB_EDGES_SQL}) GROUP BY 1, 2
+                ) WHERE src <> dst""",
+                PR_ITERS,
+                v_as="host",
+            ),
+            (lambda _he_sql, _seeds, _frac: (
+                ",\n".join(
+                    [
+                        f"WITH e AS MATERIALIZED ({_he_sql})",
+                        "nodes AS MATERIALIZED (SELECT src AS v FROM e UNION SELECT dst FROM e)",
+                        "od AS MATERIALIZED (SELECT src AS v, CAST(SUM(w) AS DOUBLE) AS d FROM e GROUP BY src)",
+                        f"p0 AS MATERIALIZED (SELECT v, CASE WHEN v IN ({_seeds}) THEN {_frac} ELSE 0.0 END AS x FROM nodes)",
+                    ]
+                    + [
+                        f"p{k} AS MATERIALIZED (SELECT n.v, "
+                        f"0.15 * (CASE WHEN n.v IN ({_seeds}) THEN {_frac} ELSE 0.0 END) "
+                        f"+ 0.85 * COALESCE(m.inc, 0) AS x FROM nodes n LEFT JOIN "
+                        f"(SELECT e.dst AS v, SUM(p.x * e.w / od.d) AS inc "
+                        f"FROM e JOIN p{k-1} p ON p.v = e.src JOIN od ON od.v = e.src "
+                        f"GROUP BY e.dst) m ON m.v = n.v)"
+                        for k in range(1, PR_ITERS + 1)
+                    ]
+                )
+                + f"\nSELECT v AS host, ROUND(x, 8) AS score FROM p{PR_ITERS}"
+            ))(
+                f"""SELECT * FROM (
+                    SELECT 'site' || lpad(CAST(src % 50 AS VARCHAR), 4, '0') || '.example' AS src,
+                           'site' || lpad(CAST(dst % 50 AS VARCHAR), 4, '0') || '.example' AS dst,
+                           COUNT(*) AS w
+                    FROM ({WEB_EDGES_SQL}) GROUP BY 1, 2
+                ) WHERE src <> dst""",
+                ", ".join(f"'site{i:04d}.example'" for i in range(4)),
+                "0.25",
+            ),
+        ),
+        # Hill-MLE twin over the weighted host in-degree (self-loops kept,
+        # as host_edges emits them); shift = dmin - 1/2 = 4.5.
+        "powerlaw_alpha_hosts": f"""
+            WITH he AS (
+                SELECT 'site' || lpad(CAST(src % 50 AS VARCHAR), 4, '0') || '.example' AS src,
+                       'site' || lpad(CAST(dst % 50 AS VARCHAR), 4, '0') || '.example' AS dst,
+                       COUNT(*) AS w
+                FROM ({WEB_EDGES_SQL}) GROUP BY 1, 2
+            ),
+            ind AS (SELECT dst AS host, CAST(SUM(w) AS DOUBLE) AS deg FROM he GROUP BY dst)
+            SELECT ROUND(1 + COUNT(*) / SUM(LN(deg / 4.5)), 8) AS alpha,
+                   CAST(COUNT(*) AS BIGINT) AS n_tail
+            FROM ind WHERE deg >= 5
+        """,
         # Anchor-text twins: replay the fixture's link arithmetic in document
         # order (ref0..ref2, next; the #cite fragment and case duplicates
         # always repeat ref0's target so first-wins drops them) and keep the

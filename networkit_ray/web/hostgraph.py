@@ -151,6 +151,102 @@ def host_pagerank(
     return _named_scores(scores, mapping), info
 
 
+def host_spam_mass(
+    pages: ray.data.Dataset,
+    seed_hosts: list[str],
+    *,
+    damp: float = 0.85,
+    iterations: int = 30,
+    num_parts: int | None = None,
+) -> ray.data.Dataset:
+    """(host, spam_mass) over the host graph — one graph build feeding both
+    the PageRank and TrustRank kernels (the two rank tables share the CSR
+    blocks and id mapping; only the vertex-state supersteps differ)."""
+    from networkit_ray.graph.pagerank import pagerank, personalized_pagerank
+
+    remapped, mapping, n_hosts = _build_host_graph(pages)
+    remapped = remapped.materialize()
+    pr_scores, _ = pagerank(
+        remapped,
+        n_hosts,
+        num_parts=num_parts,
+        weighted=True,
+        damp=damp,
+        tol=0.0,
+        max_iterations=iterations,
+    )
+    seed_rows = mapping.map_batches(
+        lambda t: t.filter(
+            pc.is_in(t["host"], value_set=pa.array(sorted(set(seed_hosts))))
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    seeds = [int(i) for i in seed_rows["idx"]]
+    if not seeds:
+        raise ValueError("host_spam_mass: no seed host present in the graph")
+    tr_scores, _ = personalized_pagerank(
+        remapped,
+        n_hosts,
+        seeds,
+        damp=damp,
+        iterations=iterations,
+        num_parts=num_parts,
+        weighted=True,
+    )
+    return spam_mass(
+        _named_scores(pr_scores, mapping), _named_scores(tr_scores, mapping)
+    )
+
+
+def spam_mass(
+    pr: ray.data.Dataset,
+    tr: ray.data.Dataset,
+    *,
+    round_inputs: int | None = 8,
+) -> ray.data.Dataset:
+    """(host, spam_mass) relative spam mass per host.
+
+    Gyöngyi et al.'s "Link spam detection based on mass estimation"
+    (VLDB 2006): the fraction of a host's PageRank that is NOT accounted
+    for by trusted sources, ``(pr - tr) / pr`` — hosts near 1 earn almost
+    all their rank from outside the trusted seed neighborhood and are spam
+    candidates; trusted hubs sit near (or below) 0 because TrustRank
+    concentrates the whitelist's teleport mass on them.
+
+    ``pr`` is the L1-normalized (host, score) PageRank table, ``tr`` the
+    strong-convention TrustRank table over the same graph.  Both inputs are
+    first rounded half-away to ``round_inputs`` decimals so the engine and
+    a SQL twin computing from identically-rounded scores agree bit-for-bit.
+    """
+    from networkit_ray.common.hashing import round_half_away
+
+    joined = exchange_join(
+        pr.map_batches(
+            lambda t: pa.table({"host": t["host"], "pr": t["score"]}),
+            batch_format="pyarrow",
+        ),
+        tr.map_batches(
+            lambda t: pa.table({"host": t["host"], "tr": t["score"]}),
+            batch_format="pyarrow",
+        ),
+        left_on=["host"],
+    )
+
+    def mass(t: pa.Table) -> pa.Table:
+        p = t["pr"].to_numpy(zero_copy_only=False).astype(np.float64)
+        q = t["tr"].to_numpy(zero_copy_only=False).astype(np.float64)
+        if round_inputs is not None:
+            p = round_half_away(p, round_inputs)
+            q = round_half_away(q, round_inputs)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            m = np.where(p > 0, (p - q) / p, 0.0)
+        return pa.table(
+            {"host": t["host"], "spam_mass": pa.array(round_half_away(m, 8))}
+        )
+
+    return joined.map_batches(mass, batch_format="pyarrow")
+
+
 def host_trustrank(
     pages: ray.data.Dataset,
     seed_hosts: list[str],

@@ -1,0 +1,141 @@
+"""Bow-tie decomposition, SALSA, spam mass, power-law fit: structural
+properties on known graphs plus partition invariance."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from networkit_ray.graph.bowtie import bowtie_decomposition
+from networkit_ray.graph.powerlaw import hill_alpha
+from networkit_ray.graph.salsa import salsa
+
+
+def _ds(edges):
+    src, dst = zip(*edges)
+    return ray.data.from_arrow(
+        pa.table(
+            {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
+        )
+    )
+
+
+# core cycle {0,1,2}; 3 = IN; 4 = OUT; 5 = TUBE (3→5→4); 6 = TENDRIL off
+# IN; 7 = TENDRIL into OUT; {8,9} = DISC 2-cycle (smaller than the core).
+BOWTIE_EDGES = [
+    (0, 1), (1, 2), (2, 0),
+    (3, 0),
+    (1, 4),
+    (3, 5), (5, 4),
+    (3, 6),
+    (7, 4),
+    (8, 9), (9, 8),
+]
+BOWTIE_EXPECT = {
+    0: "CORE", 1: "CORE", 2: "CORE",
+    3: "IN", 4: "OUT", 5: "TUBE",
+    6: "TENDRIL", 7: "TENDRIL",
+    8: "DISC", 9: "DISC",
+}
+
+
+class TestBowtie:
+    def test_known_regions(self):
+        ds, info = bowtie_decomposition(_ds(BOWTIE_EDGES), 10, num_parts=3)
+        got = dict(zip(*[ds.to_pandas()[c] for c in ("v", "region")]))
+        assert got == BOWTIE_EXPECT
+        assert info["sizes"] == {
+            "CORE": 3, "IN": 1, "OUT": 1, "TUBE": 1, "TENDRIL": 2, "DISC": 2,
+        }
+
+    def test_partition_invariance(self):
+        a = bowtie_decomposition(_ds(BOWTIE_EDGES), 10, num_parts=2)[0]
+        b = bowtie_decomposition(_ds(BOWTIE_EDGES), 10, num_parts=5)[0]
+        pa_ = a.to_pandas().sort_values("v").reset_index(drop=True)
+        pb = b.to_pandas().sort_values("v").reset_index(drop=True)
+        assert (pa_["region"] == pb["region"]).all()
+
+    def test_strongly_connected_is_all_core(self):
+        ring = [(i, (i + 1) % 6) for i in range(6)]
+        _, info = bowtie_decomposition(_ds(ring), 6, num_parts=2)
+        assert info["sizes"]["CORE"] == 6
+        assert sum(info["sizes"].values()) == 6
+
+
+class TestSalsa:
+    def test_star_authority(self):
+        # 1..4 → 0: node 0 is the unique authority (L1 mass 1), the spokes
+        # split the hub mass equally.
+        res, _ = salsa(_ds([(1, 0), (2, 0), (3, 0), (4, 0)]), 5, iterations=5, num_parts=2)
+        df = res.to_pandas().sort_values("v").reset_index(drop=True)
+        assert np.isclose(df.loc[0, "auth"], 1.0)
+        assert np.allclose(df.loc[1:4, "hub"], 0.25)
+        assert np.isclose(df.loc[0, "hub"], 0.0)
+
+    def test_l1_norms_are_one(self):
+        edges = [(i, (i * 3 + 1) % 7) for i in range(7)] + [(0, 5), (2, 6)]
+        res, _ = salsa(_ds(edges), 7, iterations=10, num_parts=3)
+        df = res.to_pandas()
+        assert np.isclose(df["hub"].sum(), 1.0)
+        assert np.isclose(df["auth"].sum(), 1.0)
+
+    def test_partition_invariance(self):
+        edges = [(i, (i * 5 + 2) % 11) for i in range(11)] + [(3, 7), (9, 1)]
+        a = salsa(_ds(edges), 11, iterations=8, num_parts=2)[0].to_pandas().sort_values("v")
+        b = salsa(_ds(edges), 11, iterations=8, num_parts=5)[0].to_pandas().sort_values("v")
+        assert np.allclose(a["hub"].to_numpy(), b["hub"].to_numpy(), atol=1e-12)
+        assert np.allclose(a["auth"].to_numpy(), b["auth"].to_numpy(), atol=1e-12)
+
+    def test_degree_normalization_vs_numpy(self):
+        edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (3, 1)]
+        n = 4
+        res, _ = salsa(_ds(edges), n, iterations=12, num_parts=2)
+        df = res.to_pandas().sort_values("v").reset_index(drop=True)
+        A = np.zeros((n, n))
+        for s, d in edges:
+            A[s, d] = 1.0
+        od, ind = A.sum(1), A.sum(0)
+        hub = np.full(n, 1.0 / n)
+        for _ in range(12):
+            with np.errstate(divide="ignore", invalid="ignore"):
+                auth = (np.where(od > 0, hub / od, 0)[:, None] * A).sum(0)
+            auth /= auth.sum()
+            raw = (A * np.where(ind > 0, auth / ind, 0)[None, :]).sum(1)
+            hub = raw / raw.sum()
+        assert np.allclose(df["hub"].to_numpy(), hub, atol=1e-12)
+        assert np.allclose(df["auth"].to_numpy(), auth, atol=1e-12)
+
+
+class TestPowerlaw:
+    def test_hill_alpha_closed_form(self):
+        degs = [1, 1, 2, 3, 5, 8, 13, 21]
+        ds = ray.data.from_arrow(pa.table({"deg": pa.array(degs, pa.int64())}))
+        alpha, n_tail = hill_alpha(ds, dmin=2)
+        tail = np.array([d for d in degs if d >= 2], float)
+        expect = 1.0 + len(tail) / np.log(tail / 1.5).sum()
+        assert n_tail == len(tail)
+        assert np.isclose(alpha, expect, atol=1e-12)
+
+    def test_pure_powerlaw_recovers_exponent(self):
+        # Degrees drawn from the inverse-CDF of a continuous Pareto with
+        # alpha=2.5 on a deterministic uniform grid: the MLE must land
+        # close to the true exponent.
+        alpha_true = 2.5
+        u = (np.arange(1, 20001) - 0.5) / 20000
+        d = np.floor(1.0 * u ** (-1.0 / (alpha_true - 1.0))).astype(np.int64)
+        ds = ray.data.from_arrow(pa.table({"deg": pa.array(d)}))
+        alpha, _ = hill_alpha(ds, dmin=3)
+        assert abs(alpha - alpha_true) < 0.2
+
+
+class TestSpamMass:
+    def test_formula(self):
+        from networkit_ray.web.hostgraph import spam_mass
+
+        pr = ray.data.from_arrow(
+            pa.table({"host": ["a", "b", "c"], "score": [0.5, 0.3, 0.2]})
+        )
+        tr = ray.data.from_arrow(
+            pa.table({"host": ["a", "b", "c"], "score": [0.5, 0.06, 0.0]})
+        )
+        got = spam_mass(pr, tr).to_pandas().sort_values("host").reset_index(drop=True)
+        assert np.allclose(got["spam_mass"].to_numpy(), [0.0, 0.8, 1.0])

@@ -80,6 +80,10 @@ FAST_SUBSET = [
     "web_hits",
     "host_trustrank",
     "anchor_summary",
+    "web_salsa",
+    "web_bowtie",
+    "host_spam_mass",
+    "powerlaw_alpha_hosts",
 ]
 
 
