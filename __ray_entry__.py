@@ -3131,6 +3131,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
     ]
     with_oracle = set(oracle_sql())
     never = [k for k in raw if k not in _DRIVER_VALIDATED and k not in canaries]
+    # The round-3 web/link-graph tier is the graft's thematic core — make
+    # sure it gets driver validation ahead of the generic long tail.
+    web_priority = [
+        "web_hits", "web_salsa", "web_bowtie", "host_edges",
+        "host_pagerank", "host_trustrank", "host_spam_mass",
+        "powerlaw_alpha_hosts", "anchor_texts", "anchor_summary",
+        "anchor_histogram", "host_stats", "host_capped_sample",
+        "repetition_scores",
+    ]
+    never = [k for k in web_priority if k in never] + [
+        k for k in never if k not in web_priority
+    ]
     never_oracle = [k for k in never if k in with_oracle]
     never_rows = [k for k in never if k not in with_oracle]
     rest = [
