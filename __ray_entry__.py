@@ -2159,6 +2159,30 @@ def q_powerlaw_alpha_hosts(sf_dir):
     return hill_alpha_table(ind, col="deg", dmin=5)
 
 
+def q_cocitation_topk(sf_dir):
+    """Top-20 co-cited page pairs (Small's co-citation count) on the page
+    graph (graph/cocitation.py); twin is the src self-join."""
+    from networkit_ray.graph.build import drop_self_loops
+    from networkit_ray.graph.cocitation import cocitation_scores, top_pairs
+    from networkit_ray.web.extract import extract_edges
+    from networkit_ray.web.htmlgen import pages_dataset
+
+    edges = drop_self_loops(extract_edges(pages_dataset(sf_dir), ids="doc"))
+    return top_pairs(cocitation_scores(edges), k=20)
+
+
+def q_coupling_topk(sf_dir):
+    """Top-20 bibliographically coupled page pairs (Kessler) — co-citation
+    on the transpose (graph/cocitation.py:coupling_scores)."""
+    from networkit_ray.graph.build import drop_self_loops
+    from networkit_ray.graph.cocitation import coupling_scores, top_pairs
+    from networkit_ray.web.extract import extract_edges
+    from networkit_ray.web.htmlgen import pages_dataset
+
+    edges = drop_self_loops(extract_edges(pages_dataset(sf_dir), ids="doc"))
+    return top_pairs(coupling_scores(edges), k=20)
+
+
 def q_anchor_texts(sf_dir):
     """Anchor-text link table (src, dst, anchor) with per-page first-wins
     target dedup (web/extract.py:AnchorTextExtractor); twin replays the
@@ -3047,6 +3071,8 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "web_bowtie": q_web_bowtie,
         "host_spam_mass": q_host_spam_mass,
         "powerlaw_alpha_hosts": q_powerlaw_alpha_hosts,
+        "cocitation_topk": q_cocitation_topk,
+        "coupling_topk": q_coupling_topk,
         "host_trustrank": q_host_trustrank,
         "anchor_summary": q_anchor_summary,
         "exact_dedup": q_exact_dedup,
@@ -3136,7 +3162,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     web_priority = [
         "web_hits", "web_salsa", "web_bowtie", "host_edges",
         "host_pagerank", "host_trustrank", "host_spam_mass",
-        "powerlaw_alpha_hosts", "anchor_texts", "anchor_summary",
+        "powerlaw_alpha_hosts", "cocitation_topk", "coupling_topk",
+        "anchor_texts", "anchor_summary",
         "anchor_histogram", "host_stats", "host_capped_sample",
         "repetition_scores",
     ]
@@ -5607,6 +5634,26 @@ def oracle_sql() -> dict[str, str]:
                 "0.25",
             ),
         ),
+        # Pair-score twins: plain self-joins (the engine's max_degree=256
+        # cap never binds at fixture out-degrees ≤ 4, so counts are exact).
+        "cocitation_topk": f"""
+            WITH e AS MATERIALIZED (
+                SELECT src, dst FROM ({WEB_EDGES_SQL}) WHERE src <> dst
+            )
+            SELECT e1.dst AS a, e2.dst AS b, CAST(COUNT(*) AS BIGINT) AS n_common
+            FROM e e1 JOIN e e2 ON e1.src = e2.src AND e1.dst < e2.dst
+            GROUP BY 1, 2
+            ORDER BY n_common DESC, a, b LIMIT 20
+        """,
+        "coupling_topk": f"""
+            WITH e AS MATERIALIZED (
+                SELECT src, dst FROM ({WEB_EDGES_SQL}) WHERE src <> dst
+            )
+            SELECT e1.src AS a, e2.src AS b, CAST(COUNT(*) AS BIGINT) AS n_common
+            FROM e e1 JOIN e e2 ON e1.dst = e2.dst AND e1.src < e2.src
+            GROUP BY 1, 2
+            ORDER BY n_common DESC, a, b LIMIT 20
+        """,
         # Hill-MLE twin over the weighted host in-degree (self-loops kept,
         # as host_edges emits them); shift = dmin - 1/2 = 4.5.
         "powerlaw_alpha_hosts": f"""

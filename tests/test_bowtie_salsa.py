@@ -139,3 +139,47 @@ class TestSpamMass:
         )
         got = spam_mass(pr, tr).to_pandas().sort_values("host").reset_index(drop=True)
         assert np.allclose(got["spam_mass"].to_numpy(), [0.0, 0.8, 1.0])
+
+
+class TestCocitation:
+    def test_known_counts(self):
+        from networkit_ray.graph.cocitation import (
+            cocitation_scores,
+            coupling_scores,
+        )
+
+        # 0→{2,3,4}, 1→{2,3}: cocitation (2,3)=2, (2,4)=1, (3,4)=1
+        edges = [(0, 2), (0, 3), (0, 4), (1, 2), (1, 3)]
+        got = (
+            cocitation_scores(_ds(edges), num_parts=2)
+            .to_pandas()
+            .sort_values(["a", "b"])
+            .reset_index(drop=True)
+        )
+        assert [tuple(r) for r in got.to_numpy()] == [
+            (2, 3, 2), (2, 4, 1), (3, 4, 1),
+        ]
+        # coupling: (0,1) share {2,3} → 2
+        got2 = coupling_scores(_ds(edges), num_parts=2).to_pandas()
+        assert [tuple(r) for r in got2.to_numpy()] == [(0, 1, 2)]
+
+    def test_max_degree_cap_drops_hub(self):
+        from networkit_ray.graph.cocitation import cocitation_scores
+
+        edges = [(0, d) for d in range(1, 6)] + [(9, 1), (9, 2)]
+        got = (
+            cocitation_scores(_ds(edges, ), max_degree=4, num_parts=2)
+            .to_pandas()
+            .sort_values(["a", "b"])
+            .reset_index(drop=True)
+        )
+        # src 0 (out-degree 5 > 4) contributes nothing; only src 9's pair
+        assert [tuple(r) for r in got.to_numpy()] == [(1, 2, 1)]
+
+    def test_partition_invariance(self):
+        from networkit_ray.graph.cocitation import cocitation_scores
+
+        edges = [(i, (i * 3 + k) % 13) for i in range(13) for k in (1, 2, 5)]
+        a = cocitation_scores(_ds(edges), num_parts=2).to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+        b = cocitation_scores(_ds(edges), num_parts=7).to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+        assert a.equals(b)

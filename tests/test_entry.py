@@ -84,6 +84,8 @@ FAST_SUBSET = [
     "web_bowtie",
     "host_spam_mass",
     "powerlaw_alpha_hosts",
+    "cocitation_topk",
+    "coupling_topk",
 ]
 
 
