@@ -2183,6 +2183,25 @@ def q_coupling_topk(sf_dir):
     return top_pairs(coupling_scores(edges), k=20)
 
 
+def q_redirect_resolution(sf_dir):
+    """Hop-capped (8) redirect-chain canonicalization by pointer doubling —
+    3 exchange joins instead of 8 chain-following passes
+    (web/redirects.py:resolve_chains); twin chains 8 CASE steps."""
+    import pyarrow as _pa
+    import ray.data as _rd
+
+    from networkit_ray.web.redirects import resolve_chains, synthetic_redirects
+
+    redirects, _ = synthetic_redirects(sf_dir)
+    universe = _rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(
+        lambda t: _pa.table({"v": t["doc_id"].cast(_pa.int64())}),
+        batch_format="pyarrow",
+    )
+    return resolve_chains(universe, redirects, max_hops=8).sort("src_doc")
+
+
 def q_anchor_texts(sf_dir):
     """Anchor-text link table (src, dst, anchor) with per-page first-wins
     target dedup (web/extract.py:AnchorTextExtractor); twin replays the
@@ -3073,6 +3092,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "powerlaw_alpha_hosts": q_powerlaw_alpha_hosts,
         "cocitation_topk": q_cocitation_topk,
         "coupling_topk": q_coupling_topk,
+        "redirect_resolution": q_redirect_resolution,
         "host_trustrank": q_host_trustrank,
         "anchor_summary": q_anchor_summary,
         "exact_dedup": q_exact_dedup,
@@ -3163,7 +3183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_hits", "web_salsa", "web_bowtie", "host_edges",
         "host_pagerank", "host_trustrank", "host_spam_mass",
         "powerlaw_alpha_hosts", "cocitation_topk", "coupling_topk",
-        "anchor_texts", "anchor_summary",
+        "redirect_resolution", "anchor_texts", "anchor_summary",
         "anchor_histogram", "host_stats", "host_capped_sample",
         "repetition_scores",
     ]
@@ -3300,6 +3320,25 @@ def _salsa_sql(edges_sql: str, nodes_sql: str, iters: int) -> str:
         body
         + f"\nSELECT h.v, ROUND(h.score, 8) AS hub, ROUND(a.score, 8) AS auth "
         f"FROM h{iters} h JOIN a{iters} a USING (v) ORDER BY v"
+    )
+
+
+def _redirect_sql(hops: int) -> str:
+    """Chained hop-capped CASE resolution — exact twin of resolve_chains
+    (doc % 7 == 3 redirects to (doc*3 + 11) % N)."""
+    parts = [
+        "WITH nd AS (SELECT COUNT(*) AS n FROM documents)",
+        "r0 AS (SELECT CAST(doc_id AS BIGINT) AS v, CAST(doc_id AS BIGINT) AS cur FROM documents)",
+    ]
+    for k in range(1, hops + 1):
+        parts.append(
+            f"r{k} AS (SELECT v, CASE WHEN cur % 7 = 3 "
+            f"THEN (cur * 3 + 11) % nd.n ELSE cur END AS cur FROM r{k-1}, nd)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT v AS src_doc, cur AS final_doc, "
+        f"CAST(cur % 7 <> 3 AS BIGINT) AS resolved FROM r{hops} ORDER BY v"
     )
 
 
@@ -5654,6 +5693,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
             ORDER BY n_common DESC, a, b LIMIT 20
         """,
+        "redirect_resolution": _redirect_sql(8),
         # Hill-MLE twin over the weighted host in-degree (self-loops kept,
         # as host_edges emits them); shift = dmin - 1/2 = 4.5.
         "powerlaw_alpha_hosts": f"""

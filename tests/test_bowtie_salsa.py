@@ -183,3 +183,45 @@ class TestCocitation:
         a = cocitation_scores(_ds(edges), num_parts=2).to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
         b = cocitation_scores(_ds(edges), num_parts=7).to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
         assert a.equals(b)
+
+
+class TestRedirects:
+    def test_chain_cap_and_cycle(self):
+        from networkit_ray.web.redirects import resolve_chains
+
+        # chain 0→1→…→10 (sources 0..9), plus an 11↔12 cycle
+        mapping = [(i, i + 1) for i in range(10)] + [(11, 12), (12, 11)]
+        mv, mt = zip(*mapping)
+        m = ray.data.from_arrow(
+            pa.table({"v": pa.array(mv, pa.int64()), "target": pa.array(mt, pa.int64())})
+        )
+        uni = ray.data.from_arrow(pa.table({"v": pa.array(range(13), pa.int64())}))
+        got = (
+            resolve_chains(uni, m, max_hops=8)
+            .to_pandas().sort_values("src_doc").reset_index(drop=True)
+        )
+        final = dict(zip(got["src_doc"], got["final_doc"]))
+        resolved = dict(zip(got["src_doc"], got["resolved"]))
+        # 8 hops from 0 lands on 8 (still a source → unresolved)
+        assert final[0] == 8 and resolved[0] == 0
+        assert final[1] == 9 and resolved[1] == 0
+        # 2 needs exactly 8 hops to the terminal 10 → resolved
+        assert final[2] == 10 and resolved[2] == 1
+        # cycle members never resolve; even hop count returns the start
+        assert final[11] == 11 and resolved[11] == 0
+        assert final[12] == 12 and resolved[12] == 0
+        # terminal is its own fixpoint
+        assert final[10] == 10 and resolved[10] == 1
+
+    def test_partition_invariance(self):
+        from networkit_ray.web.redirects import resolve_chains
+
+        mapping = [(i, (i * 5 + 3) % 40) for i in range(0, 40, 3)]
+        mv, mt = zip(*mapping)
+        m = ray.data.from_arrow(
+            pa.table({"v": pa.array(mv, pa.int64()), "target": pa.array(mt, pa.int64())})
+        )
+        uni = ray.data.from_arrow(pa.table({"v": pa.array(range(40), pa.int64())}))
+        a = resolve_chains(uni, m, max_hops=8, num_parts=2).to_pandas().sort_values("src_doc").reset_index(drop=True)
+        b = resolve_chains(uni, m, max_hops=8, num_parts=7).to_pandas().sort_values("src_doc").reset_index(drop=True)
+        assert a.equals(b)

@@ -86,6 +86,7 @@ FAST_SUBSET = [
     "powerlaw_alpha_hosts",
     "cocitation_topk",
     "coupling_topk",
+    "redirect_resolution",
 ]
 
 
