@@ -2183,6 +2183,15 @@ def q_coupling_topk(sf_dir):
     return top_pairs(coupling_scores(edges), k=20)
 
 
+def q_gopher_filter(sf_dir):
+    """Composite Gopher document-quality filter with a per-rule failure
+    bitmask (text/analysis.py:gopher_filter); twin recomputes every rule in
+    DuckDB list/regexp algebra."""
+    from networkit_ray.text.analysis import gopher_filter
+
+    return gopher_filter(_docs(sf_dir, columns=["doc_id", "text"])).sort("doc_id")
+
+
 def q_redirect_resolution(sf_dir):
     """Hop-capped (8) redirect-chain canonicalization by pointer doubling —
     3 exchange joins instead of 8 chain-following passes
@@ -3093,6 +3102,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "cocitation_topk": q_cocitation_topk,
         "coupling_topk": q_coupling_topk,
         "redirect_resolution": q_redirect_resolution,
+        "gopher_filter": q_gopher_filter,
         "host_trustrank": q_host_trustrank,
         "anchor_summary": q_anchor_summary,
         "exact_dedup": q_exact_dedup,
@@ -3183,7 +3193,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_hits", "web_salsa", "web_bowtie", "host_edges",
         "host_pagerank", "host_trustrank", "host_spam_mass",
         "powerlaw_alpha_hosts", "cocitation_topk", "coupling_topk",
-        "redirect_resolution", "anchor_texts", "anchor_summary",
+        "redirect_resolution", "gopher_filter",
+        "anchor_texts", "anchor_summary",
         "anchor_histogram", "host_stats", "host_capped_sample",
         "repetition_scores",
     ]
@@ -5694,6 +5705,46 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY n_common DESC, a, b LIMIT 20
         """,
         "redirect_resolution": _redirect_sql(8),
+        # Gopher-filter twin: every rule recomputed in list/regexp algebra;
+        # ratio comparisons divide the same ints as the engine, so the
+        # boundary behavior is bit-identical.
+        "gopher_filter": r"""
+            WITH feats AS (
+              SELECT doc_id,
+                     regexp_extract_all(text, '[A-Za-z0-9_]+') AS words,
+                     string_split(text, chr(10)) AS lines,
+                     len(regexp_extract_all(text, '[#…]')) AS n_sym
+              FROM documents),
+            f2 AS (
+              SELECT doc_id,
+                     len(words) AS nw,
+                     CAST(COALESCE(list_sum(list_transform(words, w -> length(w))), 0) AS DOUBLE)
+                       / GREATEST(len(words), 1) AS mwl,
+                     CAST(n_sym AS DOUBLE) / GREATEST(len(words), 1) AS sym_ratio,
+                     CAST(len(list_filter(lines, l -> regexp_matches(l, '^[-*•]'))) AS DOUBLE)
+                       / GREATEST(len(lines), 1) AS bullet_frac,
+                     CAST(len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)$'))) AS DOUBLE)
+                       / GREATEST(len(lines), 1) AS ell_frac,
+                     CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+                       / GREATEST(len(words), 1) AS alpha_frac,
+                     len(list_filter(['the','be','to','of','and','that','have','with'],
+                         sw -> list_contains(list_transform(words, w -> lower(w)), sw))) AS n_stop
+              FROM feats),
+            fl AS (
+              SELECT doc_id,
+                     (CASE WHEN nw < 50 OR nw > 100000 THEN 1 ELSE 0 END)
+                   + (CASE WHEN mwl < 3.0 OR mwl > 10.0 THEN 2 ELSE 0 END)
+                   + (CASE WHEN sym_ratio > 0.1 THEN 4 ELSE 0 END)
+                   + (CASE WHEN bullet_frac > 0.9 THEN 8 ELSE 0 END)
+                   + (CASE WHEN ell_frac > 0.3 THEN 16 ELSE 0 END)
+                   + (CASE WHEN alpha_frac < 0.8 THEN 32 ELSE 0 END)
+                   + (CASE WHEN n_stop < 2 THEN 64 ELSE 0 END) AS fail_flags
+              FROM f2)
+            SELECT doc_id,
+                   CAST(fail_flags = 0 AS BIGINT) AS keep,
+                   CAST(fail_flags AS BIGINT) AS fail_flags
+            FROM fl ORDER BY doc_id
+        """,
         # Hill-MLE twin over the weighted host in-degree (self-loops kept,
         # as host_edges emits them); shift = dmin - 1/2 = 4.5.
         "powerlaw_alpha_hosts": f"""

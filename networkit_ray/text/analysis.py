@@ -146,6 +146,81 @@ def repetition_scores(docs: ray.data.Dataset) -> ray.data.Dataset:
     return docs.map_batches(f, batch_format="pyarrow")
 
 
+# Gopher document-filter thresholds (Rae et al. 2021 §A1.1, public method).
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WL = 3.0
+GOPHER_MAX_MEAN_WL = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_FRAC = 0.3
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.8
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_STOPWORDS = 2
+
+
+def gopher_filter(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, keep, fail_flags) — composite Gopher quality filter.
+
+    One pass per batch applying the public Gopher rules; ``fail_flags`` is a
+    bitmask (bit set = rule failed):
+
+        bit 0  word count outside [50, 100000]
+        bit 1  mean word length outside [3, 10]
+        bit 2  symbol-to-word ratio ('#' or '…') > 0.1
+        bit 3  > 90% of lines start with a bullet (-, *, •)
+        bit 4  > 30% of lines end with an ellipsis (... or …)
+        bit 5  < 80% of words contain an alphabetic character
+        bit 6  < 2 distinct stop words of a fixed 8-word list
+
+    ``keep`` = 1 iff no rule fails.  Ratio comparisons use raw int/int
+    doubles so the DuckDB twin compares bit-identical values.  Repetition
+    rules live in :func:`repetition_scores` (they need the hashing pass);
+    compose downstream when both families are wanted.
+    """
+
+    def f(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        n = len(texts)
+        flags = np.zeros(n, np.int64)
+        for i, s in enumerate(texts):
+            words = _WORD_RE.findall(s)
+            nw = len(words)
+            fl = 0
+            if nw < GOPHER_MIN_WORDS or nw > GOPHER_MAX_WORDS:
+                fl |= 1
+            mean_wl = sum(len(w) for w in words) / max(nw, 1)
+            if mean_wl < GOPHER_MIN_MEAN_WL or mean_wl > GOPHER_MAX_MEAN_WL:
+                fl |= 2
+            n_sym = s.count("#") + s.count("…")
+            if n_sym / max(nw, 1) > GOPHER_MAX_SYMBOL_RATIO:
+                fl |= 4
+            lines = s.split("\n")
+            n_bullet = sum(1 for l in lines if l.startswith(("-", "*", "•")))
+            if n_bullet / max(len(lines), 1) > GOPHER_MAX_BULLET_FRAC:
+                fl |= 8
+            n_ell = sum(1 for l in lines if l.endswith(("...", "…")))
+            if n_ell / max(len(lines), 1) > GOPHER_MAX_ELLIPSIS_FRAC:
+                fl |= 16
+            n_alpha = sum(1 for w in words if _ALPHA_RE.search(w))
+            if n_alpha / max(nw, 1) < GOPHER_MIN_ALPHA_WORD_FRAC:
+                fl |= 32
+            lowered = {w.lower() for w in words}
+            n_stop = sum(1 for sw in GOPHER_STOPWORDS if sw in lowered)
+            if n_stop < GOPHER_MIN_STOPWORDS:
+                fl |= 64
+            flags[i] = fl
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "keep": pa.array((flags == 0).astype(np.int64)),
+                "fail_flags": pa.array(flags),
+            }
+        )
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
 def fingerprints(docs: ray.data.Dataset) -> ray.data.Dataset:
     """(doc_id, md5, rhash64): md5 hex fingerprint (= DuckDB md5(text)) and a
     64-bit polynomial rolling hash of the whole text (engine-internal key)."""

@@ -225,3 +225,51 @@ class TestRedirects:
         a = resolve_chains(uni, m, max_hops=8, num_parts=2).to_pandas().sort_values("src_doc").reset_index(drop=True)
         b = resolve_chains(uni, m, max_hops=8, num_parts=7).to_pandas().sort_values("src_doc").reset_index(drop=True)
         assert a.equals(b)
+
+
+class TestGopherFilter:
+    def _run(self, texts):
+        from networkit_ray.text.analysis import gopher_filter
+
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                }
+            )
+        )
+        df = gopher_filter(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        return df["keep"].tolist(), df["fail_flags"].tolist()
+
+    def test_rules_bitmask(self):
+        base = "the and with that have more solid words here today " * 6  # 60 words
+        texts = [
+            base,                               # passes every rule
+            "the and with",                     # too few words -> bit 0
+            base + " ".join(["a"] * 200),       # mean word len < 3 -> bit 1
+            base + "# " * 30,                   # symbol ratio -> bit 2
+            "\n".join(["- " + base] * 10),      # bullets -> bit 3
+            "\n".join([base + "..."] * 10),     # ellipses -> bit 4
+            base + " ".join(["12345"] * 300),   # alpha frac < 0.8 -> bit 5 (+bit 0 via max? no, 360 words ok)
+            " ".join(["solid"] * 60),           # no stopwords -> bit 6
+        ]
+        keep, flags = self._run(texts)
+        assert keep[0] == 1 and flags[0] == 0
+        assert flags[1] & 1
+        assert flags[2] & 2
+        assert flags[3] & 4
+        assert flags[4] & 8
+        assert flags[5] & 16
+        assert flags[6] & 32
+        assert flags[7] & 64
+        # each crafted failure trips ONLY its rule (except the short doc,
+        # which also lacks enough words for the ratios to matter)
+        assert flags[2] == 2 and flags[3] == 4 and flags[4] == 8
+        assert flags[5] == 16 and flags[6] == 32 and flags[7] == 64
+
+    def test_empty_text(self):
+        keep, flags = self._run([""])
+        assert keep == [0]
+        # no words: word count, mean length, alpha and stopword rules fail
+        assert flags[0] & 1 and flags[0] & 2 and flags[0] & 32 and flags[0] & 64

@@ -87,6 +87,7 @@ FAST_SUBSET = [
     "cocitation_topk",
     "coupling_topk",
     "redirect_resolution",
+    "gopher_filter",
 ]
 
 
