@@ -90,12 +90,22 @@ def hits(
     *,
     iterations: int = 20,
     num_parts: int | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 1,
+    resume: bool = False,
 ) -> tuple[ray.data.Dataset, dict]:
     """(v, hub, auth) over the dense vertex universe 0..num_nodes-1.
 
     ``edges`` is the directed link table (a page's out-links).  Fixed
     ``iterations`` so the DuckDB power-iteration twin is exact.
+
+    ``checkpoint_dir`` saves both state halves per iteration with lineage
+    (state/checkpoint.py tags ``hits/hub`` + ``hits/auth``); ``resume``
+    restarts from the newest complete pair, re-sharding if ``num_parts``
+    changed — the north rule's mid-algorithm resume, same as PageRank's.
     """
+    from networkit_ray.state import checkpoint as ckpt
+
     g_f = build_pgraph(edges, num_nodes, num_parts=num_parts)
     P = g_f.num_parts
     g_b = build_pgraph(transpose(edges), num_nodes, num_parts=P)
@@ -103,11 +113,31 @@ def hits(
 
     hub = [_hits_init.remote(g_f.vid_refs[p], num_nodes) for p in range(P)]
     auth = hub
-    for _ in range(iterations):
+    start = 0
+    if resume and checkpoint_dir:
+        lh = ckpt.load_latest(checkpoint_dir, "hits/hub", g_f)
+        la = ckpt.load_latest(checkpoint_dir, "hits/auth", g_f)
+        if lh is not None and la is not None:
+            (hub, mh), (auth, ma) = lh, la
+            if mh["iteration"] != ma["iteration"]:  # torn pair: restart
+                hub = [
+                    _hits_init.remote(g_f.vid_refs[p], num_nodes)
+                    for p in range(P)
+                ]
+                auth, start = hub, 0
+            else:
+                start = mh["iteration"]
+    for k in range(start, iterations):
         auth = _push_normalize(g_f, hub, units_f)
         hub = _push_normalize(g_b, auth, units_b)
+        if checkpoint_dir and (k + 1) % checkpoint_every == 0:
+            ckpt.save(checkpoint_dir, "hits/hub", k + 1, g_f, hub, "hub", {})
+            ckpt.save(checkpoint_dir, "hits/auth", k + 1, g_f, auth, "auth", {})
 
     refs = [
         _hits_table.remote(g_f.vid_refs[p], hub[p], auth[p]) for p in range(P)
     ]
-    return ray.data.from_arrow_refs(refs), {"iterations": iterations}
+    return ray.data.from_arrow_refs(refs), {
+        "iterations": iterations,
+        "resumed_from": start,
+    }

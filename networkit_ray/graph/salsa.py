@@ -109,12 +109,19 @@ def salsa(
     *,
     iterations: int = 20,
     num_parts: int | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 1,
+    resume: bool = False,
 ) -> tuple[ray.data.Dataset, dict]:
     """(v, hub, auth) SALSA scores over the dense universe 0..num_nodes-1.
 
     ``edges`` is the directed deduplicated link table.  Fixed ``iterations``
     so the DuckDB alternating-walk twin is exact; hub_0 = 1/n everywhere.
+    ``checkpoint_dir``/``resume``: per-iteration lineage checkpoints of both
+    state halves, re-shardable across ``num_parts`` (state/checkpoint.py).
     """
+    from networkit_ray.state import checkpoint as ckpt
+
     g_f = build_pgraph(edges, num_nodes, num_parts=num_parts)
     P = g_f.num_parts
     g_b = build_pgraph(transpose(edges), num_nodes, num_parts=P)
@@ -124,11 +131,24 @@ def salsa(
 
     hub = [_salsa_init.remote(g_f.vid_refs[p], num_nodes) for p in range(P)]
     auth = hub
-    for _ in range(iterations):
+    start = 0
+    if resume and checkpoint_dir:
+        lh = ckpt.load_latest(checkpoint_dir, "salsa/hub", g_f)
+        la = ckpt.load_latest(checkpoint_dir, "salsa/auth", g_f)
+        if lh is not None and la is not None and lh[1]["iteration"] == la[1]["iteration"]:
+            hub, auth = lh[0], la[0]
+            start = lh[1]["iteration"]
+    for k in range(start, iterations):
         auth = _push_l1(g_f, coef_f, hub, units_f)
         hub = _push_l1(g_b, coef_b, auth, units_b)
+        if checkpoint_dir and (k + 1) % checkpoint_every == 0:
+            ckpt.save(checkpoint_dir, "salsa/hub", k + 1, g_f, hub, "hub", {})
+            ckpt.save(checkpoint_dir, "salsa/auth", k + 1, g_f, auth, "auth", {})
 
     refs = [
         _salsa_table.remote(g_f.vid_refs[p], hub[p], auth[p]) for p in range(P)
     ]
-    return ray.data.from_arrow_refs(refs), {"iterations": iterations}
+    return ray.data.from_arrow_refs(refs), {
+        "iterations": iterations,
+        "resumed_from": start,
+    }

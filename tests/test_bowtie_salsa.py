@@ -273,3 +273,37 @@ class TestGopherFilter:
         assert keep == [0]
         # no words: word count, mean length, alpha and stopword rules fail
         assert flags[0] & 1 and flags[0] & 2 and flags[0] & 32 and flags[0] & 64
+
+
+class TestHitsSalsaCheckpoint:
+    EDGES = [(i, (i * 5 + 2) % 11) for i in range(11)] + [(3, 7), (9, 1)]
+
+    def test_salsa_resume_same_parts_bit_identical(self, tmp_path):
+        from networkit_ray.graph.salsa import salsa
+
+        full = salsa(_ds(self.EDGES), 11, iterations=9, num_parts=3)[0].to_pandas().sort_values("v")
+        d = str(tmp_path / "ck")
+        salsa(_ds(self.EDGES), 11, iterations=4, num_parts=3, checkpoint_dir=d)
+        res, info = salsa(
+            _ds(self.EDGES), 11, iterations=9, num_parts=3,
+            checkpoint_dir=d, resume=True,
+        )
+        assert info["resumed_from"] == 4
+        got = res.to_pandas().sort_values("v")
+        assert (got["hub"].to_numpy() == full["hub"].to_numpy()).all()
+        assert (got["auth"].to_numpy() == full["auth"].to_numpy()).all()
+
+    def test_hits_resume_reshard(self, tmp_path):
+        from networkit_ray.graph.hits import hits
+
+        full = hits(_ds(self.EDGES), 11, iterations=8, num_parts=5)[0].to_pandas().sort_values("v")
+        d = str(tmp_path / "ck")
+        hits(_ds(self.EDGES), 11, iterations=3, num_parts=2, checkpoint_dir=d)
+        res, info = hits(
+            _ds(self.EDGES), 11, iterations=8, num_parts=5,
+            checkpoint_dir=d, resume=True,
+        )
+        assert info["resumed_from"] == 3
+        got = res.to_pandas().sort_values("v")
+        assert np.allclose(got["hub"].to_numpy(), full["hub"].to_numpy(), atol=1e-12)
+        assert np.allclose(got["auth"].to_numpy(), full["auth"].to_numpy(), atol=1e-12)
