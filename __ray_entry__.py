@@ -2183,6 +2183,17 @@ def q_coupling_topk(sf_dir):
     return top_pairs(coupling_scores(edges), k=20)
 
 
+def q_document_frequency(sf_dir):
+    """(term, df) corpus document frequencies, df ≥ 5 (inverted-index
+    statistics, text/analysis.py:document_frequency); twin unnests
+    distinct per-doc terms."""
+    from networkit_ray.text.analysis import document_frequency
+
+    return document_frequency(
+        _docs(sf_dir, columns=["doc_id", "text"]), min_df=5
+    ).sort("term")
+
+
 def q_gopher_filter(sf_dir):
     """Composite Gopher document-quality filter with a per-rule failure
     bitmask (text/analysis.py:gopher_filter); twin recomputes every rule in
@@ -3103,6 +3114,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "coupling_topk": q_coupling_topk,
         "redirect_resolution": q_redirect_resolution,
         "gopher_filter": q_gopher_filter,
+        "document_frequency": q_document_frequency,
         "host_trustrank": q_host_trustrank,
         "anchor_summary": q_anchor_summary,
         "exact_dedup": q_exact_dedup,
@@ -3193,7 +3205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_hits", "web_salsa", "web_bowtie", "host_edges",
         "host_pagerank", "host_trustrank", "host_spam_mass",
         "powerlaw_alpha_hosts", "cocitation_topk", "coupling_topk",
-        "redirect_resolution", "gopher_filter",
+        "redirect_resolution", "gopher_filter", "document_frequency",
         "anchor_texts", "anchor_summary",
         "anchor_histogram", "host_stats", "host_capped_sample",
         "repetition_scores",
@@ -5705,6 +5717,16 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY n_common DESC, a, b LIMIT 20
         """,
         "redirect_resolution": _redirect_sql(8),
+        "document_frequency": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     UNNEST(list_distinct(list_filter(
+                         string_split_regex(lower(text), '[^a-z0-9_]+'),
+                         x -> x <> ''))) AS term
+              FROM documents)
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+            FROM toks GROUP BY term HAVING COUNT(*) >= 5 ORDER BY term
+        """,
         # Gopher-filter twin: every rule recomputed in list/regexp algebra;
         # ratio comparisons divide the same ints as the engine, so the
         # boundary behavior is bit-identical.

@@ -221,6 +221,51 @@ def gopher_filter(docs: ray.data.Dataset) -> ray.data.Dataset:
     return docs.map_batches(f, batch_format="pyarrow")
 
 
+def document_frequency(
+    docs: ray.data.Dataset, *, min_df: int = 5
+) -> ray.data.Dataset:
+    """(term, df) corpus document frequencies — the statistics half of an
+    inverted index (postings-list sizes), the input every TF-IDF / BM25 /
+    stop-list stage needs.
+
+    Fully vectorized: Arrow lower+split per batch, list_parent_indices for
+    the (term, doc) pairs, an in-batch distinct+count combiner, then ONE
+    term-keyed exchange summing partial dfs — the per-term shuffle volume
+    is the distinct-term count per batch, never the token stream.  Token
+    rule matches ``string_split_regex(lower(text), '[^a-z0-9_]+')`` so the
+    DuckDB twin is exact.
+    """
+    import pyarrow.compute as pc
+
+    from networkit_ray.common.exchange import exchange_unique
+
+    def partial(t: pa.Table) -> pa.Table:
+        lower = pc.utf8_lower(t["text"].combine_chunks())
+        toks = pc.split_pattern_regex(lower, "[^a-z0-9_]+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        doc = pc.take(t["doc_id"].combine_chunks(), parent)
+        tt = pa.table({"term": flat, "doc_id": doc}).filter(
+            pc.not_equal(flat, "")
+        )
+        d = tt.group_by(["term", "doc_id"]).aggregate([])  # distinct pairs
+        d = d.append_column("df", pa.array(np.ones(len(d), np.int64)))
+        g = d.select(["term", "df"]).group_by(["term"]).aggregate([("df", "sum")])
+        return g.rename_columns(["term", "df"])
+
+    parts = docs.map_batches(partial, batch_format="pyarrow")
+    out = exchange_unique(
+        parts,
+        ["term"],
+        agg=[("df", "sum")],
+        schema=pa.schema([("term", pa.string()), ("df", pa.int64())]),
+    )
+    return out.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["df"], min_df)),
+        batch_format="pyarrow",
+    )
+
+
 def fingerprints(docs: ray.data.Dataset) -> ray.data.Dataset:
     """(doc_id, md5, rhash64): md5 hex fingerprint (= DuckDB md5(text)) and a
     64-bit polynomial rolling hash of the whole text (engine-internal key)."""

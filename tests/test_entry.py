@@ -88,6 +88,7 @@ FAST_SUBSET = [
     "coupling_topk",
     "redirect_resolution",
     "gopher_filter",
+    "document_frequency",
 ]
 
 
