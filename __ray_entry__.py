@@ -2194,6 +2194,18 @@ def q_document_frequency(sf_dir):
     ).sort("term")
 
 
+BM25_TERMS = ["hash", "join", "scan", "merge"]
+
+
+def q_bm25_topk(sf_dir):
+    """Top-20 BM25 scores for a fixed 4-term query
+    (text/analysis.py:bm25_topk); twin mirrors the arithmetic
+    operation-for-operation."""
+    from networkit_ray.text.analysis import bm25_topk
+
+    return bm25_topk(_docs(sf_dir, columns=["doc_id", "text"]), BM25_TERMS, k=20)
+
+
 def q_gopher_filter(sf_dir):
     """Composite Gopher document-quality filter with a per-rule failure
     bitmask (text/analysis.py:gopher_filter); twin recomputes every rule in
@@ -3115,6 +3127,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "redirect_resolution": q_redirect_resolution,
         "gopher_filter": q_gopher_filter,
         "document_frequency": q_document_frequency,
+        "bm25_topk": q_bm25_topk,
         "host_trustrank": q_host_trustrank,
         "anchor_summary": q_anchor_summary,
         "exact_dedup": q_exact_dedup,
@@ -3206,7 +3219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_pagerank", "host_trustrank", "host_spam_mass",
         "powerlaw_alpha_hosts", "cocitation_topk", "coupling_topk",
         "redirect_resolution", "gopher_filter", "document_frequency",
-        "anchor_texts", "anchor_summary",
+        "bm25_topk", "anchor_texts", "anchor_summary",
         "anchor_histogram", "host_stats", "host_capped_sample",
         "repetition_scores",
     ]
@@ -5717,6 +5730,36 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY n_common DESC, a, b LIMIT 20
         """,
         "redirect_resolution": _redirect_sql(8),
+        # BM25 twin: identical operand order everywhere (idf·tf·(k1+1) /
+        # (tf + k1·(1-b+b·dl/avgdl))), so rounded scores match exactly;
+        # per-doc 4-term sums differ only by addition order (≪ round grid).
+        "bm25_topk": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                                 x -> x <> '') AS ws
+              FROM documents),
+            stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                             CAST(SUM(len(ws)) AS DOUBLE) / COUNT(*) AS avgdl
+                      FROM toks),
+            q(term) AS (VALUES {", ".join(f"('{t}')" for t in BM25_TERMS)}),
+            df AS (SELECT q.term,
+                          (SELECT COUNT(*) FROM toks WHERE list_contains(toks.ws, q.term)) AS df
+                   FROM q),
+            tf AS (SELECT t.doc_id, q.term,
+                          CAST(len(list_filter(t.ws, w -> w = q.term)) AS DOUBLE) AS tf,
+                          CAST(len(t.ws) AS DOUBLE) AS dl
+                   FROM toks t CROSS JOIN q),
+            sc AS (SELECT tf.doc_id,
+                          SUM(LN((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                              * tf.tf * (1.2 + 1)
+                              / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / stats.avgdl))) AS score
+                   FROM tf JOIN df USING (term) CROSS JOIN stats
+                   WHERE tf.tf > 0
+                   GROUP BY tf.doc_id)
+            SELECT doc_id, ROUND(score, 8) AS score FROM sc
+            ORDER BY ROUND(score, 8) DESC, doc_id LIMIT 20
+        """,
         "document_frequency": r"""
             WITH toks AS (
               SELECT doc_id,

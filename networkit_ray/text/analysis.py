@@ -266,6 +266,95 @@ def document_frequency(
     )
 
 
+def bm25_topk(
+    docs: ray.data.Dataset,
+    query_terms: list[str],
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 20,
+) -> ray.data.Dataset:
+    """(doc_id, score) top-k BM25 (Robertson/Sparck Jones) for a fixed
+    query-term set — the retrieval-scoring consumer of
+    :func:`document_frequency`.
+
+        idf(t)      = ln((N - df + 0.5) / (df + 0.5) + 1)
+        score(d)    = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+    Two passes: a tiny per-batch stats partial (N, Σdl, per-term df) summed
+    dataset-side and broadcast into the scoring closure, then one
+    vectorized scoring pass (per-term token-mask bincounts, no Python loop
+    over tokens).  Arithmetic mirrors the DuckDB twin operation-for-
+    operation so rounded scores compare exactly; ties sort (score desc,
+    doc_id asc).
+    """
+    import pyarrow.compute as pc
+
+    from networkit_ray.common.hashing import round_half_away
+
+    terms = list(query_terms)
+
+    def _tok(t: pa.Table):
+        lower = pc.utf8_lower(t["text"].combine_chunks())
+        toks = pc.split_pattern_regex(lower, "[^a-z0-9_]+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        return flat.to_numpy(zero_copy_only=False), parent, keep
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        flat, parent, keep = _tok(t)
+        n = t.num_rows
+        dl = np.bincount(parent[keep], minlength=n)
+        dfs = [
+            int(
+                (np.bincount(parent[keep & (flat == term)], minlength=n) > 0).sum()
+            )
+            for term in terms
+        ]
+        cols = {
+            "n_docs": pa.array([n], pa.int64()),
+            "total_dl": pa.array([int(dl.sum())], pa.int64()),
+        }
+        for i, d in enumerate(dfs):
+            cols[f"df_{i}"] = pa.array([d], pa.int64())
+        return pa.table(cols)
+
+    agg = docs.map_batches(stats_partial, batch_format="pyarrow").sum(
+        ["n_docs", "total_dl"] + [f"df_{i}" for i in range(len(terms))]
+    )
+    n_total = int(agg["sum(n_docs)"])
+    avgdl = int(agg["sum(total_dl)"]) / n_total
+    dfs = np.array([int(agg[f"sum(df_{i})"]) for i in range(len(terms))], np.float64)
+    idf = np.log((n_total - dfs + 0.5) / (dfs + 0.5) + 1.0)
+
+    def score(t: pa.Table) -> pa.Table:
+        flat, parent, keep = _tok(t)
+        n = t.num_rows
+        dl = np.bincount(parent[keep], minlength=n).astype(np.float64)
+        total = np.zeros(n, np.float64)
+        for i, term in enumerate(terms):
+            tf = np.bincount(parent[keep & (flat == term)], minlength=n).astype(
+                np.float64
+            )
+            total += idf[i] * tf * (k1 + 1) / (
+                tf + k1 * (1 - b + b * dl / avgdl)
+            )
+        m = total > 0
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].combine_chunks().filter(pa.array(m)),
+                "score": pa.array(round_half_away(total[m], 8)),
+            }
+        )
+
+    return (
+        docs.map_batches(score, batch_format="pyarrow")
+        .sort(["score", "doc_id"], descending=[True, False])
+        .limit(k)
+    )
+
+
 def fingerprints(docs: ray.data.Dataset) -> ray.data.Dataset:
     """(doc_id, md5, rhash64): md5 hex fingerprint (= DuckDB md5(text)) and a
     64-bit polynomial rolling hash of the whole text (engine-internal key)."""

@@ -307,3 +307,46 @@ class TestHitsSalsaCheckpoint:
         got = res.to_pandas().sort_values("v")
         assert np.allclose(got["hub"].to_numpy(), full["hub"].to_numpy(), atol=1e-12)
         assert np.allclose(got["auth"].to_numpy(), full["auth"].to_numpy(), atol=1e-12)
+
+
+class TestBM25:
+    def test_known_scores(self):
+        from networkit_ray.text.analysis import bm25_topk
+
+        docs = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([0, 1, 2], pa.int64()),
+                    "text": pa.array(
+                        ["cat dog cat", "dog dog dog dog", "bird"], pa.string()
+                    ),
+                }
+            )
+        )
+        got = bm25_topk(docs, ["cat"], k1=1.2, b=0.75, k=3).to_pandas()
+        # only doc 0 contains 'cat'
+        assert got["doc_id"].tolist() == [0]
+        n, df, tf, dl = 3, 1, 2.0, 3.0
+        avgdl = (3 + 4 + 1) / 3
+        idf = np.log((n - df + 0.5) / (df + 0.5) + 1.0)
+        expect = idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+        assert np.isclose(got["score"][0], expect, atol=1e-8)
+
+    def test_multi_term_ranking(self):
+        from networkit_ray.text.analysis import bm25_topk
+
+        docs = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(4), pa.int64()),
+                    "text": pa.array(
+                        ["x y x y", "x x x x x x", "y", "z z z"], pa.string()
+                    ),
+                }
+            )
+        )
+        got = bm25_topk(docs, ["x", "y"], k=4).to_pandas()
+        # doc 0 matches both terms and must outrank single-term docs;
+        # doc 3 matches neither and is absent
+        assert got["doc_id"].iloc[0] == 0
+        assert 3 not in set(got["doc_id"])

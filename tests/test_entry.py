@@ -89,6 +89,7 @@ FAST_SUBSET = [
     "redirect_resolution",
     "gopher_filter",
     "document_frequency",
+    "bm25_topk",
 ]
 
 
