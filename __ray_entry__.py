@@ -2007,6 +2007,23 @@ def q_web_pagerank(sf_dir):
     return _round_col(scores, "score", 8)
 
 
+def q_truncated_pagerank(sf_dir):
+    """Becchetti et al. Truncated PageRank over the page graph: spam-farm
+    demotion by dropping the first `trunc` path-length terms of the
+    PageRank series (graph/pagerank.py:truncated_pagerank); twin unrolls
+    the teleport-free recursion x_t = d·Mᵀx_{t-1} and sums (1-d)·x_t for
+    t in (trunc, iters]."""
+    from networkit_ray.graph.build import drop_self_loops
+    from networkit_ray.graph.pagerank import truncated_pagerank
+    from networkit_ray.web.extract import extract_edges
+    from networkit_ray.web.htmlgen import num_documents, pages_dataset
+
+    n = num_documents(sf_dir)
+    edges = drop_self_loops(extract_edges(pages_dataset(sf_dir), ids="doc"))
+    scores, _ = truncated_pagerank(edges, n, trunc=3, iterations=10)
+    return _round_col(scores, "score", 8)
+
+
 def q_host_edges(sf_dir):
     """Weighted host-level link graph: distinct page edges grouped by
     (host(src), host(dst)) with link-count weights (web/hostgraph.py:
@@ -3113,6 +3130,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "host_stats": q_host_stats,
         "host_capped_sample": q_host_capped_sample,
         "web_pagerank": q_web_pagerank,
+        "truncated_pagerank": q_truncated_pagerank,
         "host_edges": q_host_edges,
         "host_pagerank": q_host_pagerank,
         "anchor_texts": q_anchor_texts,
@@ -3219,7 +3237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_pagerank", "host_trustrank", "host_spam_mass",
         "powerlaw_alpha_hosts", "cocitation_topk", "coupling_topk",
         "redirect_resolution", "gopher_filter", "document_frequency",
-        "bm25_topk", "anchor_texts", "anchor_summary",
+        "bm25_topk", "truncated_pagerank", "anchor_texts", "anchor_summary",
         "anchor_histogram", "host_stats", "host_capped_sample",
         "repetition_scores",
     ]
@@ -3533,6 +3551,29 @@ def oracle_sql() -> dict[str, str]:
         )
         .replace("{nodes}", "SELECT CAST(doc_id AS BIGINT) AS v FROM documents")
         .replace("{n}", n_docs)
+    )
+
+    # Truncated PageRank twin: teleport-free recursion, collected tail terms.
+    _tpr_trunc, _tpr_iters = 3, 10
+    _tpr_parts = [
+        f"WITH e AS MATERIALIZED (SELECT src, dst FROM ({WEB_EDGES_SQL}) WHERE src <> dst)",
+        "od AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS DOUBLE) AS d FROM e GROUP BY src)",
+        "nodes AS MATERIALIZED (SELECT CAST(doc_id AS BIGINT) AS v FROM documents)",
+        f"s0 AS MATERIALIZED (SELECT v, 1.0/{n_docs} AS score FROM nodes)",
+    ]
+    for _k in range(1, _tpr_iters + 1):
+        _tpr_parts.append(
+            f"s{_k} AS MATERIALIZED (SELECT nodes.v, 0.85*COALESCE(m.inc, 0) AS score "
+            f"FROM nodes LEFT JOIN (SELECT e.dst AS v, SUM(p.score/od.d) AS inc "
+            f"FROM e JOIN s{_k-1} p ON p.v = e.src JOIN od ON od.src = e.src "
+            f"GROUP BY e.dst) m ON m.v = nodes.v)"
+        )
+    _tpr_tail = " UNION ALL ".join(
+        f"SELECT * FROM s{_k}" for _k in range(_tpr_trunc + 1, _tpr_iters + 1)
+    )
+    truncated_pr = (
+        ",\n".join(_tpr_parts)
+        + f"\nSELECT v, ROUND(0.15*SUM(score), 8) AS score FROM ({_tpr_tail}) GROUP BY v"
     )
 
     # Shared deterministic-pivot multi-source BFS CTE: pivots are the
@@ -5557,6 +5598,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY host, doc_id
         """,
         "web_pagerank": web_pr,
+        "truncated_pagerank": truncated_pr,
         # Host graph twin: host(doc) = site{doc%50:04d}.example over the
         # distinct page-level edge set; w = inter-page link count.
         "host_edges": f"""

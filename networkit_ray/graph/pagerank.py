@@ -306,6 +306,79 @@ def personalized_pagerank(
     return bsp.state_to_dataset(g, scores, "score"), {"iterations": iterations}
 
 
+@ray.remote
+def _tpr_zeros(vids: np.ndarray) -> np.ndarray:
+    return np.zeros(len(vids), np.float64)
+
+
+@ray.remote(num_returns=2)
+def _tpr_reduce(acc: np.ndarray, damp: float, collect: bool, *partials):
+    new = np.zeros(len(acc), np.float64)
+    for idx, sums in partials:
+        if len(idx):
+            new[idx] += damp * sums
+    acc2 = acc + (1.0 - damp) * new if collect else acc
+    return new, acc2
+
+
+def truncated_pagerank(
+    edges: ray.data.Dataset,
+    num_nodes: int,
+    *,
+    damp: float = 0.85,
+    trunc: int = 3,
+    iterations: int = 10,
+    num_parts: int | None = None,
+    weighted: bool = False,
+) -> tuple[ray.data.Dataset, dict]:
+    """(v, score) Truncated PageRank — the link-spam demotion variant of
+    Becchetti et al., "Link analysis for web spam detection" (TWEB 2008):
+    drop the first ``trunc`` path-length terms of the PageRank series so a
+    page cannot earn rank from its immediate link-farm neighborhood,
+
+        TPR(v) = (1-d) · Σ_{t=trunc+1..iterations} (x_t)(v),
+        x_t = d · Mᵀ x_{t-1},   x_0 = uniform 1/n,
+
+    i.e. only supporters at distance > trunc contribute.  Spam farms score
+    high on PageRank but low on TPR; the ratio is a spam feature.  No
+    teleport inside the recursion and dangling mass leaks (the series
+    expansion of the same PageRank.cpp:54-64 operator the plain kernel
+    uses); scores are returned raw (un-normalized) so the fixed-iteration
+    SQL twin is exact.
+
+    Scale shape: identical to ``pagerank`` — one P×P exchange per
+    superstep over the pinned partitioned CSR; the accumulator is a second
+    per-partition vector updated in the same reduce task (no extra pass).
+    """
+    if trunc >= iterations:
+        raise ValueError("truncated_pagerank: need iterations > trunc")
+    g = build_pgraph(edges, num_nodes, num_parts=num_parts, weighted=weighted)
+    P = g.num_parts
+    coef_refs = [_pr_coef.remote(b) for b in g.block_refs]
+    x = [_pr_init.remote(g.vid_refs[p], num_nodes, "float64") for p in range(P)]
+    acc = [_tpr_zeros.remote(g.vid_refs[p]) for p in range(P)]
+    units = g.map_units()
+    for t in range(1, iterations + 1):
+        map_out = [
+            _pr_map.options(num_returns=P).remote(
+                g.block_refs[p], coef_refs[p], x[p], c
+            )
+            for p, c in units
+        ]
+        nx, nacc = [], []
+        for q in range(P):
+            xq, aq = _tpr_reduce.remote(
+                acc[q], damp, t > trunc, *[mo[q] for mo in map_out]
+            )
+            nx.append(xq)
+            nacc.append(aq)
+        x, acc = nx, nacc
+    return (
+        bsp.state_to_dataset(g, acc, "score"),
+        {"iterations": iterations, "trunc": trunc},
+    )
+
+
 # ---- warm-start (DynPageRank-style) --------------------------------------
 
 

@@ -90,6 +90,7 @@ FAST_SUBSET = [
     "gopher_filter",
     "document_frequency",
     "bm25_topk",
+    "truncated_pagerank",
 ]
 
 
