@@ -3280,6 +3280,31 @@ def _pagerank_sql(edges_sql: str, iters: int) -> str:
     )
 
 
+def _plp_sql(iters: int) -> str:
+    """Chained fixed-iteration synchronous PLP twin (engine run with
+    update_threshold=0, max_iterations=iters, singleton init): every
+    vertex adopts the most frequent neighbor label, ties -> smallest
+    label; a vertex with no neighbors keeps its label.  The engine's
+    early stop fires only at a zero-update fixpoint, so the full unroll
+    is value-identical whether or not it converges early."""
+    parts = [
+        "WITH e AS MATERIALIZED (SELECT src, dst FROM ({SYM}))",
+        "nodes AS MATERIALIZED (SELECT CAST(c_custkey AS BIGINT) AS v FROM customer)",
+        "l0 AS MATERIALIZED (SELECT v, v AS label FROM nodes)",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"l{k} AS MATERIALIZED (SELECT nodes.v, COALESCE(u.label, p.label) AS label "
+            f"FROM nodes JOIN l{k-1} p ON p.v = nodes.v LEFT JOIN ("
+            f"SELECT dst AS v, label FROM ("
+            f"SELECT e.dst, q.label, ROW_NUMBER() OVER (PARTITION BY e.dst "
+            f"ORDER BY COUNT(*) DESC, q.label ASC) AS rn "
+            f"FROM e JOIN l{k-1} q ON q.v = e.src GROUP BY e.dst, q.label) "
+            f"WHERE rn = 1) u ON u.v = nodes.v)"
+        )
+    return ",\n".join(parts) + f"\nSELECT v, label FROM l{iters}"
+
+
 def _pagerank_w_sql(edges_sql: str, iters: int, v_as: str = "v") -> str:
     """Weighted power-iteration twin (engine run with weighted=True, tol=0):
     coefficient w(u,v)/wdeg(u), vertex universe = src ∪ dst of the edge
@@ -4234,6 +4259,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "wcc": cc_sql,
         "incremental_cc": cc_sql,
+        "plp_communities": _plp_sql(25).replace("{SYM}", SYMMETRIC_EDGES_SQL),
         "cc_sizes": f"SELECT label, CAST(COUNT(*) AS BIGINT) AS size FROM ({cc_sql}) GROUP BY label",
         "num_components": f"SELECT CAST(COUNT(DISTINCT label) AS BIGINT) AS n_components FROM ({cc_sql})",
         "modularity": f"""

@@ -91,6 +91,7 @@ FAST_SUBSET = [
     "document_frequency",
     "bm25_topk",
     "truncated_pagerank",
+    "plp_communities",
 ]
 
 
@@ -148,7 +149,6 @@ def test_queries_oracles_consistent():
         "effective_diameter",
         "hop_plot",
         "approx_global_clustering",
-        "plp_communities",
         "louvain",
         "louvain_modularity",
         "leiden_refine",
