@@ -3305,6 +3305,33 @@ def _plp_sql(iters: int) -> str:
     return ",\n".join(parts) + f"\nSELECT v, label FROM l{iters}"
 
 
+def _kcore_sql(iters: int) -> str:
+    """Iterated-h-index k-core twin (Montresor et al. locality iteration,
+    the same operator the engine runs): c0 = degree, then
+    c(v) <- H({min(c(u), c(v)) : u in N(v)}) unrolled ``iters`` times.
+    The operator is monotone non-increasing with the core number as its
+    fixpoint, and the engine stops only at a zero-change fixpoint, so any
+    unroll >= the engine's round count is value-identical (32 covers the
+    sf battery with a wide margin; sf0.01 converges in <10 rounds)."""
+    parts = [
+        "WITH e AS MATERIALIZED (SELECT src, dst FROM ({SYM}))",
+        "nodes AS MATERIALIZED (SELECT CAST(c_custkey AS BIGINT) AS v FROM customer)",
+        "c0 AS MATERIALIZED (SELECT nodes.v, COALESCE(d.deg, 0) AS c FROM nodes "
+        "LEFT JOIN (SELECT src AS v, COUNT(*) AS deg FROM e GROUP BY src) d ON d.v = nodes.v)",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"c{k} AS MATERIALIZED (SELECT nodes.v, COALESCE(h.h, 0) AS c "
+            f"FROM nodes LEFT JOIN ("
+            f"SELECT v, MAX(CASE WHEN val >= rnk THEN rnk ELSE 0 END) AS h FROM ("
+            f"SELECT e.src AS v, LEAST(cu.c, cv.c) AS val, "
+            f"ROW_NUMBER() OVER (PARTITION BY e.src ORDER BY LEAST(cu.c, cv.c) DESC) AS rnk "
+            f"FROM e JOIN c{k-1} cu ON cu.v = e.dst JOIN c{k-1} cv ON cv.v = e.src"
+            f") GROUP BY v) h ON h.v = nodes.v)"
+        )
+    return ",\n".join(parts) + f"\nSELECT v, CAST(c AS BIGINT) AS core FROM c{iters}"
+
+
 def _pagerank_w_sql(edges_sql: str, iters: int, v_as: str = "v") -> str:
     """Weighted power-iteration twin (engine run with weighted=True, tol=0):
     coefficient w(u,v)/wdeg(u), vertex universe = src ∪ dst of the edge
@@ -4260,6 +4287,7 @@ def oracle_sql() -> dict[str, str]:
         "wcc": cc_sql,
         "incremental_cc": cc_sql,
         "plp_communities": _plp_sql(25).replace("{SYM}", SYMMETRIC_EDGES_SQL),
+        "core_decomposition": _kcore_sql(32).replace("{SYM}", SYMMETRIC_EDGES_SQL),
         "cc_sizes": f"SELECT label, CAST(COUNT(*) AS BIGINT) AS size FROM ({cc_sql}) GROUP BY label",
         "num_components": f"SELECT CAST(COUNT(DISTINCT label) AS BIGINT) AS n_components FROM ({cc_sql})",
         "modularity": f"""

@@ -92,6 +92,7 @@ FAST_SUBSET = [
     "bm25_topk",
     "truncated_pagerank",
     "plp_communities",
+    "core_decomposition",
 ]
 
 
@@ -144,7 +145,6 @@ def test_queries_oracles_consistent():
         "spanning_forest",
         "greedy_coloring",
         "maximal_cliques",
-        "core_decomposition",
         "betweenness",
         "effective_diameter",
         "hop_plot",
