@@ -2798,6 +2798,21 @@ def q_betweenness(sf_dir):
     return _round_col(bc, "betweenness", 6)
 
 
+def q_betweenness_pivots(sf_dir):
+    """Brandes betweenness from 16 deterministic evenly-spaced pivots
+    (centrality/EstimateBetweenness.cpp semantics with an explicit pivot
+    set instead of the seeded draw) — the pivot rule (v % (n//16) == 0,
+    first 16) is SQL-expressible, so this variant carries the exact
+    unrolled forward-BFS + backward-dependency oracle twin."""
+    from networkit_ray.graph.betweenness import estimate_betweenness
+
+    edges, n = _derived(sf_dir)
+    step = max(n // 16, 1)
+    pivots = np.arange(16) * step
+    bc, _ = estimate_betweenness(edges, n, pivots=pivots)
+    return _round_col(bc, "betweenness", 6)
+
+
 def q_dyn_betweenness(sf_dir):
     """centrality/DynApproxBetweenness.cpp analog: retained per-pivot
     Brandes state repaired after an edge-insert batch; rows-only —
@@ -3116,6 +3131,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "global_clustering": q_global_clustering,
         "core_decomposition": q_core_decomposition,
         "betweenness": q_betweenness,
+        "betweenness_pivots": q_betweenness_pivots,
         "dyn_betweenness": q_dyn_betweenness,
         "adaptive_betweenness": q_adaptive_betweenness,
         "effective_diameter": q_effective_diameter,
@@ -3303,6 +3319,54 @@ def _plp_sql(iters: int) -> str:
             f"WHERE rn = 1) u ON u.v = nodes.v)"
         )
     return ",\n".join(parts) + f"\nSELECT v, label FROM l{iters}"
+
+
+def _betweenness_sql(levels: int) -> str:
+    """Exact Brandes twin for the 16 evenly-spaced pivots: unrolled
+    level-synchronous forward BFS (per-level frontier + visited tables,
+    sigma = sum of predecessor sigmas) then unrolled backward dependency
+    accumulation delta(v) += sigma_v/sigma_w * (1 + delta_w) over edges
+    into the next level; bc(v) = n/16 * sum_s delta_s(v), s != v.
+    ``levels`` only needs to exceed the max BFS depth from the pivots
+    (5 at sf0.01; empty frontiers make extra levels no-ops)."""
+    parts = [
+        "WITH e AS MATERIALIZED ({EDGES})",
+        "nodes AS MATERIALIZED (SELECT CAST(c_custkey AS BIGINT) AS v FROM customer)",
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes)",
+        "piv AS MATERIALIZED (SELECT v AS s FROM nodes, nn "
+        "WHERE v % GREATEST(nn.n // 16, 1) = 0 ORDER BY v LIMIT 16)",
+        "f0 AS MATERIALIZED (SELECT s, s AS v, 0 AS dist, CAST(1 AS DOUBLE) AS sigma FROM piv)",
+        "vis0 AS MATERIALIZED (SELECT * FROM f0)",
+    ]
+    for k in range(1, levels + 1):
+        parts.append(
+            f"f{k} AS MATERIALIZED (SELECT f.s, e.dst AS v, {k} AS dist, SUM(f.sigma) AS sigma "
+            f"FROM f{k-1} f JOIN e ON e.src = f.v "
+            f"WHERE NOT EXISTS (SELECT 1 FROM vis{k-1} w WHERE w.s = f.s AND w.v = e.dst) "
+            f"GROUP BY f.s, e.dst)"
+        )
+        parts.append(
+            f"vis{k} AS MATERIALIZED (SELECT * FROM vis{k-1} UNION ALL SELECT * FROM f{k})"
+        )
+    parts.append(
+        f"d{levels} AS MATERIALIZED "
+        f"(SELECT s, v, dist, sigma, CAST(0 AS DOUBLE) AS delta FROM vis{levels})"
+    )
+    for L in range(levels, 0, -1):
+        parts.append(
+            f"d{L-1} AS MATERIALIZED (SELECT d.s, d.v, d.dist, d.sigma, "
+            f"d.delta + CASE WHEN d.dist = {L-1} THEN COALESCE(c.inc, 0) ELSE 0 END AS delta "
+            f"FROM d{L} d LEFT JOIN ("
+            f"SELECT a.s, a.v, SUM(a.sigma / b.sigma * (1 + b.delta)) AS inc "
+            f"FROM d{L} a JOIN e ON e.src = a.v JOIN d{L} b ON b.s = a.s AND b.v = e.dst "
+            f"WHERE a.dist = {L-1} AND b.dist = {L} GROUP BY a.s, a.v"
+            f") c ON c.s = d.s AND c.v = d.v)"
+        )
+    return ",\n".join(parts) + (
+        "\nSELECT nodes.v, ROUND(COALESCE(agg.b, 0) * nn.n / 16.0, 6) AS betweenness "
+        "FROM nodes CROSS JOIN nn LEFT JOIN "
+        "(SELECT v, SUM(delta) AS b FROM d0 WHERE v <> s GROUP BY v) agg ON agg.v = nodes.v"
+    )
 
 
 def _kcore_sql(iters: int) -> str:
@@ -4288,6 +4352,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_cc": cc_sql,
         "plp_communities": _plp_sql(25).replace("{SYM}", SYMMETRIC_EDGES_SQL),
         "core_decomposition": _kcore_sql(32).replace("{SYM}", SYMMETRIC_EDGES_SQL),
+        "betweenness_pivots": _betweenness_sql(24).replace("{EDGES}", DERIVED_EDGES_SQL),
         "cc_sizes": f"SELECT label, CAST(COUNT(*) AS BIGINT) AS size FROM ({cc_sql}) GROUP BY label",
         "num_components": f"SELECT CAST(COUNT(DISTINCT label) AS BIGINT) AS n_components FROM ({cc_sql})",
         "modularity": f"""

@@ -220,11 +220,14 @@ def estimate_betweenness(
     num_parts: int | None = None,
     exact: bool = False,
     pivot_batch: int = 16,
+    pivots: np.ndarray | None = None,
 ) -> tuple[ray.data.Dataset, dict]:
     """(v, betweenness) — sampled-pivot estimate (exact=True runs every
-    pivot, i.e. exact Brandes).  Pass the symmetrized table for undirected
-    betweenness (each unordered pair then counts twice, matching the
-    reference's undirected convention before its final halving)."""
+    pivot, i.e. exact Brandes; explicit ``pivots`` overrides the seeded
+    draw, scaled by num_nodes/len(pivots)).  Pass the symmetrized table
+    for undirected betweenness (each unordered pair then counts twice,
+    matching the reference's undirected convention before its final
+    halving)."""
     from networkit_ray.graph.build import transpose
 
     edges = edges.materialize()
@@ -233,6 +236,9 @@ def estimate_betweenness(
     if exact:
         pivots = np.arange(num_nodes, dtype=np.int64)
         factor = 1.0
+    elif pivots is not None:
+        pivots = np.asarray(pivots, dtype=np.int64)
+        factor = num_nodes / len(pivots)
     else:
         pivots = _pivot_ids(num_nodes, n_samples, seed)
         factor = num_nodes / len(pivots)

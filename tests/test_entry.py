@@ -93,6 +93,7 @@ FAST_SUBSET = [
     "truncated_pagerank",
     "plp_communities",
     "core_decomposition",
+    "betweenness_pivots",
 ]
 
 
