@@ -101,6 +101,87 @@ def _plp_map(block: dict, labels: np.ndarray, chunk: int) -> tuple:
 
 
 @ray.remote
+def _plp_map_packed(block: dict, labels: np.ndarray, chunk: int, n: int) -> tuple:
+    """Unweighted fast path: per target partition ship (key, count) with
+    key = dst_local * n + label packed into one int64 — a single
+    ``np.sort`` (no argsort, no index gathers; unit weights become run
+    lengths) and 12 B/message instead of the generic path's 20 B.
+    Requires max_part_size * n < 2^62 (checked by the caller)."""
+    from networkit_ray.graph.bsp import grouped_dst, grouped_src
+
+    P = len(block["part_bounds"]) - 1
+    empty = (np.empty(0, np.int64), np.empty(0, np.int32))
+    sl = grouped_src(block, chunk)
+    if not len(sl):
+        return tuple([empty] * P)
+    key_all = grouped_dst(block, chunk).astype(np.int64) * np.int64(n) + labels[
+        sl
+    ].astype(np.int64)
+    if chunk < 0:
+        pb = block["part_bounds"]
+    else:
+        c = block["chunks"][chunk]
+        gs, gb = c["gs_rel"], c["gb"]
+        n_edges = c["end"] - c["start"]
+        pb = np.array(
+            [gs[gb[q]] if gb[q] < len(gs) else n_edges for q in range(P)] + [n_edges],
+            dtype=np.int64,
+        )
+    out = []
+    for q in range(P):
+        s, e = pb[q], pb[q + 1]
+        if s == e:
+            out.append(empty)
+            continue
+        k = np.sort(key_all[s:e])
+        change = np.empty(len(k), dtype=bool)
+        change[0] = True
+        change[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(change)
+        counts = np.diff(np.append(starts, len(k))).astype(np.int32)
+        out.append((k[starts], counts))
+    return tuple(out)
+
+
+@ray.remote(num_returns=2)
+def _plp_reduce_packed(labels: np.ndarray, n: int, *partials):
+    """Packed-key twin of ``_plp_reduce``: keys arrive pre-grouped per
+    partial, one argsort merges them; ascending key order IS (dst, label)
+    order, so the argmax-with-min-label scan is unchanged; integer counts
+    make the max comparison exact."""
+    ks = [p[0] for p in partials if len(p[0])]
+    if not ks:
+        return labels, 0
+    k = np.concatenate(ks)
+    c = np.concatenate([p[1] for p in partials if len(p[1])]).astype(np.int64)
+    o = np.argsort(k)
+    k, c = k[o], c[o]
+    change = np.empty(len(k), dtype=bool)
+    change[0] = True
+    change[1:] = k[1:] != k[:-1]
+    starts = np.flatnonzero(change)
+    k = k[starts]
+    w = np.add.reduceat(c, starts)
+    d = k // np.int64(n)
+    l = (k % np.int64(n)).astype(labels.dtype)
+    seg_change = d[1:] != d[:-1]
+    seg_starts = np.flatnonzero(np.concatenate(([True], seg_change)))
+    segmax = np.maximum.reduceat(w, seg_starts)
+    seg_id = np.zeros(len(d), np.int64)
+    seg_id[1:] = np.cumsum(seg_change)
+    hit = np.flatnonzero(w == segmax[seg_id])
+    seg_of_hit = seg_id[hit]
+    first = np.empty(len(hit), dtype=bool)
+    first[0] = True
+    first[1:] = seg_of_hit[1:] != seg_of_hit[:-1]
+    heads = hit[first]
+    new = labels.copy()
+    new[d[heads]] = l[heads]
+    changed = int((new != labels).sum())
+    return new, changed
+
+
+@ray.remote
 def _plp_map_min(block: dict, chunk: int) -> tuple:
     """Iteration-0 sweep for unweighted simple graphs: with singleton
     initial labels every neighbor label is distinct and unit-weighted, so
@@ -216,6 +297,12 @@ def plp_refs(
     import time
 
     units = g.map_units()
+    # packed fast path: unweighted + (dst_local, label) fits one int64
+    packed = (
+        not g.weighted
+        and g.num_nodes > 0
+        and max(g.part_sizes()) * g.num_nodes < 2**62
+    )
     while iteration < max_iterations:
         t0 = time.perf_counter()
         use_min = min_sweep_first and iteration == start_iter
@@ -224,15 +311,28 @@ def plp_refs(
                 _plp_map_min.options(num_returns=P).remote(g.block_refs[p], c)
                 for p, c in units
             ]
+        elif packed:
+            map_out = [
+                _plp_map_packed.options(num_returns=P).remote(
+                    g.block_refs[p], labels[p], c, g.num_nodes
+                )
+                for p, c in units
+            ]
         else:
             map_out = [
                 _plp_map.options(num_returns=P).remote(g.block_refs[p], labels[p], c)
                 for p, c in units
             ]
-        reduce_fn = _plp_reduce_min if use_min else _plp_reduce
         new_labels, count_refs = [], []
         for q in range(P):
-            s, c = reduce_fn.remote(labels[q], *[mo[q] for mo in map_out])
+            if use_min:
+                s, c = _plp_reduce_min.remote(labels[q], *[mo[q] for mo in map_out])
+            elif packed:
+                s, c = _plp_reduce_packed.remote(
+                    labels[q], g.num_nodes, *[mo[q] for mo in map_out]
+                )
+            else:
+                s, c = _plp_reduce.remote(labels[q], *[mo[q] for mo in map_out])
             new_labels.append(s)
             count_refs.append(c)
         n_updated = sum(ray.get(count_refs))
