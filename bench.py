@@ -199,7 +199,7 @@ def run_bench() -> dict:
 
     # steady-state superstep rate: best of N timed runs (the first run
     # after a build still touches cold object-store pages)
-    n_rep = 3 if os.environ.get("GRAFT_KERNELS_ONLY") else max(2, reps)
+    n_rep = max(5, reps)  # north-metric kernels: ~1s/rep warm, so 5 reps buys real immunity to multi-second tenant spikes
     stage(
         "pagerank_supersteps",
         lambda: pagerank_refs(g, tol=0.0, max_iterations=supersteps),
@@ -260,7 +260,7 @@ def run_bench() -> dict:
     stage(
         "plp_5_iters",
         lambda: plp_refs(gs, max_iterations=5, update_threshold=0),
-        max(2, reps),
+        max(5, reps),
     )
     dt = queries["plp_5_iters"]
     sym_m = sym.count()
