@@ -2472,7 +2472,7 @@ def q_barabasi_albert(sf_dir):
 
 def q_er_edges(sf_dir):
     """generators/ErdosRenyiGenerator.cpp analog (G(n,m) counter hash);
-    rows-only — determinism/density tests in tests/test_sources.py."""
+    bit-exact SQL twin replays the splitmix64 hash in DuckDB (_er_sql)."""
     from networkit_ray.sources.synth import erdos_renyi_edges
 
     edges, _n = erdos_renyi_edges(1024, m=4096)
@@ -3319,6 +3319,77 @@ def _plp_sql(iters: int) -> str:
             f"WHERE rn = 1) u ON u.v = nodes.v)"
         )
     return ",\n".join(parts) + f"\nSELECT v, label FROM l{iters}"
+
+
+_M64 = 18446744073709551616  # 2^64
+
+
+def _mul64_sql(expr: str, const: int) -> str:
+    """(expr * const) mod 2^64 with 32-bit-split HUGEINT products (DuckDB
+    has no wrapping 64-bit multiply; every intermediate fits HUGEINT)."""
+    lo, hi = const & 0xFFFFFFFF, const >> 32
+    return (
+        f"CAST((CAST({expr} AS HUGEINT)*{lo} + "
+        f"((CAST({expr} AS HUGEINT)*{hi}) % 4294967296) * 4294967296) % {_M64} AS UBIGINT)"
+    )
+
+
+def _rmat_sql(scale: int, edge_factor: int, a=0.57, b=0.19, c=0.19, seed=42) -> str:
+    """Bit-exact twin of sources/synth.py:rmat_edges — the splitmix64
+    counter hash is replayed in SQL (staged CTEs per recursion level;
+    UBIGINT→DOUBLE cast rounds to nearest on both sides, and the float
+    thresholds are emitted with repr() so both parse to the same double)."""
+    n = 1 << scale
+    m = n * edge_factor
+    t_ab, t_abc = a + b, a + b + c
+    base = (seed * 0x100000001B3) % _M64
+    parts = [
+        f"WITH l0 AS (SELECT CAST(range AS BIGINT) AS idx, "
+        f"CAST(0 AS BIGINT) AS src, CAST(0 AS BIGINT) AS dst FROM range({m}))"
+    ]
+    for k in range(scale):
+        parts.append(
+            f"z{k}a AS (SELECT idx, src, dst, "
+            f"CAST((CAST({base} AS HUGEINT) + CAST(idx AS HUGEINT)*{scale} + {k} "
+            f"+ 11400714819323198485) % {_M64} AS UBIGINT) AS z FROM l{k})"
+        )
+        parts.append(
+            f"z{k}b AS (SELECT idx, src, dst, "
+            f"{_mul64_sql('xor(z, z >> 30)', 0xBF58476D1CE4E5B9)} AS z FROM z{k}a)"
+        )
+        parts.append(
+            f"z{k}c AS (SELECT idx, src, dst, "
+            f"{_mul64_sql('xor(z, z >> 27)', 0x94D049BB133111EB)} AS z FROM z{k}b)"
+        )
+        parts.append(
+            f"l{k+1} AS (SELECT idx, "
+            f"src*2 + CASE WHEN u >= {t_ab!r} THEN 1 ELSE 0 END AS src, "
+            f"dst*2 + CASE WHEN u >= {t_abc!r} OR (u >= {a!r} AND u < {t_ab!r}) THEN 1 ELSE 0 END AS dst "
+            f"FROM (SELECT idx, src, dst, "
+            f"CAST(xor(z, z >> 31) AS DOUBLE) / 18446744073709551616.0 AS u FROM z{k}c))"
+        )
+    return ",\n".join(parts) + f"\nSELECT src, dst FROM l{scale}"
+
+
+def _er_sql(n: int, m: int, seed=42) -> str:
+    """Bit-exact twin of sources/synth.py:erdos_renyi_edges (G(n,m)
+    counter hash, canonical undirected, duplicate pairs deduplicated)."""
+    base = (seed * 0x100000001B3) % _M64
+    return f"""
+        WITH i0 AS (SELECT CAST(range AS BIGINT) AS idx FROM range({m})),
+        a1 AS (SELECT idx,
+            CAST((CAST({base} AS HUGEINT) + CAST(idx AS HUGEINT)*2 + 11400714819323198485) % {_M64} AS UBIGINT) AS zu,
+            CAST((CAST({base} AS HUGEINT) + CAST(idx AS HUGEINT)*2 + 1 + 11400714819323198485) % {_M64} AS UBIGINT) AS zv
+            FROM i0),
+        a2 AS (SELECT idx, {_mul64_sql('xor(zu, zu >> 30)', 0xBF58476D1CE4E5B9)} AS zu,
+                           {_mul64_sql('xor(zv, zv >> 30)', 0xBF58476D1CE4E5B9)} AS zv FROM a1),
+        a3 AS (SELECT idx, {_mul64_sql('xor(zu, zu >> 27)', 0x94D049BB133111EB)} AS zu,
+                           {_mul64_sql('xor(zv, zv >> 27)', 0x94D049BB133111EB)} AS zv FROM a2),
+        a4 AS (SELECT idx, CAST(xor(zu, zu >> 31) % {n} AS BIGINT) AS u,
+                           CAST(xor(zv, zv >> 31) % {n - 1} AS BIGINT) AS vr FROM a3),
+        pairs AS (SELECT u, vr + CASE WHEN vr >= u THEN 1 ELSE 0 END AS v FROM a4)
+        SELECT DISTINCT LEAST(u, v) AS src, GREATEST(u, v) AS dst FROM pairs
+    """
 
 
 def _betweenness_sql(levels: int) -> str:
@@ -4353,6 +4424,8 @@ def oracle_sql() -> dict[str, str]:
         "plp_communities": _plp_sql(25).replace("{SYM}", SYMMETRIC_EDGES_SQL),
         "core_decomposition": _kcore_sql(32).replace("{SYM}", SYMMETRIC_EDGES_SQL),
         "betweenness_pivots": _betweenness_sql(24).replace("{EDGES}", DERIVED_EDGES_SQL),
+        "rmat_edges": _rmat_sql(10, 8),
+        "er_edges": _er_sql(1024, 4096),
         "cc_sizes": f"SELECT label, CAST(COUNT(*) AS BIGINT) AS size FROM ({cc_sql}) GROUP BY label",
         "num_components": f"SELECT CAST(COUNT(DISTINCT label) AS BIGINT) AS n_components FROM ({cc_sql})",
         "modularity": f"""

@@ -94,6 +94,8 @@ FAST_SUBSET = [
     "plp_communities",
     "core_decomposition",
     "betweenness_pivots",
+    "rmat_edges",
+    "er_edges",
 ]
 
 
@@ -163,10 +165,8 @@ def test_queries_oracles_consistent():
         "ann_ivf_topk",
         "multimodal_decode",
         "approx_distinct_users",
-        "rmat_edges",
         "lfr_edges",
         "lfr_mixing",
-        "er_edges",
         "chung_lu_edges",
         "watts_strogatz_edges",
         "max_flow",
