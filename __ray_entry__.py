@@ -2299,6 +2299,15 @@ def q_exact_dedup(sf_dir):
     return exact_dedup_keepers(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_segment_dedup(sf_dir):
+    """CCNet-style global first-wins segment dedup (dedup/lines.py):
+    duplicate 8-word windows keep only their smallest-(doc_id, seg_no)
+    copy; documents reassembled from surviving segments."""
+    from networkit_ray.dedup.lines import segment_dedup
+
+    return segment_dedup(_docs(sf_dir, ["doc_id", "text"]), mode="words", seg_len=8)
+
+
 def q_token_counts(sf_dir):
     from networkit_ray.text.analysis import token_counts
 
@@ -3165,6 +3174,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "host_trustrank": q_host_trustrank,
         "anchor_summary": q_anchor_summary,
         "exact_dedup": q_exact_dedup,
+        "segment_dedup": q_segment_dedup,
         "token_counts": q_token_counts,
         "token_percentiles": q_token_percentiles,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -6125,6 +6135,22 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY anchor ORDER BY anchor
         """,
         "exact_dedup":"SELECT md5(text) AS text_md5, CAST(MIN(doc_id) AS BIGINT) AS doc_id FROM documents GROUP BY md5(text)",
+        "segment_dedup": """
+            WITH toks AS (
+                SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS ord
+                FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+            ), segs AS (
+                SELECT doc_id, CAST((ord - 1) // 8 AS BIGINT) AS seg_no,
+                       STRING_AGG(tok, ' ' ORDER BY ord) AS seg
+                FROM toks GROUP BY doc_id, (ord - 1) // 8
+            ), keep AS (
+                SELECT doc_id, seg_no, seg,
+                       ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, seg_no) AS rn
+                FROM segs
+            )
+            SELECT doc_id, STRING_AGG(seg, ' ' ORDER BY seg_no) AS clean_text
+            FROM keep WHERE rn = 1 GROUP BY doc_id
+        """,
         "token_counts": r"""
             SELECT doc_id,
                    CAST(CASE WHEN trim(text) = '' THEN 0

@@ -96,6 +96,7 @@ FAST_SUBSET = [
     "betweenness_pivots",
     "rmat_edges",
     "er_edges",
+    "segment_dedup",
 ]
 
 

@@ -814,3 +814,46 @@ def test_lm_cross_entropy_matches_replica(ray_session):
         assert abs(got[d][1] - ce) < 1e-12, d
     # the repeated common doc is more predictable than the one-off gibberish
     assert got[0][1] < got[3][1]
+
+
+class TestSegmentDedup:
+    """dedup/lines.py — CCNet-style global first-wins segment dedup."""
+
+    def test_lines_mode_first_wins(self):
+        from networkit_ray.dedup.lines import segment_dedup
+
+        texts = [
+            "alpha beta\ncommon line\ngamma",     # doc 0: keeps all 3
+            "common line\ndelta",                 # doc 1: loses line 0
+            "common line",                        # doc 2: loses its only line
+        ]
+        out = segment_dedup(docs_ds(texts), mode="lines").to_pandas()
+        got = dict(zip(out["doc_id"], out["clean_text"]))
+        assert got == {
+            0: "alpha beta\ncommon line\ngamma",
+            1: "delta",
+        }  # doc 2 dropped entirely
+
+    def test_words_mode_window_rule(self):
+        from networkit_ray.dedup.lines import segment_dedup
+
+        # 4-word windows: doc1's first window duplicates doc0's second
+        texts = [
+            "a b c d e f g h",     # windows: "a b c d", "e f g h"
+            "e f g h x y z w",     # windows: "e f g h" (dup), "x y z w"
+        ]
+        out = segment_dedup(docs_ds(texts), mode="words", seg_len=4).to_pandas()
+        got = dict(zip(out["doc_id"], out["clean_text"]))
+        assert got == {0: "a b c d e f g h", 1: "x y z w"}
+
+    def test_first_wins_is_smallest_doc_seg(self):
+        from networkit_ray.dedup.lines import explode_segments
+
+        texts = ["dup\ndup", "dup"]
+        segs = explode_segments(docs_ds(texts), mode="lines").to_pandas()
+        # duplicates within one doc also collapse to the earliest seg_no
+        from networkit_ray.dedup.lines import segment_dedup
+        out = segment_dedup(docs_ds(texts), mode="lines").to_pandas()
+        got = dict(zip(out["doc_id"], out["clean_text"]))
+        assert got == {0: "dup"}
+        assert len(segs) == 3
