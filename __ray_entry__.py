@@ -1977,6 +1977,22 @@ def q_web_edges(sf_dir):
     return extract_edges(pages_dataset(sf_dir), ids="doc")
 
 
+def q_warc_roundtrip(sf_dir):
+    """Common-Crawl-native ingestion: pages → WARC shards on disk →
+    parse (one task per shard) → outlink extraction; byte-identical html
+    recovery means the edge table equals the direct-extraction oracle
+    (sources/warc.py)."""
+    import os
+
+    from networkit_ray.sources.warc import read_warc, write_warc
+    from networkit_ray.web.extract import extract_edges
+    from networkit_ray.web.htmlgen import pages_dataset
+
+    out = f"/tmp/nkr_warc_{os.path.basename(os.path.normpath(sf_dir))}"
+    write_warc(pages_dataset(sf_dir), out, shards=8).materialize()
+    return extract_edges(read_warc(out), ids="doc")
+
+
 def q_host_capped_sample(sf_dir):
     """Domain balancing: ≤ 5 pages per host, smallest doc_id first
     (web/extract.py:cap_per_host); twin = ROW_NUMBER over host."""
@@ -3152,6 +3168,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "approx_closeness": q_approx_closeness,
         "web_text_roundtrip": q_web_text_roundtrip,
         "web_edges": q_web_edges,
+        "warc_roundtrip": q_warc_roundtrip,
         "host_stats": q_host_stats,
         "host_capped_sample": q_host_capped_sample,
         "web_pagerank": q_web_pagerank,
@@ -5784,6 +5801,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "web_text_roundtrip": "SELECT doc_id, text FROM documents",
         "web_edges": WEB_EDGES_SQL,
+        "warc_roundtrip": WEB_EDGES_SQL,
         # host parse twin: page_url(doc_id) = https://site{doc_id%50:04d}.example/...
         "host_stats": """
             SELECT 'site' || lpad(CAST(doc_id % 50 AS VARCHAR), 4, '0') || '.example' AS host,

@@ -97,6 +97,7 @@ FAST_SUBSET = [
     "rmat_edges",
     "er_edges",
     "segment_dedup",
+    "warc_roundtrip",
 ]
 
 
