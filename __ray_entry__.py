@@ -3283,6 +3283,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk", "truncated_pagerank", "anchor_texts", "anchor_summary",
         "anchor_histogram", "host_stats", "host_capped_sample",
         "repetition_scores",
+        # round-3 second block: Common-Crawl-native ingestion, CCNet-style
+        # corpus dedup, and the exact-Brandes-twin betweenness — marquee
+        # additions that should receive driver validation this round.
+        "warc_roundtrip", "segment_dedup", "betweenness_pivots",
     ]
     never = [k for k in web_priority if k in never] + [
         k for k in never if k not in web_priority
