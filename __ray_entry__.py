@@ -1993,6 +1993,19 @@ def q_warc_roundtrip(sf_dir):
     return extract_edges(read_warc(out), ids="doc")
 
 
+def q_robots_allowed(sf_dir):
+    """robots.txt admission over the page corpus (web/robots.py): per-host
+    rules parsed once per actor from a ray.put broadcast; longest-match
+    Allow/Disallow REP semantics.  Synthesized rules are arithmetic in
+    the host id, so admission has an exact SQL twin."""
+    from networkit_ray.web.htmlgen import D_DOMAINS
+    from networkit_ray.web.robots import robots_filter, robots_table
+    from networkit_ray.web.htmlgen import pages_dataset
+
+    out = robots_filter(pages_dataset(sf_dir), robots_table(D_DOMAINS))
+    return out.select_columns(["url", "allowed"])
+
+
 def q_host_capped_sample(sf_dir):
     """Domain balancing: ≤ 5 pages per host, smallest doc_id first
     (web/extract.py:cap_per_host); twin = ROW_NUMBER over host."""
@@ -3169,6 +3182,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "web_text_roundtrip": q_web_text_roundtrip,
         "web_edges": q_web_edges,
         "warc_roundtrip": q_warc_roundtrip,
+        "robots_allowed": q_robots_allowed,
         "host_stats": q_host_stats,
         "host_capped_sample": q_host_capped_sample,
         "web_pagerank": q_web_pagerank,
@@ -5806,6 +5820,14 @@ def oracle_sql() -> dict[str, str]:
         "web_text_roundtrip": "SELECT doc_id, text FROM documents",
         "web_edges": WEB_EDGES_SQL,
         "warc_roundtrip": WEB_EDGES_SQL,
+        "robots_allowed": f"""
+            SELECT 'https://site' || printf('%04d', doc_id % {D_DOMAINS}) ||
+                   '.example/p/' || printf('%06d', doc_id) AS url,
+                   CASE WHEN (doc_id % {D_DOMAINS}) % 7 = 3 THEN FALSE
+                        WHEN (doc_id % {D_DOMAINS}) % 7 = 5 THEN doc_id < 100
+                        ELSE TRUE END AS allowed
+            FROM documents
+        """,
         # host parse twin: page_url(doc_id) = https://site{doc_id%50:04d}.example/...
         "host_stats": """
             SELECT 'site' || lpad(CAST(doc_id % 50 AS VARCHAR), 4, '0') || '.example' AS host,

@@ -234,3 +234,55 @@ class TestWebPipeline:
         )
         assert got.shape == expect.shape
         assert np.all(got[sorted(got.columns)].values == expect[sorted(expect.columns)].values)
+
+
+class TestRobots:
+    """web/robots.py — REP longest-match semantics + corpus admission."""
+
+    def test_longest_match_and_tiebreak(self):
+        from networkit_ray.web.robots import is_allowed, parse_robots
+
+        rules = parse_robots(
+            "User-agent: *\nDisallow: /a/\nAllow: /a/b/\nDisallow: /a/b/c\n"
+        )
+        assert is_allowed("/x", rules)            # no rule
+        assert not is_allowed("/a/z", rules)      # /a/ disallow
+        assert is_allowed("/a/b/z", rules)        # longer allow wins
+        assert not is_allowed("/a/b/c/d", rules)  # longest disallow wins
+        # length tie: Allow wins
+        tie = parse_robots("User-agent: *\nDisallow: /p/\nAllow: /q:/\n")
+        assert is_allowed("/q:/x", tie)
+
+    def test_agent_group_selection(self):
+        from networkit_ray.web.robots import is_allowed, parse_robots
+
+        body = (
+            "User-agent: badbot\nDisallow: /\n\n"
+            "User-agent: goodbot\nUser-agent: otherbot\nDisallow: /private/\n\n"
+            "User-agent: *\nDisallow: /p/\n"
+        )
+        star = parse_robots(body)                     # falls to *
+        assert not is_allowed("/p/x", star) and is_allowed("/private/x", star)
+        good = parse_robots(body, agent="GoodBot")    # case-insensitive exact
+        assert is_allowed("/p/x", good) and not is_allowed("/private/x", good)
+        bad = parse_robots(body, agent="badbot")
+        assert not is_allowed("/anything", bad)
+
+    def test_empty_disallow_allows_all(self):
+        from networkit_ray.web.robots import is_allowed, parse_robots
+
+        rules = parse_robots("User-agent: *\nDisallow:\n")
+        assert rules == [] and is_allowed("/p/000001", rules)
+
+    def test_corpus_admission_rule(self, sf_tiny):
+        from networkit_ray.web.htmlgen import D_DOMAINS
+        from networkit_ray.web.htmlgen import pages_dataset
+        from networkit_ray.web.robots import robots_filter, robots_table
+
+        out = robots_filter(
+            pages_dataset(sf_tiny), robots_table(D_DOMAINS)
+        ).to_pandas()
+        doc_ids = out["url"].str.extract(r"/p/(\d{6})")[0].astype(int)
+        host = doc_ids % D_DOMAINS
+        expect = ~((host % 7 == 3) | ((host % 7 == 5) & (doc_ids >= 100)))
+        assert (out["allowed"].to_numpy() == expect.to_numpy()).all()
