@@ -3301,6 +3301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # corpus dedup, and the exact-Brandes-twin betweenness — marquee
         # additions that should receive driver validation this round.
         "warc_roundtrip", "segment_dedup", "betweenness_pivots",
+        "robots_allowed",
     ]
     never = [k for k in web_priority if k in never] + [
         k for k in never if k not in web_priority
