@@ -79,7 +79,10 @@ def seir(
         def coins(b: pa.Table, _t=t) -> pa.Table:
             src = b["src"].to_numpy(zero_copy_only=False).astype(np.uint64)
             dst = b["dst"].to_numpy(zero_copy_only=False).astype(np.uint64)
-            h = (src * n + dst + np.uint64(1)) * _GOLD + np.uint64(_t + 1) * _MIX
+            # scalar term via Python-int wrap: same mod-2^64 value, but no
+            # numpy scalar-overflow RuntimeWarning (array ops wrap silently)
+            tmix = np.uint64(((_t + 1) * int(_MIX)) & 0xFFFFFFFFFFFFFFFF)
+            h = (src * n + dst + np.uint64(1)) * _GOLD + tmix
             ok = h <= thresh
             d = dst[ok].astype(np.int64)
             return pa.table(

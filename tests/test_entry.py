@@ -98,6 +98,7 @@ FAST_SUBSET = [
     "er_edges",
     "segment_dedup",
     "warc_roundtrip",
+    "robots_allowed",
 ]
 
 
