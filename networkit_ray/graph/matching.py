@@ -89,11 +89,66 @@ def suitor_matching(
     return _dominant_rounds(active, max_rounds)
 
 
+import os
+
+import ray
+
+_LOCAL_COLLAPSE = int(os.environ.get("NKR_MATCHING_COLLAPSE", 200_000))
+
+
+@ray.remote
+def _dominant_local(max_rounds: int, *tables) -> tuple:
+    """State-sized collapse: the identical locally-dominant rounds in ONE
+    task (louvain's small-level pattern).  The matching is uniquely
+    determined by the (collision-free) priorities — an edge matches iff
+    it is the minimum at both endpoints among remaining edges — so this
+    is bit-identical to the exchange-based rounds at any size; it exists
+    because each distributed round costs a groupby + four exchanges,
+    which dominates wall time when the edge table is tiny."""
+    live = [t for t in tables if t is not None and len(t)]
+    if not live:
+        return (np.empty(0, np.int64), np.empty(0, np.int64), 0)
+    t = pa.concat_tables(live)
+    src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    p = t["p"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n_max = int(max(src.max(), dst.max())) + 1
+    alive = np.ones(len(src), dtype=bool)
+    out_s, out_d = [], []
+    rounds = 0
+    big = np.iinfo(np.int64).max
+    while rounds < max_rounds and alive.any():
+        rounds += 1
+        minp = np.full(n_max, big, np.int64)
+        np.minimum.at(minp, src[alive], p[alive])
+        np.minimum.at(minp, dst[alive], p[alive])
+        dom = alive & (p == minp[src]) & (p == minp[dst])
+        if not dom.any():
+            break
+        out_s.append(src[dom])
+        out_d.append(dst[dom])
+        mv = np.zeros(n_max, dtype=bool)
+        mv[src[dom]] = True
+        mv[dst[dom]] = True
+        alive &= ~(mv[src] | mv[dst])
+    s = np.concatenate(out_s) if out_s else np.empty(0, np.int64)
+    d = np.concatenate(out_d) if out_d else np.empty(0, np.int64)
+    return (s, d, rounds)
+
+
 def _dominant_rounds(
     active: ray.data.Dataset, max_rounds: int
 ) -> tuple[ray.data.Dataset, dict]:
     """Locally-dominant edge rounds over an (src, dst, p) table: an edge is
     matched iff p is the minimum among remaining edges at BOTH endpoints."""
+    m_edges = active.count()
+    if m_edges <= _LOCAL_COLLAPSE:
+        refs = active.to_arrow_refs()
+        s, d, rounds = ray.get(_dominant_local.remote(max_rounds, *refs))
+        out = ray.data.from_arrow(
+            pa.table({"src": pa.array(s), "dst": pa.array(d)})
+        )
+        return out, {"rounds": rounds, "collapsed": True}
     matched_parts: list[ray.data.Dataset] = []
     rounds = 0
     for _ in range(max_rounds):
