@@ -45,11 +45,14 @@ def log(msg: str) -> None:
 
 
 _SENT = None
+_SENT_BW = None
 
 
 def _sentinel_ms() -> float:
     """Fixed-work contention probe: one 768² matmul on the driver core.
-    ~10-30 ms quiet; inflates with external load on the shared box."""
+    ~10-30 ms quiet; inflates with external CPU load on the shared box.
+    Cache-resident (4.7 MB), so it does NOT see memory-BUS contention —
+    that is ``_sentinel_bw``'s job."""
     global _SENT
     import numpy as np
 
@@ -58,6 +61,29 @@ def _sentinel_ms() -> float:
     t0 = time.perf_counter()
     (_SENT @ _SENT).sum()
     return (time.perf_counter() - t0) * 1000.0
+
+
+def _sentinel_bw() -> float:
+    """Memory-bandwidth probe: copy a 64 MB array, report GB/s.  The
+    exchange kernels are bus-bound, so a stage that is slow while the
+    matmul sentinel is quiet but THIS number is depressed is suffering
+    external memory-bus contention (an effect measured repeatedly on
+    this box: identical PLP code at 0.85 s standalone vs 7.8 s
+    mid-battery with ~65 ms matmul sentinels both times)."""
+    global _SENT_BW
+    import numpy as np
+
+    if _SENT_BW is None:
+        src = np.ones(8 << 20, dtype=np.float64)  # 64 MB, touched
+        dst = np.ones(8 << 20, dtype=np.float64)  # preallocated + touched
+        _SENT_BW = (src, dst)
+    src, dst = _SENT_BW
+    best = float("inf")
+    for _ in range(3):  # best-of-3: one descheduled slice otherwise owns it
+        t0 = time.perf_counter()
+        np.copyto(dst, src)
+        best = min(best, time.perf_counter() - t0)
+    return round((2 * src.nbytes / best) / 1e9, 2)  # read+write bytes
 
 
 def _timed(fn) -> float:
@@ -154,12 +180,14 @@ def run_bench() -> dict:
 
     queries: dict[str, float] = {}
     sentinel: dict[str, float] = {}
+    sentinel_bw: dict[str, float] = {}
     t_total = time.perf_counter()
 
     def stage(name: str, fn, n_rep: int = reps):
         """best-of-n_rep wall time + pre-stage contention sentinel.
         fn() must be re-runnable; the LAST run's return value is kept."""
         sentinel[name] = round(_sentinel_ms(), 1)
+        sentinel_bw[name] = _sentinel_bw()
         best, result = float("inf"), None
         for _ in range(max(1, n_rep)):
             t0 = time.perf_counter()
@@ -230,6 +258,7 @@ def run_bench() -> dict:
             "unit": "sec",
             "queries": {k: round(v, 3) for k, v in queries.items()},
             "sentinel_ms": sentinel,
+            "sentinel_bw_gbps": sentinel_bw,
             "sf": sf_dir,
             "num_cpus": num_cpus,
             "rmat": {"scale": rmat_scale, "n": n, "m": m},
@@ -318,6 +347,38 @@ def run_bench() -> dict:
     web_edges = stage("web_extract", web)
     log(f"web extract: {web_edges.count()} edges from {nd} pages in {queries['web_extract']:.2f}s")
 
+    # round-3 web-tier stages: WARC ingestion, robots admission, CCNet dedup
+    import shutil
+
+    import ray.data
+
+    from networkit_ray.sources.warc import read_warc, write_warc
+    from networkit_ray.web.htmlgen import D_DOMAINS, pages_dataset
+    from networkit_ray.web.robots import robots_filter, robots_table
+
+    warc_dir = "/tmp/nkr_bench_warc"
+
+    def warc_cycle():
+        shutil.rmtree(warc_dir, ignore_errors=True)  # time the full write+read
+        write_warc(pages_dataset(sf_dir), warc_dir, shards=32).materialize()
+        return read_warc(warc_dir).count()
+
+    nw = stage("warc_roundtrip", warc_cycle)
+    log(f"warc: wrote+read {nw} pages in {queries['warc_roundtrip']:.2f}s")
+
+    stage(
+        "robots_filter",
+        lambda: robots_filter(pages_dataset(sf_dir), robots_table(D_DOMAINS)).count(),
+    )
+
+    from networkit_ray.dedup.lines import segment_dedup
+
+    docs_sd = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    nsd = stage("segment_dedup", lambda: segment_dedup(docs_sd).count())
+    log(f"segment_dedup: {nsd} docs kept in {queries['segment_dedup']:.2f}s")
+
     import ray.data
 
     from networkit_ray.dedup.minhash import candidate_pairs
@@ -351,6 +412,7 @@ def run_bench() -> dict:
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in queries.items()},
         "sentinel_ms": sentinel,
+        "sentinel_bw_gbps": sentinel_bw,
         "minhash_ab": ab,
         "sf": sf_dir,
         "num_cpus": num_cpus,
