@@ -2519,7 +2519,7 @@ def q_er_edges(sf_dir):
 
 def q_watts_strogatz_edges(sf_dir):
     """generators/WattsStrogatzGenerator.cpp analog (hash rewiring);
-    rows-only — lattice/rewire-fraction tests in tests/test_sources.py."""
+    bit-exact SQL twin replays the splitmix64 rewiring in DuckDB (_ws_sql)."""
     from networkit_ray.sources.synth import watts_strogatz_edges
 
     edges, _n = watts_strogatz_edges(1024, 4, 0.1)
@@ -3435,6 +3435,32 @@ def _er_sql(n: int, m: int, seed=42) -> str:
                            CAST(xor(zv, zv >> 31) % {n - 1} AS BIGINT) AS vr FROM a3),
         pairs AS (SELECT u, vr + CASE WHEN vr >= u THEN 1 ELSE 0 END AS v FROM a4)
         SELECT DISTINCT LEAST(u, v) AS src, GREATEST(u, v) AS dst FROM pairs
+    """
+
+
+def _ws_sql(n: int, k: int, p: float, seed=42) -> str:
+    """Bit-exact twin of sources/synth.py:watts_strogatz_edges (ring
+    lattice + splitmix64 hash rewiring, canonical undirected, dedup)."""
+    half = k // 2
+    base = (seed * 0x100000001B3) % _M64
+    return f"""
+        WITH i0 AS (SELECT CAST(range AS BIGINT) AS idx FROM range({n * half})),
+        a1 AS (SELECT idx, idx // {half} AS v, (idx % {half}) + 1 AS j,
+            CAST((CAST({base} AS HUGEINT) + CAST(idx AS HUGEINT)*2 + 11400714819323198485) % {_M64} AS UBIGINT) AS zu,
+            CAST((CAST({base} AS HUGEINT) + CAST(idx AS HUGEINT)*2 + 1 + 11400714819323198485) % {_M64} AS UBIGINT) AS zv
+            FROM i0),
+        a2 AS (SELECT idx, v, j, {_mul64_sql('xor(zu, zu >> 30)', 0xBF58476D1CE4E5B9)} AS zu,
+                                 {_mul64_sql('xor(zv, zv >> 30)', 0xBF58476D1CE4E5B9)} AS zv FROM a1),
+        a3 AS (SELECT idx, v, j, {_mul64_sql('xor(zu, zu >> 27)', 0x94D049BB133111EB)} AS zu,
+                                 {_mul64_sql('xor(zv, zv >> 27)', 0x94D049BB133111EB)} AS zv FROM a2),
+        a4 AS (SELECT idx, v, j,
+                      CAST(xor(zu, zu >> 31) AS DOUBLE) / 18446744073709551616.0 AS u1,
+                      CAST(xor(zv, zv >> 31) % {n - 1} AS BIGINT) AS rnd0 FROM a3),
+        a5 AS (SELECT v, (v + j) % {n} AS tgt,
+                      rnd0 + CASE WHEN rnd0 >= v THEN 1 ELSE 0 END AS rnd, u1 FROM a4),
+        picked AS (SELECT v, CASE WHEN u1 < {p!r} THEN rnd ELSE tgt END AS dst FROM a5)
+        SELECT DISTINCT LEAST(v, dst) AS src, GREATEST(v, dst) AS dst
+        FROM picked WHERE dst <> v
     """
 
 
@@ -4472,6 +4498,7 @@ def oracle_sql() -> dict[str, str]:
         "betweenness_pivots": _betweenness_sql(24).replace("{EDGES}", DERIVED_EDGES_SQL),
         "rmat_edges": _rmat_sql(10, 8),
         "er_edges": _er_sql(1024, 4096),
+        "watts_strogatz_edges": _ws_sql(1024, 4, 0.1),
         "cc_sizes": f"SELECT label, CAST(COUNT(*) AS BIGINT) AS size FROM ({cc_sql}) GROUP BY label",
         "num_components": f"SELECT CAST(COUNT(DISTINCT label) AS BIGINT) AS n_components FROM ({cc_sql})",
         "modularity": f"""

@@ -99,6 +99,7 @@ FAST_SUBSET = [
     "segment_dedup",
     "warc_roundtrip",
     "robots_allowed",
+    "watts_strogatz_edges",
 ]
 
 
@@ -171,7 +172,6 @@ def test_queries_oracles_consistent():
         "lfr_edges",
         "lfr_mixing",
         "chung_lu_edges",
-        "watts_strogatz_edges",
         "max_flow",
         "commute_time",
         "pivot_mds",
