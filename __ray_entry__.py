@@ -3438,6 +3438,43 @@ def _er_sql(n: int, m: int, seed=42) -> str:
     """
 
 
+def _coloring_sql(rounds: int) -> str:
+    """Exact Jones-Plassmann twin: per unrolled round, a vertex whose
+    priority p(v) = ((v+1)*GOLD) mod 2^64 is the strict max among its
+    still-uncolored neighbors takes the mex of its colored neighborhood
+    (mex via a 0..255 number series anti-joined against neighbor colors).
+    ``rounds`` = the engine's max_rounds (64); both sides finish the sf
+    battery well inside it (sf0.001 needs <48, sf0.01 <48)."""
+    parts = [
+        "WITH e AS MATERIALIZED (SELECT src, dst FROM ({SYM}))",
+        "nodes AS MATERIALIZED (SELECT CAST(c_custkey AS BIGINT) AS v FROM customer)",
+        f"pri AS MATERIALIZED (SELECT v, {_mul64_sql('v + 1', 0x9E3779B97F4A7C15)} AS p FROM nodes)",
+        "nums AS MATERIALIZED (SELECT CAST(ROW_NUMBER() OVER () - 1 AS BIGINT) AS k FROM customer LIMIT 256)",
+        "c0 AS MATERIALIZED (SELECT v, CAST(NULL AS BIGINT) AS color FROM nodes WHERE FALSE)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"u{r} AS MATERIALIZED (SELECT nodes.v, pri.p FROM nodes JOIN pri ON pri.v = nodes.v "
+            f"WHERE NOT EXISTS (SELECT 1 FROM c{r-1} c WHERE c.v = nodes.v))"
+        )
+        parts.append(
+            f"elig{r} AS MATERIALIZED (SELECT u.v FROM u{r} u WHERE NOT EXISTS ("
+            f"SELECT 1 FROM e JOIN u{r} uu ON uu.v = e.dst "
+            f"WHERE e.src = u.v AND uu.p > u.p))"
+        )
+        parts.append(
+            f"newc{r} AS MATERIALIZED (SELECT el.v, "
+            f"(SELECT MIN(nums.k) FROM nums WHERE NOT EXISTS ("
+            f"SELECT 1 FROM e JOIN c{r-1} cc ON cc.v = e.dst "
+            f"WHERE e.src = el.v AND cc.color = nums.k)) AS color "
+            f"FROM elig{r} el)"
+        )
+        parts.append(
+            f"c{r} AS MATERIALIZED (SELECT * FROM c{r-1} UNION ALL SELECT * FROM newc{r})"
+        )
+    return ",\n".join(parts) + f"\nSELECT v, color FROM c{rounds}"
+
+
 def _ws_sql(n: int, k: int, p: float, seed=42) -> str:
     """Bit-exact twin of sources/synth.py:watts_strogatz_edges (ring
     lattice + splitmix64 hash rewiring, canonical undirected, dedup)."""
@@ -4499,6 +4536,7 @@ def oracle_sql() -> dict[str, str]:
         "rmat_edges": _rmat_sql(10, 8),
         "er_edges": _er_sql(1024, 4096),
         "watts_strogatz_edges": _ws_sql(1024, 4, 0.1),
+        "greedy_coloring": _coloring_sql(64).replace("{SYM}", SYMMETRIC_EDGES_SQL),
         "cc_sizes": f"SELECT label, CAST(COUNT(*) AS BIGINT) AS size FROM ({cc_sql}) GROUP BY label",
         "num_components": f"SELECT CAST(COUNT(DISTINCT label) AS BIGINT) AS n_components FROM ({cc_sql})",
         "modularity": f"""

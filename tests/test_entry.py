@@ -100,6 +100,7 @@ FAST_SUBSET = [
     "warc_roundtrip",
     "robots_allowed",
     "watts_strogatz_edges",
+    "greedy_coloring",
 ]
 
 
@@ -150,7 +151,6 @@ def test_queries_oracles_consistent():
     rows_only = set(qs) - set(os_)
     assert rows_only == {
         "spanning_forest",
-        "greedy_coloring",
         "maximal_cliques",
         "betweenness",
         "effective_diameter",
