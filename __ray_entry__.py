@@ -2806,9 +2806,11 @@ def q_effective_diameter(sf_dir):
 
     sym, n = _sym(sf_dir)
     eff, info = effective_diameter(sym, n, ratio=0.9)
+    # 4 decimals: the SQL twin reproduces the FM curve to ~1e-12 relative,
+    # so 4-dp rounding leaves no realistic knife-edge on the interpolation
     return pa.table(
         {
-            "effective_diameter": pa.array(round_half_away([eff], 6)),
+            "effective_diameter": pa.array(round_half_away([eff], 4)),
             "iterations": pa.array([info["iterations"]], pa.int64()),
         }
     )
@@ -2818,7 +2820,9 @@ def q_hop_plot(sf_dir):
     from networkit_ray.graph.diameter import hop_plot
 
     sym, n = _sym(sf_dir)
-    return _round_col(hop_plot(sym, n), "n_pairs", 4)
+    # 2 decimals: n_pairs is O(n^2)-magnitude, where 4-dp rounding would sit
+    # inside cross-system float-summation noise; 2 dp is exact vs the twin
+    return _round_col(hop_plot(sym, n), "n_pairs", 2)
 
 
 def q_hop_histogram(sf_dir):
@@ -3435,6 +3439,83 @@ def _er_sql(n: int, m: int, seed=42) -> str:
                            CAST(xor(zv, zv >> 31) % {n - 1} AS BIGINT) AS vr FROM a3),
         pairs AS (SELECT u, vr + CASE WHEN vr >= u THEN 1 ELSE 0 END AS v FROM a4)
         SELECT DISTINCT LEAST(u, v) AS src, GREATEST(u, v) AS dst FROM pairs
+    """
+
+
+def _anf_sql_body(rounds: int) -> str:
+    """Shared CTE body for the ANF (Flajolet-Martin bitmask) twins: the
+    splitmix64 per-(v, k) init, ``rounds`` unrolled OR-propagation rounds
+    (DuckDB ``bit_or``), per-round FM estimates (2^mean-least-zero-bit /
+    phi) and the engine's stop round (first round with no sketch change).
+    Trailing zeros of x != 0 via bit_count(xor(x, x-1)) - 1."""
+    parts = [
+        "WITH e AS MATERIALIZED (SELECT src, dst FROM ({SYM}))",
+        "nodes AS MATERIALIZED (SELECT CAST(c_custkey AS BIGINT) AS v FROM customer)",
+        "ks AS MATERIALIZED (SELECT CAST(range AS BIGINT) AS k FROM range(64))",
+        f"h1 AS (SELECT v, k, CAST((CAST(v + 42 + k*2654435769 AS HUGEINT) "
+        f"+ 11400714819323198485) % {_M64} AS UBIGINT) AS z FROM nodes CROSS JOIN ks)",
+        f"h2 AS (SELECT v, k, {_mul64_sql('xor(z, z >> 30)', 0xBF58476D1CE4E5B9)} AS z FROM h1)",
+        f"h3 AS (SELECT v, k, {_mul64_sql('xor(z, z >> 27)', 0x94D049BB133111EB)} AS z FROM h2)",
+        "h4 AS (SELECT v, k, xor(z, z >> 31) AS h FROM h3)",
+        "s0 AS MATERIALIZED (SELECT v, k, CASE "
+        " WHEN h = 0 THEN CAST(9223372036854775808 AS UBIGINT) "
+        " WHEN bit_count(xor(h, h - 1)) - 1 = 63 THEN CAST(9223372036854775808 AS UBIGINT) "
+        " ELSE CAST(1 AS UBIGINT) << (bit_count(xor(h, h - 1)) - 1) END AS b FROM h4)",
+    ]
+    est = (
+        "SELECT {t} AS hop, SUM(POWER(2.0, m)) / 0.77351 AS n_pairs FROM ("
+        "SELECT v, AVG(CASE WHEN inv = 0 THEN CAST('-infinity' AS DOUBLE) "
+        "ELSE CAST(bit_count(xor(inv, inv - 1)) - 1 AS DOUBLE) END) AS m FROM ("
+        "SELECT v, k, CAST(18446744073709551615 AS UBIGINT) - b AS inv FROM s{t}) GROUP BY v)"
+    )
+    for t in range(1, rounds + 1):
+        parts.append(
+            f"s{t} AS MATERIALIZED (SELECT s.v, s.k, s.b | COALESCE(m.b, 0) AS b "
+            f"FROM s{t-1} s LEFT JOIN ("
+            f"SELECT e.dst AS v, p.k, bit_or(p.b) AS b "
+            f"FROM e JOIN s{t-1} p ON p.v = e.src GROUP BY e.dst, p.k"
+            f") m ON m.v = s.v AND m.k = s.k)"
+        )
+        parts.append(
+            f"ch{t} AS (SELECT EXISTS(SELECT 1 FROM s{t} a JOIN s{t-1} b2 "
+            f"ON b2.v = a.v AND b2.k = a.k WHERE a.b <> b2.b) AS c)"
+        )
+    curve_rows = " UNION ALL ".join(
+        "(" + est.format(t=t) + ")" for t in range(rounds + 1)
+    )
+    ch_rows = " UNION ALL ".join(
+        f"(SELECT {t} AS hop, c FROM ch{t})" for t in range(1, rounds + 1)
+    )
+    parts.append(f"curve_all AS ({curve_rows})")
+    parts.append(f"chs AS ({ch_rows})")
+    parts.append(
+        "stop AS (SELECT COALESCE(MIN(hop), 999999) AS t_stop FROM chs WHERE NOT c)"
+    )
+    return ",\n".join(parts)
+
+
+def _hop_plot_sql(rounds: int) -> str:
+    return _anf_sql_body(rounds) + (
+        "\nSELECT hop, ROUND(n_pairs, 2) AS n_pairs FROM curve_all, stop "
+        "WHERE hop <= t_stop ORDER BY hop"
+    )
+
+
+def _effective_diameter_sql(rounds: int, ratio: float = 0.9) -> str:
+    return _anf_sql_body(rounds) + f"""
+        , curve AS (SELECT hop, n_pairs FROM curve_all, stop WHERE hop <= t_stop),
+        tgt AS (SELECT {ratio!r} * n_pairs AS target FROM curve
+                WHERE hop = (SELECT MAX(hop) FROM curve)),
+        hit AS (SELECT MIN(hop) AS t0 FROM curve, tgt WHERE n_pairs >= target)
+        SELECT ROUND(CASE WHEN hit.t0 = 0 OR cur.n_pairs = prev.n_pairs
+                          THEN CAST(hit.t0 AS DOUBLE)
+                          ELSE (hit.t0 - 1) + (tgt.target - prev.n_pairs)
+                               / (cur.n_pairs - prev.n_pairs) END, 4)
+               AS effective_diameter,
+               CAST(stop.t_stop AS BIGINT) AS iterations
+        FROM hit CROSS JOIN tgt CROSS JOIN stop
+        LEFT JOIN curve cur ON cur.hop = hit.t0
+        LEFT JOIN curve prev ON prev.hop = hit.t0 - 1
     """
 
 
@@ -4537,6 +4618,8 @@ def oracle_sql() -> dict[str, str]:
         "er_edges": _er_sql(1024, 4096),
         "watts_strogatz_edges": _ws_sql(1024, 4, 0.1),
         "greedy_coloring": _coloring_sql(64).replace("{SYM}", SYMMETRIC_EDGES_SQL),
+        "hop_plot": _hop_plot_sql(24).replace("{SYM}", SYMMETRIC_EDGES_SQL),
+        "effective_diameter": _effective_diameter_sql(24).replace("{SYM}", SYMMETRIC_EDGES_SQL),
         "cc_sizes": f"SELECT label, CAST(COUNT(*) AS BIGINT) AS size FROM ({cc_sql}) GROUP BY label",
         "num_components": f"SELECT CAST(COUNT(DISTINCT label) AS BIGINT) AS n_components FROM ({cc_sql})",
         "modularity": f"""

@@ -101,6 +101,8 @@ FAST_SUBSET = [
     "robots_allowed",
     "watts_strogatz_edges",
     "greedy_coloring",
+    "hop_plot",
+    "effective_diameter",
 ]
 
 
@@ -153,8 +155,6 @@ def test_queries_oracles_consistent():
         "spanning_forest",
         "maximal_cliques",
         "betweenness",
-        "effective_diameter",
-        "hop_plot",
         "approx_global_clustering",
         "louvain",
         "louvain_modularity",
