@@ -13,10 +13,11 @@ Noise protocol (the sandbox is a shared box; identical code has measured
 4-5× swings run-to-run):
 - every stage is timed best-of-N (default 2; kernels 3) — reruns within
   one invocation, so the best leg reflects code, not tenant drift;
-- a CONTENTION SENTINEL (fixed 768² numpy matmul on the driver) is timed
-  before each stage; per-stage sentinel ms ship in the JSON under
-  "sentinel_ms" so a slow stage with a slow sentinel is attributable to
-  external load, not a regression (quiet-box sentinel ≈ its minimum);
+- TWO CONTENTION SENTINELS run before each stage: a cache-resident 768²
+  matmul ("sentinel_ms", sees driver-core CPU load) and a 64 MB best-of-3
+  memcpy ("sentinel_bw_gbps", sees memory-BUS load — the exchange kernels
+  are bus-bound, and bus contention does not move the matmul probe);
+  quiet box ≈ matmul minimum + ~11-13 GB/s;
 - "minhash_ab" carries an in-process A/B of the vectorized MinHash
   signature kernel vs the round-1 per-gram hashlib loop on the same
   fixture (speedup = loop_sec / vectorized_sec).
