@@ -2979,8 +2979,8 @@ def q_event_type_histogram(sf_dir):
 
 def q_approx_distinct_users(sf_dir):
     """FM-sketch streaming COUNT(DISTINCT user_id) GROUP BY event_type;
-    rows-only — relative-error and determinism tests in
-    tests/test_events_sketch.py."""
+    bit-exact SQL twin replays the sketch in DuckDB (_fm_distinct_sql);
+    relative-error and determinism tests in tests/test_events_sketch.py."""
     import ray.data
 
     from networkit_ray.pipelines.events import approx_distinct_users
@@ -3516,6 +3516,42 @@ def _effective_diameter_sql(rounds: int, ratio: float = 0.9) -> str:
         FROM hit CROSS JOIN tgt CROSS JOIN stop
         LEFT JOIN curve cur ON cur.hop = hit.t0
         LEFT JOIN curve prev ON prev.hop = hit.t0 - 1
+    """
+
+
+def _fm_distinct_sql(r: int = 64, seed: int = 42) -> str:
+    """Exact twin of pipelines/events.py:approx_distinct_users — the FM
+    distinct-user sketch replayed in SQL: splitmix64(u*GOLD + seed*r + k)
+    per (user, row), bit at the capped least-zero-bit position, bit_or
+    union per (event_type, row), 2^mean-least-zero-bit / phi.  The
+    wrapped decrement (inv + 2^64-1 mod 2^64) avoids UBIGINT underflow
+    under DuckDB's eager CASE-branch evaluation."""
+    m1, mc = _M64 - 1, _M64
+    umax = _M64 - 1
+    gold = 0x9E3779B97F4A7C15
+    return f"""
+        WITH ev AS (SELECT DISTINCT CAST(user_id AS UBIGINT) AS u, event_type FROM events),
+        ks AS (SELECT CAST(range AS BIGINT) AS k FROM range({r})),
+        x0 AS (SELECT event_type, k,
+            CAST((CAST({_mul64_sql('u', gold)} AS HUGEINT) + {seed * r} + k) % {_M64} AS UBIGINT) AS x
+            FROM ev CROSS JOIN ks),
+        h1 AS (SELECT event_type, k, CAST((CAST(x AS HUGEINT) + 11400714819323198485) % {_M64} AS UBIGINT) AS z FROM x0),
+        h2 AS (SELECT event_type, k, {_mul64_sql('xor(z, z >> 30)', 0xBF58476D1CE4E5B9)} AS z FROM h1),
+        h3 AS (SELECT event_type, k, {_mul64_sql('xor(z, z >> 27)', 0x94D049BB133111EB)} AS z FROM h2),
+        h4 AS (SELECT event_type, k, xor(z, z >> 31) AS h FROM h3),
+        inv1 AS (SELECT event_type, k, CAST({umax} AS UBIGINT) - h AS inv FROM h4),
+        rho AS (SELECT event_type, k, LEAST(CASE WHEN inv = 0 THEN 64
+            ELSE bit_count(xor(inv, CAST((CAST(inv AS HUGEINT) + {m1}) % {mc} AS UBIGINT))) - 1 END, 63) AS p
+            FROM inv1),
+        bits AS (SELECT event_type, k, CASE WHEN p = 63 THEN CAST(9223372036854775808 AS UBIGINT)
+            ELSE CAST(1 AS UBIGINT) << p END AS b FROM rho),
+        masks AS (SELECT event_type, k, bit_or(b) AS m FROM bits GROUP BY event_type, k),
+        inv2 AS (SELECT event_type, k, CAST({umax} AS UBIGINT) - m AS inv FROM masks),
+        lz AS (SELECT event_type, k, CASE WHEN inv = 0 THEN 64
+            ELSE bit_count(xor(inv, CAST((CAST(inv AS HUGEINT) + {m1}) % {mc} AS UBIGINT))) - 1 END AS p
+            FROM inv2)
+        SELECT event_type, ROUND(POWER(2.0, AVG(CAST(p AS DOUBLE))) / 0.77351, 6) AS approx_distinct
+        FROM lz GROUP BY event_type ORDER BY event_type
     """
 
 
@@ -4620,6 +4656,7 @@ def oracle_sql() -> dict[str, str]:
         "greedy_coloring": _coloring_sql(64).replace("{SYM}", SYMMETRIC_EDGES_SQL),
         "hop_plot": _hop_plot_sql(24).replace("{SYM}", SYMMETRIC_EDGES_SQL),
         "effective_diameter": _effective_diameter_sql(24).replace("{SYM}", SYMMETRIC_EDGES_SQL),
+        "approx_distinct_users": _fm_distinct_sql(),
         "cc_sizes": f"SELECT label, CAST(COUNT(*) AS BIGINT) AS size FROM ({cc_sql}) GROUP BY label",
         "num_components": f"SELECT CAST(COUNT(DISTINCT label) AS BIGINT) AS n_components FROM ({cc_sql})",
         "modularity": f"""

@@ -103,6 +103,7 @@ FAST_SUBSET = [
     "greedy_coloring",
     "hop_plot",
     "effective_diameter",
+    "approx_distinct_users",
 ]
 
 
@@ -168,7 +169,6 @@ def test_queries_oracles_consistent():
         "ann_lsh_topk",
         "ann_ivf_topk",
         "multimodal_decode",
-        "approx_distinct_users",
         "lfr_edges",
         "lfr_mixing",
         "chung_lu_edges",
