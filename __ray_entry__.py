@@ -1660,7 +1660,8 @@ def q_clique_detect(sf_dir):
 
 
 def q_lp_degree_ordered(sf_dir):
-    """LPDegreeOrdered communities (rows-only: tiered argmax schedule)."""
+    """LPDegreeOrdered communities; exact unrolled tiered-argmax SQL twin
+    (_lpdo_sql) replays the 4-tier sub-superstep schedule."""
     from networkit_ray.graph.plp import lp_degree_ordered
 
     sym, n = _sym(sf_dir)
@@ -3519,6 +3520,40 @@ def _effective_diameter_sql(rounds: int, ratio: float = 0.9) -> str:
     """
 
 
+def _lpdo_sql(iters: int, tiers: int = 4) -> str:
+    """Exact LPDegreeOrdered twin: per unrolled iteration, ``tiers``
+    sub-steps apply the argmax-min-label update only to vertices in the
+    tier (tier = capped floor(log2(deg)), computed with pure integer
+    CASE ranges — no float log).  The engine stops only at a zero-update
+    full-iteration fixpoint, so any unroll >= its iteration count (6-7
+    on the sf battery; 25 here) is value-identical."""
+    parts = [
+        "WITH e AS MATERIALIZED (SELECT src, dst FROM ({SYM}))",
+        "nodes AS MATERIALIZED (SELECT CAST(c_custkey AS BIGINT) AS v FROM customer)",
+        "tiers AS MATERIALIZED (SELECT nodes.v, CASE WHEN COALESCE(d.deg, 0) >= 8 THEN 3 "
+        "WHEN COALESCE(d.deg, 0) >= 4 THEN 2 WHEN COALESCE(d.deg, 0) >= 2 THEN 1 ELSE 0 END AS tier "
+        "FROM nodes LEFT JOIN (SELECT src AS v, COUNT(*) AS deg FROM e GROUP BY src) d ON d.v = nodes.v)",
+        "t0 AS MATERIALIZED (SELECT v, v AS label FROM nodes)",
+    ]
+    s = 0
+    for _ in range(1, iters + 1):
+        for tier in range(tiers):
+            s += 1
+            parts.append(
+                f"t{s} AS MATERIALIZED (SELECT n.v, "
+                f"CASE WHEN tv.tier = {tier} AND u.label IS NOT NULL THEN u.label "
+                f"ELSE p.label END AS label "
+                f"FROM nodes n JOIN t{s-1} p ON p.v = n.v JOIN tiers tv ON tv.v = n.v "
+                f"LEFT JOIN ("
+                f"SELECT dst AS v, label FROM ("
+                f"SELECT e.dst, q.label, ROW_NUMBER() OVER (PARTITION BY e.dst "
+                f"ORDER BY COUNT(*) DESC, q.label ASC) AS rn "
+                f"FROM e JOIN t{s-1} q ON q.v = e.src GROUP BY e.dst, q.label) "
+                f"WHERE rn = 1) u ON u.v = n.v)"
+            )
+    return ",\n".join(parts) + f"\nSELECT v, label FROM t{s}"
+
+
 def _fm_distinct_sql(r: int = 64, seed: int = 42) -> str:
     """Exact twin of pipelines/events.py:approx_distinct_users — the FM
     distinct-user sketch replayed in SQL: splitmix64(u*GOLD + seed*r + k)
@@ -4657,6 +4692,7 @@ def oracle_sql() -> dict[str, str]:
         "hop_plot": _hop_plot_sql(24).replace("{SYM}", SYMMETRIC_EDGES_SQL),
         "effective_diameter": _effective_diameter_sql(24).replace("{SYM}", SYMMETRIC_EDGES_SQL),
         "approx_distinct_users": _fm_distinct_sql(),
+        "lp_degree_ordered": _lpdo_sql(25).replace("{SYM}", SYMMETRIC_EDGES_SQL),
         "cc_sizes": f"SELECT label, CAST(COUNT(*) AS BIGINT) AS size FROM ({cc_sql}) GROUP BY label",
         "num_components": f"SELECT CAST(COUNT(DISTINCT label) AS BIGINT) AS n_components FROM ({cc_sql})",
         "modularity": f"""

@@ -104,6 +104,7 @@ FAST_SUBSET = [
     "hop_plot",
     "effective_diameter",
     "approx_distinct_users",
+    "lp_degree_ordered",
 ]
 
 
@@ -181,7 +182,6 @@ def test_queries_oracles_consistent():
         "gce_community",
         "lfm_community",
         "biconnected_components",
-        "lp_degree_ordered",
         "clique_detect",
         "agglomerative_communities",
         "kmeans_clusters",
