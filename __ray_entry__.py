@@ -2502,7 +2502,8 @@ def q_hyperbolic_edges(sf_dir):
 
 def q_barabasi_albert(sf_dir):
     """generators/BarabasiAlbertGenerator.cpp Batagelj form (hash draws);
-    rows-only — sequential-replica-exact tests in tests/test_generators2.py."""
+    bit-exact SQL twin replays the hash positions + pointer chase
+    (_ba_sql); sequential-replica tests in tests/test_generators2.py."""
     from networkit_ray.sources.synth import barabasi_albert_edges
 
     edges, _n = barabasi_albert_edges(1024, 4, seed=42)
@@ -3518,6 +3519,53 @@ def _effective_diameter_sql(rounds: int, ratio: float = 0.9) -> str:
         LEFT JOIN curve cur ON cur.hop = hit.t0
         LEFT JOIN curve prev ON prev.hop = hit.t0 - 1
     """
+
+
+def _ba_sql(n: int, k: int, seed: int = 42, chase_rounds: int = 16) -> str:
+    """Bit-exact twin of sources/synth.py:barabasi_albert_edges
+    (Batagelj–Brandes hash-position form): r_i = splitmix64(i + base) mod
+    (s_len + 2i); odd endpoint-array positions forward to attachment
+    r_{(x-s_len-1)/2}, resolved here by ``chase_rounds`` unrolled lookup
+    rounds (max observed chain depth 8 at the query's (1024, 4));
+    even positions resolve to node (x-s_len)/2/k + k, seed positions to
+    the init-path value."""
+    base = (seed * 0x100000001B3) % _M64
+    seed_vals = []
+    for v in range(k):
+        seed_vals.append(v)
+        seed_vals.append(v)
+    seed_arr = seed_vals[1:-1]  # 0,1,1,2,...,k-1
+    s_len = len(seed_arr)
+    m = (n - k) * k
+    seed_rows = ", ".join(f"({p}, {v})" for p, v in enumerate(seed_arr))
+    parts = [
+        f"WITH i0 AS (SELECT CAST(range AS BIGINT) AS i FROM range({m}))",
+        f"h1 AS (SELECT i, CAST((CAST(i AS HUGEINT) + {base} + 11400714819323198485) % {_M64} AS UBIGINT) AS z FROM i0)",
+        f"h2 AS (SELECT i, {_mul64_sql('xor(z, z >> 30)', 0xBF58476D1CE4E5B9)} AS z FROM h1)",
+        f"h3 AS (SELECT i, {_mul64_sql('xor(z, z >> 27)', 0x94D049BB133111EB)} AS z FROM h2)",
+        f"ri AS MATERIALIZED (SELECT i, CAST(xor(z, z >> 31) % CAST({s_len} + 2*i AS UBIGINT) AS BIGINT) AS r FROM h3)",
+        "x0 AS (SELECT i, r AS x FROM ri)",
+    ]
+    for t in range(1, chase_rounds + 1):
+        parts.append(
+            f"x{t} AS MATERIALIZED (SELECT a.i, "
+            f"CASE WHEN a.x >= {s_len} AND (a.x - {s_len}) % 2 = 1 THEN b.r ELSE a.x END AS x "
+            f"FROM x{t-1} a LEFT JOIN ri b ON b.i = (a.x - {s_len} - 1) // 2)"
+        )
+    parts.append(f"seedarr(pos, val) AS (VALUES {seed_rows})")
+    parts.append(
+        f"att AS (SELECT a.i // {k} + {k} AS src, "
+        f"CASE WHEN a.x < {s_len} THEN s.val "
+        f"ELSE ((a.x - {s_len}) // 2) // {k} + {k} END AS dst "
+        f"FROM x{chase_rounds} a LEFT JOIN seedarr s ON s.pos = a.x)"
+    )
+    parts.append(
+        f"init AS (SELECT CAST(range + 1 AS BIGINT) AS src, CAST(range AS BIGINT) AS dst FROM range({k - 1}))"
+    )
+    return ",\n".join(parts) + (
+        "\nSELECT DISTINCT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst "
+        "FROM (SELECT * FROM init UNION ALL SELECT * FROM att) WHERE src <> dst"
+    )
 
 
 def _lpdo_sql(iters: int, tiers: int = 4) -> str:
@@ -4693,6 +4741,7 @@ def oracle_sql() -> dict[str, str]:
         "effective_diameter": _effective_diameter_sql(24).replace("{SYM}", SYMMETRIC_EDGES_SQL),
         "approx_distinct_users": _fm_distinct_sql(),
         "lp_degree_ordered": _lpdo_sql(25).replace("{SYM}", SYMMETRIC_EDGES_SQL),
+        "barabasi_albert": _ba_sql(1024, 4),
         "cc_sizes": f"SELECT label, CAST(COUNT(*) AS BIGINT) AS size FROM ({cc_sql}) GROUP BY label",
         "num_components": f"SELECT CAST(COUNT(DISTINCT label) AS BIGINT) AS n_components FROM ({cc_sql})",
         "modularity": f"""

@@ -105,6 +105,7 @@ FAST_SUBSET = [
     "effective_diameter",
     "approx_distinct_users",
     "lp_degree_ordered",
+    "barabasi_albert",
 ]
 
 
@@ -196,7 +197,6 @@ def test_queries_oracles_consistent():
         "lfm_cover",
         "prefix_jaccard_scores",
         "ged_walk",
-        "barabasi_albert",
         "path_growing_matching",
         "sgns_embeddings",
         "hyperbolic_edges",
