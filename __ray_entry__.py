@@ -3521,6 +3521,76 @@ def _effective_diameter_sql(rounds: int, ratio: float = 0.9) -> str:
     """
 
 
+def _sm64_stages(tag: str, src_cte: str, arg_expr: str, keep: str) -> list[str]:
+    """3 staged CTEs computing splitmix64(arg_expr) as column ``h``
+    (carrying the ``keep`` columns through)."""
+    return [
+        f"{tag}a AS (SELECT {keep}, CAST((CAST({arg_expr} AS HUGEINT) "
+        f"+ 11400714819323198485) % {_M64} AS UBIGINT) AS z FROM {src_cte})",
+        f"{tag}b AS (SELECT {keep}, {_mul64_sql('xor(z, z >> 30)', 0xBF58476D1CE4E5B9)} AS z FROM {tag}a)",
+        f"{tag}c AS (SELECT {keep}, xor({_mul64_sql('xor(z, z >> 27)', 0x94D049BB133111EB)}, "
+        f"{_mul64_sql('xor(z, z >> 27)', 0x94D049BB133111EB)} >> 31) AS h FROM {tag}b)",
+    ]
+
+
+def _kpath_sql(k: int = 5) -> str:
+    """Exact twin of graph/walks.py:k_path_centrality — ``k`` unrolled
+    self-avoiding walk steps: walker w starts at splitmix64-derived
+    position with hash length 1..k; each step joins the frontier to the
+    adjacency, excludes visited endpoints (v0..vk columns), and picks the
+    neighbor minimizing the keyed hash (ROW_NUMBER over h); dead walkers
+    simply produce no row.  score = visits * k / num_walks at 8 dp."""
+    GOLD, MIX, P3 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    base = (42 * 0x100000001B3) % _M64
+    vcols = [f"v{i}" for i in range(k + 1)]
+    parts = [
+        "WITH bi AS MATERIALIZED (SELECT src AS u, dst AS nbr FROM ({SYM}))",
+        "nodes AS MATERIALIZED (SELECT CAST(c_custkey AS BIGINT) AS v FROM customer)",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        "ws AS MATERIALIZED (SELECT CAST(ROW_NUMBER() OVER () - 1 AS BIGINT) AS w FROM customer "
+        "QUALIFY ROW_NUMBER() OVER () <= (SELECT n // 2 FROM nn))",
+        f"g0 AS (SELECT w, CAST((CAST({_mul64_sql('w', GOLD)} AS HUGEINT) + {base}) % {_M64} AS UBIGINT) AS xs, "
+        f"CAST((CAST({_mul64_sql('w', GOLD)} AS HUGEINT) + {MIX} + {base}) % {_M64} AS UBIGINT) AS xl FROM ws)",
+    ]
+    parts += _sm64_stages("hs", "g0", "xs", "w, xl")
+    parts += ["g1 AS (SELECT w, xl, h AS hstart FROM hsc)"]
+    parts += _sm64_stages("hl", "g1", "xl", "w, hstart")
+    parts += [
+        "inits AS MATERIALIZED (SELECT w, CAST(hstart % CAST((SELECT n FROM nn) AS UBIGINT) AS BIGINT) AS cur, "
+        f"CAST(h % {k} AS BIGINT) + 1 AS l FROM hlc)",
+        "wk0 AS MATERIALIZED (SELECT w, cur, l, cur AS v0, "
+        + ", ".join(f"CAST(-1 AS BIGINT) AS v{i}" for i in range(1, k + 1))
+        + " FROM inits)",
+    ]
+    for j in range(k):
+        cj = ((j + 1) * MIX) % _M64
+        notin = " AND ".join(f"e.nbr <> a.v{i}" for i in range(k + 1))
+        keep = "w, cur, l, " + ", ".join(vcols) + ", nbr"
+        parts.append(
+            f"c{j}0 AS (SELECT a.w, a.cur, a.l, "
+            + ", ".join(f"a.v{i}" for i in range(k + 1))
+            + f", e.nbr, CAST((CAST({_mul64_sql('a.w + 1', GOLD)} AS HUGEINT) + {cj} "
+            f"+ CAST({_mul64_sql('e.nbr', P3)} AS HUGEINT) + {base}) % {_M64} AS UBIGINT) AS xh "
+            f"FROM wk{j} a JOIN bi e ON e.u = a.cur WHERE a.l > {j} AND {notin})"
+        )
+        parts += _sm64_stages(f"c{j}h", f"c{j}0", "xh", keep)
+        newv = ", ".join(
+            (f"nbr AS v{i}") if i == j + 1 else f"v{i}" for i in range(k + 1)
+        )
+        parts.append(
+            f"wk{j+1} AS MATERIALIZED (SELECT w, nbr AS cur, l, {newv} FROM ("
+            f"SELECT *, ROW_NUMBER() OVER (PARTITION BY w ORDER BY h) AS rn FROM c{j}hc"
+            f") WHERE rn = 1)"
+        )
+    visits = " UNION ALL ".join(f"SELECT cur AS v FROM wk{j}" for j in range(1, k + 1))
+    return ",\n".join(parts) + f"""
+        , visits AS ({visits}),
+        counts AS (SELECT v, COUNT(*) AS cnt FROM visits GROUP BY v)
+        SELECT nodes.v, ROUND(COALESCE(counts.cnt, 0) * {k}.0 / (SELECT n // 2 FROM nn), 8) AS score
+        FROM nodes LEFT JOIN counts ON counts.v = nodes.v ORDER BY nodes.v
+    """
+
+
 def _ba_sql(n: int, k: int, seed: int = 42, chase_rounds: int = 16) -> str:
     """Bit-exact twin of sources/synth.py:barabasi_albert_edges
     (Batagelj–Brandes hash-position form): r_i = splitmix64(i + base) mod
@@ -4742,6 +4812,7 @@ def oracle_sql() -> dict[str, str]:
         "approx_distinct_users": _fm_distinct_sql(),
         "lp_degree_ordered": _lpdo_sql(25).replace("{SYM}", SYMMETRIC_EDGES_SQL),
         "barabasi_albert": _ba_sql(1024, 4),
+        "k_path_centrality": _kpath_sql(5).replace("{SYM}", SYMMETRIC_EDGES_SQL),
         "cc_sizes": f"SELECT label, CAST(COUNT(*) AS BIGINT) AS size FROM ({cc_sql}) GROUP BY label",
         "num_components": f"SELECT CAST(COUNT(DISTINCT label) AS BIGINT) AS n_components FROM ({cc_sql})",
         "modularity": f"""

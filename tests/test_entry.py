@@ -106,6 +106,7 @@ FAST_SUBSET = [
     "approx_distinct_users",
     "lp_degree_ordered",
     "barabasi_albert",
+    "k_path_centrality",
 ]
 
 
@@ -192,7 +193,6 @@ def test_queries_oracles_consistent():
         "localt_community",
         "lte_community",
         "forest_fire_scores",
-        "k_path_centrality",
         "warm_katz",
         "lfm_cover",
         "prefix_jaccard_scores",
