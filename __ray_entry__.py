@@ -3521,6 +3521,49 @@ def _effective_diameter_sql(rounds: int, ratio: float = 0.9) -> str:
     """
 
 
+def _forest_sql(rounds: int) -> str:
+    """Exact Boruvka twin of graph/forest.py:spanning_forest — per
+    unrolled round: min-label closure (recursive CTE) gives component
+    labels of the forest so far, every cross-component canonical edge is
+    keyed src*n+dst, each component keeps its minimum key, the distinct
+    winners join the forest.  Converged rounds are no-ops, so any unroll
+    >= ceil(log2(n)) component-halving rounds is value-identical."""
+    n = "(SELECT COUNT(*) FROM customer)"
+    parts = [
+        "WITH RECURSIVE canon AS MATERIALIZED (SELECT src, dst FROM ({CANON}))",
+        "nodes AS MATERIALIZED (SELECT CAST(c_custkey AS BIGINT) AS v FROM customer)",
+        "f0 AS MATERIALIZED (SELECT CAST(NULL AS BIGINT) AS src, CAST(NULL AS BIGINT) AS dst WHERE FALSE)",
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f"se{t} AS (SELECT src, dst FROM f{t-1} UNION ALL SELECT dst, src FROM f{t-1})"
+        )
+        parts.append(
+            f"r{t}(v, l) AS (SELECT v, v FROM nodes UNION "
+            f"SELECT se{t}.dst, r{t}.l FROM r{t} JOIN se{t} ON se{t}.src = r{t}.v)"
+        )
+        parts.append(
+            f"lab{t} AS MATERIALIZED (SELECT v, MIN(l) AS l FROM r{t} GROUP BY v)"
+        )
+        parts.append(
+            f"cand{t} AS MATERIALIZED (SELECT a.l AS c, canon.src * {n} + canon.dst AS key "
+            f"FROM canon JOIN lab{t} a ON a.v = canon.src JOIN lab{t} b ON b.v = canon.dst "
+            f"WHERE a.l <> b.l "
+            f"UNION ALL "
+            f"SELECT b.l AS c, canon.src * {n} + canon.dst AS key "
+            f"FROM canon JOIN lab{t} a ON a.v = canon.src JOIN lab{t} b ON b.v = canon.dst "
+            f"WHERE a.l <> b.l)"
+        )
+        parts.append(
+            f"pick{t} AS (SELECT DISTINCT MIN(key) AS key FROM cand{t} GROUP BY c)"
+        )
+        parts.append(
+            f"f{t} AS MATERIALIZED (SELECT src, dst FROM f{t-1} UNION "
+            f"SELECT CAST(key // {n} AS BIGINT), CAST(key % {n} AS BIGINT) FROM pick{t})"
+        )
+    return ",\n".join(parts) + f"\nSELECT src, dst FROM f{rounds}"
+
+
 def _sm64_stages(tag: str, src_cte: str, arg_expr: str, keep: str) -> list[str]:
     """3 staged CTEs computing splitmix64(arg_expr) as column ``h``
     (carrying the ``keep`` columns through)."""
@@ -4813,6 +4856,7 @@ def oracle_sql() -> dict[str, str]:
         "lp_degree_ordered": _lpdo_sql(25).replace("{SYM}", SYMMETRIC_EDGES_SQL),
         "barabasi_albert": _ba_sql(1024, 4),
         "k_path_centrality": _kpath_sql(5).replace("{SYM}", SYMMETRIC_EDGES_SQL),
+        "spanning_forest": _forest_sql(12).replace("{CANON}", CANONICAL_EDGES_SQL),
         "cc_sizes": f"SELECT label, CAST(COUNT(*) AS BIGINT) AS size FROM ({cc_sql}) GROUP BY label",
         "num_components": f"SELECT CAST(COUNT(DISTINCT label) AS BIGINT) AS n_components FROM ({cc_sql})",
         "modularity": f"""

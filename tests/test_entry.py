@@ -107,6 +107,7 @@ FAST_SUBSET = [
     "lp_degree_ordered",
     "barabasi_albert",
     "k_path_centrality",
+    "spanning_forest",
 ]
 
 
@@ -156,7 +157,6 @@ def test_queries_oracles_consistent():
     # the non-SQL set is intentional and documented
     rows_only = set(qs) - set(os_)
     assert rows_only == {
-        "spanning_forest",
         "maximal_cliques",
         "betweenness",
         "approx_global_clustering",
