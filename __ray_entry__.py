@@ -3576,6 +3576,89 @@ def _sm64_stages(tag: str, src_cte: str, arg_expr: str, keep: str) -> list[str]:
     ]
 
 
+def _ff_key_sql(f: str, v: str, r: int, t_expr: str, b: int) -> str:
+    """((f*P1 + v)*P2 + r)*P3 + t*2 + b + base mod 2^64 — the forest-fire
+    keyed counter (graph/sparsification.py:_ff_key) pre-splitmix."""
+    P1, P2, P3 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    base = (42 * 0x100000001B3) % _M64
+    s1 = f"CAST((CAST({_mul64_sql(f, P1)} AS HUGEINT) + {v}) % {_M64} AS UBIGINT)"
+    s2 = f"CAST((CAST({_mul64_sql(s1, P2)} AS HUGEINT) + {r}) % {_M64} AS UBIGINT)"
+    return (
+        f"CAST((CAST({_mul64_sql(s2, P3)} AS HUGEINT) + ({t_expr})*2 + {b} + {base}) "
+        f"% {_M64} AS UBIGINT)"
+    )
+
+
+def _ff_sql(rounds: int, pf: float = 0.7, cap: int = 16) -> str:
+    """Exact twin of graph/sparsification.py:forest_fire_scores — per
+    unrolled round: frontier x adjacency anti-joined against the
+    per-fire visited set; per (fire, v) the burn count k is the prefix of
+    16 keyed uniform draws <= pf and the burn targets are the k smallest
+    keyed-hash neighbors (ROW_NUMBER); scores are per-edge burn counts
+    normalized by the max.  The fire dies within 16 rounds on the sf
+    battery; empty rounds are no-ops in both systems."""
+    nf = "(SELECT GREATEST(1, COUNT(*) // 50) FROM customer)"
+    n = "(SELECT COUNT(*) FROM customer)"
+    base = (42 * 0x100000001B3) % _M64
+    parts = [
+        "WITH canon AS MATERIALIZED (SELECT src, dst FROM ({CANON}))",
+        "bi AS MATERIALIZED (SELECT src AS u, dst AS nbr FROM canon UNION ALL SELECT dst, src FROM canon)",
+        f"fires AS MATERIALIZED (SELECT CAST(ROW_NUMBER() OVER () - 1 AS BIGINT) AS f FROM customer "
+        f"QUALIFY ROW_NUMBER() OVER () <= {nf})",
+        f"fs0 AS (SELECT f, CAST((CAST(f AS HUGEINT) + {base}) % {_M64} AS UBIGINT) AS xs FROM fires)",
+    ]
+    parts += _sm64_stages("fh", "fs0", "xs", "f")
+    parts += [
+        f"fr0 AS MATERIALIZED (SELECT f, CAST(h % CAST({n} AS UBIGINT) AS BIGINT) AS v FROM fhc)",
+        "vis0 AS MATERIALIZED (SELECT f, v FROM fr0)",
+        f"js AS MATERIALIZED (SELECT CAST(range AS BIGINT) AS j FROM range({cap}))",
+    ]
+    burn_selects = []
+    for r in range(rounds):
+        parts.append(
+            f"cand{r} AS MATERIALIZED (SELECT fr.f, fr.v, bi.nbr FROM fr{r} fr "
+            f"JOIN bi ON bi.u = fr.v WHERE NOT EXISTS ("
+            f"SELECT 1 FROM vis{r} w WHERE w.f = fr.f AND w.v = bi.nbr))"
+        )
+        parts.append(
+            f"ck{r} AS (SELECT f, v, nbr, {_ff_key_sql('f', 'v', r, 'nbr', 1)} AS xk FROM cand{r})"
+        )
+        parts += _sm64_stages(f"ch{r}", f"ck{r}", "xk", "f, v, nbr")
+        parts.append(
+            f"rk{r} AS (SELECT f, v, nbr, ROW_NUMBER() OVER (PARTITION BY f, v ORDER BY h) - 1 AS rnk FROM ch{r}c)"
+        )
+        parts.append(
+            f"gq{r} AS (SELECT g.f, g.v, js.j, {_ff_key_sql('g.f', 'g.v', r, 'js.j', 0)} AS xk "
+            f"FROM (SELECT DISTINCT f, v FROM cand{r}) g CROSS JOIN js)"
+        )
+        parts += _sm64_stages(f"qh{r}", f"gq{r}", "xk", "f, v, j")
+        parts.append(
+            f"kk{r} AS (SELECT f, v, COALESCE(MIN(CASE WHEN CAST(h AS DOUBLE) / 18446744073709551616.0 > {pf!r} "
+            f"THEN j END), {cap}) AS k FROM qh{r}c GROUP BY f, v)"
+        )
+        parts.append(
+            f"burn{r} AS MATERIALIZED (SELECT rk.f, rk.v, rk.nbr FROM rk{r} rk "
+            f"JOIN kk{r} kk ON kk.f = rk.f AND kk.v = rk.v WHERE rk.rnk < kk.k)"
+        )
+        parts.append(
+            f"fr{r+1} AS MATERIALIZED (SELECT DISTINCT f, nbr AS v FROM burn{r})"
+        )
+        parts.append(
+            f"vis{r+1} AS MATERIALIZED (SELECT * FROM vis{r} UNION ALL SELECT * FROM fr{r+1})"
+        )
+        burn_selects.append(
+            f"SELECT LEAST(v, nbr) AS src, GREATEST(v, nbr) AS dst FROM burn{r}"
+        )
+    burns = " UNION ALL ".join(burn_selects)
+    return ",\n".join(parts) + """
+        , allb AS (""" + burns + """),
+        counts AS (SELECT src, dst, COUNT(*) AS burnt FROM allb GROUP BY src, dst),
+        mx AS (SELECT MAX(burnt) AS m FROM counts)
+        SELECT src, dst, ROUND(CAST(burnt AS DOUBLE) / mx.m, 8) AS ff_score
+        FROM counts, mx
+    """
+
+
 def _kpath_sql(k: int = 5) -> str:
     """Exact twin of graph/walks.py:k_path_centrality — ``k`` unrolled
     self-avoiding walk steps: walker w starts at splitmix64-derived
@@ -4857,6 +4940,7 @@ def oracle_sql() -> dict[str, str]:
         "barabasi_albert": _ba_sql(1024, 4),
         "k_path_centrality": _kpath_sql(5).replace("{SYM}", SYMMETRIC_EDGES_SQL),
         "spanning_forest": _forest_sql(12).replace("{CANON}", CANONICAL_EDGES_SQL),
+        "forest_fire_scores": _ff_sql(24).replace("{CANON}", CANONICAL_EDGES_SQL),
         "cc_sizes": f"SELECT label, CAST(COUNT(*) AS BIGINT) AS size FROM ({cc_sql}) GROUP BY label",
         "num_components": f"SELECT CAST(COUNT(DISTINCT label) AS BIGINT) AS n_components FROM ({cc_sql})",
         "modularity": f"""

@@ -108,6 +108,7 @@ FAST_SUBSET = [
     "barabasi_albert",
     "k_path_centrality",
     "spanning_forest",
+    "forest_fire_scores",
 ]
 
 
@@ -192,7 +193,6 @@ def test_queries_oracles_consistent():
         "two_phase_l",
         "localt_community",
         "lte_community",
-        "forest_fire_scores",
         "warm_katz",
         "lfm_cover",
         "prefix_jaccard_scores",
