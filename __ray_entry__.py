@@ -3251,13 +3251,28 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
 
 
 # Queries that already received an all-green row in a driver CORRECTNESS
-# artifact (union of CORRECTNESS_r01.json and CORRECTNESS_r02.json).  The
-# driver's per-round window covers only the FIRST 50 entries of queries(),
-# so ordering is evidence budget: front-load queries the driver has never
-# checked (oracle-backed first), keep a small canary set of core kernels,
-# and push already-validated queries to the back.  Update this set each
-# round from the new CORRECTNESS artifact.
+# artifact (union of CORRECTNESS_r01..r03.json).  The driver's per-round
+# window covers only the FIRST 50 entries of queries(), so ordering is
+# evidence budget: front-load queries the driver has never checked
+# (oracle-backed first), keep a small canary set of core kernels, and push
+# already-validated queries to the back.  Update this set each round from
+# the new CORRECTNESS artifact.
 _DRIVER_VALIDATED = {
+    # round 3 (CORRECTNESS_r03.json, 50/50 green)
+    "anchor_histogram", "anchor_summary", "anchor_texts",
+    "betweenness_pivots", "bidirectional_sssp", "bm25_topk",
+    "cocitation_topk", "coupling_topk", "degree_histogram", "diameter",
+    "document_frequency", "edge_switch_degrees", "gopher_filter",
+    "harmonic_closeness_exact", "host_capped_sample", "host_edges",
+    "host_pagerank", "host_spam_mass", "host_stats", "host_trustrank",
+    "hub_dominance", "intrapartition_density", "jaccard_edge_scores",
+    "laplacian_centrality", "local_max_matching", "local_partition_coverage",
+    "luby_mis", "permanence", "powerlaw_alpha_hosts", "reciprocity",
+    "redirect_resolution", "repetition_scores", "robots_allowed",
+    "segment_dedup", "seir", "sfigality", "suitor_matching",
+    "truncated_pagerank", "warc_roundtrip", "web_bowtie", "web_hits",
+    "web_salsa",
+    # rounds 1-2
     "ann_lsh_topk", "ann_topk", "approx_closeness", "ari", "assortativity",
     "bfs_distances", "cc_sizes", "clique_counts", "compact_ids",
     "conductance", "connected_components", "core_decomposition", "cover_f1",

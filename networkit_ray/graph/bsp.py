@@ -390,6 +390,8 @@ class PGraph:
     block_refs: list  # P refs → CSR block dicts (see _build_block)
     weighted: bool
     chunk_counts: list | None = None  # per-partition map-task count (skew splitting)
+    msg_idx: list | None = None  # [unit][q] pinned destination-index refs
+    msg_bundles: list | None = None  # [q] pinned per-reduce index bundles
 
     def part_sizes(self) -> list[int]:
         return [part_size(self.num_nodes, p, self.num_parts) for p in range(self.num_parts)]
@@ -410,6 +412,40 @@ class PGraph:
             else:
                 units.extend((p, i) for i in range(c))
         return units
+
+    def msg_index_refs(self) -> list:
+        """Pinned per-(map unit, dest partition) message-index arrays.
+
+        The destination LOCAL indices a map unit's combined messages land on
+        are superstep-INVARIANT (fixed by the grouped CSR ordering), yet the
+        legacy message tuples re-shipped them every superstep — half the
+        exchange bytes for a float64 kernel, ⅔ for float32.  Pin them ONCE
+        per unit (``num_returns=P`` slices, np.intp so reduce-side fancy
+        indexing pays no per-superstep dtype conversion) and ship only the
+        aggregated VALUES each superstep (see :func:`message_values`).
+        """
+        if self.msg_idx is None:
+            units = self.map_units()
+            self.msg_idx = [
+                _unit_value_index.options(num_returns=self.num_parts).remote(
+                    self.block_refs[p], c, self.num_parts
+                )
+                for p, c in units
+            ]
+        return self.msg_idx
+
+    def msg_bundle_refs(self) -> list:
+        """P pinned index BUNDLES: element q is one object holding every map
+        unit's destination-index slice for reduce partition q, in map-unit
+        order.  One extra task arg per reduce instead of one per map unit —
+        the form the kernels pass to their reduce tasks."""
+        if self.msg_bundles is None:
+            midx = self.msg_index_refs()
+            self.msg_bundles = [
+                _bundle_idx.remote(*[mi[q] for mi in midx])
+                for q in range(self.num_parts)
+            ]
+        return self.msg_bundles
 
 
 @ray.remote
@@ -529,3 +565,54 @@ def aggregate_messages(block: dict, edge_values_ordered: np.ndarray, chunk: int 
 def min_messages(block: dict, edge_values_ordered: np.ndarray, chunk: int = -1) -> list:
     """Min per destination vertex, split by destination partition."""
     return _reduceat_messages(block, edge_values_ordered, chunk, np.minimum)
+
+
+# ---- values-only messages (pinned destination indices) ----------------------
+# The (idx, values) message tuples above ship the destination indices every
+# superstep even though they never change.  The narrow-message path splits
+# them: PGraph.msg_index_refs() pins each map unit's P index slices in the
+# object store once, supersteps ship ONLY the aggregated value arrays, and
+# the reduce task zips values against the pinned indices.  PageRank measured
+# exchange-bandwidth-bound (BASELINE.md f32-vs-f64 A/B), so halving message
+# bytes is a direct superstep-throughput lever.
+
+
+@ray.remote
+def _bundle_idx(*unit_slices) -> list:
+    return list(unit_slices)
+
+
+@ray.remote
+def _unit_value_index(block: dict, chunk: int, num_parts: int) -> tuple:
+    """P superstep-invariant destination-index slices for one map unit."""
+    if chunk < 0:
+        uniq, gb = block["uniq_dst_local"], block["group_bounds"]
+    else:
+        c = block["chunks"][chunk]
+        uniq, gb = c["uniq"], c["gb"]
+    return tuple(
+        np.ascontiguousarray(uniq[gb[q] : gb[q + 1]], dtype=np.intp)
+        for q in range(num_parts)
+    )
+
+
+def message_values(
+    block: dict, edge_values_ordered: np.ndarray, chunk: int = -1, op=np.add
+) -> list:
+    """Per-destination aggregated VALUES only, split by destination partition.
+
+    Companion of :meth:`PGraph.msg_index_refs`: element q lines up 1:1 with
+    the pinned index slice [unit][q].  Same reduceat core as
+    :func:`aggregate_messages`, minus the per-superstep index shipping.
+    """
+    P = len(block["part_bounds"]) - 1
+    if chunk < 0:
+        gs, gb = block["group_starts"], block["group_bounds"]
+    else:
+        c = block["chunks"][chunk]
+        gs, gb = c["gs_rel"], c["gb"]
+    if not len(gs):
+        empty = np.empty(0, edge_values_ordered.dtype)
+        return [empty] * P
+    agg = op.reduceat(edge_values_ordered, gs)
+    return [agg[gb[q] : gb[q + 1]] for q in range(P)]

@@ -28,12 +28,7 @@ import ray
 import ray.data
 
 from networkit_ray.graph import bsp
-from networkit_ray.graph.bsp import (
-    PGraph,
-    aggregate_messages,
-    build_pgraph,
-    chunk_edge_index,
-)
+from networkit_ray.graph.bsp import PGraph, build_pgraph
 from networkit_ray.state import checkpoint as ckpt
 
 
@@ -61,7 +56,10 @@ def _pr_init(vids: np.ndarray, n: int, dtype: str = "float64") -> np.ndarray:
 @ray.remote
 def _pr_map(block: dict, coef: np.ndarray, scores: np.ndarray, chunk: int) -> tuple:
     # grouped-order slices: one scores gather per edge, everything else
-    # contiguous sequential reads (coef arrives pre-grouped from _pr_coef)
+    # contiguous sequential reads (coef arrives pre-grouped from _pr_coef).
+    # Messages are VALUES ONLY — destination indices are superstep-invariant
+    # and pinned once via PGraph.msg_index_refs(), halving exchange bytes
+    # per superstep (the measured bottleneck, see BASELINE.md f32/f64 A/B).
     sl = bsp.grouped_src(block, chunk)
     if chunk < 0:
         coef_s = coef
@@ -70,20 +68,24 @@ def _pr_map(block: dict, coef: np.ndarray, scores: np.ndarray, chunk: int) -> tu
         coef_s = coef[c["start"] : c["end"]]
     # map-local math upcasts to float64 regardless of the state dtype
     vals = scores[sl].astype(np.float64) * coef_s
-    out = aggregate_messages(block, vals, chunk)
+    out = bsp.message_values(block, vals, chunk)
     if scores.dtype == np.float32:
         # float32 message option (reference stores scores as f_weight =
         # float32, Globals.hpp:28): halve the per-superstep exchange
-        # volume; accumulation above stayed float64
-        out = [(i, s.astype(np.float32)) for i, s in out]
+        # volume again; accumulation above stayed float64
+        out = [s.astype(np.float32) for s in out]
     return tuple(out)
 
 
 @ray.remote(num_returns=2)
-def _pr_reduce(old: np.ndarray, damp: float, n: int, *partials):
+def _pr_reduce(old: np.ndarray, damp: float, n: int, idx_bundle: list, *values):
+    # idx_bundle = the partition's pinned per-map-unit destination indices
+    # (PGraph.msg_bundle_refs(); resolves from the local object store after
+    # the first superstep — nothing index-sized crosses the wire again);
+    # values = the per-unit aggregated message values, in the same order.
     # float64 accumulator even on the float32 state path (the 1e-6 oracle)
     new = np.full(len(old), (1.0 - damp) / n, dtype=np.float64)
-    for idx, sums in partials:
+    for idx, sums in zip(idx_bundle, values):
         if len(idx):
             new[idx] += damp * sums.astype(np.float64)  # idx unique per partial
     delta = new - old.astype(np.float64)
@@ -169,6 +171,7 @@ def pagerank_refs(
     fixed_iters = tol <= 0 and max_iterations is not None and not checkpoint_dir
     stats = None
     stat_refs: list = []
+    bundles = g.msg_bundle_refs()  # pinned once; supersteps ship values only
     while iteration < max_it:
         map_out = [
             _pr_map.options(num_returns=P).remote(
@@ -179,7 +182,7 @@ def pagerank_refs(
         new_scores, stat_refs = [], []
         for q in range(P):
             s, st = _pr_reduce.remote(
-                scores[q], damp, n, *[mo[q] for mo in map_out]
+                scores[q], damp, n, bundles[q], *[mo[q] for mo in map_out]
             )
             new_scores.append(s)
             stat_refs.append(st)
@@ -260,9 +263,9 @@ def _ppr_restart(vids: np.ndarray, seeds: np.ndarray) -> np.ndarray:
 
 
 @ray.remote
-def _ppr_reduce(restart: np.ndarray, damp: float, *partials) -> np.ndarray:
+def _ppr_reduce(restart: np.ndarray, damp: float, idx_bundle: list, *values) -> np.ndarray:
     new = (1.0 - damp) * restart
-    for idx, sums in partials:
+    for idx, sums in zip(idx_bundle, values):
         if len(idx):
             new[idx] += damp * sums
     return new
@@ -292,6 +295,7 @@ def personalized_pagerank(
     restart = [_ppr_restart.remote(g.vid_refs[p], seeds_arr) for p in range(P)]
     scores = restart
     units = g.map_units()
+    bundles = g.msg_bundle_refs()
     for _ in range(iterations):
         map_out = [
             _pr_map.options(num_returns=P).remote(
@@ -300,7 +304,9 @@ def personalized_pagerank(
             for p, c in units
         ]
         scores = [
-            _ppr_reduce.remote(restart[q], damp, *[mo[q] for mo in map_out])
+            _ppr_reduce.remote(
+                restart[q], damp, bundles[q], *[mo[q] for mo in map_out]
+            )
             for q in range(P)
         ]
     return bsp.state_to_dataset(g, scores, "score"), {"iterations": iterations}
@@ -312,9 +318,9 @@ def _tpr_zeros(vids: np.ndarray) -> np.ndarray:
 
 
 @ray.remote(num_returns=2)
-def _tpr_reduce(acc: np.ndarray, damp: float, collect: bool, *partials):
+def _tpr_reduce(acc: np.ndarray, damp: float, collect: bool, idx_bundle: list, *values):
     new = np.zeros(len(acc), np.float64)
-    for idx, sums in partials:
+    for idx, sums in zip(idx_bundle, values):
         if len(idx):
             new[idx] += damp * sums
     acc2 = acc + (1.0 - damp) * new if collect else acc
@@ -358,6 +364,7 @@ def truncated_pagerank(
     x = [_pr_init.remote(g.vid_refs[p], num_nodes, "float64") for p in range(P)]
     acc = [_tpr_zeros.remote(g.vid_refs[p]) for p in range(P)]
     units = g.map_units()
+    bundles = g.msg_bundle_refs()
     for t in range(1, iterations + 1):
         map_out = [
             _pr_map.options(num_returns=P).remote(
@@ -368,7 +375,7 @@ def truncated_pagerank(
         nx, nacc = [], []
         for q in range(P):
             xq, aq = _tpr_reduce.remote(
-                acc[q], damp, t > trunc, *[mo[q] for mo in map_out]
+                acc[q], damp, t > trunc, bundles[q], *[mo[q] for mo in map_out]
             )
             nx.append(xq)
             nacc.append(aq)
