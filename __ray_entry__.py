@@ -1984,12 +1984,17 @@ def q_warc_roundtrip(sf_dir):
     recovery means the edge table equals the direct-extraction oracle
     (sources/warc.py)."""
     import os
+    import shutil
 
     from networkit_ray.sources.warc import read_warc, write_warc
     from networkit_ray.web.extract import extract_edges
     from networkit_ray.web.htmlgen import pages_dataset
 
-    out = f"/tmp/nkr_warc_{os.path.basename(os.path.normpath(sf_dir))}"
+    # dir keyed on the FULL normalized path (two sf roots sharing a basename
+    # must not collide) and wiped first — write_warc's resumable shard-skip
+    # would otherwise serve stale shards if the corpus at sf_dir changed
+    out = "/tmp/nkr_warc_" + os.path.normpath(sf_dir).strip("/").replace("/", "_")
+    shutil.rmtree(out, ignore_errors=True)
     write_warc(pages_dataset(sf_dir), out, shards=8).materialize()
     return extract_edges(read_warc(out), ids="doc")
 

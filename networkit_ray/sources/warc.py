@@ -91,7 +91,9 @@ def write_warc(
                 {"shard": [shard], "path": [path], "records": [len(g)],
                  "skipped": [True]}
             )
-        g = g.sort_values("url")
+        # stable + full tiebreak so shard bytes are deterministic even when
+        # duplicate URLs share a shard (quicksort would permute them)
+        g = g.sort_values(["url", "warc_ts"], kind="stable")
         ts = g["warc_ts"]
         ts_us = (
             ts.astype("int64")
