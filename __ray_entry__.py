@@ -2857,7 +2857,10 @@ def q_betweenness_pivots(sf_dir):
 
     edges, n = _derived(sf_dir)
     step = max(n // 16, 1)
-    pivots = np.arange(16) * step
+    # clamp to ids < n (mirrors the twin's WHERE v % step == 0 LIMIT 16,
+    # which yields fewer pivots — and a different scale — when n < 16)
+    pivots = (np.arange(16) * step)[: max(min(16, n), 1)]
+    pivots = pivots[pivots < n]
     bc, _ = estimate_betweenness(edges, n, pivots=pivots)
     return _round_col(bc, "betweenness", 6)
 

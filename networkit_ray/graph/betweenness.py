@@ -238,6 +238,13 @@ def estimate_betweenness(
         factor = 1.0
     elif pivots is not None:
         pivots = np.asarray(pivots, dtype=np.int64)
+        if len(pivots) == 0:
+            raise ValueError("pivots must be non-empty")
+        if pivots.min() < 0 or pivots.max() >= num_nodes:
+            raise ValueError(
+                f"pivot ids must lie in [0, {num_nodes}); got "
+                f"[{pivots.min()}, {pivots.max()}]"
+            )
         factor = num_nodes / len(pivots)
     else:
         pivots = _pivot_ids(num_nodes, n_samples, seed)

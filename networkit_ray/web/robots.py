@@ -4,10 +4,14 @@ The parser implements the de-facto (Google/REP, RFC 9309) semantics a
 crawl pipeline needs:
 
 - group selection: the ``User-agent`` group matching the crawler name
-  (case-insensitive; ``*`` as fallback; multiple UA lines share a group);
-- rule matching: among all ``Allow``/``Disallow`` rules whose path is a
-  prefix of the URL path, the LONGEST rule wins; on a length tie the
-  ``Allow`` wins; no matching rule (or an empty ``Disallow:``) = allowed.
+  (case-insensitive EXACT token; ``*`` as fallback; multiple UA lines
+  share a group — no longest-product-token-prefix fallback);
+- rule matching: RFC 9309 wildcard rules — ``*`` in a rule matches any
+  character sequence and a trailing ``$`` anchors end-of-path (a ``$``
+  elsewhere is literal); among all matching ``Allow``/``Disallow``
+  rules the LONGEST rule string wins (most octets = most specific); on
+  a length tie the ``Allow`` wins; no matching rule (or an empty
+  ``Disallow:``) = allowed.
 
 Scale shape: robots bodies are per-HOST (tiny side table next to a huge
 page table) — ``RobotsFilter`` is an actor-pool ``map_batches`` stage
@@ -23,6 +27,8 @@ are independently expressible in SQL (see ``robots_allowed`` oracle).
 
 from __future__ import annotations
 
+import re
+from functools import lru_cache
 from urllib.parse import urlsplit
 
 import pyarrow as pa
@@ -67,12 +73,28 @@ def parse_robots(text: str, agent: str = "*") -> list[tuple[str, bool]]:
     return [r for agents, rules in groups if "*" in agents for r in rules]
 
 
+@lru_cache(maxsize=8192)
+def _rule_matcher(pattern: str) -> re.Pattern | None:
+    """Compile an RFC 9309 rule.  ``None`` = plain prefix (fast path);
+    else a start-anchored regex where ``*`` → ``.*`` and a trailing
+    ``$`` anchors end-of-path."""
+    if "*" not in pattern and not pattern.endswith("$"):
+        return None
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    rx = ".*".join(re.escape(p) for p in body.split("*"))
+    return re.compile(rx + (r"\Z" if anchored else ""))
+
+
 def is_allowed(path: str, rules: list[tuple[str, bool]]) -> bool:
-    """Longest-prefix-match; Allow wins length ties; default allow."""
+    """RFC 9309 longest-match (``*``/``$`` wildcards honored); Allow
+    wins length ties; default allow."""
     best_len, best_allow = -1, True
-    for prefix, allow in rules:
-        if path.startswith(prefix):
-            ln = len(prefix)
+    for pattern, allow in rules:
+        m = _rule_matcher(pattern)
+        hit = path.startswith(pattern) if m is None else m.match(path) is not None
+        if hit:
+            ln = len(pattern)
             if ln > best_len or (ln == best_len and allow and not best_allow):
                 best_len, best_allow = ln, allow
     return best_allow

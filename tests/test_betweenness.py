@@ -79,6 +79,17 @@ class TestBetweenness:
         exp = brandes_ref(e, 25)
         assert np.corrcoef(ga, exp)[0, 1] > 0.6
 
+    def test_explicit_pivots_validated(self):
+        import pytest
+
+        e = ds_of([(0, 1), (1, 2), (2, 3)])
+        with pytest.raises(ValueError, match="non-empty"):
+            estimate_betweenness(e, 4, pivots=np.array([], dtype=np.int64))
+        with pytest.raises(ValueError, match=r"\[0, 4\)"):
+            estimate_betweenness(e, 4, pivots=[0, 7])
+        with pytest.raises(ValueError, match=r"\[0, 4\)"):
+            estimate_betweenness(e, 4, pivots=[-1, 2])
+
 
 def test_adaptive_betweenness_within_eps_of_exact(ray_session):
     import numpy as np

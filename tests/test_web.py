@@ -253,6 +253,30 @@ class TestRobots:
         tie = parse_robots("User-agent: *\nDisallow: /p/\nAllow: /q:/\n")
         assert is_allowed("/q:/x", tie)
 
+    def test_wildcard_rules(self):
+        from networkit_ray.web.robots import is_allowed, parse_robots
+
+        rules = parse_robots(
+            "User-agent: *\n"
+            "Disallow: /*.php\n"
+            "Allow: /shop/*.php\n"
+            "Disallow: /tmp$\n"
+            "Disallow: /a*b*c\n"
+        )
+        assert not is_allowed("/index.php", rules)        # mid-path wildcard
+        assert not is_allowed("/dir/page.php?x=1", rules) # * spans segments
+        assert is_allowed("/shop/cart.php", rules)        # longer Allow wins
+        assert not is_allowed("/tmp", rules)              # $ end anchor hits
+        assert is_allowed("/tmpfile", rules)              # $ anchor misses
+        assert not is_allowed("/aXbYc", rules)            # multiple *
+        assert is_allowed("/plain", rules)                # no rule matches
+        # regex metacharacters in rules are literal (except * and trailing $)
+        dot = parse_robots("User-agent: *\nDisallow: /f.o\n")
+        assert is_allowed("/fXo", dot) and not is_allowed("/f.o", dot)
+        # $ not at the end is a literal character
+        lit = parse_robots("User-agent: *\nDisallow: /p$q\n")
+        assert not is_allowed("/p$qr", lit) and is_allowed("/pXq", lit)
+
     def test_agent_group_selection(self):
         from networkit_ray.web.robots import is_allowed, parse_robots
 
