@@ -29,6 +29,98 @@ _PUNCT_RE = re.compile(r"[.!?]")
 _ALPHA_RE = re.compile(r"[A-Za-z]")
 _WS_RE = re.compile(r"\s+")
 
+# ---- byte-level character-class machinery -------------------------------
+# token_counts / quality_scores count ASCII character classes; those are
+# exact on the raw UTF-8 byte buffer (a class byte can never be a UTF-8
+# continuation byte), so instead of per-doc Python regex loops we run one
+# numpy lookup + cumsum pass over the batch's concatenated string buffer.
+# Whitespace is RE2's \s == [\t\n\f\r ] — the semantics of the DuckDB
+# oracle twins (string_split_regex / regexp_extract_all are RE2 too).
+_LUT_WORD = np.zeros(256, np.uint8)
+_LUT_WORD[np.frombuffer(
+    b"ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789_",
+    np.uint8)] = 1
+_LUT_ALPHA = np.zeros(256, np.uint8)
+_LUT_ALPHA[np.frombuffer(
+    b"ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz", np.uint8)] = 1
+_LUT_SENT = np.zeros(256, np.uint8)
+_LUT_SENT[np.frombuffer(b".!?", np.uint8)] = 1
+_LUT_SPACE = np.zeros(256, np.uint8)
+_LUT_SPACE[[9, 10, 12, 13, 32]] = 1
+_IS_CONT = np.zeros(256, np.uint8)  # UTF-8 continuation bytes 0x80..0xBF
+_IS_CONT[0x80:0xC0] = 1
+_LUT_CODEPOINT = 1 - _IS_CONT  # one per code point == utf8 length
+_LUT_NONSPACE = 1 - _LUT_SPACE
+# single chars matching [^A-Za-z0-9_\s]: code-point leads that are neither
+# word nor space (multi-byte leads 0xC0+ are non-word non-space → counted
+# once per character, continuation bytes excluded)
+_LUT_BPE_SINGLE = _LUT_CODEPOINT * (1 - _LUT_WORD) * (1 - _LUT_SPACE)
+
+
+def _utf8_view(txt) -> tuple[np.ndarray, np.ndarray]:
+    """String column → (uint8 byte view, int64 offsets of len n+1).
+
+    Zero-copy views of the Arrow buffers; nulls count as empty strings.
+    """
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    if txt.null_count:
+        import pyarrow.compute as pc
+
+        txt = pc.fill_null(txt, "")
+    odt = np.int64 if pa.types.is_large_string(txt.type) else np.int32
+    offs = np.frombuffer(txt.buffers()[1], dtype=odt)
+    offs = offs[txt.offset : txt.offset + len(txt) + 1].astype(np.int64)
+    buf = txt.buffers()[2]
+    data = (
+        np.frombuffer(buf, dtype=np.uint8) if buf is not None
+        else np.zeros(0, np.uint8)
+    )
+    return data, offs
+
+
+def _seg_sums(x: np.ndarray, offs: np.ndarray) -> np.ndarray:
+    """Per-document sums of ``x[offs[i]:offs[i+1]]`` (uint8 input).
+
+    ``np.add.reduceat`` after one int64 cast — ~25× faster than a
+    uint8→int64 ``np.cumsum`` (numpy's casting-accumulate path is slow).
+    Empty documents (including trailing ones, whose index would be out of
+    range for reduceat) are masked to 0.
+    """
+    n = len(offs) - 1
+    end = int(offs[-1])
+    if n == 0 or end == int(offs[0]):
+        return np.zeros(n, np.int64)
+    # one-zero sentinel pad keeps every offset (including offs==end for
+    # trailing empty docs) a valid reduceat index without clipping — a
+    # clipped index would silently truncate the preceding segment
+    xi = np.empty(end + 1, np.int64)
+    xi[:end] = x[:end]
+    xi[end] = 0
+    raw = np.add.reduceat(xi, offs[:-1])
+    return np.where(np.diff(offs) > 0, raw, 0)
+
+
+def _class_counts(data: np.ndarray, offs: np.ndarray, lut: np.ndarray) -> np.ndarray:
+    """Per-document count of bytes whose class LUT entry is 1."""
+    return _seg_sums(lut[data], offs)
+
+
+def _run_counts(data: np.ndarray, offs: np.ndarray, lut: np.ndarray) -> np.ndarray:
+    """Per-document count of maximal runs of class bytes (doc-bounded)."""
+    m = lut[data]
+    starts = m.copy()
+    starts[1:] &= 1 - m[:-1]
+    cnt = _seg_sums(starts, offs)
+    # a run crossing a document boundary still starts a run in the later
+    # doc: re-add heads whose global predecessor byte is also in-class
+    head = offs[:-1]
+    nonempty = head < offs[1:]
+    h = head[nonempty]
+    fix = (h > 0) & (m[h] > 0) & (m[np.maximum(h - 1, 0)] > 0)
+    cnt[nonempty] += fix
+    return cnt
+
 
 def token_counts(docs: ray.data.Dataset) -> ray.data.Dataset:
     """(doc_id, n_tokens, n_bpeish) token counts.
@@ -39,14 +131,13 @@ def token_counts(docs: ray.data.Dataset) -> ray.data.Dataset:
     """
 
     def f(t: pa.Table) -> pa.Table:
-        texts = t["text"].to_pylist()
-        n_tok = np.fromiter(
-            (0 if not s.strip() else len(_WS_RE.split(s.strip())) for s in texts),
-            np.int64,
-            len(texts),
-        )
-        n_bpe = np.fromiter(
-            (len(_BPEISH_RE.findall(s)) for s in texts), np.int64, len(texts)
+        # n_tokens == number of \S+ runs (identical to split-trimmed-on-\s+,
+        # including 0 for blank); n_bpeish == word runs + lone non-word
+        # non-space chars — all per-doc byte-class passes, no Python loop
+        data, offs = _utf8_view(t["text"])
+        n_tok = _run_counts(data, offs, _LUT_NONSPACE)
+        n_bpe = _run_counts(data, offs, _LUT_WORD) + _class_counts(
+            data, offs, _LUT_BPE_SINGLE
         )
         return pa.table(
             {"doc_id": t["doc_id"], "n_tokens": pa.array(n_tok), "n_bpeish": pa.array(n_bpe)}
@@ -64,17 +155,16 @@ def quality_scores(docs: ray.data.Dataset) -> ray.data.Dataset:
     from networkit_ray.common.hashing import round_half_away
 
     def f(t: pa.Table) -> pa.Table:
-        texts = t["text"].to_pylist()
-        n = len(texts)
-        n_chars = np.fromiter((len(s) for s in texts), np.int64, n)
-        words = [_WORD_RE.findall(s) for s in texts]
-        n_words = np.fromiter((len(w) for w in words), np.int64, n)
-        n_sent = np.fromiter((len(_PUNCT_RE.findall(s)) for s in texts), np.int64, n)
-        n_alpha = np.fromiter((len(_ALPHA_RE.findall(s)) for s in texts), np.int64, n)
+        data, offs = _utf8_view(t["text"])
+        n_chars = _class_counts(data, offs, _LUT_CODEPOINT)  # == utf8 length
+        n_words = _run_counts(data, offs, _LUT_WORD)
+        n_sent = _class_counts(data, offs, _LUT_SENT)
+        n_alpha = _class_counts(data, offs, _LUT_ALPHA)
         alpha_ratio = round_half_away(
             n_alpha / np.maximum(n_chars, 1), 6
         )
-        wlen = np.fromiter((sum(len(x) for x in w) for w in words), np.int64, n)
+        # total word chars == sum of word-run lengths (single-char class)
+        wlen = _class_counts(data, offs, _LUT_WORD)
         mean_wl = round_half_away(wlen / np.maximum(n_words, 1), 6)
         return pa.table(
             {

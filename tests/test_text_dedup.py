@@ -62,6 +62,46 @@ class TestTextAnalysis:
         assert list(q["n_words"]) == [5, 0, 3]
         assert list(q["n_sentences"]) == [2, 0, 1]
 
+    def test_byte_class_counts_edge_cases(self):
+        """The byte-LUT segment machinery vs Python regex on pathological
+        inputs: unicode, trailing empty docs, nulls, sliced arrays."""
+        import re
+
+        import pyarrow as pa
+
+        from networkit_ray.text.analysis import (
+            _LUT_BPE_SINGLE,
+            _LUT_CODEPOINT,
+            _LUT_NONSPACE,
+            _LUT_WORD,
+            _class_counts,
+            _run_counts,
+            _utf8_view,
+        )
+
+        ws = re.compile(r"[\t\n\f\r ]+")  # RE2 \s
+        bpe = re.compile(r"[A-Za-z0-9_]+|[^A-Za-z0-9_\t\n\f\r ]")
+        cases = ["", "   ", "héllo wörld!", "aÃ©b", "x" * 5, "t\tb\nc",
+                 "...", "ß?!", "日本語 text", "a_b c-d", "", ""]
+        arr = pa.chunked_array([pa.array(cases[:4]), pa.array(cases[4:])])
+        data, offs = _utf8_view(arr)
+        assert list(_run_counts(data, offs, _LUT_NONSPACE)) == [
+            0 if not s.strip() else len(ws.split(s.strip())) for s in cases
+        ]
+        assert list(
+            _run_counts(data, offs, _LUT_WORD)
+            + _class_counts(data, offs, _LUT_BPE_SINGLE)
+        ) == [len(bpe.findall(s)) for s in cases]
+        assert list(_class_counts(data, offs, _LUT_CODEPOINT)) == [
+            len(s) for s in cases
+        ]
+        data, offs = _utf8_view(pa.array(["ab c", None, "d"]))
+        assert list(_run_counts(data, offs, _LUT_NONSPACE)) == [2, 0, 1]
+        data, offs = _utf8_view(pa.array(cases).slice(2, 8))
+        assert list(_class_counts(data, offs, _LUT_CODEPOINT)) == [
+            len(s) for s in cases[2:10]
+        ]
+
     def test_repetition_scores(self):
         from networkit_ray.text.analysis import repetition_scores
 
