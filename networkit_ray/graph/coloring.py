@@ -175,6 +175,13 @@ def greedy_coloring(
             )
 
         def mex(g: pd.DataFrame) -> pd.DataFrame:
+            from networkit_ray.common.guards import check_group_rows
+
+            check_group_rows(
+                len(g), 1 << 26, "coloring.mex",
+                "a vertex with >2^26 colored neighbors needs hub splitting "
+                "(partial mex per shard, min-combine) before JP coloring.",
+            )
             cols = np.unique(g["ncol"].to_numpy())
             m = 0
             for c in cols:

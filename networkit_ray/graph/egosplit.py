@@ -69,6 +69,13 @@ def _ego_parts(canon: ray.data.Dataset, sym: ray.data.Dataset, num_nodes: int):
     )
 
     def components(df: pd.DataFrame) -> pd.DataFrame:
+        from networkit_ray.common.guards import check_group_rows
+
+        check_group_rows(
+            len(df), 1 << 24, "egosplit.components",
+            "an ego net with >2^24 wedge rows means a mega-hub ego; cap "
+            "ego degree (sample neighbors) before ego splitting.",
+        )
         ego = int(df["ego"].iloc[0])
         a = df["a"].to_numpy().astype(np.int64)
         b = df["b"].to_numpy().astype(np.int64)

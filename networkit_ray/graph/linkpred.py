@@ -44,6 +44,14 @@ def _wedge_pairs(sym: ray.data.Dataset, max_deg: int | None) -> ray.data.Dataset
         )
         if k < 2 or (max_deg is not None and k > max_deg):
             return empty
+        if max_deg is None:
+            from networkit_ray.common.guards import check_group_rows
+
+            check_group_rows(
+                k, 8192, "linkpred._wedge_pairs",
+                "hop-2 pair expansion is O(deg^2); pass max_deg= to cap "
+                "hub degrees before wedge enumeration.",
+            )
         iu, ju = np.triu_indices(k, 1)
         return pd.DataFrame(
             {

@@ -840,6 +840,14 @@ def refine_communities(
     )
 
     def refine_group(df: pd.DataFrame) -> pd.DataFrame:
+        from networkit_ray.common.guards import check_group_rows
+
+        check_group_rows(
+            len(df), 1 << 26, "louvain.refine_group",
+            "a parent community with >2^26 intra edges cannot refine as one "
+            "task; shard it (e.g. raise the coarsening cutover or split the "
+            "community by hash) before Leiden refinement.",
+        )
         src = df["src"].to_numpy().astype(np.int64)
         dst = df["dst"].to_numpy().astype(np.int64)
         verts = np.unique(np.concatenate([src, dst]))

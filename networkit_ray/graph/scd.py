@@ -174,8 +174,18 @@ def _expand_seeds(
         batch_format="pyarrow",
     )
 
+    def guarded_group_fn(df):
+        from networkit_ray.common.guards import check_group_rows
+
+        check_group_rows(
+            len(df), 1 << 24, "scd region map_groups",
+            "a seed region with >2^24 edges means the BFS radius swallowed "
+            "a hub neighborhood; reduce `radius` or pre-cap hub degrees.",
+        )
+        return group_fn(df)
+
     out = region_edges.groupby("seed").map_groups(
-        group_fn, batch_format="pandas"
+        guarded_group_fn, batch_format="pandas"
     )
     out = enforce_schema(out, _OUT_SCHEMA)
     # a seed with no region edges produces no group at all; every
