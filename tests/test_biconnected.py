@@ -126,3 +126,13 @@ class TestBiconnected:
         sa = a.sort_values(["src", "dst"]).reset_index(drop=True)
         sb = b.sort_values(["src", "dst"]).reset_index(drop=True)
         assert sa.equals(sb)
+
+
+def test_driver_limit_guard(ray_session):
+    import pytest
+
+    e = rd.from_arrow(
+        pa.table({"src": pa.array([0, 1]), "dst": pa.array([1, 0])})
+    )
+    with pytest.raises(ValueError, match="driver_limit"):
+        biconnected_components(e, 2, driver_limit=1)
