@@ -1262,6 +1262,62 @@ def q_apsp(sf_dir):
     return apsp_table(sym.materialize(), s).sort(["s", "v"])
 
 
+def _dyn_apsp_repaired(sf_dir):
+    """Shared engine for the DynAPSP family: hold out 6 hash-selected
+    canonical ring edges, run APSP on the partial graph, then repair via
+    sequential insert events (distance/DynAPSP.cpp semantics).  Repair
+    == full recompute, so the oracle is the full-graph closure."""
+    from networkit_ray.graph.bfs import apsp_table
+    from networkit_ray.graph.dynapsp import dyn_apsp_update
+    from networkit_ray.sources.derive import supplier_ring_edges
+
+    sym, s = supplier_ring_edges(sf_dir)
+    sym = sym.materialize()
+
+    def canon_hash(t: pa.Table) -> pa.Table:
+        a = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (a < b) & ((a * 31 + b) % 7 == 0)
+        return pa.table({"src": pa.array(a[keep]), "dst": pa.array(b[keep])})
+
+    held = (
+        sym.map_batches(canon_hash, batch_format="pyarrow")
+        .sort(["src", "dst"])
+        .take(6)
+    )
+    held_pairs = [(int(r["src"]), int(r["dst"])) for r in held]
+    hs = {(u, w) for u, w in held_pairs} | {(w, u) for u, w in held_pairs}
+    hu = np.array([p[0] for p in hs], np.int64)
+    hw = np.array([p[1] for p in hs], np.int64)
+
+    def drop_held(t: pa.Table) -> pa.Table:
+        a = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # membership in the ≤12-pair held set via packed-key isin
+        keep = ~np.isin(a * (2**32) + b, hu * (2**32) + hw)
+        return t.filter(pa.array(keep))
+
+    part = sym.map_batches(drop_held, batch_format="pyarrow").materialize()
+    base = apsp_table(part, s)
+    return dyn_apsp_update(base, held_pairs, s)
+
+
+def q_dyn_apsp(sf_dir):
+    """distance/DynAPSP.cpp analog: insert-event APSP repair over the
+    supplier ring with 6 held-out edges re-inserted sequentially; exact
+    oracle = the full-graph recursive-BFS closure (same SQL as `apsp`)."""
+    return _dyn_apsp_repaired(sf_dir).sort(["s", "v"])
+
+
+def q_dyn_top_harmonic(sf_dir):
+    """centrality/DynTopHarmonicCloseness.cpp analog: top-10 harmonic
+    closeness maintained over the DynAPSP-repaired distance table
+    (rounded to 9 decimals before ranking, ties by vertex id)."""
+    from networkit_ray.graph.dynapsp import top_harmonic_from_apsp
+
+    return top_harmonic_from_apsp(_dyn_apsp_repaired(sf_dir), 10)
+
+
 def q_neighborhood_function(sf_dir):
     from networkit_ray.graph.bfs import apsp_table, neighborhood_function
     from networkit_ray.sources.derive import supplier_ring_edges
@@ -3112,6 +3168,8 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "k_path_centrality": q_k_path_centrality,
         "volume": q_volume,
         "apsp": q_apsp,
+        "dyn_apsp": q_dyn_apsp,
+        "dyn_top_harmonic": q_dyn_top_harmonic,
         "reverse_bfs": q_reverse_bfs,
         "same_community": q_same_community,
         "degree_preserving_shuffle": q_degree_preserving_shuffle,
@@ -5506,6 +5564,26 @@ def oracle_sql() -> dict[str, str]:
         "approx_closeness": closeness_sql,
         "volume": volume_sql,
         "apsp": apsp_sql.replace("{RING}", SUPPLIER_RING_SQL),
+        # DynAPSP repair == full recompute, so the dyn twin IS the full
+        # closure; the held-out/re-inserted edges never appear in SQL.
+        "dyn_apsp": apsp_sql.replace("{RING}", SUPPLIER_RING_SQL),
+        "dyn_top_harmonic": """
+            WITH RECURSIVE base AS MATERIALIZED ({RING}),
+            sup AS (SELECT CAST(s_suppkey AS BIGINT) AS v FROM supplier),
+            r(s, v, d) AS (
+                SELECT v, v, CAST(0 AS BIGINT) FROM sup
+                UNION
+                SELECT r.s, e.dst, r.d + 1 FROM r JOIN base e ON e.src = r.v
+                WHERE r.d < 64
+            ),
+            md AS (SELECT s, v, MIN(d) AS d FROM r GROUP BY s, v),
+            h AS (SELECT s, ROUND(SUM(1.0 / d), 9) AS harmonic
+                  FROM md WHERE d > 0 GROUP BY s)
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY harmonic DESC, s ASC)
+                        AS BIGINT) AS "rank",
+                   s AS v, harmonic
+            FROM h ORDER BY harmonic DESC, s ASC LIMIT 10
+        """.replace("{RING}", SUPPLIER_RING_SQL),
         "neighborhood_function": nf_sql.replace("{RING}", SUPPLIER_RING_SQL),
         "hop_histogram": hop_hist_sql,
         "stable_partition_nodes": f"""
