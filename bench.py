@@ -23,13 +23,17 @@ Noise protocol (the sandbox is a shared box; identical code has measured
   fixture (speedup = loop_sec / vectorized_sec).
 
 Usage:
-    python bench.py                 # one run; RAY_GRAFT_CPUS (default 32)
-    python bench.py --scaling       # fresh 8-CPU and 32-CPU subprocesses +
-                                    # scaling efficiency (north-rule evidence)
+    python bench.py                 # full battery; ALSO runs the embedded
+                                    # 4→16-CPU scaling legs at the end so
+                                    # the driver-recorded json carries the
+                                    # north-rule efficiency ("scaling" key)
+    python bench.py --scaling       # scaling legs only (default 4,16,32)
 
 Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS,
-GRAFT_RMAT_SCALE (default 20), GRAFT_BENCH_SUPERSTEPS (default 10),
-GRAFT_BENCH_REPS (default 2).
+GRAFT_RMAT_SCALE (default 20; scaling legs force 23 unless overridden),
+GRAFT_BENCH_SUPERSTEPS (default 10), GRAFT_BENCH_REPS (default 2),
+GRAFT_SCALING_CPUS / GRAFT_SCALING_CYCLES, GRAFT_SKIP_SCALING=1 to skip
+the embedded legs on quick local iterations.
 """
 
 from __future__ import annotations
@@ -365,7 +369,11 @@ def run_bench() -> dict:
         return read_warc(warc_dir).count()
 
     nw = stage("warc_roundtrip", warc_cycle)
-    log(f"warc: wrote+read {nw} pages in {queries['warc_roundtrip']:.2f}s")
+    warc_bytes = sum(
+        os.path.getsize(os.path.join(warc_dir, f)) for f in os.listdir(warc_dir)
+    )
+    log(f"warc: wrote+read {nw} pages ({warc_bytes/1e6:.1f} MB) "
+        f"in {queries['warc_roundtrip']:.2f}s")
 
     stage(
         "robots_filter",
@@ -378,7 +386,20 @@ def run_bench() -> dict:
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     nsd = stage("segment_dedup", lambda: segment_dedup(docs_sd).count())
-    log(f"segment_dedup: {nsd} docs kept in {queries['segment_dedup']:.2f}s")
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as _pq
+
+    sd_bytes = int(
+        _pc.sum(
+            _pc.binary_length(
+                _pq.read_table(
+                    f"{sf_dir}/documents.parquet", columns=["text"]
+                )["text"]
+            )
+        ).as_py()
+    )
+    log(f"segment_dedup: {nsd} docs kept ({sd_bytes/1e6:.1f} MB text) "
+        f"in {queries['segment_dedup']:.2f}s")
 
     import ray.data
 
@@ -422,8 +443,32 @@ def run_bench() -> dict:
         "pagerank_edges_per_sec_superstep_f32": round(pr_eps_f32, 0),
         "plp_edge_scans_per_sec_iter": round(plp_eps, 0),
         "pagerank_iters_to_1e6": pr_iters,
+        # corpus-side stages in bytes/s terms (same headline scrutiny as
+        # the kernels; corpus = the sf documents/pages tables)
+        "corpus_mb_per_sec": {
+            "warc_roundtrip": round(warc_bytes / 1e6 / queries["warc_roundtrip"], 2),
+            "segment_dedup": round(sd_bytes / 1e6 / queries["segment_dedup"], 2),
+        },
     }
     ray.shutdown()
+
+    # ---- two-cluster-size scaling legs (north-rule evidence), embedded
+    # so the driver-recorded BENCH json itself carries the numbers.
+    # Runs AFTER ray.shutdown() — each leg owns the box in a fresh
+    # process.  GRAFT_SKIP_SCALING=1 skips (quick local iterations).
+    if not os.environ.get("GRAFT_SKIP_SCALING"):
+        try:
+            result["scaling"] = _scaling_summary(
+                [
+                    int(x)
+                    for x in os.environ.get(
+                        "GRAFT_SCALING_CPUS", "4,16"
+                    ).split(",")
+                ],
+                cycles=int(os.environ.get("GRAFT_SCALING_CYCLES", "2")),
+            )
+        except Exception as exc:  # a failed leg must not void the battery
+            result["scaling"] = {"error": f"{type(exc).__name__}: {exc}"}
     return result
 
 
@@ -438,14 +483,29 @@ def run_scaling() -> None:
     real cluster adds a memory system per node.  The 32-CPU leg is still
     measured and reported as context.
     """
-    legs = [
-        int(x)
-        for x in os.environ.get("GRAFT_SCALING_CPUS", "4,16,32").split(",")
-    ]
-    # the sandbox is shared: tenant load drifts on a minutes scale, i.e.
-    # ACROSS legs.  Interleave the legs over several cycles and keep each
-    # leg's best throughput so one noisy window can't skew the ratio.
-    cycles = int(os.environ.get("GRAFT_SCALING_CYCLES", "2"))
+    res = _scaling_summary(
+        [
+            int(x)
+            for x in os.environ.get("GRAFT_SCALING_CPUS", "4,16,32").split(",")
+        ],
+        cycles=int(os.environ.get("GRAFT_SCALING_CYCLES", "2")),
+    )
+    res["metric"] = (
+        f"pagerank superstep throughput scaling "
+        f"{res['lo_cpus']}→{res['hi_cpus']} CPUs"
+    )
+    res["value"] = res["scaling_efficiency"]
+    res["unit"] = "efficiency"
+    print(json.dumps(res))
+
+
+def _scaling_summary(legs: list[int], cycles: int) -> dict:
+    """Run the kernels-only job at each CPU count in fresh processes and
+    report per-leg best throughput + N→4N efficiency.
+
+    The sandbox is shared: tenant load drifts on a minutes scale, i.e.
+    ACROSS legs.  Interleave the legs over several cycles and keep each
+    leg's best throughput so one noisy window can't skew the ratio."""
     out = {}
     for cy in range(cycles):
         for ncpu in legs:
@@ -455,6 +515,7 @@ def run_scaling() -> None:
             # R-MAT (8.4M vertices / 134M edges) unless the caller overrides
             env.setdefault("GRAFT_RMAT_SCALE", "23")
             env["GRAFT_KERNELS_ONLY"] = "1"
+            env["GRAFT_SKIP_SCALING"] = "1"
             log(f"--- scaling run (cycle {cy + 1}/{cycles}): num_cpus={ncpu} ---")
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
@@ -477,11 +538,12 @@ def run_scaling() -> None:
     eps_lo = out[lo]["pagerank_edges_per_sec_superstep"]
     eps_hi = out[hi]["pagerank_edges_per_sec_superstep"]
     eff = (eps_hi / eps_lo) / (hi / lo)
-    res = {
-        "metric": f"pagerank superstep throughput scaling {lo}→{hi} CPUs",
-        "value": round(eff, 3),
-        "unit": "efficiency",
+    return {
+        "lo_cpus": lo,
+        "hi_cpus": hi,
         "scaling_efficiency": round(eff, 3),
+        "rmat_scale": int(os.environ.get("GRAFT_RMAT_SCALE", "23")),
+        "cycles": cycles,
         "legs": {
             str(c): {
                 "edges_per_sec": out[c]["pagerank_edges_per_sec_superstep"],
@@ -490,7 +552,6 @@ def run_scaling() -> None:
             for c in legs
         },
     }
-    print(json.dumps(res))
 
 
 if __name__ == "__main__":
