@@ -45,18 +45,20 @@ def _ones(vids: np.ndarray) -> np.ndarray:
 
 
 @ray.remote
-def _fold_indeg(n_local_ref: np.ndarray, *partials) -> np.ndarray:
+def _fold_indeg(n_local_ref: np.ndarray, idx_bundle: list, *values) -> np.ndarray:
     deg = np.zeros(len(n_local_ref), dtype=np.float64)
-    for idx, sums in partials:
+    for idx, sums in zip(idx_bundle, values):
         if len(idx):
             deg[idx] += sums
     return deg
 
 
 @ray.remote
-def _relax(old: np.ndarray, indeg: np.ndarray, omega: float, *partials) -> np.ndarray:
+def _relax(old: np.ndarray, indeg: np.ndarray, omega: float, idx_bundle: list, *values) -> np.ndarray:
+    # _gather_map ships VALUES ONLY (centrality.py); idx_bundle is the
+    # partition's pinned destination-index bundle (PGraph.msg_bundle_refs)
     s = np.zeros(len(old), dtype=np.float64)
-    for idx, sums in partials:
+    for idx, sums in zip(idx_bundle, values):
         if len(idx):
             s[idx] += sums
     live = indeg > 0
@@ -68,13 +70,15 @@ def _relax(old: np.ndarray, indeg: np.ndarray, omega: float, *partials) -> np.nd
 def _smooth(g: PGraph, system: int, iterations: int, omega: float) -> list:
     P = g.num_parts
     units = g.map_units()
+    bundles = g.msg_bundle_refs()
     ones = [_ones.remote(g.vid_refs[p]) for p in range(P)]
     deg_parts = [
         _gather_map.options(num_returns=P).remote(g.block_refs[p], ones[p], c)
         for p, c in units
     ]
     indeg = [
-        _fold_indeg.remote(ones[q], *[mo[q] for mo in deg_parts]) for q in range(P)
+        _fold_indeg.remote(ones[q], bundles[q], *[mo[q] for mo in deg_parts])
+        for q in range(P)
     ]
     x = [_seed_init.remote(g.vid_refs[p], system) for p in range(P)]
     for _ in range(iterations):
@@ -83,7 +87,7 @@ def _smooth(g: PGraph, system: int, iterations: int, omega: float) -> list:
             for p, c in units
         ]
         x = [
-            _relax.remote(x[q], indeg[q], omega, *[mo[q] for mo in map_out])
+            _relax.remote(x[q], indeg[q], omega, bundles[q], *[mo[q] for mo in map_out])
             for q in range(P)
         ]
     return x

@@ -37,9 +37,9 @@ import ray.data
 from networkit_ray.graph import bsp
 from networkit_ray.graph.bsp import (
     PGraph,
-    aggregate_messages,
     build_pgraph,
     chunk_edge_index,
+    message_values,
 )
 
 
@@ -62,14 +62,15 @@ def _bw_fwd_map(block: dict, st: dict, level: int, chunk: int) -> tuple:
     src_local = block["src_local"][idx]
     sending = st["dist"][src_local] == level  # (E, K)
     vals = np.where(sending, st["sigma"][src_local], 0.0)
-    return tuple(aggregate_messages(block, vals, chunk))
+    # values only; destination indices pinned once per graph (bsp)
+    return tuple(message_values(block, vals, chunk))
 
 
 @ray.remote(num_returns=2)
-def _bw_fwd_reduce(st: dict, level: int, *partials):
+def _bw_fwd_reduce(st: dict, level: int, idx_bundle: list, *values):
     dist, sigma = st["dist"].copy(), st["sigma"].copy()
     inc = np.zeros(dist.shape, dtype=np.float64)
-    for idx, sums in partials:
+    for idx, sums in zip(idx_bundle, values):
         if len(idx):
             inc[idx] += sums
     newly = (dist < 0) & (inc > 0)
@@ -89,14 +90,14 @@ def _bw_bwd_map(block: dict, st: dict, delta: np.ndarray, level: int, chunk: int
         )
     sending = st["dist"][src_local] == level
     vals = np.where(sending, per_src[src_local], 0.0)
-    return tuple(aggregate_messages(block, vals, chunk))
+    return tuple(message_values(block, vals, chunk))
 
 
 @ray.remote
-def _bw_bwd_reduce(st: dict, delta: np.ndarray, level: int, *partials):
+def _bw_bwd_reduce(st: dict, delta: np.ndarray, level: int, idx_bundle: list, *values):
     new = delta.copy()
     inc = np.zeros(delta.shape, dtype=np.float64)
-    for idx, sums in partials:
+    for idx, sums in zip(idx_bundle, values):
         if len(idx):
             inc[idx] += sums
     at_prev = st["dist"] == level - 1
@@ -152,6 +153,8 @@ def _brandes_batch(
     K = len(batch)
     supersteps = 0
     st = [_bw_init.remote(g_fwd.vid_refs[p], batch) for p in range(P)]
+    bundles_f = g_fwd.msg_bundle_refs()
+    bundles_b = g_bwd.msg_bundle_refs()
     level = 0
     while True:
         supersteps += 1
@@ -163,7 +166,7 @@ def _brandes_batch(
         ]
         new_st, ch = [], []
         for q in range(P):
-            s2, c2 = _bw_fwd_reduce.remote(st[q], level, *[m[q] for m in mo])
+            s2, c2 = _bw_fwd_reduce.remote(st[q], level, bundles_f[q], *[m[q] for m in mo])
             new_st.append(s2)
             ch.append(c2)
         grew = sum(ray.get(ch))
@@ -182,7 +185,7 @@ def _brandes_batch(
             for p, c in units_b
         ]
         delta = [
-            _bw_bwd_reduce.remote(st[q], delta[q], L, *[m[q] for m in mo])
+            _bw_bwd_reduce.remote(st[q], delta[q], L, bundles_b[q], *[m[q] for m in mo])
             for q in range(P)
         ]
     return st, delta, supersteps

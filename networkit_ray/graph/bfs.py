@@ -19,7 +19,13 @@ import ray
 import ray.data
 
 from networkit_ray.graph import bsp
-from networkit_ray.graph.bsp import PGraph, build_pgraph, chunk_edge_index, grouped_src, min_messages
+from networkit_ray.graph.bsp import (
+    PGraph,
+    build_pgraph,
+    chunk_edge_index,
+    grouped_src,
+    message_values,
+)
 
 _INF = np.uint64(0xFFFFFFFFFFFFFF)  # large sentinel; +1 never overflows uint64
 
@@ -40,15 +46,18 @@ def _bfs_init(vids: np.ndarray, source: int) -> tuple[np.ndarray, np.ndarray]:
 def _bfs_map(block: dict, state: tuple, chunk: int) -> tuple:
     dist, active = state
     src_local = grouped_src(block, chunk)
+    # VALUES ONLY: destination indices are superstep-invariant, pinned
+    # once per graph via PGraph.msg_bundle_refs() (see bsp.message_values)
     per_edge = np.where(active[src_local], dist[src_local] + np.uint64(1), _INF)
-    return tuple(min_messages(block, per_edge, chunk))
+    return tuple(message_values(block, per_edge, chunk, op=np.minimum))
 
 
 @ray.remote(num_returns=2)
-def _bfs_reduce(state: tuple, *partials):
+def _bfs_reduce(state: tuple, idx_bundle: list, *values):
+    # idx_bundle = this partition's pinned per-map-unit destination indices
     dist, _ = state
     new = dist.copy()
-    for idx, mins in partials:
+    for idx, mins in zip(idx_bundle, values):
         if len(idx):
             np.minimum.at(new, idx, mins)
     changed = new < dist
@@ -83,15 +92,15 @@ def _mbfs_map(block: dict, state: tuple, chunk: int) -> tuple:
     src_local = grouped_src(block, chunk)
     per_edge = np.where(
         active[src_local], dist[src_local] + np.uint64(1), _INF
-    )  # (E, K)
-    return tuple(min_messages(block, per_edge, chunk))
+    )  # (E, K); values-only messages, indices pinned per graph
+    return tuple(message_values(block, per_edge, chunk, op=np.minimum))
 
 
 @ray.remote(num_returns=2)
-def _mbfs_reduce(state: tuple, *partials):
+def _mbfs_reduce(state: tuple, idx_bundle: list, *values):
     dist, _ = state
     new = dist.copy()
-    for idx, mins in partials:
+    for idx, mins in zip(idx_bundle, values):
         if len(idx):
             np.minimum.at(new, idx, mins.astype(np.uint64))
     changed = new < dist
@@ -119,6 +128,7 @@ def multi_bfs_refs(g: PGraph, sources: np.ndarray) -> list:
     P = g.num_parts
     state = [_mbfs_init.remote(g.vid_refs[p], sources) for p in range(P)]
     units = g.map_units()
+    bundles = g.msg_bundle_refs()
     while True:
         map_out = [
             _mbfs_map.options(num_returns=P).remote(g.block_refs[p], state[p], c)
@@ -126,7 +136,7 @@ def multi_bfs_refs(g: PGraph, sources: np.ndarray) -> list:
         ]
         new_state, counts = [], []
         for q in range(P):
-            s, c = _mbfs_reduce.remote(state[q], *[mo[q] for mo in map_out])
+            s, c = _mbfs_reduce.remote(state[q], bundles[q], *[mo[q] for mo in map_out])
             new_state.append(s)
             counts.append(c)
         changed = sum(ray.get(counts))
@@ -154,7 +164,7 @@ def _sssp_map(block: dict, state: tuple, chunk: int) -> tuple:
     src_local = block["src_local"][order]
     w = block["w"][order]
     per_edge = np.where(active[src_local], dist[src_local] + w, np.inf)
-    return tuple(min_messages(block, per_edge, chunk))
+    return tuple(message_values(block, per_edge, chunk, op=np.minimum))
 
 
 @ray.remote
@@ -209,6 +219,7 @@ def sssp_distances(
     if state is None:
         state = [_sssp_init.remote(g.vid_refs[p], source) for p in range(P)]
     units = g.map_units()
+    bundles = g.msg_bundle_refs()
     while it < max_iterations:
         map_out = [
             _sssp_map.options(num_returns=P).remote(g.block_refs[p], state[p], c)
@@ -216,7 +227,7 @@ def sssp_distances(
         ]
         new_state, count_refs = [], []
         for q in range(P):
-            s, c = _bfs_reduce.remote(state[q], *[mo[q] for mo in map_out])
+            s, c = _bfs_reduce.remote(state[q], bundles[q], *[mo[q] for mo in map_out])
             new_state.append(s)
             count_refs.append(c)
         changed = sum(ray.get(count_refs))
@@ -251,6 +262,7 @@ def bfs_distances(
     P = g.num_parts
     state = [_bfs_init.remote(g.vid_refs[p], source) for p in range(P)]
     units = g.map_units()
+    bundles = g.msg_bundle_refs()
     it = 0
     while it < max_iterations:
         map_out = [
@@ -259,7 +271,7 @@ def bfs_distances(
         ]
         new_state, count_refs = [], []
         for q in range(P):
-            s, c = _bfs_reduce.remote(state[q], *[mo[q] for mo in map_out])
+            s, c = _bfs_reduce.remote(state[q], bundles[q], *[mo[q] for mo in map_out])
             new_state.append(s)
             count_refs.append(c)
         changed = sum(ray.get(count_refs))
@@ -387,6 +399,7 @@ def incremental_bfs(
         for q in range(P)
     ]
     units = g.map_units()
+    bundles = g.msg_bundle_refs()
     it = 0
     while True:
         map_out = [
@@ -395,7 +408,7 @@ def incremental_bfs(
         ]
         new_state, count_refs = [], []
         for q in range(P):
-            s, c = _bfs_reduce.remote(state[q], *[mo[q] for mo in map_out])
+            s, c = _bfs_reduce.remote(state[q], bundles[q], *[mo[q] for mo in map_out])
             new_state.append(s)
             count_refs.append(c)
         changed = sum(ray.get(count_refs))
@@ -451,13 +464,14 @@ def bidirectional_bfs_distance(
         # expand the side with the shallower wave (balanced balls)
         fwd = lvl_f <= lvl_b
         g, st, units = (g_f, sf, units_f) if fwd else (g_b, sb, units_b)
+        bundles = g.msg_bundle_refs()
         map_out = [
             _bfs_map.options(num_returns=P).remote(g.block_refs[p], st[p], c)
             for p, c in units
         ]
         new_state, count_refs = [], []
         for q in range(P):
-            s, c = _bfs_reduce.remote(st[q], *[mo[q] for mo in map_out])
+            s, c = _bfs_reduce.remote(st[q], bundles[q], *[mo[q] for mo in map_out])
             new_state.append(s)
             count_refs.append(c)
         changed = sum(ray.get(count_refs))
@@ -612,13 +626,14 @@ def bidirectional_sssp_distance(
             break
         fwd = min_f <= min_b
         g, st, units = (g_f, sf, units_f) if fwd else (g_b, sb, units_b)
+        bundles = g.msg_bundle_refs()
         map_out = [
             _sssp_map.options(num_returns=P).remote(g.block_refs[p], st[p], c)
             for p, c in units
         ]
         new_state = []
         for q in range(P):
-            s, _ = _bfs_reduce.remote(st[q], *[mo[q] for mo in map_out])
+            s, _ = _bfs_reduce.remote(st[q], bundles[q], *[mo[q] for mo in map_out])
             new_state.append(s)
         if fwd:
             sf = new_state

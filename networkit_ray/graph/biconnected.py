@@ -63,6 +63,7 @@ def _forest_distances(g, roots: np.ndarray) -> ray.data.Dataset:
     P = g.num_parts
     state = [_mr_init.remote(g.vid_refs[p], roots) for p in range(P)]
     units = g.map_units()
+    bundles = g.msg_bundle_refs()
     while True:
         map_out = [
             _bfs_map.options(num_returns=P).remote(g.block_refs[p], state[p], c)
@@ -70,7 +71,7 @@ def _forest_distances(g, roots: np.ndarray) -> ray.data.Dataset:
         ]
         new_state, counts = [], []
         for q in range(P):
-            s, c = _bfs_reduce.remote(state[q], *[mo[q] for mo in map_out])
+            s, c = _bfs_reduce.remote(state[q], bundles[q], *[mo[q] for mo in map_out])
             new_state.append(s)
             counts.append(c)
         changed = sum(ray.get(counts))

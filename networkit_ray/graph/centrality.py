@@ -20,7 +20,7 @@ import ray
 import ray.data
 
 from networkit_ray.graph import bsp
-from networkit_ray.graph.bsp import PGraph, aggregate_messages, build_pgraph, chunk_edge_index
+from networkit_ray.graph.bsp import PGraph, build_pgraph, chunk_edge_index, message_values
 
 
 @ray.remote
@@ -35,13 +35,14 @@ def _gather_map(block: dict, x: np.ndarray, chunk: int) -> tuple:
     vals = x[block["src_local"][idx]]
     if block["w"] is not None:
         vals = vals * block["w"][idx]
-    return tuple(aggregate_messages(block, vals, chunk))
+    # values only; destination indices pinned once per graph (bsp)
+    return tuple(message_values(block, vals, chunk))
 
 
 @ray.remote(num_returns=2)
-def _affine_reduce(old: np.ndarray, alpha: float, beta: float, *partials):
+def _affine_reduce(old: np.ndarray, alpha: float, beta: float, idx_bundle: list, *values):
     new = np.full(len(old), beta, dtype=np.float64)
-    for idx, sums in partials:
+    for idx, sums in zip(idx_bundle, values):
         if len(idx):
             new[idx] += alpha * sums
     delta = new - old
@@ -67,6 +68,7 @@ def _iterate(
     P = g.num_parts
     x = init or [_vec_init.remote(g.vid_refs[p], 1.0 / g.num_nodes) for p in range(P)]
     units = g.map_units()
+    bundles = g.msg_bundle_refs()
     it = 0
     resid = float("inf")
     while it < max_iterations:
@@ -76,7 +78,7 @@ def _iterate(
         ]
         new_x, stat_refs = [], []
         for q in range(P):
-            s, st = _affine_reduce.remote(x[q], alpha, beta, *[mo[q] for mo in map_out])
+            s, st = _affine_reduce.remote(x[q], alpha, beta, bundles[q], *[mo[q] for mo in map_out])
             new_x.append(s)
             stat_refs.append(st)
         stats = ray.get(stat_refs)

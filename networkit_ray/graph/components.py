@@ -31,7 +31,7 @@ import ray
 import ray.data
 
 from networkit_ray.graph import bsp
-from networkit_ray.graph.bsp import PGraph, build_pgraph, chunk_edge_index, min_messages
+from networkit_ray.graph.bsp import PGraph, build_pgraph
 from networkit_ray.state import checkpoint as ckpt
 
 _SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)  # = "none" (Globals.hpp:31), no message
@@ -44,6 +44,9 @@ def _cc_init(vids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 @ray.remote
 def _cc_map(block: dict, state: tuple, chunk: int) -> tuple:
+    # messages are VALUES ONLY — destination indices are superstep-invariant
+    # and pinned once via PGraph.msg_bundle_refs(), halving exchange bytes
+    from networkit_ray.graph import bsp as _bsp
     from networkit_ray.graph.bsp import grouped_src
 
     labels, active = state
@@ -51,14 +54,14 @@ def _cc_map(block: dict, state: tuple, chunk: int) -> tuple:
     per_edge = labels[src_local]
     if not active.all():
         per_edge = np.where(active[src_local], per_edge, _SENTINEL)
-    return tuple(min_messages(block, per_edge, chunk))
+    return tuple(_bsp.message_values(block, per_edge, chunk, op=np.minimum))
 
 
 @ray.remote(num_returns=2)
-def _cc_reduce(state: tuple, *partials):
+def _cc_reduce(state: tuple, idx_bundle: list, *values):
     labels, _ = state
     new = labels.copy()
-    for idx, mins in partials:
+    for idx, mins in zip(idx_bundle, values):
         if len(idx):
             np.minimum.at(new, idx, mins)  # idx unique per partial; .at for overlap across partials is handled by successive calls
     changed = new < labels
@@ -167,6 +170,7 @@ def connected_components_refs(
     iteration = start_iter
     total_jumps = 0
     units = g.map_units()
+    bundles = g.msg_bundle_refs()  # pinned once; supersteps ship values only
     while iteration < max_iterations:
         map_out = [
             _cc_map.options(num_returns=P).remote(g.block_refs[p], state[p], c)
@@ -174,7 +178,9 @@ def connected_components_refs(
         ]
         new_state, count_refs = [], []
         for q in range(P):
-            s, c = _cc_reduce.remote(state[q], *[mo[q] for mo in map_out])
+            s, c = _cc_reduce.remote(
+                state[q], bundles[q], *[mo[q] for mo in map_out]
+            )
             new_state.append(s)
             count_refs.append(c)
         changed = sum(ray.get(count_refs))

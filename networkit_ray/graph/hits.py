@@ -26,7 +26,7 @@ import ray
 import ray.data
 
 from networkit_ray.graph import bsp
-from networkit_ray.graph.bsp import PGraph, aggregate_messages, build_pgraph
+from networkit_ray.graph.bsp import PGraph, build_pgraph, message_values
 from networkit_ray.graph.build import transpose
 
 
@@ -38,13 +38,14 @@ def _hits_init(vids: np.ndarray, n: int) -> np.ndarray:
 @ray.remote
 def _hits_map(block: dict, scores: np.ndarray, chunk: int) -> tuple:
     sl = bsp.grouped_src(block, chunk)
-    return tuple(aggregate_messages(block, scores[sl], chunk))
+    # values only; destination indices pinned once per graph (bsp)
+    return tuple(message_values(block, scores[sl], chunk))
 
 
 @ray.remote(num_returns=2)
-def _hits_reduce(size: int, *partials):
+def _hits_reduce(size: int, idx_bundle: list, *values):
     new = np.zeros(size, dtype=np.float64)
-    for idx, sums in partials:
+    for idx, sums in zip(idx_bundle, values):
         if len(idx):
             new[idx] += sums
     return new, float(new @ new)
@@ -60,13 +61,14 @@ def _push_normalize(g: PGraph, scores: list, units: list) -> list:
     L2-normalize globally."""
     P = g.num_parts
     sizes = g.part_sizes()
+    bundles = g.msg_bundle_refs()
     map_out = [
         _hits_map.options(num_returns=P).remote(g.block_refs[p], scores[p], c)
         for p, c in units
     ]
     new, sq = [], []
     for q in range(P):
-        s, n2 = _hits_reduce.remote(sizes[q], *[mo[q] for mo in map_out])
+        s, n2 = _hits_reduce.remote(sizes[q], bundles[q], *[mo[q] for mo in map_out])
         new.append(s)
         sq.append(n2)
     norm = float(np.sqrt(sum(ray.get(sq))))

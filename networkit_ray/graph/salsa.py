@@ -30,7 +30,7 @@ import ray
 import ray.data
 
 from networkit_ray.graph import bsp
-from networkit_ray.graph.bsp import PGraph, aggregate_messages, build_pgraph
+from networkit_ray.graph.bsp import PGraph, build_pgraph, message_values
 from networkit_ray.graph.build import transpose
 
 
@@ -55,13 +55,14 @@ def _salsa_map(block: dict, coef: np.ndarray, scores: np.ndarray, chunk: int) ->
     else:
         c = block["chunks"][chunk]
         coef_s = coef[c["start"] : c["end"]]
-    return tuple(aggregate_messages(block, scores[sl] * coef_s, chunk))
+    # values only; destination indices pinned once per graph (bsp)
+    return tuple(message_values(block, scores[sl] * coef_s, chunk))
 
 
 @ray.remote(num_returns=2)
-def _salsa_reduce(size: int, *partials):
+def _salsa_reduce(size: int, idx_bundle: list, *values):
     new = np.zeros(size, dtype=np.float64)
-    for idx, sums in partials:
+    for idx, sums in zip(idx_bundle, values):
         if len(idx):
             new[idx] += sums
     return new, float(new.sum())
@@ -77,6 +78,7 @@ def _push_l1(g: PGraph, coef: list, scores: list, units: list) -> list:
     destination, L1-normalize globally."""
     P = g.num_parts
     sizes = g.part_sizes()
+    bundles = g.msg_bundle_refs()
     map_out = [
         _salsa_map.options(num_returns=P).remote(
             g.block_refs[p], coef[p], scores[p], c
@@ -85,7 +87,7 @@ def _push_l1(g: PGraph, coef: list, scores: list, units: list) -> list:
     ]
     new, tot = [], []
     for q in range(P):
-        s, t = _salsa_reduce.remote(sizes[q], *[mo[q] for mo in map_out])
+        s, t = _salsa_reduce.remote(sizes[q], bundles[q], *[mo[q] for mo in map_out])
         new.append(s)
         tot.append(t)
     total = float(sum(ray.get(tot)))
