@@ -28,6 +28,7 @@ from networkit_ray.graph.bsp import (
     build_pgraph,
     chunk_edge_index,
     aggregate_messages,
+    message_values,
     vlocal,
     vowner,
 )
@@ -74,13 +75,14 @@ def _cg_map(block: dict, p_vec: np.ndarray, chunk: int) -> tuple:
     w = block["w"]
     if w is not None:
         vals = vals * w[eidx, None].astype(np.float64)
-    return tuple(aggregate_messages(block, vals, chunk))
+    # values only per CG step; destination indices pinned once per graph
+    return tuple(message_values(block, vals, chunk))
 
 
 @ray.remote(num_returns=2)
-def _cg_Ap(wdeg: np.ndarray, p_vec: np.ndarray, *partials):
+def _cg_Ap(wdeg: np.ndarray, p_vec: np.ndarray, idx_bundle: list, *values):
     Ap = wdeg[:, None] * p_vec
-    for idx, sums in partials:
+    for idx, sums in zip(idx_bundle, values):
         if len(idx):
             np.add.at(Ap, idx, -sums)
     return Ap, (p_vec * Ap).sum(axis=0)
@@ -115,6 +117,7 @@ def _block_cg(g, wdeg, b, *, tol: float, max_iterations: int):
     Returns (x refs, iterations, final residual-norm² per column)."""
     P = g.num_parts
     units = g.map_units()
+    bundles = g.msg_bundle_refs()
     x = [_cg_zeros_like.remote(bq) for bq in b]
     r = list(b)
     p = [_cg_copy.remote(bq) for bq in b]
@@ -128,7 +131,7 @@ def _block_cg(g, wdeg, b, *, tol: float, max_iterations: int):
         ]
         Ap, pap_refs = [], []
         for q in range(P):
-            a, s = _cg_Ap.remote(wdeg[q], p[q], *[mo[q] for mo in map_out])
+            a, s = _cg_Ap.remote(wdeg[q], p[q], bundles[q], *[mo[q] for mo in map_out])
             Ap.append(a)
             pap_refs.append(s)
         pAp = np.sum(ray.get(pap_refs), axis=0)

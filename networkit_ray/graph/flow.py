@@ -34,7 +34,7 @@ from networkit_ray.graph.bsp import (
     PGraph,
     build_pgraph,
     chunk_edge_index,
-    min_messages,
+    message_values,
     vlocal,
     vowner,
 )
@@ -69,14 +69,15 @@ def _fbfs_map(block: dict, resid: np.ndarray, state: tuple, chunk: int) -> tuple
     src_l = block["src_local"][eidx]
     ok = frontier[src_l] & (resid[eidx] > 0)
     per_edge = np.where(ok, block["vids"][src_l], _SENT)
-    return tuple(min_messages(block, per_edge, chunk))
+    # values only; destination indices pinned once per graph (bsp)
+    return tuple(message_values(block, per_edge, chunk, op=np.minimum))
 
 
 @ray.remote(num_returns=2)
-def _fbfs_reduce(state: tuple, target_local: int, *partials):
+def _fbfs_reduce(state: tuple, target_local: int, idx_bundle: list, *values):
     visited, parent, _ = state
     msg = np.full(len(visited), _SENT, np.uint64)
-    for idx, mins in partials:
+    for idx, mins in zip(idx_bundle, values):
         if len(idx):
             np.minimum.at(msg, idx, mins.astype(np.uint64))
     newly = (~visited) & (msg < _SENT)
@@ -138,6 +139,7 @@ def max_flow(
     g = build_pgraph(sym_edges, num_nodes, num_parts=num_parts, weighted=weighted)
     P = g.num_parts
     units = g.map_units()
+    bundles = g.msg_bundle_refs()
     resid = [_resid_init.remote(b) for b in g.block_refs]
 
     def owner(v: int) -> int:
@@ -166,6 +168,7 @@ def max_flow(
                 s_, st = _fbfs_reduce.remote(
                     state[q],
                     t_local if q == t_part else -1,
+                    bundles[q],
                     *[mo[q] for mo in map_out],
                 )
                 new_state.append(s_)

@@ -28,7 +28,7 @@ import ray
 import ray.data
 
 from networkit_ray.graph import bsp
-from networkit_ray.graph.bsp import aggregate_messages, build_pgraph, chunk_edge_index
+from networkit_ray.graph.bsp import build_pgraph, chunk_edge_index, message_values
 
 
 @ray.remote
@@ -43,13 +43,14 @@ def _gw_init(vids: np.ndarray, masks: np.ndarray) -> np.ndarray:
 @ray.remote
 def _gw_map(block: dict, x: np.ndarray, chunk: int) -> tuple:
     idx = chunk_edge_index(block, chunk)
-    return tuple(aggregate_messages(block, x[block["src_local"][idx]], chunk))
+    # values only; destination indices pinned once per graph (bsp)
+    return tuple(message_values(block, x[block["src_local"][idx]], chunk))
 
 
 @ray.remote(num_returns=2)
-def _gw_reduce(vids: np.ndarray, masks: np.ndarray, width: int, *partials):
+def _gw_reduce(vids: np.ndarray, masks: np.ndarray, width: int, idx_bundle: list, *values):
     new = np.zeros((len(vids), width), dtype=np.float64)
-    for idx, sums in partials:
+    for idx, sums in zip(idx_bundle, values):
         if len(idx):
             new[idx] += sums
     for c in range(masks.shape[0]):
@@ -68,6 +69,7 @@ def _walk_totals(g, levels: int) -> np.ndarray:
 
     x = [_ones.remote(g.vid_refs[p]) for p in range(P)]
     units = g.map_units()
+    bundles = g.msg_bundle_refs()
     totals = []
     for _ in range(levels):
         map_out = [
@@ -76,7 +78,7 @@ def _walk_totals(g, levels: int) -> np.ndarray:
         ]
         new_x, sums = [], []
         for q in range(P):
-            s, tot = _gw_reduce.remote(g.vid_refs[q], none, 1, *[mo[q] for mo in map_out])
+            s, tot = _gw_reduce.remote(g.vid_refs[q], none, 1, bundles[q], *[mo[q] for mo in map_out])
             new_x.append(s)
             sums.append(tot)
         totals.append(float(np.sum(ray.get(sums))))
@@ -133,6 +135,7 @@ def ged_walk(
     g = build_pgraph(transpose(edges), num_nodes, num_parts=num_parts)
     P = g.num_parts
     units = g.map_units()
+    bundles = g.msg_bundle_refs()
     w_tot = _walk_totals(g, levels)
     alphas = alpha ** np.arange(1, levels + 1)
 
@@ -155,7 +158,7 @@ def ged_walk(
             new_x, sums = [], []
             for q in range(P):
                 s, tot_ = _gw_reduce.remote(
-                    g.vid_refs[q], masks, C, *[mo[q] for mo in map_out]
+                    g.vid_refs[q], masks, C, bundles[q], *[mo[q] for mo in map_out]
                 )
                 new_x.append(s)
                 sums.append(tot_)
