@@ -747,7 +747,9 @@ def q_incremental_cc(sf_dir):
 
 def q_node2vec_walks(sf_dir):
     """embedding/Node2Vec.cpp biased-walk analog (p=0.5, q=2 — BFS-ish);
-    rows-only — exact numpy-replica oracle in tests/test_node2vec.py."""
+    oracle-exact — unrolled-step SQL twin (_n2v_sql; dyadic weights make
+    the inverse-CDF sums order-independent) + exact numpy-replica oracle
+    in tests/test_node2vec.py."""
     from networkit_ray.graph.walks import node2vec_walks
 
     sym, n = _sym(sf_dir)
@@ -1172,7 +1174,9 @@ def q_score_as_weight(sf_dir):
 
 def q_prefix_jaccard_scores(sf_dir):
     """Prefix-Jaccard edge scores (non-parametric Simmelian core);
-    rows-only — brute-force-replica tests in tests/test_sparsification.py."""
+    oracle-exact — event-level SQL twin (integer-count ratios round
+    identically) + brute-force-replica tests in
+    tests/test_sparsification.py."""
     from networkit_ray.graph.sparsification import prefix_jaccard_scores
 
     canon, n = _canon(sf_dir)
@@ -2591,7 +2595,9 @@ def q_watts_strogatz_edges(sf_dir):
 
 def q_chung_lu_edges(sf_dir):
     """generators/ChungLuGenerator.cpp analog (expected-degree draws via
-    broadcast CDF); rows-only — property tests in tests/test_sources.py."""
+    broadcast CDF); oracle-exact — bit-exact splitmix64 + recursive-CTE
+    prefix-sum SQL twin (_chung_lu_sql) + property tests in
+    tests/test_sources.py."""
     import numpy as np
 
     from networkit_ray.sources.synth import chung_lu_edges
@@ -2923,14 +2929,17 @@ def q_betweenness_pivots(sf_dir):
 
 def q_dyn_betweenness(sf_dir):
     """centrality/DynApproxBetweenness.cpp analog: retained per-pivot
-    Brandes state repaired after an edge-insert batch; rows-only —
-    repair == full-recompute equality proven in tests/test_betweenness.py.
-    Returns the repaired scores after re-inserting the 8 hash-selected
-    held-out edges (equals estimate_betweenness on the full graph)."""
+    Brandes state repaired after an edge-insert batch; oracle-exact —
+    the repaired result equals a from-scratch Brandes on base ∪ inserts
+    (repair == full-recompute equality also proven in
+    tests/test_betweenness.py), and with hash-ranked pivots + the 8
+    smallest held-out (src, dst) edges both sides are SQL-expressible
+    (_betweenness_sql with the multiplicative-hash pivot rule)."""
     from networkit_ray.graph.betweenness import (
         dyn_betweenness,
         dyn_betweenness_update,
     )
+    from networkit_ray.graph.closeness import _pivots
 
     edges, n = _derived(sf_dir)
 
@@ -2944,8 +2953,13 @@ def q_dyn_betweenness(sf_dir):
         return f
 
     base = edges.map_batches(split(False), batch_format="pyarrow").materialize()
-    ins = edges.map_batches(split(True), batch_format="pyarrow").limit(8).materialize()
-    _, state, _ = dyn_betweenness(base, n, n_samples=16, seed=42)
+    ins = (
+        edges.map_batches(split(True), batch_format="pyarrow")
+        .sort(["src", "dst"])
+        .limit(8)
+        .materialize()
+    )
+    _, state, _ = dyn_betweenness(base, n, pivots=_pivots(n, min(16, n), 42))
     bc, _, _ = dyn_betweenness_update(state, ins)
     return _round_col(bc, "betweenness", 6).sort("v")
 
@@ -3952,6 +3966,98 @@ def _coloring_sql(rounds: int) -> str:
     return ",\n".join(parts) + f"\nSELECT v, color FROM c{rounds}"
 
 
+def _chung_lu_sql(n: int = 1024, seed: int = 42) -> str:
+    """Bit-exact twin of sources/synth.py:chung_lu_edges for the
+    q_chung_lu_edges weights (w_k = 20/sqrt(k+1)): the weight prefix sum
+    is replayed with a recursive CTE (sequential accumulation ==
+    np.cumsum bit-for-bit; a window SUM would round differently), the m
+    per-edge endpoint draws replay splitmix64(base + 2i[+1])/2^64, and
+    searchsorted(side='right') is COUNT(cdf.c <= u)."""
+    w = 20.0 / np.sqrt(np.arange(n) + 1.0)
+    m = int(round(w.sum() / 2))  # engine formula (pairwise np.sum)
+    base = (seed * 0x100000001B3) % _M64
+    parts = [
+        f"""WITH RECURSIVE acc(v, cs) AS (
+  SELECT 0::BIGINT, 20.0/sqrt(1.0)
+  UNION ALL
+  SELECT v + 1, cs + 20.0/sqrt(CAST(v + 2 AS DOUBLE)) FROM acc WHERE v < {n - 1}
+)""",
+        f"cdf AS MATERIALIZED (SELECT v, cs / (SELECT cs FROM acc WHERE v = {n - 1}) AS c FROM acc)",
+        f"ids AS (SELECT CAST(range AS BIGINT) AS i FROM range({m}))",
+        f"du0 AS (SELECT i, CAST(({base}::HUGEINT + CAST(i AS HUGEINT)*2) % {_M64} AS UBIGINT) AS xu FROM ids)",
+    ]
+    parts += _sm64_stages("hu", "du0", "xu", "i")
+    parts += [
+        "uu AS (SELECT i, CAST(h AS DOUBLE) / 18446744073709551616.0 AS u FROM huc)",
+        f"dv0 AS (SELECT i, CAST(({base}::HUGEINT + CAST(i AS HUGEINT)*2 + 1) % {_M64} AS UBIGINT) AS xv FROM ids)",
+    ]
+    parts += _sm64_stages("hv", "dv0", "xv", "i")
+    parts += [
+        "vv AS (SELECT i, CAST(h AS DOUBLE) / 18446744073709551616.0 AS u FROM hvc)",
+        "su AS (SELECT uu.i, (SELECT COUNT(*) FROM cdf WHERE cdf.c <= uu.u) AS src FROM uu)",
+        "sv AS (SELECT vv.i, (SELECT COUNT(*) FROM cdf WHERE cdf.c <= vv.u) AS dst FROM vv)",
+        "pairs AS (SELECT su.src, sv.dst FROM su JOIN sv ON su.i = sv.i WHERE su.src != sv.dst)",
+    ]
+    return (
+        ",\n".join(parts)
+        + "\nSELECT DISTINCT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst "
+        "FROM pairs ORDER BY src, dst"
+    )
+
+
+def _n2v_sql(length: int = 4, n_walkers: int = 32, p: float = 0.5,
+             q: float = 2.0, seed: int = 42) -> str:
+    """Bit-exact twin of graph/walks.py:node2vec_walks on the symmetrized
+    derived graph.  Exactness argument: with p=0.5/q=2.0 every candidate
+    weight is dyadic (2.0 / 1.0 / 0.5), so running and total weight sums
+    are exact in ANY summation order — the window SUM matches numpy's
+    cumsum bit-for-bit; the per-(walker, step) uniform replays
+    splitmix64(walker*GOLD + (step+1)*MIX + seed)/2^64 and the pick is
+    the first rank with gcum > u*total (strict), dead ends stay put."""
+    GOLD, MIX = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9
+    inv_p, inv_q = 1.0 / p, 1.0 / q
+    parts = [
+        "WITH sym AS MATERIALIZED ({SYM})",
+        "re AS MATERIALIZED (SELECT src AS v, ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS r, dst AS nxt FROM sym)",
+        "ids AS (SELECT CAST(c_custkey AS BIGINT) AS v FROM customer)",
+        f"starts AS (SELECT v FROM ids ORDER BY {_mul64_sql(f'(v + {seed})', GOLD)} LIMIT {n_walkers})",
+        "s0 AS MATERIALIZED (SELECT ROW_NUMBER() OVER (ORDER BY v) - 1 AS walker, CAST(-1 AS BIGINT) AS prev, v FROM starts)",
+    ]
+    for k in range(length):
+        c = (((k + 1) * MIX) + seed) % _M64
+        arg = f"CAST((CAST({_mul64_sql('walker', GOLD)} AS HUGEINT) + {c}) % {_M64} AS UBIGINT)"
+        parts += [
+            f"""cand{k} AS MATERIALIZED (
+  SELECT s.walker, s.prev, s.v, re.r, re.nxt,
+    CASE WHEN re.nxt IS NULL THEN 0.0
+         WHEN re.nxt = s.prev THEN {inv_p!r}
+         WHEN EXISTS (SELECT 1 FROM sym WHERE sym.src = s.prev AND sym.dst = re.nxt) THEN 1.0
+         ELSE {inv_q!r} END AS wgt
+  FROM s{k} s LEFT JOIN re ON re.v = s.v)""",
+            f"uw{k} AS (SELECT walker, {arg} AS xs FROM s{k})",
+        ]
+        parts += _sm64_stages(f"uh{k}", f"uw{k}", "xs", "walker")
+        parts += [
+            f"u{k} AS (SELECT walker, CAST(h AS DOUBLE) / 18446744073709551616.0 AS u FROM uh{k}c)",
+            f"""g{k} AS (
+  SELECT walker, r, nxt,
+    SUM(wgt) OVER (PARTITION BY walker ORDER BY r ROWS UNBOUNDED PRECEDING) AS gcum,
+    SUM(wgt) OVER (PARTITION BY walker) AS total
+  FROM cand{k})""",
+            f"""pick{k} AS (
+  SELECT g.walker, MIN(g.r) AS rpick FROM g{k} g JOIN u{k} u ON u.walker = g.walker
+  WHERE g.total > 0 AND g.gcum > u.u * g.total GROUP BY g.walker)""",
+            f"""s{k + 1} AS MATERIALIZED (
+  SELECT s.walker, s.v AS prev, COALESCE(re.nxt, s.v) AS v
+  FROM s{k} s LEFT JOIN pick{k} pk ON pk.walker = s.walker
+  LEFT JOIN re ON re.v = s.v AND re.r = pk.rpick)""",
+        ]
+    sel = "\nUNION ALL\n".join(
+        f"SELECT walker, {k} AS step, v FROM s{k}" for k in range(length + 1)
+    )
+    return ",\n".join(parts) + f"\n{sel}\nORDER BY walker, step"
+
+
 def _ws_sql(n: int, k: int, p: float, seed=42) -> str:
     """Bit-exact twin of sources/synth.py:watts_strogatz_edges (ring
     lattice + splitmix64 hash rewiring, canonical undirected, dedup)."""
@@ -3978,20 +4084,26 @@ def _ws_sql(n: int, k: int, p: float, seed=42) -> str:
     """
 
 
-def _betweenness_sql(levels: int) -> str:
-    """Exact Brandes twin for the 16 evenly-spaced pivots: unrolled
+def _betweenness_sql(levels: int, piv_sql: str | None = None) -> str:
+    """Exact Brandes twin for 16 deterministic pivots: unrolled
     level-synchronous forward BFS (per-level frontier + visited tables,
     sigma = sum of predecessor sigmas) then unrolled backward dependency
     accumulation delta(v) += sigma_v/sigma_w * (1 + delta_w) over edges
     into the next level; bc(v) = n/16 * sum_s delta_s(v), s != v.
     ``levels`` only needs to exceed the max BFS depth from the pivots
-    (5 at sf0.01; empty frontiers make extra levels no-ops)."""
+    (5 at sf0.01; empty frontiers make extra levels no-ops).
+    ``piv_sql`` overrides the pivot CTE body (default: the evenly-spaced
+    v % (n//16) rule of q_betweenness_pivots)."""
+    if piv_sql is None:
+        piv_sql = (
+            "SELECT v AS s FROM nodes, nn "
+            "WHERE v % GREATEST(nn.n // 16, 1) = 0 ORDER BY v LIMIT 16"
+        )
     parts = [
         "WITH e AS MATERIALIZED ({EDGES})",
         "nodes AS MATERIALIZED (SELECT CAST(c_custkey AS BIGINT) AS v FROM customer)",
         "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes)",
-        "piv AS MATERIALIZED (SELECT v AS s FROM nodes, nn "
-        "WHERE v % GREATEST(nn.n // 16, 1) = 0 ORDER BY v LIMIT 16)",
+        f"piv AS MATERIALIZED ({piv_sql})",
         "f0 AS MATERIALIZED (SELECT s, s AS v, 0 AS dist, CAST(1 AS DOUBLE) AS sigma FROM piv)",
         "vis0 AS MATERIALIZED (SELECT * FROM f0)",
     ]
@@ -5010,9 +5122,31 @@ def oracle_sql() -> dict[str, str]:
         "plp_communities": _plp_sql(25).replace("{SYM}", SYMMETRIC_EDGES_SQL),
         "core_decomposition": _kcore_sql(32).replace("{SYM}", SYMMETRIC_EDGES_SQL),
         "betweenness_pivots": _betweenness_sql(24).replace("{EDGES}", DERIVED_EDGES_SQL),
+        # dyn_betweenness repaired == from-scratch Brandes on base + the 8
+        # smallest held-out edges, with the multiplicative-hash pivot rule
+        # (closeness._pivots: 16 smallest (v+42)*GOLD ranks)
+        "dyn_betweenness": _betweenness_sql(
+            28,
+            piv_sql=(
+                "SELECT v AS s FROM nodes ORDER BY "
+                + _mul64_sql("(v + 42)", 0x9E3779B97F4A7C15)
+                + " LIMIT 16"
+            ),
+        ).replace(
+            "{EDGES}",
+            f"""
+            SELECT src, dst FROM ({DERIVED_EDGES_SQL}) WHERE (src*31 + dst) % 97 <> 0
+            UNION ALL
+            SELECT src, dst FROM (
+                SELECT src, dst FROM ({DERIVED_EDGES_SQL})
+                WHERE (src*31 + dst) % 97 = 0 ORDER BY src, dst LIMIT 8)
+            """,
+        ),
         "rmat_edges": _rmat_sql(10, 8),
         "er_edges": _er_sql(1024, 4096),
         "watts_strogatz_edges": _ws_sql(1024, 4, 0.1),
+        "chung_lu_edges": _chung_lu_sql(1024),
+        "node2vec_walks": _n2v_sql().replace("{SYM}", SYMMETRIC_EDGES_SQL),
         "greedy_coloring": _coloring_sql(64).replace("{SYM}", SYMMETRIC_EDGES_SQL),
         "hop_plot": _hop_plot_sql(24).replace("{SYM}", SYMMETRIC_EDGES_SQL),
         "effective_diameter": _effective_diameter_sql(24).replace("{SYM}", SYMMETRIC_EDGES_SQL),
@@ -6253,6 +6387,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT ce.src, ce.dst, CAST(cnt.tri AS BIGINT) AS tri
             FROM ce JOIN cnt ON cnt.src = ce.src AND cnt.dst = ce.dst
             WHERE cnt.tri >= 1
+        """,
+        # exact twin of graph/sparsification.py:prefix_jaccard_scores:
+        # neighbor rank = count of strictly-greater triangle strengths
+        # (RANK()-1, ties share), matched neighbors become common at
+        # max(rank_u, rank_v), J evaluated at every event rank level —
+        # all counts are integers so cm/(cu+cv-cm) rounds identically.
+        "prefix_jaccard_scores": f"""
+            WITH ce AS MATERIALIZED ({CANONICAL_EDGES_SQL}),
+            tc AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+                   FROM ce e1 JOIN ce e2 ON e2.src = e1.dst
+                   JOIN ce e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+            ex AS (SELECT LEAST(a,b) AS src, GREATEST(a,b) AS dst FROM tc
+                   UNION ALL SELECT LEAST(a,c), GREATEST(a,c) FROM tc
+                   UNION ALL SELECT LEAST(b,c), GREATEST(b,c) FROM tc),
+            cnt AS (SELECT src, dst, COUNT(*) AS tri FROM ex GROUP BY src, dst),
+            tri AS MATERIALIZED (SELECT ce.src, ce.dst,
+                   CAST(COALESCE(cnt.tri, 0) AS DOUBLE) AS attr
+                   FROM ce LEFT JOIN cnt ON cnt.src = ce.src AND cnt.dst = ce.dst),
+            bi AS (SELECT src AS v, dst AS nbr, attr FROM tri
+                   UNION ALL SELECT dst, src, attr FROM tri),
+            ranked AS MATERIALIZED (SELECT v, nbr,
+                     RANK() OVER (PARTITION BY v ORDER BY attr DESC) - 1 AS rnk FROM bi),
+            su AS MATERIALIZED (SELECT t.src, t.dst, r.nbr, r.rnk FROM tri t
+                  JOIN ranked r ON r.v = t.src WHERE r.nbr <> t.dst),
+            sv AS MATERIALIZED (SELECT t.src, t.dst, r.nbr, r.rnk FROM tri t
+                  JOIN ranked r ON r.v = t.dst WHERE r.nbr <> t.src),
+            matched AS MATERIALIZED (SELECT su.src, su.dst,
+                     GREATEST(su.rnk, sv.rnk) AS mr
+                     FROM su JOIN sv ON su.src = sv.src AND su.dst = sv.dst
+                     AND su.nbr = sv.nbr),
+            levels AS (SELECT src, dst, rnk AS r FROM su
+                       UNION SELECT src, dst, rnk FROM sv
+                       UNION SELECT src, dst, mr FROM matched),
+            counts AS (
+              SELECT l.src, l.dst, l.r,
+                (SELECT COUNT(*) FROM su WHERE su.src = l.src AND su.dst = l.dst AND su.rnk <= l.r) AS cu,
+                (SELECT COUNT(*) FROM sv WHERE sv.src = l.src AND sv.dst = l.dst AND sv.rnk <= l.r) AS cv,
+                (SELECT COUNT(*) FROM matched m WHERE m.src = l.src AND m.dst = l.dst AND m.mr <= l.r) AS cm
+              FROM levels l),
+            best AS (SELECT src, dst,
+                     MAX(CASE WHEN cu + cv - cm > 0
+                         THEN CAST(cm AS DOUBLE) / (cu + cv - cm) ELSE 0.0 END) AS pj
+                     FROM counts GROUP BY src, dst)
+            SELECT t.src, t.dst, ROUND(COALESCE(b.pj, 0.0), 8) AS pj_score
+            FROM tri t LEFT JOIN best b ON b.src = t.src AND b.dst = t.dst
+            ORDER BY t.src, t.dst
         """,
         "random_walks": walks_sql,
         "algebraic_distances": algdist_sql,

@@ -407,6 +407,7 @@ def dyn_betweenness(
     seed: int = 42,
     num_parts: int | None = None,
     pivot_batch: int = 16,
+    pivots: np.ndarray | None = None,
 ) -> tuple[ray.data.Dataset, DynBetweennessState, dict]:
     """Sampled betweenness with retained repair state.
 
@@ -421,7 +422,17 @@ def dyn_betweenness(
     edges = edges.materialize()
     g_fwd = build_pgraph(edges, num_nodes, num_parts=num_parts)
     g_bwd = build_pgraph(transpose(edges), num_nodes, num_parts=g_fwd.num_parts)
-    pivots = _pivot_ids(num_nodes, n_samples, seed)
+    if pivots is None:
+        pivots = _pivot_ids(num_nodes, n_samples, seed)
+    else:
+        pivots = np.asarray(pivots, dtype=np.int64)
+        if len(pivots) == 0:
+            raise ValueError("pivots must be non-empty")
+        if pivots.min() < 0 or pivots.max() >= num_nodes:
+            raise ValueError(
+                f"pivot ids must lie in [0, {num_nodes}); got "
+                f"[{pivots.min()}, {pivots.max()}]"
+            )
     batches = []
     supersteps = 0
     for b0 in range(0, len(pivots), pivot_batch):

@@ -109,6 +109,10 @@ FAST_SUBSET = [
     "k_path_centrality",
     "spanning_forest",
     "forest_fire_scores",
+    "chung_lu_edges",
+    "node2vec_walks",
+    "prefix_jaccard_scores",
+    "dyn_betweenness",
 ]
 
 
@@ -175,13 +179,11 @@ def test_queries_oracles_consistent():
         "multimodal_decode",
         "lfr_edges",
         "lfr_mixing",
-        "chung_lu_edges",
         "max_flow",
         "commute_time",
         "pivot_mds",
         "spanning_edge_centrality",
         "electrical_closeness",
-        "node2vec_walks",
         "gce_community",
         "lfm_community",
         "biconnected_components",
@@ -195,7 +197,6 @@ def test_queries_oracles_consistent():
         "lte_community",
         "warm_katz",
         "lfm_cover",
-        "prefix_jaccard_scores",
         "ged_walk",
         "path_growing_matching",
         "sgns_embeddings",
@@ -203,7 +204,6 @@ def test_queries_oracles_consistent():
         "cut_clustering",
         "stress_layout",
         "adaptive_betweenness",
-        "dyn_betweenness",
     }
 
 
