@@ -28,6 +28,7 @@ import pyarrow as pa
 
 PR_ITERS = 30  # fixed power-iteration count shared by engine and SQL oracle
 HITS_ITERS = 20  # fixed HITS iteration count shared by engine and SQL oracle
+WARM_ITERS = 10  # fixed warm-phase iteration count (warm_pagerank/warm_katz)
 
 
 # ---------------------------------------------------------------- helpers
@@ -626,8 +627,10 @@ def q_maximal_cliques(sf_dir):
 
     from networkit_ray.graph.cliques import maximal_cliques
 
-    # rows-only: (size, count) histogram of maximal cliques (size >= 2);
-    # exactness vs a brute-force Bron-Kerbosch is covered by
+    # oracle-exact: (size, count) histogram of maximal cliques (size >= 2)
+    # — a canonical graph object, so the twin (_maxclique_sql) enumerates
+    # cliques by ordered extension instead of replaying Bron-Kerbosch;
+    # exactness vs a brute-force Bron-Kerbosch is also covered by
     # tests/test_cliques.py
     from ray.data.aggregate import Count
 
@@ -689,7 +692,10 @@ def q_lfm_cover(sf_dir):
 def q_warm_katz(sf_dir):
     """DynKatzCentrality-style warm start: the base graph's fixpoint-scale
     Katz vector seeds the full-graph iteration (identical fixpoint);
-    rows-only — fixpoint-equality tests in tests/test_kernels.py."""
+    oracle-exact — two-phase unrolled twin (_warm_katz_sql: 20 base-graph
+    affine iterations, raw scale, WARM_ITERS full-graph iterations, L2
+    end-normalization); fixpoint-equality under tol-driven stopping is
+    covered by tests/test_kernels.py."""
     from networkit_ray.graph.centrality import katz, warm_start_katz
 
     edges, n = _derived(sf_dir)
@@ -700,16 +706,22 @@ def q_warm_katz(sf_dir):
         return t.filter(pa.array((s + d) % 7 != 0))
 
     base = edges.map_batches(base_only, batch_format="pyarrow").materialize()
-    raw, _ = katz(base, n, alpha=0.05, tol=1e-10, return_raw=True)
-    out, _ = warm_start_katz(edges, n, raw.materialize(), alpha=0.05, tol=1e-10)
+    raw, _ = katz(base, n, alpha=0.05, tol=0.0, max_iterations=20, return_raw=True)
+    out, _ = warm_start_katz(
+        edges, n, raw.materialize(), alpha=0.05, tol=0.0, max_iterations=WARM_ITERS
+    )
     return _round_col(out, "score", 8).sort("v")
 
 
 def q_warm_pagerank(sf_dir):
     """DynPageRank-style warm start: base-graph scores seed the full-graph
     power iteration (identical fixpoint, iterations track the score drift
-    — 125→1 on an unchanged graph); rows-only — fixpoint-equality tests
-    in tests/test_kernels.py::TestWarmStartPageRank."""
+    — 125→1 on an unchanged graph); oracle-exact — two-phase unrolled twin
+    (_warm_pagerank_sql: PR_ITERS base-graph power iterations, seed
+    rescaled to the unnormalized fixpoint scale s* = (1−d)/(1−d(1−dang)),
+    WARM_ITERS full-graph iterations, divide-by-sum); fixpoint-equality
+    under tol-driven stopping is covered by
+    tests/test_kernels.py::TestWarmStartPageRank."""
     from networkit_ray.graph.pagerank import pagerank, warm_start_pagerank
 
     edges, n = _derived(sf_dir)
@@ -720,8 +732,10 @@ def q_warm_pagerank(sf_dir):
         return t.filter(pa.array((s + d) % 7 != 0))
 
     base = edges.map_batches(base_only, batch_format="pyarrow").materialize()
-    prev, _ = pagerank(base, n, tol=1e-10)
-    out, _info = warm_start_pagerank(edges, n, prev.materialize(), tol=1e-10)
+    prev, _ = pagerank(base, n, tol=0.0, max_iterations=PR_ITERS)
+    out, _info = warm_start_pagerank(
+        edges, n, prev.materialize(), tol=0.0, max_iterations=WARM_ITERS
+    )
     return _round_col(out, "score", 8).sort("v")
 
 
@@ -785,7 +799,9 @@ def q_sgns_embeddings(sf_dir):
 
 def q_ged_walk(sf_dir):
     """GedWalk greedy group (truncated-levels normative semantics);
-    rows-only — dense-replica tests in tests/test_gedwalk.py."""
+    oracle-exact — unrolled greedy-round twin (_gedwalk_sql: the
+    masked/unmasked walk DPs are integer-valued so order-independent in
+    float64) + dense-replica tests in tests/test_gedwalk.py."""
     import pandas as pd
 
     from networkit_ray.common.hashing import round_half_away
@@ -2902,10 +2918,16 @@ def q_hop_histogram(sf_dir):
 
 
 def q_betweenness(sf_dir):
+    """centrality/EstimateBetweenness.cpp analog with the deterministic
+    multiplicative-hash pivot rule (closeness._pivots, seed 7) in place of
+    the PCG64 draw — oracle-exact (_betweenness_sql with the hash-rank
+    pivot CTE); the seeded-draw default path stays covered by
+    tests/test_betweenness.py."""
     from networkit_ray.graph.betweenness import estimate_betweenness
+    from networkit_ray.graph.closeness import _pivots
 
     edges, n = _derived(sf_dir)
-    bc, _ = estimate_betweenness(edges, n, n_samples=16, seed=42)
+    bc, _ = estimate_betweenness(edges, n, pivots=_pivots(n, min(16, n), 7))
     return _round_col(bc, "betweenness", 6)
 
 
@@ -3441,6 +3463,226 @@ def _pagerank_sql(edges_sql: str, iters: int) -> str:
         body
         + f"\nSELECT v, ROUND(score / (SELECT SUM(score) FROM s{iters}), 8) AS score FROM s{iters}"
     )
+
+
+def _warm_pagerank_sql(base_iters: int, warm_iters: int) -> str:
+    """Exact twin of q_warm_pagerank: ``base_iters`` fixed power
+    iterations over the base graph ((src+dst)%7 != 0 edges of {EDGES}),
+    divide-by-sum normalization, the warm_start_pagerank seed rescale to
+    the unnormalized fixpoint scale s* = (1−d)/(1−d(1−dang)) (dang = seed
+    mass on FULL-graph dangling vertices, pagerank.py:441-453), then
+    ``warm_iters`` fixed iterations over the full graph and a final
+    divide-by-sum."""
+    n_sql = "(SELECT COUNT(*) FROM customer)"
+    parts = [
+        "WITH ef AS MATERIALIZED ({EDGES})",
+        "eb AS MATERIALIZED (SELECT src, dst FROM ef WHERE (src + dst) % 7 <> 0)",
+        "odb AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS DOUBLE) AS d FROM eb GROUP BY src)",
+        "odf AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS DOUBLE) AS d FROM ef GROUP BY src)",
+        "nodes AS MATERIALIZED (SELECT CAST(c_custkey AS BIGINT) AS v FROM customer)",
+        f"b0 AS MATERIALIZED (SELECT v, 1.0/{n_sql} AS score FROM nodes)",
+    ]
+    for k in range(1, base_iters + 1):
+        parts.append(
+            f"b{k} AS MATERIALIZED (SELECT nodes.v, 0.15/{n_sql} + 0.85*COALESCE(m.inc, 0) AS score "
+            f"FROM nodes LEFT JOIN (SELECT eb.dst AS v, SUM(p.score/odb.d) AS inc "
+            f"FROM eb JOIN b{k-1} p ON p.v = eb.src JOIN odb ON odb.src = eb.src "
+            f"GROUP BY eb.dst) m ON m.v = nodes.v)"
+        )
+    parts += [
+        f"prev AS MATERIALIZED (SELECT v, score / (SELECT SUM(score) FROM b{base_iters}) "
+        f"AS score FROM b{base_iters})",
+        "dang AS (SELECT COALESCE(SUM(p.score), 0) AS dm FROM prev p "
+        "LEFT JOIN odf ON odf.src = p.v WHERE odf.d IS NULL)",
+        "w0 AS MATERIALIZED (SELECT v, score * (0.15 / (1.0 - 0.85*(1.0 - "
+        "(SELECT dm FROM dang)))) AS score FROM prev)",
+    ]
+    for k in range(1, warm_iters + 1):
+        parts.append(
+            f"w{k} AS MATERIALIZED (SELECT nodes.v, 0.15/{n_sql} + 0.85*COALESCE(m.inc, 0) AS score "
+            f"FROM nodes LEFT JOIN (SELECT ef.dst AS v, SUM(p.score/odf.d) AS inc "
+            f"FROM ef JOIN w{k-1} p ON p.v = ef.src JOIN odf ON odf.src = ef.src "
+            f"GROUP BY ef.dst) m ON m.v = nodes.v)"
+        )
+    return ",\n".join(parts) + (
+        f"\nSELECT v, ROUND(score / (SELECT SUM(score) FROM w{warm_iters}), 8) AS score "
+        f"FROM w{warm_iters} ORDER BY v"
+    )
+
+
+def _warm_katz_sql(base_iters: int, warm_iters: int, alpha: float, beta: float) -> str:
+    """Exact twin of q_warm_katz: ``base_iters`` affine iterations
+    x ← β + αAᵀx over the base graph from 1/n (raw fixpoint scale, no end
+    normalization — katz(return_raw=True)), the raw vector seeds
+    ``warm_iters`` iterations over the full graph, L2 end-normalization
+    (centrality.py:_iterate normalize_end)."""
+    parts = [
+        "WITH ef AS MATERIALIZED ({EDGES})",
+        "eb AS MATERIALIZED (SELECT src, dst FROM ef WHERE (src + dst) % 7 <> 0)",
+        "nodes AS MATERIALIZED (SELECT CAST(c_custkey AS BIGINT) AS v FROM customer)",
+        "b0 AS MATERIALIZED (SELECT v, 1.0/(SELECT COUNT(*) FROM nodes) AS score FROM nodes)",
+    ]
+    for k in range(1, base_iters + 1):
+        parts.append(
+            f"b{k} AS MATERIALIZED (SELECT nodes.v, {beta} + {alpha}*COALESCE(m.inc, 0) AS score "
+            f"FROM nodes LEFT JOIN (SELECT eb.dst AS v, SUM(p.score) AS inc "
+            f"FROM eb JOIN b{k-1} p ON p.v = eb.src GROUP BY eb.dst) m ON m.v = nodes.v)"
+        )
+    parts.append(f"w0 AS MATERIALIZED (SELECT v, score FROM b{base_iters})")
+    for k in range(1, warm_iters + 1):
+        parts.append(
+            f"w{k} AS MATERIALIZED (SELECT nodes.v, {beta} + {alpha}*COALESCE(m.inc, 0) AS score "
+            f"FROM nodes LEFT JOIN (SELECT ef.dst AS v, SUM(p.score) AS inc "
+            f"FROM ef JOIN w{k-1} p ON p.v = ef.src GROUP BY ef.dst) m ON m.v = nodes.v)"
+        )
+    return ",\n".join(parts) + (
+        f"\nSELECT v, ROUND(score / (SELECT SQRT(SUM(score*score)) FROM w{warm_iters}), 8) "
+        f"AS score FROM w{warm_iters} ORDER BY v"
+    )
+
+
+def _gedwalk_sql(k: int, levels: int, pool: int) -> str:
+    """Exact twin of graph/gedwalk.py:ged_walk.  Exactness argument: the
+    masked/unmasked walk-count DPs are INTEGER-valued (exact in float64 in
+    any summation order), α = 1/(1 + maxInDeg + maxOutDeg) is a single
+    division, α^ℓ is the same libm pow on both sides, and each round's
+    score is the same explicit 5-term left-to-right sum, so the greedy
+    argmax (ties → smallest id) replays bit-for-bit."""
+    parts = [
+        "WITH e AS MATERIALIZED ({EDGES})",
+        "nodes AS MATERIALIZED (SELECT CAST(c_custkey AS BIGINT) AS v FROM customer)",
+        "al AS (SELECT 1.0/(1.0 + (SELECT MAX(c) FROM (SELECT COUNT(*) AS c FROM e GROUP BY dst)) "
+        "+ (SELECT MAX(c) FROM (SELECT COUNT(*) AS c FROM e GROUP BY src))) AS a)",
+        "cand AS MATERIALIZED (SELECT v FROM ("
+        "SELECT v, COUNT(*) AS deg FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e) GROUP BY v"
+        f") ORDER BY deg DESC, v ASC LIMIT {pool})",
+        "w0 AS MATERIALIZED (SELECT v, CAST(1 AS DOUBLE) AS o FROM nodes)",
+    ]
+    for lv in range(1, levels + 1):
+        parts.append(
+            f"w{lv} AS MATERIALIZED (SELECT e.src AS v, SUM(p.o) AS o "
+            f"FROM e JOIN w{lv-1} p ON p.v = e.dst GROUP BY e.src)"
+        )
+        parts.append(f"wt{lv} AS (SELECT COALESCE(SUM(o), 0) AS t FROM w{lv})")
+    score_terms = " + ".join(
+        f"POWER(al.a, {lv})*((SELECT t FROM wt{lv}) - COALESCE(s{lv}.s, 0))"
+        for lv in range(1, levels + 1)
+    )
+    for r in range(1, k + 1):
+        not_picked = " AND ".join(
+            f"{{col}} <> (SELECT v FROM pick{j})" for j in range(1, r)
+        )
+        live_f = (" WHERE " + not_picked.format(col="c.v")) if r > 1 else ""
+        mask0 = "n.v = c.v" + "".join(
+            f" OR n.v = (SELECT v FROM pick{j})" for j in range(1, r)
+        )
+        step_f = ("" if r == 1 else " AND " + not_picked.format(col="e.src"))
+        parts.append(
+            f"m{r}_0 AS MATERIALIZED (SELECT c.v AS cand, n.v, "
+            f"CASE WHEN {mask0} THEN CAST(0 AS DOUBLE) ELSE 1.0 END AS o "
+            f"FROM cand c CROSS JOIN nodes n{live_f})"
+        )
+        for lv in range(1, levels + 1):
+            parts.append(
+                f"m{r}_{lv} AS MATERIALIZED (SELECT p.cand, e.src AS v, SUM(p.o) AS o "
+                f"FROM e JOIN m{r}_{lv-1} p ON p.v = e.dst "
+                f"WHERE e.src <> p.cand{step_f} GROUP BY p.cand, e.src)"
+            )
+            parts.append(
+                f"ms{r}_{lv} AS (SELECT cand, SUM(o) AS s FROM m{r}_{lv} GROUP BY cand)"
+            )
+        joins = " ".join(
+            f"LEFT JOIN ms{r}_{lv} s{lv} ON s{lv}.cand = c.v"
+            for lv in range(1, levels + 1)
+        )
+        parts.append(
+            f"sc{r} AS MATERIALIZED (SELECT c.v AS cand, {score_terms} AS score "
+            f"FROM cand c CROSS JOIN al {joins}{live_f})"
+        )
+        parts.append(
+            f"pick{r} AS MATERIALIZED (SELECT cand AS v, score FROM sc{r} "
+            f"ORDER BY score DESC, cand ASC LIMIT 1)"
+        )
+    sel = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS rank, v, ROUND(score, 6) AS score FROM pick{r}"
+        for r in range(1, k + 1)
+    )
+    return ",\n".join(parts) + f"\n{sel}\nORDER BY rank"
+
+
+def _maxclique_sql(max_size: int) -> str:
+    """Exact twin of q_maximal_cliques' (size, num_cliques) histogram.
+    Maximal cliques are a canonical graph object, so the oracle need not
+    replay the engine's distributed Bron-Kerbosch: it enumerates ALL
+    cliques by ordered extension (members ascending; each new vertex must
+    join every member) up to ``max_size`` — levels beyond the true
+    maximum are empty — then keeps the non-extendable ones (no vertex
+    adjacent to every member)."""
+    parts = [
+        "WITH ce AS MATERIALIZED ({CANON})",
+        "sym AS MATERIALIZED (SELECT src, dst FROM ce UNION ALL SELECT dst, src FROM ce)",
+        "c2 AS MATERIALIZED (SELECT [src, dst] AS ms, dst AS mx FROM ce)",
+    ]
+    for k in range(3, max_size + 1):
+        parts.append(
+            f"c{k} AS MATERIALIZED (SELECT list_append(p.ms, e.dst) AS ms, e.dst AS mx "
+            f"FROM c{k-1} p JOIN ce e ON e.src = p.mx "
+            f"WHERE NOT EXISTS (SELECT 1 FROM unnest(p.ms) AS u(m) "
+            f"WHERE u.m < p.mx AND NOT EXISTS ("
+            f"SELECT 1 FROM ce a WHERE a.src = u.m AND a.dst = e.dst)))"
+        )
+    all_c = " UNION ALL ".join(f"SELECT ms FROM c{k}" for k in range(2, max_size + 1))
+    parts.append(f"cand AS MATERIALIZED ({all_c})")
+    parts.append(
+        "ext AS (SELECT ms FROM ("
+        "SELECT mb.ms, s.dst AS x, COUNT(*) AS hits "
+        "FROM (SELECT ms, unnest(ms) AS m FROM cand) mb "
+        "JOIN sym s ON s.src = mb.m "
+        "WHERE NOT list_contains(mb.ms, s.dst) "
+        "GROUP BY mb.ms, s.dst) "
+        "WHERE hits = len(ms))"
+    )
+    return ",\n".join(parts) + (
+        "\nSELECT CAST(len(ms) AS BIGINT) AS size, COUNT(*) AS num_cliques "
+        "FROM cand WHERE ms NOT IN (SELECT ms FROM ext) "
+        "GROUP BY size ORDER BY size"
+    )
+
+
+def _langid_sql() -> str:
+    """Exact twin of text/analysis.py:LangId: tokenize lower(text) with the
+    same regex, count per-occurrence stopword hits per language, argmax with
+    the (count desc, lang desc) tie-break of ``max(scores.items(),
+    key=(cnt, lang))``, 'und' when no table hits (or no tokens)."""
+    from networkit_ray.text.analysis import _STOPWORDS
+
+    vals = ", ".join(
+        f"('{lang}', '{w}')"
+        for lang in sorted(_STOPWORDS)
+        for w in sorted(_STOPWORDS[lang])
+    )
+    return f"""
+        WITH sw(lang, w) AS (VALUES {vals}),
+        toks AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '[a-zà-öø-ÿœ'']+')) AS tk
+          FROM documents
+        ),
+        hits AS (
+          SELECT t.doc_id, sw.lang, COUNT(*) AS cnt
+          FROM toks t JOIN sw ON sw.w = t.tk
+          GROUP BY t.doc_id, sw.lang
+        ),
+        best AS (
+          SELECT doc_id, lang,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY cnt DESC, lang DESC) AS rn
+          FROM hits
+        )
+        SELECT d.doc_id, COALESCE(b.lang, 'und') AS lang_pred
+        FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+        ORDER BY d.doc_id
+    """
 
 
 def _plp_sql(iters: int) -> str:
@@ -5122,6 +5364,23 @@ def oracle_sql() -> dict[str, str]:
         "plp_communities": _plp_sql(25).replace("{SYM}", SYMMETRIC_EDGES_SQL),
         "core_decomposition": _kcore_sql(32).replace("{SYM}", SYMMETRIC_EDGES_SQL),
         "betweenness_pivots": _betweenness_sql(24).replace("{EDGES}", DERIVED_EDGES_SQL),
+        # estimate_betweenness with the hash-rank pivot rule (seed 7)
+        "betweenness": _betweenness_sql(
+            24,
+            piv_sql=(
+                "SELECT v AS s FROM nodes ORDER BY "
+                + _mul64_sql("(v + 7)", 0x9E3779B97F4A7C15)
+                + " LIMIT 16"
+            ),
+        ).replace("{EDGES}", DERIVED_EDGES_SQL),
+        "warm_pagerank": _warm_pagerank_sql(PR_ITERS, WARM_ITERS).replace(
+            "{EDGES}", DERIVED_EDGES_SQL
+        ),
+        "warm_katz": _warm_katz_sql(20, WARM_ITERS, 0.05, 1.0).replace(
+            "{EDGES}", DERIVED_EDGES_SQL
+        ),
+        "ged_walk": _gedwalk_sql(3, 5, 8).replace("{EDGES}", DERIVED_EDGES_SQL),
+        "maximal_cliques": _maxclique_sql(16).replace("{CANON}", CANONICAL_EDGES_SQL),
         # dyn_betweenness repaired == from-scratch Brandes on base + the 8
         # smallest held-out edges, with the multiplicative-hash pivot rule
         # (closeness._pivots: 16 smallest (v+42)*GOLD ranks)
@@ -7091,6 +7350,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprint_md5": "SELECT doc_id, md5(text) AS md5 FROM documents",
         "lang_histogram": "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang",
+        "langid": _langid_sql(),
         "jaccard_near_dups": r"""
             WITH toks AS (
               SELECT doc_id,

@@ -113,6 +113,12 @@ FAST_SUBSET = [
     "node2vec_walks",
     "prefix_jaccard_scores",
     "dyn_betweenness",
+    "betweenness",
+    "warm_pagerank",
+    "warm_katz",
+    "langid",
+    "ged_walk",
+    "maximal_cliques",
 ]
 
 
@@ -162,15 +168,11 @@ def test_queries_oracles_consistent():
     # the non-SQL set is intentional and documented
     rows_only = set(qs) - set(os_)
     assert rows_only == {
-        "maximal_cliques",
-        "betweenness",
         "approx_global_clustering",
         "louvain",
         "louvain_modularity",
         "leiden_refine",
         "ego_splitting",
-        "warm_pagerank",
-        "langid",
         "minhash_near_dups",
         "simhash_near_dups",
         "embedding_near_dups",
@@ -195,9 +197,7 @@ def test_queries_oracles_consistent():
         "two_phase_l",
         "localt_community",
         "lte_community",
-        "warm_katz",
         "lfm_cover",
-        "ged_walk",
         "path_growing_matching",
         "sgns_embeddings",
         "hyperbolic_edges",
