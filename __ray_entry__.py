@@ -3610,6 +3610,95 @@ def _gedwalk_sql(k: int, levels: int, pool: int) -> str:
     return ",\n".join(parts) + f"\n{sel}\nORDER BY rank"
 
 
+def _biconnected_sql(levels: int) -> str:
+    """Exact twin of graph/biconnected.py:biconnected_components — the
+    whole Tarjan–Vishkin pipeline replayed in integer SQL: hash-min CC
+    roots (= per-component min id, the closure MIN), multi-root BFS
+    levels, parent = min neighbor one level up, subtree sizes from the
+    recursive ancestor chain, the engine's exact preorder (roots in id
+    order; children of a parent in id order, offset by elder siblings'
+    subtree sizes), low/high as subtree min/max over one-non-tree-edge
+    reach, aux edges R1 (non-tree, no ancestor relation) + R2 (escaping
+    subtree), aux-component min labels, and the carrier rule
+    (child endpoint of a tree edge, else the preorder-deeper endpoint).
+    Every quantity is an int64, so the replay is bit-exact.
+    ``levels`` bounds BFS depth/tree height (empty levels are no-ops)."""
+    parts = [
+        "WITH RECURSIVE se AS MATERIALIZED ({SYM})",
+        "nodes AS MATERIALIZED (SELECT CAST(c_custkey AS BIGINT) AS v FROM customer)",
+        "ccr(v, l) AS (SELECT v, v FROM nodes UNION "
+        "SELECT e.dst, ccr.l FROM ccr JOIN se e ON e.src = ccr.v)",
+        "roots AS MATERIALIZED (SELECT v FROM (SELECT v, MIN(l) AS label FROM ccr GROUP BY v) WHERE v = label)",
+        f"dr(v, d) AS (SELECT v, 0 FROM roots UNION "
+        f"SELECT e.dst, dr.d + 1 FROM dr JOIN se e ON e.src = dr.v WHERE dr.d < {levels})",
+        "dist AS MATERIALIZED (SELECT v, MIN(d) AS d FROM dr GROUP BY v)",
+        "par AS MATERIALIZED (SELECT d1.v, MIN(e.src) AS p, d1.d AS lvl "
+        "FROM dist d1 JOIN se e ON e.dst = d1.v "
+        "JOIN dist d0 ON d0.v = e.src AND d0.d + 1 = d1.d GROUP BY d1.v, d1.d)",
+        "anc(u, a) AS (SELECT v, p FROM par UNION "
+        "SELECT anc.u, par.p FROM anc JOIN par ON par.v = anc.a)",
+        "nd AS MATERIALIZED (SELECT n.v, 1 + COALESCE(c.k, 0) AS nd FROM nodes n "
+        "LEFT JOIN (SELECT a, COUNT(*) AS k FROM anc GROUP BY a) c ON c.a = n.v)",
+        "pre0 AS MATERIALIZED (SELECT r.v, COALESCE((SELECT SUM(nd.nd) FROM roots r2 "
+        "JOIN nd ON nd.v = r2.v WHERE r2.v < r.v), 0) AS pre FROM roots r)",
+    ]
+    for k in range(1, levels + 1):
+        parts.append(
+            f"pre{k} AS MATERIALIZED (SELECT c.v, pp.pre + 1 + COALESCE(("
+            f"SELECT SUM(nd2.nd) FROM par s JOIN nd nd2 ON nd2.v = s.v "
+            f"WHERE s.p = c.p AND s.lvl = {k} AND s.v < c.v), 0) AS pre "
+            f"FROM par c JOIN pre{k-1} pp ON pp.v = c.p WHERE c.lvl = {k})"
+        )
+    all_pre = " UNION ALL ".join(f"SELECT * FROM pre{k}" for k in range(levels + 1))
+    parts += [
+        f"pre AS MATERIALIZED ({all_pre})",
+        "nt AS (SELECT e.src AS s, e.dst AS v FROM se e "
+        "LEFT JOIN par p1 ON p1.v = e.dst LEFT JOIN par p2 ON p2.v = e.src "
+        "WHERE COALESCE(p1.p, -1) <> e.src AND COALESCE(p2.p, -1) <> e.dst)",
+        "reach AS (SELECT nt.v, MIN(pr.pre) AS mn, MAX(pr.pre) AS mx "
+        "FROM nt JOIN pre pr ON pr.v = nt.s GROUP BY nt.v)",
+        "low0 AS MATERIALIZED (SELECT n.v, "
+        "LEAST(pr.pre, COALESCE(r.mn, pr.pre)) AS lo, "
+        "GREATEST(pr.pre, COALESCE(r.mx, pr.pre)) AS hi "
+        "FROM nodes n JOIN pre pr ON pr.v = n.v LEFT JOIN reach r ON r.v = n.v)",
+        "sub AS (SELECT v AS u, v AS a FROM nodes UNION ALL SELECT u, a FROM anc)",
+        "lh AS MATERIALIZED (SELECT s.a AS v, MIN(l.lo) AS lo, MAX(l.hi) AS hi "
+        "FROM sub s JOIN low0 l ON l.v = s.u GROUP BY s.a)",
+        "r2e AS (SELECT p.v AS a, p.p AS b FROM par p "
+        "JOIN lh ON lh.v = p.v JOIN pre pu ON pu.v = p.p JOIN nd ndu ON ndu.v = p.p "
+        "WHERE p.p NOT IN (SELECT v FROM roots) "
+        "AND (lh.lo < pu.pre OR lh.hi >= pu.pre + ndu.nd))",
+        "r1e AS (SELECT e.src AS a, e.dst AS b FROM se e "
+        "JOIN pre qa ON qa.v = e.src JOIN pre qb ON qb.v = e.dst "
+        "JOIN nd na ON na.v = e.src JOIN nd nb ON nb.v = e.dst "
+        "LEFT JOIN par p1 ON p1.v = e.dst LEFT JOIN par p2 ON p2.v = e.src "
+        "WHERE e.src < e.dst "
+        "AND COALESCE(p1.p, -1) <> e.src AND COALESCE(p2.p, -1) <> e.dst "
+        "AND NOT (qa.pre <= qb.pre AND qb.pre < qa.pre + na.nd) "
+        "AND NOT (qb.pre <= qa.pre AND qa.pre < qb.pre + nb.nd))",
+        "aux AS MATERIALIZED (SELECT a, b FROM r1e UNION ALL SELECT b, a FROM r1e "
+        "UNION ALL SELECT a, b FROM r2e UNION ALL SELECT b, a FROM r2e)",
+        "auxr(v, l) AS (SELECT a, a FROM aux UNION "
+        "SELECT aux.b, auxr.l FROM auxr JOIN aux ON aux.a = auxr.v)",
+        "comp AS MATERIALIZED (SELECT v, MIN(l) AS c FROM auxr GROUP BY v)",
+    ]
+    return ",\n".join(parts) + (
+        "\nSELECT e.src, e.dst, COALESCE(cm.c, carrier) AS comp FROM ("
+        "SELECT e.src, e.dst, "
+        "CASE WHEN COALESCE(p1.p, -1) = e.src THEN e.dst "
+        "WHEN COALESCE(p2.p, -1) = e.dst THEN e.src "
+        "WHEN qa.pre <= qb.pre AND qb.pre < qa.pre + na.nd THEN e.dst "
+        "ELSE e.src END AS carrier "
+        "FROM se e "
+        "JOIN pre qa ON qa.v = e.src JOIN pre qb ON qb.v = e.dst "
+        "JOIN nd na ON na.v = e.src "
+        "LEFT JOIN par p1 ON p1.v = e.dst LEFT JOIN par p2 ON p2.v = e.src "
+        "WHERE e.src < e.dst) e "
+        "LEFT JOIN comp cm ON cm.v = e.carrier "
+        "ORDER BY e.src, e.dst"
+    )
+
+
 def _maxclique_sql(max_size: int) -> str:
     """Exact twin of q_maximal_cliques' (size, num_cliques) histogram.
     Maximal cliques are a canonical graph object, so the oracle need not
@@ -5381,6 +5470,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ged_walk": _gedwalk_sql(3, 5, 8).replace("{EDGES}", DERIVED_EDGES_SQL),
         "maximal_cliques": _maxclique_sql(16).replace("{CANON}", CANONICAL_EDGES_SQL),
+        "biconnected_components": _biconnected_sql(24).replace(
+            "{SYM}", SYMMETRIC_EDGES_SQL
+        ),
         # dyn_betweenness repaired == from-scratch Brandes on base + the 8
         # smallest held-out edges, with the multiplicative-hash pivot rule
         # (closeness._pivots: 16 smallest (v+42)*GOLD ranks)

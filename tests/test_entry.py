@@ -119,6 +119,7 @@ FAST_SUBSET = [
     "langid",
     "ged_walk",
     "maximal_cliques",
+    "biconnected_components",
 ]
 
 
@@ -188,7 +189,6 @@ def test_queries_oracles_consistent():
         "electrical_closeness",
         "gce_community",
         "lfm_community",
-        "biconnected_components",
         "clique_detect",
         "agglomerative_communities",
         "kmeans_clusters",
