@@ -1436,7 +1436,9 @@ def q_clustering_generator(sf_dir):
 
 
 def q_gce_community(sf_dir):
-    """GCE objective-M expansion from two seeds (rows-only: greedy argmax)."""
+    """GCE objective-M expansion from two seeds; oracle-exact — unrolled
+    greedy-round twin (_gce_sql: integer counts, one float division per
+    compared quantity, strict-improvement argmax with smallest-id ties)."""
     from networkit_ray.graph.scd import gce_communities
 
     sym, n = _sym(sf_dir)
@@ -1456,7 +1458,9 @@ def q_lte_community(sf_dir):
 
 
 def q_localt_community(sf_dir):
-    """LocalT triangle-score expansion from two seeds (rows-only)."""
+    """LocalT triangle-score expansion from two seeds; oracle-exact —
+    unrolled greedy-round twin (_localt_sql: all-integer triangle counts
+    and scores, (score desc, ext asc, id asc) selection)."""
     from networkit_ray.graph.scd import localt_communities
 
     sym, n = _sym(sf_dir)
@@ -1466,7 +1470,9 @@ def q_localt_community(sf_dir):
 
 
 def q_two_phase_l(sf_dir):
-    """TwoPhaseL L-metric expansion from two seeds (rows-only)."""
+    """TwoPhaseL L-metric expansion from two seeds; oracle-exact —
+    unrolled two-phase twin (_twophasel_sql: integer stats, single-division
+    lin/lex/L, snapshot-ordered phase-2 removals)."""
     from networkit_ray.graph.scd import two_phase_l_communities
 
     sym, n = _sym(sf_dir)
@@ -1476,7 +1482,8 @@ def q_two_phase_l(sf_dir):
 
 
 def q_combined_scd(sf_dir):
-    """CliqueDetect-anchored GCE expansion (rows-only)."""
+    """CliqueDetect-anchored GCE expansion; oracle-exact — the GCE twin
+    seeded with the canonical max-clique init (_gce_sql clique_init=)."""
     from networkit_ray.graph.scd import combined_scd
 
     sym, n = _sym(sf_dir)
@@ -1728,7 +1735,9 @@ def q_scd_ground_truth(sf_dir):
 
 
 def q_clique_detect(sf_dir):
-    """CliqueDetect seed communities (rows-only: max-clique search)."""
+    """CliqueDetect seed communities; oracle-exact — the max clique of
+    N(s) is canonical (lexicographic tie-break), so the twin
+    (_cliquedetect_sql) enumerates by ordered extension."""
     from networkit_ray.graph.scd import clique_detect
 
     sym, n = _sym(sf_dir)
@@ -3610,6 +3619,372 @@ def _gedwalk_sql(k: int, levels: int, pool: int) -> str:
     return ",\n".join(parts) + f"\n{sel}\nORDER BY rank"
 
 
+def _gce_sql(
+    seeds: tuple, radius: int, max_size: int, clique_init: int | None = None
+) -> str:
+    """Exact twin of graph/scd.py:_gce_group (GCE objective-M expansion).
+    Exactness argument: int_w/idg/cut/deg are all integers, q and cur_q
+    are each ONE float division of exact integers (identical on both
+    sides), dq = q − cur_q a single subtraction; Python's strict
+    `dq > best_dq` over ascending candidates = max dq, smallest v on
+    exact ties; denom ≤ 0 → q = +inf (beats all finite), and the
+    inf − inf = NaN case is skipped on both sides (Python: NaN > x is
+    False; SQL: explicit isnan filter).  Rounds past the stop are no-ops
+    (same candidates, same no-pick), so the fixed unroll is value-exact.
+    ``clique_init`` (CombinedSCD, scd.py:_gce_set_group): start from
+    {seed} ∪ max-clique-of-N(seed) instead of {seed}, enumerated by
+    ordered extension up to that size; a per-round size guard enforces
+    the ``len(com) < max_size`` loop condition for multi-vertex starts."""
+    seed_vals = ", ".join(f"({s})" for s in seeds)
+    parts = [
+        "WITH se AS MATERIALIZED ({SYM})",
+        "deg AS MATERIALIZED (SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS d FROM se GROUP BY src)",
+        f"seeds(s) AS (SELECT CAST(col0 AS BIGINT) FROM (VALUES {seed_vals}))",
+        "rg0 AS (SELECT s, s AS v FROM seeds)",
+    ]
+    for k in range(1, radius + 1):
+        parts.append(
+            f"rg{k} AS MATERIALIZED (SELECT s, v FROM rg{k-1} UNION "
+            f"SELECT r.s, e.dst FROM rg{k-1} r JOIN se e ON e.src = r.v)"
+        )
+    parts += [
+        f"re AS MATERIALIZED (SELECT m1.s, e.src AS a, e.dst AS b FROM se e "
+        f"JOIN rg{radius} m1 ON m1.v = e.src "
+        f"JOIN rg{radius} m2 ON m2.s = m1.s AND m2.v = e.dst WHERE e.src < e.dst)",
+        "radj AS MATERIALIZED (SELECT s, a AS u, b AS w FROM re "
+        "UNION ALL SELECT s, b, a FROM re)",
+    ]
+    if clique_init is None:
+        parts.append("com0 AS MATERIALIZED (SELECT s, s AS v FROM seeds)")
+    else:
+        parts += [
+            "nbq AS MATERIALIZED (SELECT sd.s, e.dst AS v FROM seeds sd "
+            "JOIN se e ON e.src = sd.s)",
+            "neq AS MATERIALIZED (SELECT n1.s, e.src AS a, e.dst AS b FROM se e "
+            "JOIN nbq n1 ON n1.v = e.src JOIN nbq n2 ON n2.s = n1.s AND n2.v = e.dst "
+            "WHERE e.src < e.dst)",
+            "q1 AS (SELECT s, [v] AS ms, v AS mx FROM nbq)",
+        ]
+        for k in range(2, clique_init + 1):
+            parts.append(
+                f"q{k} AS MATERIALIZED (SELECT p.s, list_append(p.ms, e.b) AS ms, "
+                f"e.b AS mx FROM q{k-1} p JOIN neq e ON e.s = p.s AND e.a = p.mx "
+                f"WHERE NOT EXISTS (SELECT 1 FROM unnest(p.ms) AS u(m) "
+                f"WHERE u.m < p.mx AND NOT EXISTS ("
+                f"SELECT 1 FROM neq x WHERE x.s = p.s AND x.a = u.m AND x.b = e.b)))"
+            )
+        all_q = " UNION ALL ".join(
+            f"SELECT s, ms FROM q{k}" for k in range(1, clique_init + 1)
+        )
+        parts += [
+            f"qcand AS ({all_q})",
+            "qbest AS (SELECT s, ms FROM (SELECT s, ms, ROW_NUMBER() OVER "
+            "(PARTITION BY s ORDER BY len(ms) DESC, ms ASC) AS rn FROM qcand) "
+            "WHERE rn = 1)",
+            # init = {seed} ∪ best clique, filtered to vertices with a
+            # region edge (scd.py:671 `v in adj`); a clique member always
+            # has its seed edge in the region, so only an edgeless seed
+            # drops — and then the fallback keeps the smallest init member
+            # (= the seed), which the no-candidate rounds preserve.
+            "com0 AS MATERIALIZED (SELECT DISTINCT s, v FROM ("
+            "SELECT s AS s, s AS v FROM seeds "
+            "UNION ALL SELECT s, unnest(ms) AS v FROM qbest))",
+        ]
+    for r in range(1, max_size):
+        p = r - 1
+        parts += [
+            f"iw{p} AS (SELECT sd.s, CAST(COALESCE(x.c, 0) AS DOUBLE) AS iw "
+            f"FROM seeds sd LEFT JOIN (SELECT re.s, COUNT(*) AS c FROM re "
+            f"JOIN com{p} c1 ON c1.s = re.s AND c1.v = re.a "
+            f"JOIN com{p} c2 ON c2.s = re.s AND c2.v = re.b GROUP BY re.s) x "
+            f"ON x.s = sd.s)",
+            f"cut{p} AS (SELECT c.s, SUM(COALESCE(deg.d, 0)) - 2.0*ANY_VALUE(iw.iw) AS cut, "
+            f"ANY_VALUE(iw.iw) AS iw FROM com{p} c "
+            f"LEFT JOIN deg ON deg.v = c.v JOIN iw{p} iw ON iw.s = c.s GROUP BY c.s)",
+            f"cand{r} AS (SELECT sh.s, sh.v, "
+            f"CASE WHEN ct.cut + sh.d - 2.0*sh.idg > 0 "
+            f"THEN (ct.iw + sh.idg)/(ct.cut + sh.d - 2.0*sh.idg) "
+            f"ELSE 'infinity'::DOUBLE END - "
+            f"CASE WHEN ct.cut > 0 THEN ct.iw/ct.cut "
+            f"ELSE 'infinity'::DOUBLE END AS dq "
+            f"FROM (SELECT ra.s, ra.u AS v, CAST(COUNT(*) AS DOUBLE) AS idg, "
+            f"ANY_VALUE(COALESCE(dg.d, 0)) AS d "
+            f"FROM radj ra JOIN com{p} c ON c.s = ra.s AND c.v = ra.w "
+            f"LEFT JOIN deg dg ON dg.v = ra.u "
+            f"WHERE NOT EXISTS (SELECT 1 FROM com{p} c2 WHERE c2.s = ra.s AND c2.v = ra.u) "
+            f"GROUP BY ra.s, ra.u) sh JOIN cut{p} ct ON ct.s = sh.s)",
+            f"com{r} AS MATERIALIZED (SELECT * FROM com{p} UNION ALL "
+            f"SELECT s, v FROM (SELECT s, v, ROW_NUMBER() OVER "
+            f"(PARTITION BY s ORDER BY dq DESC, v ASC) AS rn FROM cand{r} "
+            f"WHERE dq > 0 AND NOT isnan(dq) "
+            f"AND (SELECT COUNT(*) FROM com{p} c3 WHERE c3.s = cand{r}.s) "
+            f"< {max_size}) WHERE rn = 1)",
+        ]
+    return ",\n".join(parts) + (
+        f"\nSELECT s AS seed, v FROM com{max_size - 1} ORDER BY seed, v"
+    )
+
+
+def _localt_sql(seeds: tuple, radius: int, max_size: int) -> str:
+    """Exact twin of graph/scd.py:_localt_group (LocalT triangle-score
+    expansion).  All quantities are INTEGERS (triangle counts, score =
+    max(0, i·(i−e))), so the replay is bit-exact; the running-max loop
+    over the ascending shell equals ORDER BY score DESC, ext ASC, v ASC
+    among candidates with score >= current community score (equal-score
+    adds accepted, per the engine docstring); no-pick rounds are no-ops,
+    so the fixed ``max_size − 1`` unroll is value-exact."""
+    seed_vals = ", ".join(f"({s})" for s in seeds)
+    parts = [
+        "WITH se AS MATERIALIZED ({SYM})",
+        f"seeds(s) AS (SELECT CAST(col0 AS BIGINT) FROM (VALUES {seed_vals}))",
+        "rg0 AS (SELECT s, s AS v FROM seeds)",
+    ]
+    for k in range(1, radius + 1):
+        parts.append(
+            f"rg{k} AS MATERIALIZED (SELECT s, v FROM rg{k-1} UNION "
+            f"SELECT r.s, e.dst FROM rg{k-1} r JOIN se e ON e.src = r.v)"
+        )
+    parts += [
+        f"re AS MATERIALIZED (SELECT m1.s, e.src AS a, e.dst AS b FROM se e "
+        f"JOIN rg{radius} m1 ON m1.v = e.src "
+        f"JOIN rg{radius} m2 ON m2.s = m1.s AND m2.v = e.dst WHERE e.src < e.dst)",
+        "radj AS MATERIALIZED (SELECT s, a AS u, b AS w FROM re "
+        "UNION ALL SELECT s, b, a FROM re)",
+        "tri AS MATERIALIZED (SELECT e1.s, e1.a, e1.b, e2.b AS c "
+        "FROM re e1 JOIN re e2 ON e2.s = e1.s AND e2.a = e1.b "
+        "JOIN re e3 ON e3.s = e1.s AND e3.a = e1.a AND e3.b = e2.b)",
+        "tri3 AS MATERIALIZED (SELECT s, a AS v, b AS x, c AS y FROM tri "
+        "UNION ALL SELECT s, b, a, c FROM tri UNION ALL SELECT s, c, a, b FROM tri)",
+        "com0 AS MATERIALIZED (SELECT s, s AS v FROM seeds)",
+    ]
+    for r in range(1, max_size):
+        p = r - 1
+        parts += [
+            # community totals: int = all-3-in, ext = exactly-1-in
+            f"tot{p} AS (SELECT sd.s, "
+            f"COALESCE(SUM(CASE WHEN t.k = 3 THEN 1 END), 0) AS it, "
+            f"COALESCE(SUM(CASE WHEN t.k = 1 THEN 1 END), 0) AS et "
+            f"FROM seeds sd LEFT JOIN ("
+            f"SELECT tri.s, (CASE WHEN ca.v IS NOT NULL THEN 1 ELSE 0 END "
+            f"+ CASE WHEN cb.v IS NOT NULL THEN 1 ELSE 0 END "
+            f"+ CASE WHEN cc.v IS NOT NULL THEN 1 ELSE 0 END) AS k FROM tri "
+            f"LEFT JOIN com{p} ca ON ca.s = tri.s AND ca.v = tri.a "
+            f"LEFT JOIN com{p} cb ON cb.s = tri.s AND cb.v = tri.b "
+            f"LEFT JOIN com{p} cc ON cc.s = tri.s AND cc.v = tri.c) t "
+            f"ON t.s = sd.s GROUP BY sd.s)",
+            f"cand{r} AS (SELECT sh.s, sh.v, "
+            f"GREATEST(0, (tt.it + COALESCE(tv.bi, 0)) * "
+            f"((tt.it + COALESCE(tv.bi, 0)) - (tt.et + COALESCE(tv.bo, 0) - COALESCE(tv.se, 0)))) AS ns, "
+            f"tt.et + COALESCE(tv.bo, 0) - COALESCE(tv.se, 0) AS ne, "
+            f"GREATEST(0, tt.it * (tt.it - tt.et)) AS s0 "
+            f"FROM (SELECT DISTINCT ra.s, ra.u AS v FROM radj ra "
+            f"JOIN com{p} c ON c.s = ra.s AND c.v = ra.w "
+            f"WHERE NOT EXISTS (SELECT 1 FROM com{p} c2 WHERE c2.s = ra.s AND c2.v = ra.u)) sh "
+            f"JOIN tot{p} tt ON tt.s = sh.s "
+            f"LEFT JOIN (SELECT t3.s, t3.v, "
+            f"SUM(CASE WHEN t3.k = 2 THEN 1 END) AS bi, "
+            f"SUM(CASE WHEN t3.k = 1 THEN 1 END) AS se, "
+            f"SUM(CASE WHEN t3.k = 0 THEN 1 END) AS bo FROM ("
+            f"SELECT tri3.s, tri3.v, (CASE WHEN cx.v IS NOT NULL THEN 1 ELSE 0 END "
+            f"+ CASE WHEN cy.v IS NOT NULL THEN 1 ELSE 0 END) AS k FROM tri3 "
+            f"LEFT JOIN com{p} cx ON cx.s = tri3.s AND cx.v = tri3.x "
+            f"LEFT JOIN com{p} cy ON cy.s = tri3.s AND cy.v = tri3.y) t3 "
+            f"GROUP BY t3.s, t3.v) tv ON tv.s = sh.s AND tv.v = sh.v)",
+            f"com{r} AS MATERIALIZED (SELECT * FROM com{p} UNION ALL "
+            f"SELECT s, v FROM (SELECT s, v, ROW_NUMBER() OVER "
+            f"(PARTITION BY s ORDER BY ns DESC, ne ASC, v ASC) AS rn "
+            f"FROM cand{r} WHERE ns >= s0) WHERE rn = 1)",
+        ]
+    return ",\n".join(parts) + (
+        f"\nSELECT s AS seed, v FROM com{max_size - 1} ORDER BY seed, v"
+    )
+
+
+def _twophasel_sql(seeds: tuple, radius: int, max_size: int) -> str:
+    """Exact twin of graph/scd.py:_l_group (TwoPhaseL).  All inputs are
+    integers (internal edges, cut, boundary counts); lin = 2·iw/|C|,
+    lex = cut/boundary, L = lin/lex are each single IEEE divisions so
+    both sides compute identical doubles; phase 1's running-max over the
+    ascending shell (eligible iff nlin > lin AND L > current best)
+    equals ORDER BY L DESC, v ASC with those filters; phase 2 removes
+    the k-th smallest member of the phase-1 snapshot unless removal
+    strictly reduces lin AND raises lex; a purged seed falls back to the
+    trivial {seed} row.  No-pick rounds are no-ops, so the fixed unrolls
+    are value-exact."""
+    seed_vals = ", ".join(f"({s})" for s in seeds)
+    parts = [
+        "WITH se AS MATERIALIZED ({SYM})",
+        "deg AS MATERIALIZED (SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS d FROM se GROUP BY src)",
+        f"seeds(s) AS (SELECT CAST(col0 AS BIGINT) FROM (VALUES {seed_vals}))",
+        "rg0 AS (SELECT s, s AS v FROM seeds)",
+    ]
+    for k in range(1, radius + 1):
+        parts.append(
+            f"rg{k} AS MATERIALIZED (SELECT s, v FROM rg{k-1} UNION "
+            f"SELECT r.s, e.dst FROM rg{k-1} r JOIN se e ON e.src = r.v)"
+        )
+    parts += [
+        f"re AS MATERIALIZED (SELECT m1.s, e.src AS a, e.dst AS b FROM se e "
+        f"JOIN rg{radius} m1 ON m1.v = e.src "
+        f"JOIN rg{radius} m2 ON m2.s = m1.s AND m2.v = e.dst WHERE e.src < e.dst)",
+        "radj AS MATERIALIZED (SELECT s, a AS u, b AS w FROM re "
+        "UNION ALL SELECT s, b, a FROM re)",
+        "rdeg AS MATERIALIZED (SELECT s, u AS v, CAST(COUNT(*) AS BIGINT) AS rd "
+        "FROM radj GROUP BY s, u)",
+        "p0 AS MATERIALIZED (SELECT s, s AS v FROM seeds)",
+    ]
+
+    def stats_cte(name: str, com: str) -> str:
+        """Per-seed (iw, cut, boundary, n) over community table ``com``."""
+        return (
+            f"{name} AS (SELECT sd.s, "
+            f"CAST(COALESCE(x.iw, 0) AS DOUBLE) AS iw, "
+            f"CAST(COALESCE(y.sd2, 0) - 2*COALESCE(x.iw, 0) AS DOUBLE) AS cut, "
+            f"COALESCE(y.bnd, 0) AS bnd, COALESCE(y.n, 0) AS n "
+            f"FROM seeds sd "
+            f"LEFT JOIN (SELECT re.s, COUNT(*) AS iw FROM re "
+            f"JOIN {com} c1 ON c1.s = re.s AND c1.v = re.a "
+            f"JOIN {com} c2 ON c2.s = re.s AND c2.v = re.b GROUP BY re.s) x ON x.s = sd.s "
+            f"LEFT JOIN (SELECT c.s, SUM(COALESCE(deg.d, 0)) AS sd2, COUNT(*) AS n, "
+            f"SUM(CASE WHEN COALESCE(rdeg.rd, 0) - COALESCE(ic.k, 0) > 0 THEN 1 ELSE 0 END) AS bnd "
+            f"FROM {com} c LEFT JOIN deg ON deg.v = c.v "
+            f"LEFT JOIN rdeg ON rdeg.s = c.s AND rdeg.v = c.v "
+            f"LEFT JOIN (SELECT ra.s, ra.u AS v, COUNT(*) AS k FROM radj ra "
+            f"JOIN {com} cc ON cc.s = ra.s AND cc.v = ra.w GROUP BY ra.s, ra.u) ic "
+            f"ON ic.s = c.s AND ic.v = c.v GROUP BY c.s) y ON y.s = sd.s)"
+        )
+
+    # phase 1: greedy adds
+    for r in range(1, max_size):
+        p = r - 1
+        parts += [
+            stats_cte(f"st{p}", f"p{p}"),
+            # per-candidate v: idg, and nboundary of com ∪ {v}
+            f"cb{r} AS (SELECT sh.s, sh.v, sh.idg, sh.rd, "
+            # members of com still boundary after adding v, plus v itself
+            f"(SELECT COUNT(*) FROM p{p} c JOIN rdeg rx ON rx.s = c.s AND rx.v = c.v "
+            f"LEFT JOIN (SELECT ra.s, ra.u AS v, COUNT(*) AS k FROM radj ra "
+            f"JOIN p{p} cc ON cc.s = ra.s AND cc.v = ra.w GROUP BY ra.s, ra.u) ic "
+            f"ON ic.s = c.s AND ic.v = c.v "
+            f"WHERE c.s = sh.s AND rx.rd - COALESCE(ic.k, 0) - "
+            f"(CASE WHEN EXISTS (SELECT 1 FROM radj a2 WHERE a2.s = sh.s "
+            f"AND a2.u = c.v AND a2.w = sh.v) THEN 1 ELSE 0 END) > 0) "
+            f"+ (CASE WHEN sh.rd - sh.idg > 0 THEN 1 ELSE 0 END) AS nbnd "
+            f"FROM (SELECT ra.s, ra.u AS v, CAST(COUNT(*) AS BIGINT) AS idg, "
+            f"ANY_VALUE(rd.rd) AS rd FROM radj ra "
+            f"JOIN p{p} c ON c.s = ra.s AND c.v = ra.w "
+            f"JOIN rdeg rd ON rd.s = ra.s AND rd.v = ra.u "
+            f"WHERE NOT EXISTS (SELECT 1 FROM p{p} c2 WHERE c2.s = ra.s AND c2.v = ra.u) "
+            f"GROUP BY ra.s, ra.u) sh)",
+            f"sc{r} AS (SELECT cb.s, cb.v, "
+            f"2.0*(st.iw + cb.idg)/(st.n + 1) AS nlin, "
+            f"2.0*st.iw/st.n AS lin, "
+            f"CASE WHEN st.bnd > 0 THEN "
+            f"(CASE WHEN st.cut/st.bnd > 0 THEN (2.0*st.iw/st.n)/(st.cut/st.bnd) ELSE 0.0 END) "
+            f"ELSE 0.0 END AS curl, "
+            f"(SELECT COALESCE(SUM(dd.d), 0) FROM p{p} c4 JOIN deg dd ON dd.v = c4.v "
+            f"WHERE c4.s = cb.s) + "
+            f"(SELECT COALESCE(ANY_VALUE(dd2.d), 0) FROM deg dd2 WHERE dd2.v = cb.v) "
+            f"- 2.0*(st.iw + cb.idg) AS ncut, cb.nbnd "
+            f"FROM cb{r} cb JOIN st{p} st ON st.s = cb.s)",
+            f"p{r} AS MATERIALIZED (SELECT * FROM p{p} UNION ALL "
+            f"SELECT s, v FROM (SELECT s, v, ROW_NUMBER() OVER (PARTITION BY s "
+            f"ORDER BY (CASE WHEN nbnd > 0 AND ncut/nbnd > 0 "
+            f"THEN nlin/(ncut/nbnd) ELSE 0.0 END) DESC, v ASC) AS rn "
+            f"FROM sc{r} WHERE nlin > lin AND "
+            f"(CASE WHEN nbnd > 0 AND ncut/nbnd > 0 THEN nlin/(ncut/nbnd) ELSE 0.0 END) > curl "
+            f"AND (SELECT COUNT(*) FROM p{p} c5 WHERE c5.s = sc{r}.s) < {max_size}) "
+            f"WHERE rn = 1)",
+        ]
+    parts.append(
+        f"snap AS MATERIALIZED (SELECT s, v, ROW_NUMBER() OVER "
+        f"(PARTITION BY s ORDER BY v) AS k FROM p{max_size - 1})"
+    )
+    # phase 2: snapshot removals, round k removes the k-th smallest unless
+    # removal strictly reduces lin AND raises lex
+    parts.append(f"r0 AS MATERIALIZED (SELECT s, v FROM p{max_size - 1})")
+    for k in range(1, max_size + 1):
+        p = k - 1
+        parts += [
+            stats_cte(f"ra{p}", f"r{p}"),
+            # stats of r{p} − {y} where y = k-th snapshot member (if present)
+            f"rb{k} AS (SELECT sn.s, sn.v AS y, "
+            f"ra.iw - COALESCE(iy.k, 0) AS iw2, "
+            f"ra.cut + 2.0*COALESCE(iy.k, 0) - COALESCE(dy.d, 0) AS cut2, "
+            f"ra.n - 1 AS n2, ra.iw, ra.cut, ra.bnd, ra.n, "
+            f"(SELECT COUNT(*) FROM r{p} c JOIN rdeg rx ON rx.s = c.s AND rx.v = c.v "
+            f"LEFT JOIN (SELECT ra2.s, ra2.u AS v, COUNT(*) AS kk FROM radj ra2 "
+            f"JOIN r{p} cc ON cc.s = ra2.s AND cc.v = ra2.w GROUP BY ra2.s, ra2.u) ic "
+            f"ON ic.s = c.s AND ic.v = c.v "
+            f"WHERE c.s = sn.s AND c.v <> sn.v AND rx.rd - COALESCE(ic.kk, 0) + "
+            f"(CASE WHEN EXISTS (SELECT 1 FROM radj a2 WHERE a2.s = sn.s "
+            f"AND a2.u = c.v AND a2.w = sn.v) THEN 1 ELSE 0 END) > 0) AS bnd2x "
+            f"FROM snap sn JOIN ra{p} ra ON ra.s = sn.s "
+            f"JOIN r{p} cur ON cur.s = sn.s AND cur.v = sn.v "
+            f"LEFT JOIN (SELECT ra3.s, ra3.u AS v, COUNT(*) AS k FROM radj ra3 "
+            f"JOIN r{p} cc2 ON cc2.s = ra3.s AND cc2.v = ra3.w "
+            f"GROUP BY ra3.s, ra3.u) iy ON iy.s = sn.s AND iy.v = sn.v "
+            f"LEFT JOIN deg dy ON dy.v = sn.v "
+            f"WHERE sn.k = {k} AND ra.n > 1)",
+            f"r{k} AS MATERIALIZED (SELECT c.s, c.v FROM r{p} c "
+            f"LEFT JOIN rb{k} rb ON rb.s = c.s WHERE rb.s IS NULL OR c.v <> rb.y "
+            f"OR (2.0*rb.iw/rb.n > 2.0*rb.iw2/rb.n2 AND "
+            f"(CASE WHEN rb.bnd > 0 THEN rb.cut/rb.bnd ELSE 'infinity'::DOUBLE END) < "
+            f"(CASE WHEN rb.bnd2x > 0 THEN rb.cut2/rb.bnd2x ELSE 'infinity'::DOUBLE END)))",
+        ]
+    return ",\n".join(parts) + (
+        f"\nSELECT seed, v FROM ("
+        f"SELECT c.s AS seed, c.v FROM r{max_size} c "
+        f"WHERE EXISTS (SELECT 1 FROM r{max_size} c2 WHERE c2.s = c.s AND c2.v = c.s) "
+        f"UNION ALL SELECT sd.s, sd.s FROM seeds sd "
+        f"WHERE NOT EXISTS (SELECT 1 FROM r{max_size} c3 WHERE c3.s = sd.s AND c3.v = sd.s)"
+        f") ORDER BY seed, v"
+    )
+
+
+def _cliquedetect_sql(seeds: tuple, max_size: int) -> str:
+    """Exact twin of graph/scd.py:_clique_group (CliqueDetect): the
+    community of s is {s} ∪ C with C the maximum clique of the subgraph
+    induced on N(s), lexicographically smallest member list on size ties
+    — a canonical object, so the oracle enumerates cliques by ordered
+    extension (no Bron–Kerbosch replay) and takes
+    ORDER BY size DESC, members ASC."""
+    seed_vals = ", ".join(f"({s})" for s in seeds)
+    parts = [
+        "WITH se AS MATERIALIZED ({SYM})",
+        f"seeds(s) AS (SELECT CAST(col0 AS BIGINT) FROM (VALUES {seed_vals}))",
+        "nb AS MATERIALIZED (SELECT sd.s, e.dst AS v FROM seeds sd "
+        "JOIN se e ON e.src = sd.s)",
+        "ne AS MATERIALIZED (SELECT n1.s, e.src AS a, e.dst AS b FROM se e "
+        "JOIN nb n1 ON n1.v = e.src JOIN nb n2 ON n2.s = n1.s AND n2.v = e.dst "
+        "WHERE e.src < e.dst)",
+        "c1 AS (SELECT s, [v] AS ms, v AS mx FROM nb)",
+    ]
+    for k in range(2, max_size + 1):
+        parts.append(
+            f"c{k} AS MATERIALIZED (SELECT p.s, list_append(p.ms, e.b) AS ms, e.b AS mx "
+            f"FROM c{k-1} p JOIN ne e ON e.s = p.s AND e.a = p.mx "
+            f"WHERE NOT EXISTS (SELECT 1 FROM unnest(p.ms) AS u(m) "
+            f"WHERE u.m < p.mx AND NOT EXISTS ("
+            f"SELECT 1 FROM ne x WHERE x.s = p.s AND x.a = u.m AND x.b = e.b)))"
+        )
+    all_c = " UNION ALL ".join(
+        f"SELECT s, ms FROM c{k}" for k in range(1, max_size + 1)
+    )
+    parts += [
+        f"cand AS ({all_c})",
+        "best AS (SELECT s, ms FROM (SELECT s, ms, ROW_NUMBER() OVER "
+        "(PARTITION BY s ORDER BY len(ms) DESC, ms ASC) AS rn FROM cand) "
+        "WHERE rn = 1)",
+    ]
+    return ",\n".join(parts) + (
+        "\nSELECT seed, v FROM ("
+        "SELECT s AS seed, s AS v FROM seeds "
+        "UNION ALL SELECT s AS seed, unnest(ms) AS v FROM best) "
+        "ORDER BY seed, v"
+    )
+
+
 def _biconnected_sql(levels: int) -> str:
     """Exact twin of graph/biconnected.py:biconnected_components — the
     whole Tarjan–Vishkin pipeline replayed in integer SQL: hash-min CC
@@ -5471,6 +5846,21 @@ def oracle_sql() -> dict[str, str]:
         "ged_walk": _gedwalk_sql(3, 5, 8).replace("{EDGES}", DERIVED_EDGES_SQL),
         "maximal_cliques": _maxclique_sql(16).replace("{CANON}", CANONICAL_EDGES_SQL),
         "biconnected_components": _biconnected_sql(24).replace(
+            "{SYM}", SYMMETRIC_EDGES_SQL
+        ),
+        "gce_community": _gce_sql((0, 7), 3, 50).replace(
+            "{SYM}", SYMMETRIC_EDGES_SQL
+        ),
+        "localt_community": _localt_sql((0, 7), 3, 40).replace(
+            "{SYM}", SYMMETRIC_EDGES_SQL
+        ),
+        "clique_detect": _cliquedetect_sql((0, 7), 12).replace(
+            "{SYM}", SYMMETRIC_EDGES_SQL
+        ),
+        "combined_scd": _gce_sql((0, 7), 3, 50, clique_init=12).replace(
+            "{SYM}", SYMMETRIC_EDGES_SQL
+        ),
+        "two_phase_l": _twophasel_sql((0, 7), 3, 50).replace(
             "{SYM}", SYMMETRIC_EDGES_SQL
         ),
         # dyn_betweenness repaired == from-scratch Brandes on base + the 8

@@ -120,6 +120,11 @@ FAST_SUBSET = [
     "ged_walk",
     "maximal_cliques",
     "biconnected_components",
+    "gce_community",
+    "localt_community",
+    "clique_detect",
+    "combined_scd",
+    "two_phase_l",
 ]
 
 
@@ -187,15 +192,10 @@ def test_queries_oracles_consistent():
         "pivot_mds",
         "spanning_edge_centrality",
         "electrical_closeness",
-        "gce_community",
         "lfm_community",
-        "clique_detect",
         "agglomerative_communities",
         "kmeans_clusters",
         "tce_community",
-        "combined_scd",
-        "two_phase_l",
-        "localt_community",
         "lte_community",
         "lfm_cover",
         "path_growing_matching",
