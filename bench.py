@@ -566,6 +566,12 @@ def _scaling_summary(legs: list[int], cycles: int) -> dict:
         res["scaling_efficiency_f32"] = round(
             (best_f32[hi] / best_f32[lo]) / (hi / lo), 3
         )
+    if cycles < 2:
+        res["note"] = (
+            "single-cycle legs on a shared box drift with tenant load "
+            "(either direction); the interleaved 2-cycle idle-box "
+            "measurement is recorded in BASELINE.md"
+        )
     return res
 
 
