@@ -1763,7 +1763,9 @@ def q_biconnected(sf_dir):
 
 
 def q_lfm_community(sf_dir):
-    """LFMLocal fitness expansion from two seeds (rows-only: greedy + purge)."""
+    """LFMLocal fitness expansion from two seeds; oracle-exact — unrolled
+    add+purge twin (_lfm_sql: alpha=1 fitness is one integer division;
+    purge steps unrolled to a bounded depth like BFS level bounds)."""
     from networkit_ray.graph.scd import lfm_communities
 
     sym, n = _sym(sf_dir)
@@ -3797,6 +3799,106 @@ def _localt_sql(seeds: tuple, radius: int, max_size: int) -> str:
         ]
     return ",\n".join(parts) + (
         f"\nSELECT s AS seed, v FROM com{max_size - 1} ORDER BY seed, v"
+    )
+
+
+def _lfm_sql(seeds: tuple, radius: int, max_size: int, purge_depth: int = 4) -> str:
+    """Exact twin of graph/scd.py:_lfm_group with alpha = 1.0 (fitness
+    f = 2·iw/(2·iw + cut), one float division of exact integers).  Each
+    unrolled add round is followed by ``purge_depth`` unrolled purge
+    steps (remove the most-improving non-seed member, ties → smallest
+    id); like the BFS ``levels`` bounds elsewhere, ``purge_depth`` only
+    needs to exceed the deepest purge chain the data produces — extra
+    steps are no-ops.  Adds require dq > 0 strictly, purges dq < 0
+    strictly, so stop rounds are idempotent and the fixed unroll is
+    value-exact.  Add rounds carry ``add_slack`` extra iterations beyond
+    max_size − 1 because each purge removal frees capacity for another
+    add (the engine's while-loop re-checks |com| < max_size after every
+    cycle); the per-round size guard keeps extras no-ops."""
+    add_slack = 8
+    seed_vals = ", ".join(f"({s})" for s in seeds)
+    parts = [
+        "WITH se AS MATERIALIZED ({SYM})",
+        "deg AS MATERIALIZED (SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS d FROM se GROUP BY src)",
+        f"seeds(s) AS (SELECT CAST(col0 AS BIGINT) FROM (VALUES {seed_vals}))",
+        "rg0 AS (SELECT s, s AS v FROM seeds)",
+    ]
+    for k in range(1, radius + 1):
+        parts.append(
+            f"rg{k} AS MATERIALIZED (SELECT s, v FROM rg{k-1} UNION "
+            f"SELECT r.s, e.dst FROM rg{k-1} r JOIN se e ON e.src = r.v)"
+        )
+    parts += [
+        f"re AS MATERIALIZED (SELECT m1.s, e.src AS a, e.dst AS b FROM se e "
+        f"JOIN rg{radius} m1 ON m1.v = e.src "
+        f"JOIN rg{radius} m2 ON m2.s = m1.s AND m2.v = e.dst WHERE e.src < e.dst)",
+        "radj AS MATERIALIZED (SELECT s, a AS u, b AS w FROM re "
+        "UNION ALL SELECT s, b, a FROM re)",
+        "lc0_0 AS MATERIALIZED (SELECT s, s AS v FROM seeds)",
+    ]
+
+    def fit(iw: str, cut: str) -> str:
+        return (
+            f"CASE WHEN 2.0*({iw}) + ({cut}) > 0 "
+            f"THEN 2.0*({iw})/(2.0*({iw}) + ({cut})) ELSE 0.0 END"
+        )
+
+    def stats(name: str, com: str) -> str:
+        return (
+            f"{name} AS (SELECT sd.s, CAST(COALESCE(x.c, 0) AS DOUBLE) AS iw, "
+            f"CAST(COALESCE(y.sd2, 0) - 2*COALESCE(x.c, 0) AS DOUBLE) AS cut, "
+            f"COALESCE(y.n, 0) AS n FROM seeds sd "
+            f"LEFT JOIN (SELECT re.s, COUNT(*) AS c FROM re "
+            f"JOIN {com} c1 ON c1.s = re.s AND c1.v = re.a "
+            f"JOIN {com} c2 ON c2.s = re.s AND c2.v = re.b GROUP BY re.s) x ON x.s = sd.s "
+            f"LEFT JOIN (SELECT c.s, SUM(COALESCE(deg.d, 0)) AS sd2, COUNT(*) AS n "
+            f"FROM {com} c LEFT JOIN deg ON deg.v = c.v GROUP BY c.s) y ON y.s = sd.s)"
+        )
+
+    prev = "lc0_0"
+    for r in range(1, max_size + add_slack):
+        st = f"lst{r}"
+        parts.append(stats(st, prev))
+        nq = fit("st.iw + sh.idg", "st.cut - sh.idg + sh.d - sh.idg")
+        cq = fit("st.iw", "st.cut")
+        cur = f"lc{r}_0"
+        parts.append(
+            f"{cur} AS MATERIALIZED (SELECT * FROM {prev} UNION ALL "
+            f"SELECT s, v FROM (SELECT sh.s, sh.v, ROW_NUMBER() OVER "
+            f"(PARTITION BY sh.s ORDER BY ({nq}) - ({cq}) DESC, sh.v ASC) AS rn "
+            f"FROM (SELECT ra.s, ra.u AS v, CAST(COUNT(*) AS DOUBLE) AS idg, "
+            f"ANY_VALUE(COALESCE(dg.d, 0)) AS d FROM radj ra "
+            f"JOIN {prev} c ON c.s = ra.s AND c.v = ra.w "
+            f"LEFT JOIN deg dg ON dg.v = ra.u "
+            f"WHERE NOT EXISTS (SELECT 1 FROM {prev} c2 WHERE c2.s = ra.s AND c2.v = ra.u) "
+            f"GROUP BY ra.s, ra.u) sh JOIN {st} st ON st.s = sh.s "
+            f"WHERE ({nq}) - ({cq}) > 0 "
+            f"AND (SELECT COUNT(*) FROM {prev} c3 WHERE c3.s = sh.s) < {max_size}) "
+            f"WHERE rn = 1)"
+        )
+        prev = cur
+        for j in range(1, purge_depth + 1):
+            st = f"lst{r}_{j}"
+            parts.append(stats(st, prev))
+            rq = fit("st.iw - mx.idg", "st.cut + mx.idg - (mx.d - mx.idg)")
+            cq = fit("st.iw", "st.cut")
+            cur = f"lc{r}_{j}"
+            parts.append(
+                f"{cur} AS MATERIALIZED (SELECT c.s, c.v FROM {prev} c "
+                f"LEFT JOIN (SELECT s, v FROM (SELECT mx.s, mx.v, ROW_NUMBER() OVER "
+                f"(PARTITION BY mx.s ORDER BY ({cq}) - ({rq}) ASC, mx.v ASC) AS rn "
+                f"FROM (SELECT m.s, m.v, "
+                f"CAST(COALESCE((SELECT COUNT(*) FROM radj ra2 "
+                f"JOIN {prev} cc ON cc.s = ra2.s AND cc.v = ra2.w "
+                f"WHERE ra2.s = m.s AND ra2.u = m.v), 0) AS DOUBLE) AS idg, "
+                f"COALESCE((SELECT ANY_VALUE(d) FROM deg WHERE deg.v = m.v), 0) AS d "
+                f"FROM {prev} m WHERE m.v <> m.s) mx JOIN {st} st ON st.s = mx.s "
+                f"WHERE ({cq}) - ({rq}) < 0) WHERE rn = 1) w "
+                f"ON w.s = c.s AND w.v = c.v WHERE w.v IS NULL)"
+            )
+            prev = cur
+    return ",\n".join(parts) + (
+        f"\nSELECT s AS seed, v FROM {prev} ORDER BY seed, v"
     )
 
 
@@ -5861,6 +5963,9 @@ def oracle_sql() -> dict[str, str]:
             "{SYM}", SYMMETRIC_EDGES_SQL
         ),
         "two_phase_l": _twophasel_sql((0, 7), 3, 50).replace(
+            "{SYM}", SYMMETRIC_EDGES_SQL
+        ),
+        "lfm_community": _lfm_sql((0, 7), 3, 50).replace(
             "{SYM}", SYMMETRIC_EDGES_SQL
         ),
         # dyn_betweenness repaired == from-scratch Brandes on base + the 8

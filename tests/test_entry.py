@@ -125,6 +125,7 @@ FAST_SUBSET = [
     "clique_detect",
     "combined_scd",
     "two_phase_l",
+    "lfm_community",
 ]
 
 
@@ -192,7 +193,6 @@ def test_queries_oracles_consistent():
         "pivot_mds",
         "spanning_edge_centrality",
         "electrical_closeness",
-        "lfm_community",
         "agglomerative_communities",
         "kmeans_clusters",
         "tce_community",
