@@ -2772,8 +2772,12 @@ def q_cut_clustering(sf_dir):
 def q_max_flow(sf_dir):
     """flow/EdmondsKarp.cpp analog on the symmetrized weighted graph
     (capacity (src+dst)%7+1, symmetric so both directions agree);
-    rows-only: max-flow is not SQL-expressible, the min-cut/max-flow
-    invariants are asserted against a numpy oracle in tests/test_flow.py."""
+    oracle-exact — the flow VALUE is unique and the source side (residual
+    reachability from s) is the unique inclusion-minimal min cut, so the
+    twin (_maxflow_sql) runs its own SQL Edmonds–Karp rather than
+    replaying the engine's paths.  The engine's augmentation count is
+    path-rule-dependent diagnostics (still in ``info``; min-cut/max-flow
+    invariants asserted against a numpy oracle in tests/test_flow.py)."""
     from ray.data.aggregate import Sum as RaySum
 
     from networkit_ray.common.hashing import round_half_away
@@ -2807,12 +2811,11 @@ def q_max_flow(sf_dir):
         .limit(1)
         .take_all()[0]["v"]
     )
-    f, side, info = max_flow(wsym, n, 0, t_v)
+    f, side, _info = max_flow(wsym, n, 0, t_v)
     n_side = int(side.sum("in_source_set"))
     return pa.table(
         {
             "max_flow": pa.array(round_half_away([f], 6)),
-            "augmentations": pa.array([info["augmentations"]], pa.int64()),
             "source_set_size": pa.array([n_side], pa.int64()),
         }
     )
@@ -3799,6 +3802,68 @@ def _localt_sql(seeds: tuple, radius: int, max_size: int) -> str:
         ]
     return ",\n".join(parts) + (
         f"\nSELECT s AS seed, v FROM com{max_size - 1} ORDER BY seed, v"
+    )
+
+
+def _maxflow_sql(aug_rounds: int = 45, depth: int = 24) -> str:
+    """Exact twin of q_max_flow's canonical outputs.  The max-flow VALUE
+    is unique, and the source side (vertices reachable from s in the
+    final residual graph) is the unique inclusion-minimal min cut — both
+    independent of augmenting-path order — so the oracle runs its OWN
+    Edmonds–Karp (min-id shortest-path parents) instead of replaying the
+    engine's: per round, a recursive-CTE residual BFS from s, a parent
+    walk back from t, an integer bottleneck push.  Capacities are
+    integers, so flows stay integers and every comparison is exact.
+    ``aug_rounds`` only needs to exceed the flow value (min bottleneck
+    is 1; exhausted rounds are no-ops), ``depth`` the longest augmenting
+    path."""
+    parts = [
+        "WITH RECURSIVE ce AS MATERIALIZED (SELECT src AS u, dst AS v, "
+        "CAST((src + dst) % 7 + 1 AS BIGINT) AS cap FROM ({SYM}))",
+        "tv AS MATERIALIZED (SELECT u AS t FROM ("
+        "SELECT u, SUM(CAST(cap AS DOUBLE)) AS wd FROM ce GROUP BY u) "
+        "WHERE u <> 0 ORDER BY wd, u LIMIT 1)",
+        "f0 AS MATERIALIZED (SELECT u, v, CAST(0 AS BIGINT) AS fl FROM ce)",
+    ]
+    for a in range(aug_rounds):
+        parts += [
+            f"r{a} AS MATERIALIZED (SELECT c.u, c.v, "
+            f"c.cap - fa.fl + fb.fl AS r FROM ce c "
+            f"JOIN f{a} fa ON fa.u = c.u AND fa.v = c.v "
+            f"JOIN f{a} fb ON fb.u = c.v AND fb.v = c.u)",
+            f"dr{a}(v, d) AS (SELECT CAST(0 AS BIGINT), 0 UNION "
+            f"SELECT e.v, dr{a}.d + 1 FROM dr{a} "
+            f"JOIN r{a} e ON e.u = dr{a}.v AND e.r > 0 WHERE dr{a}.d < {depth})",
+            f"di{a} AS MATERIALIZED (SELECT v, MIN(d) AS d FROM dr{a} GROUP BY v)",
+            f"pa{a} AS MATERIALIZED (SELECT dv.v, MIN(e.u) AS p "
+            f"FROM r{a} e JOIN di{a} du ON du.v = e.u "
+            f"JOIN di{a} dv ON dv.v = e.v AND dv.d = du.d + 1 "
+            f"WHERE e.r > 0 GROUP BY dv.v)",
+            f"wk{a}(v) AS (SELECT t FROM tv WHERE EXISTS "
+            f"(SELECT 1 FROM di{a} WHERE di{a}.v = tv.t) UNION "
+            f"SELECT pa{a}.p FROM wk{a} JOIN pa{a} ON pa{a}.v = wk{a}.v "
+            f"WHERE wk{a}.v <> 0)",
+            f"pe{a} AS MATERIALIZED (SELECT pa.p AS u, w.v FROM wk{a} w "
+            f"JOIN pa{a} pa ON pa.v = w.v WHERE w.v <> 0)",
+            f"bb{a} AS (SELECT MIN(e.r) AS b FROM pe{a} p "
+            f"JOIN r{a} e ON e.u = p.u AND e.v = p.v)",
+            f"f{a + 1} AS MATERIALIZED (SELECT f.u, f.v, f.fl + "
+            f"(CASE WHEN EXISTS (SELECT 1 FROM pe{a} p WHERE p.u = f.u AND p.v = f.v) "
+            f"THEN COALESCE((SELECT b FROM bb{a}), 0) ELSE 0 END) AS fl FROM f{a} f)",
+        ]
+    A = aug_rounds
+    parts += [
+        f"rf AS MATERIALIZED (SELECT c.u, c.v, c.cap - fa.fl + fb.fl AS r FROM ce c "
+        f"JOIN f{A} fa ON fa.u = c.u AND fa.v = c.v "
+        f"JOIN f{A} fb ON fb.u = c.v AND fb.v = c.u)",
+        "ss(v) AS (SELECT CAST(0 AS BIGINT) UNION "
+        "SELECT e.v FROM ss JOIN rf e ON e.u = ss.v AND e.r > 0)",
+    ]
+    return ",\n".join(parts) + (
+        f"\nSELECT ROUND(CAST((SELECT COALESCE(SUM(fl), 0) FROM f{A} WHERE u = 0) "
+        f"- (SELECT COALESCE(SUM(fl), 0) FROM f{A} WHERE v = 0) AS DOUBLE), 6) "
+        f"AS max_flow, "
+        f"(SELECT CAST(COUNT(*) AS BIGINT) FROM ss) AS source_set_size"
     )
 
 
@@ -5968,6 +6033,7 @@ def oracle_sql() -> dict[str, str]:
         "lfm_community": _lfm_sql((0, 7), 3, 50).replace(
             "{SYM}", SYMMETRIC_EDGES_SQL
         ),
+        "max_flow": _maxflow_sql().replace("{SYM}", SYMMETRIC_EDGES_SQL),
         # dyn_betweenness repaired == from-scratch Brandes on base + the 8
         # smallest held-out edges, with the multiplicative-hash pivot rule
         # (closeness._pivots: 16 smallest (v+42)*GOLD ranks)

@@ -126,6 +126,7 @@ FAST_SUBSET = [
     "combined_scd",
     "two_phase_l",
     "lfm_community",
+    "max_flow",
 ]
 
 
@@ -188,7 +189,6 @@ def test_queries_oracles_consistent():
         "multimodal_decode",
         "lfr_edges",
         "lfr_mixing",
-        "max_flow",
         "commute_time",
         "pivot_mds",
         "spanning_edge_centrality",
