@@ -2886,11 +2886,17 @@ def q_random_edge(sf_dir):
 
 
 def q_approx_global_clustering(sf_dir):
+    """Wedge-sampled global clustering coefficient with the splitmix64
+    sampler (statistically equivalent to the PCG64 default, which stays
+    covered by error-bound tests); oracle-exact — _agcc_sql replays the
+    integer wedge CDF, position draws, and rank arithmetic."""
     from networkit_ray.common.hashing import round_half_away
     from networkit_ray.graph.sampling import approx_global_clustering
 
     sym, n = _sym(sf_dir)
-    gcc, info = approx_global_clustering(sym, n, n_samples=4000, seed=42)
+    gcc, info = approx_global_clustering(
+        sym, n, n_samples=4000, seed=42, sampler="hash"
+    )
     return pa.table(
         {
             "approx_gcc": pa.array(round_half_away([gcc], 6)),
@@ -3802,6 +3808,64 @@ def _localt_sql(seeds: tuple, radius: int, max_size: int) -> str:
         ]
     return ",\n".join(parts) + (
         f"\nSELECT s AS seed, v FROM com{max_size - 1} ORDER BY seed, v"
+    )
+
+
+def _agcc_sql(n_samples: int, seed: int) -> str:
+    """Exact twin of graph/sampling.py:approx_global_clustering with
+    sampler="hash".  Exactness argument: wedge weights d(d−1)/2 are
+    INTEGERS, so the engine's block-local cumsum + float offsets equal
+    the SQL window SUM bit-for-bit at any blocking; each position is one
+    float multiply of a splitmix64 uniform by the integer total; rank
+    draws are integer mod arithmetic keyed by the position's sorted
+    index; neighbor ranks are the (src, dst)-sorted row numbers; the
+    estimate is one integer division."""
+    base = (seed * 0x9E3779B97F4A7C15) % _M64
+    parts = [
+        "WITH se AS MATERIALIZED ({SYM})",
+        "degt AS MATERIALIZED (SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS d "
+        "FROM se GROUP BY src)",
+        "cum AS MATERIALIZED (SELECT v, d, SUM(d*(d-1)//2) OVER "
+        "(ORDER BY v ROWS UNBOUNDED PRECEDING) AS c FROM degt)",
+        "tot AS (SELECT CAST(SUM(d*(d-1)//2) AS DOUBLE) AS t FROM degt)",
+        f"ids AS (SELECT CAST(range AS BIGINT) AS i FROM range({n_samples}))",
+        f"pu0 AS (SELECT i, CAST((CAST(i AS HUGEINT)*3 + {base}) % {_M64} AS UBIGINT) AS xu FROM ids)",
+    ]
+    parts += _sm64_stages("ph", "pu0", "xu", "i")
+    parts += [
+        "pos AS MATERIALIZED (SELECT ROW_NUMBER() OVER (ORDER BY u, i) - 1 AS sid, u "
+        "FROM (SELECT i, CAST(h AS DOUBLE) / 18446744073709551616.0 "
+        "* (SELECT t FROM tot) AS u FROM phc))",
+        "sel AS MATERIALIZED (SELECT p.sid, MIN(c.v) AS sv FROM pos p "
+        "JOIN cum c ON CAST(c.c AS DOUBLE) > p.u GROUP BY p.sid)",
+        f"r1h0 AS (SELECT sid, CAST((CAST(sid AS HUGEINT)*3 + 1 + {base}) % {_M64} AS UBIGINT) AS xa FROM sel)",
+    ]
+    parts += _sm64_stages("r1", "r1h0", "xa", "sid")
+    parts.append(
+        f"r2h0 AS (SELECT sid, CAST((CAST(sid AS HUGEINT)*3 + 2 + {base}) % {_M64} AS UBIGINT) AS xb FROM sel)"
+    )
+    parts += _sm64_stages("r2", "r2h0", "xb", "sid")
+    parts += [
+        "jj AS MATERIALIZED (SELECT s.sid, s.sv, dg.d, "
+        "CAST(r1c.h >> 2 AS BIGINT) % dg.d AS j1r, "
+        "CAST(r2c.h >> 2 AS BIGINT) % (dg.d - 1) AS j2r "
+        "FROM sel s JOIN degt dg ON dg.v = s.sv "
+        "JOIN r1c ON r1c.sid = s.sid JOIN r2c ON r2c.sid = s.sid)",
+        "jx AS (SELECT sid, sv, j1r AS j1, "
+        "CASE WHEN j2r >= j1r THEN j2r + 1 ELSE j2r END AS j2 FROM jj)",
+        "rk AS MATERIALIZED (SELECT src, dst, ROW_NUMBER() OVER "
+        "(PARTITION BY src ORDER BY dst) - 1 AS rnk FROM se "
+        "WHERE src IN (SELECT sv FROM sel))",
+        "pairs AS (SELECT LEAST(a.dst, b.dst) AS ps, GREATEST(a.dst, b.dst) AS pd "
+        "FROM jx JOIN rk a ON a.src = jx.sv AND a.rnk = jx.j1 "
+        "JOIN rk b ON b.src = jx.sv AND b.rnk = jx.j2)",
+        "closed AS (SELECT COUNT(*) AS c FROM pairs "
+        "WHERE EXISTS (SELECT 1 FROM se WHERE se.src = pairs.ps AND se.dst = pairs.pd "
+        "AND se.src < se.dst))",
+    ]
+    return ",\n".join(parts) + (
+        f"\nSELECT ROUND(CAST((SELECT c FROM closed) AS DOUBLE) / {n_samples}, 6) "
+        f"AS approx_gcc, CAST({n_samples} AS BIGINT) AS samples"
     )
 
 
@@ -6034,6 +6098,9 @@ def oracle_sql() -> dict[str, str]:
             "{SYM}", SYMMETRIC_EDGES_SQL
         ),
         "max_flow": _maxflow_sql().replace("{SYM}", SYMMETRIC_EDGES_SQL),
+        "approx_global_clustering": _agcc_sql(4000, 42).replace(
+            "{SYM}", SYMMETRIC_EDGES_SQL
+        ),
         # dyn_betweenness repaired == from-scratch Brandes on base + the 8
         # smallest held-out edges, with the multiplicative-hash pivot rule
         # (closeness._pivots: 16 smallest (v+42)*GOLD ranks)

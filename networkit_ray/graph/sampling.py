@@ -101,18 +101,27 @@ def approx_global_clustering(
     *,
     n_samples: int = 10_000,
     seed: int = 42,
+    sampler: str = "pcg",
 ) -> tuple[float, dict]:
     """Wedge-sampling estimate of the global clustering coefficient.
 
     1. per-vertex wedge weight w(v) = deg(v)·(deg(v)−1)/2 over the
        v-sorted degree table; global prefix sums assign each seeded
        uniform position in [0, W) to a vertex (inverse CDF) — the sampled
-       multiset is partition-invariant because positions are global;
+       multiset is partition-invariant because positions are global
+       (wedge weights are integers, so block-local cumsums + float
+       offsets equal the global cumsum EXACTLY at any blocking);
     2. per sampled wedge, two distinct neighbor RANKS are drawn seeded;
        the ranked neighbors are resolved by a semi-join of the adjacency
        onto the (small) sampled-vertex set + per-group sort;
     3. closure check: candidate (lo, hi) pairs semi-joined against the
        canonical edge set; estimate = closed / samples.
+
+    ``sampler="pcg"`` draws positions/ranks from PCG64 (the reference's
+    Mersenne-style seeded draw); ``sampler="hash"`` derives them from
+    splitmix64 counters instead — statistically equivalent, and exactly
+    replayable by the DuckDB oracle (positions pair with rank draws by
+    sorted order in both modes).
     """
     from networkit_ray.common.exchange import exchange_join
     from networkit_ray.graph.build import degree_table
@@ -127,9 +136,30 @@ def approx_global_clustering(
     refs, offsets, total = _prefix_offsets(wt, "w")
     if total == 0:
         return 0.0, {"samples": 0, "closed": 0}
-    rng = np.random.default_rng(seed)
-    pos = np.sort(rng.uniform(0, total, size=n_samples))
-    nbr_rngs = rng.integers(0, 2**62, size=(n_samples, 2))
+    if sampler == "hash":
+        from networkit_ray.sources.synth import _splitmix64
+
+        base = np.uint64(seed) * np.uint64(0x9E3779B97F4A7C15)
+        ids = np.arange(n_samples, dtype=np.uint64)
+        pos = np.sort(
+            _splitmix64(ids * np.uint64(3) + base).astype(np.float64)
+            / 2.0**64
+            * total
+        )
+        nbr_rngs = (
+            np.stack(
+                [
+                    _splitmix64(ids * np.uint64(3) + np.uint64(1) + base),
+                    _splitmix64(ids * np.uint64(3) + np.uint64(2) + base),
+                ],
+                axis=1,
+            )
+            >> np.uint64(2)
+        ).astype(np.int64)
+    else:
+        rng = np.random.default_rng(seed)
+        pos = np.sort(rng.uniform(0, total, size=n_samples))
+        nbr_rngs = rng.integers(0, 2**62, size=(n_samples, 2))
 
     @ray.remote
     def pick(t: pa.Table, off: float, lo_i: int, hi_i: int) -> pa.Table:

@@ -127,6 +127,7 @@ FAST_SUBSET = [
     "two_phase_l",
     "lfm_community",
     "max_flow",
+    "approx_global_clustering",
 ]
 
 
@@ -176,7 +177,6 @@ def test_queries_oracles_consistent():
     # the non-SQL set is intentional and documented
     rows_only = set(qs) - set(os_)
     assert rows_only == {
-        "approx_global_clustering",
         "louvain",
         "louvain_modularity",
         "leiden_refine",
