@@ -3008,12 +3008,17 @@ def q_dyn_betweenness(sf_dir):
 
 def q_adaptive_betweenness(sf_dir):
     """Kadabra-style adaptively sampled betweenness (Hoeffding budget +
-    stability early stop); rows-only — eps-vs-exact tests in
-    tests/test_betweenness.py."""
+    stability early stop), run with the hash-rank pivot sampler so the
+    ENTIRE adaptive schedule — per-round pivot draws, the ln(2n/δ)/(2ε²)
+    budget, the ε/2 stability stop, the n/k rescale — is replayed by the
+    exact SQL twin (_adaptive_betweenness_sql).  The PCG64 default sampler
+    stays covered by eps-vs-exact tests in tests/test_betweenness.py."""
     from networkit_ray.graph.betweenness import adaptive_betweenness
 
     edges, n = _derived(sf_dir)
-    bc, _ = adaptive_betweenness(edges, n, eps=0.2, delta=0.1, batch=16, seed=42)
+    bc, _ = adaptive_betweenness(
+        edges, n, eps=0.35, delta=0.1, batch=16, seed=7, sampler="hash"
+    )
     return _round_col(bc, "betweenness", 6).sort("v")
 
 
@@ -5075,6 +5080,106 @@ def _betweenness_sql(levels: int, piv_sql: str | None = None) -> str:
     )
 
 
+def _adaptive_betweenness_sql(
+    levels: int,
+    *,
+    rmax: int = 4,
+    batch: int = 16,
+    eps: float = 0.35,
+    delta_p: float = 0.1,
+    seed: int = 7,
+) -> str:
+    """Exact twin of graph/betweenness.py:adaptive_betweenness with
+    sampler='hash': replays the full adaptive schedule in SQL —
+
+    - kmax = ceil(ln(2n/δ)/(2ε²)) (the Hoeffding + union budget);
+    - round r (1-based) draws LEAST(batch, kmax − batch·(r−1)) pivots by
+      the multiplicative-hash rank (v + seed + 7919·(r−1)) · golden64
+      (closeness._pivots — bijective mod 2^64, so ranks are tie-free);
+    - one round-tagged unrolled Brandes (forward level-synchronous BFS,
+      backward dependency accumulation) over all rounds' pivots at once;
+    - cum_r(v) = running per-round sum of dependencies (window SUM in
+      round order = the engine's round-by-round float adds), est_r =
+      cum_r · (1/(k_r·(n−1))) — the reciprocal-then-multiply form matches
+      _bw_maxdiff bit-for-bit;
+    - stop = first round r ≥ 2 with max_v |est_r − est_{r−1}| ≤ ε/2, else
+      the last round; output = cum_stop · (n/k_stop), rounded to 6.
+
+    ``rmax`` must be ≥ ceil(kmax/batch) for every n the query runs at
+    (rounds past the budget draw 0 pivots: cum and k freeze, so a phantom
+    stop there reproduces the final-round output exactly).
+    """
+    half_eps = repr(eps / 2.0)
+    denom = repr(2.0 * eps * eps)
+    parts = [
+        "WITH e AS MATERIALIZED ({EDGES})",
+        "nodes AS MATERIALIZED (SELECT CAST(c_custkey AS BIGINT) AS v FROM customer)",
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes)",
+        f"km AS (SELECT CAST(CEIL(LN(2.0 * nn.n / {repr(delta_p)}) / {denom}) AS BIGINT)"
+        " AS kmax, nn.n AS n FROM nn)",
+        # per-round hash-rank pivot draws (r is 1-based in SQL)
+        "piv AS MATERIALIZED ("
+        + " UNION ALL ".join(
+            f"SELECT {r} AS r, v AS s FROM nodes CROSS JOIN km "
+            f"QUALIFY ROW_NUMBER() OVER (ORDER BY "
+            + _mul64_sql(f"(v + {seed + 7919 * (r - 1)})", 0x9E3779B97F4A7C15)
+            + f") <= LEAST({batch}, km.kmax - {batch * (r - 1)})"
+            for r in range(1, rmax + 1)
+        )
+        + ")",
+        "f0 AS MATERIALIZED (SELECT r, s, s AS v, 0 AS dist, CAST(1 AS DOUBLE) AS sigma FROM piv)",
+        "vis0 AS MATERIALIZED (SELECT * FROM f0)",
+    ]
+    for k in range(1, levels + 1):
+        parts.append(
+            f"f{k} AS MATERIALIZED (SELECT f.r, f.s, e.dst AS v, {k} AS dist, SUM(f.sigma) AS sigma "
+            f"FROM f{k-1} f JOIN e ON e.src = f.v "
+            f"WHERE NOT EXISTS (SELECT 1 FROM vis{k-1} w WHERE w.r = f.r AND w.s = f.s AND w.v = e.dst) "
+            f"GROUP BY f.r, f.s, e.dst)"
+        )
+        parts.append(
+            f"vis{k} AS MATERIALIZED (SELECT * FROM vis{k-1} UNION ALL SELECT * FROM f{k})"
+        )
+    parts.append(
+        f"d{levels} AS MATERIALIZED "
+        f"(SELECT r, s, v, dist, sigma, CAST(0 AS DOUBLE) AS delta FROM vis{levels})"
+    )
+    for L in range(levels, 0, -1):
+        parts.append(
+            f"d{L-1} AS MATERIALIZED (SELECT d.r, d.s, d.v, d.dist, d.sigma, "
+            f"d.delta + CASE WHEN d.dist = {L-1} THEN COALESCE(c.inc, 0) ELSE 0 END AS delta "
+            f"FROM d{L} d LEFT JOIN ("
+            f"SELECT a.r, a.s, a.v, SUM(a.sigma / b.sigma * (1 + b.delta)) AS inc "
+            f"FROM d{L} a JOIN e ON e.src = a.v "
+            f"JOIN d{L} b ON b.r = a.r AND b.s = a.s AND b.v = e.dst "
+            f"WHERE a.dist = {L-1} AND b.dist = {L} GROUP BY a.r, a.s, a.v"
+            f") c ON c.r = d.r AND c.s = d.s AND c.v = d.v)"
+        )
+    parts += [
+        # per-round dependency sums (δ(s) at s excluded, as _bw_accum does)
+        "dl AS MATERIALIZED (SELECT r, v, SUM(delta) AS dsum FROM d0 WHERE v <> s GROUP BY r, v)",
+        # dense (round × node) grid -> running cumulative in round order
+        f"grid AS (SELECT r, v FROM (SELECT UNNEST(RANGE(1, {rmax + 1})) AS r) CROSS JOIN nodes)",
+        "cum AS MATERIALIZED (SELECT grid.r, grid.v, "
+        "SUM(COALESCE(dl.dsum, 0)) OVER (PARTITION BY grid.v ORDER BY grid.r) AS cum "
+        "FROM grid LEFT JOIN dl ON dl.r = grid.r AND dl.v = grid.v)",
+        f"kr AS (SELECT r, LEAST(CAST({batch} AS BIGINT) * r, km.kmax) AS k "
+        f"FROM (SELECT UNNEST(RANGE(1, {rmax + 1})) AS r) CROSS JOIN km)",
+        # est_r(v) = cum_r(v) * (1 / (k_r * (n-1))) — matches _bw_maxdiff
+        "est AS MATERIALIZED (SELECT cum.r, cum.v, "
+        "cum.cum * (1.0 / (kr.k * CAST(GREATEST(km.n - 1, 1) AS DOUBLE))) AS est "
+        "FROM cum JOIN kr ON kr.r = cum.r CROSS JOIN km)",
+        "diffs AS (SELECT a.r, MAX(ABS(a.est - b.est)) AS diff FROM est a "
+        "JOIN est b ON b.v = a.v AND b.r = a.r - 1 GROUP BY a.r)",
+        f"stop AS (SELECT COALESCE(MIN(r) FILTER (WHERE diff <= {half_eps}), {rmax}) AS r FROM diffs)",
+    ]
+    return ",\n".join(parts) + (
+        "\nSELECT cum.v, ROUND(cum.cum * (CAST(km.n AS DOUBLE) / kr.k), 6) AS betweenness "
+        "FROM cum JOIN stop ON cum.r = stop.r JOIN kr ON kr.r = stop.r CROSS JOIN km "
+        "ORDER BY cum.v"
+    )
+
+
 def _kcore_sql(iters: int) -> str:
     """Iterated-h-index k-core twin (Montresor et al. locality iteration,
     the same operator the engine runs): c0 = degree, then
@@ -6068,6 +6173,11 @@ def oracle_sql() -> dict[str, str]:
                 + " LIMIT 16"
             ),
         ).replace("{EDGES}", DERIVED_EDGES_SQL),
+        # adaptive (Kadabra-style) betweenness with the hash-rank sampler:
+        # budget, per-round draws, and the eps/2 stability stop all replayed
+        "adaptive_betweenness": _adaptive_betweenness_sql(24).replace(
+            "{EDGES}", DERIVED_EDGES_SQL
+        ),
         "warm_pagerank": _warm_pagerank_sql(PR_ITERS, WARM_ITERS).replace(
             "{EDGES}", DERIVED_EDGES_SQL
         ),

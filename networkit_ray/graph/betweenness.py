@@ -281,6 +281,7 @@ def adaptive_betweenness(
     batch: int = 16,
     seed: int = 42,
     num_parts: int | None = None,
+    sampler: str = "pcg",
 ) -> tuple[ray.data.Dataset, dict]:
     """(v, betweenness) — adaptively sampled betweenness; the (ε, δ)
     Hoeffding guarantee holds when the FULL ``k_max`` budget is consumed.
@@ -299,6 +300,14 @@ def adaptive_betweenness(
 
     Output is scaled like :func:`estimate_betweenness` (× n/k) so the two
     are directly comparable; info reports samples used vs the bound.
+
+    ``sampler`` picks the per-round pivot draw: ``"pcg"`` (default) is the
+    seeded PCG64 choice; ``"hash"`` ranks nodes by the multiplicative hash
+    ``(v + seed + 7919·round) · golden64`` and takes the ``batch`` smallest
+    — the same SQL-replayable rule as ``closeness._pivots``, making the
+    whole adaptive schedule (budget, rounds, stop rule) oracle-checkable.
+    Both draws satisfy the Hoeffding analysis identically (any fixed
+    pivot multiset gives an unbiased per-pivot estimator).
     """
     from networkit_ray.graph.build import transpose
 
@@ -313,8 +322,15 @@ def adaptive_betweenness(
     k = prev_k = 0
     rounds = 0
     norm = float(max(num_nodes - 1, 1))
+    if sampler not in ("pcg", "hash"):
+        raise ValueError(f"unknown sampler {sampler!r} (want 'pcg' or 'hash')")
     while k < k_max:
-        pivots = _pivot_ids(num_nodes, min(batch, k_max - k), seed + 7919 * rounds)
+        if sampler == "hash":
+            from networkit_ray.graph.closeness import _pivots
+
+            pivots = _pivots(num_nodes, min(batch, k_max - k), seed + 7919 * rounds)
+        else:
+            pivots = _pivot_ids(num_nodes, min(batch, k_max - k), seed + 7919 * rounds)
         refs, _ = betweenness_refs(g_fwd, g_bwd, pivots, pivot_batch=batch)
         total = [_bw_add.remote(total[p], refs[p]) for p in range(P)]
         k += len(pivots)

@@ -212,3 +212,52 @@ class TestDynBetweenness:
         if all(p < 40 for p in pivots):
             _, _, info = dyn_betweenness_update(state, ds_of([(42, 43)]))
             assert info["affected_pivots"] == 0
+
+
+def test_adaptive_betweenness_hash_sampler(ray_session):
+    """sampler='hash' (the SQL-replayable draw) stays within the same eps
+    envelope as the PCG64 default and rejects unknown sampler names."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from networkit_ray.graph.betweenness import (
+        adaptive_betweenness,
+        estimate_betweenness,
+    )
+
+    rng = np.random.default_rng(613)
+    n = 24
+    canon = sorted(
+        {(int(min(a, b)), int(max(a, b))) for a, b in rng.integers(0, n, (60, 2)) if a != b}
+    )
+    both = canon + [(b, a) for a, b in canon]
+    sym = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([e[0] for e in both], pa.int64()),
+                "dst": pa.array([e[1] for e in both], pa.int64()),
+            }
+        )
+    ).materialize()
+    exact, _ = estimate_betweenness(sym, n, exact=True)
+    ex = {r["v"]: r["betweenness"] for r in exact.take_all()}
+    est, info = adaptive_betweenness(
+        sym, n, eps=0.2, delta=0.1, batch=8, seed=3, sampler="hash"
+    )
+    got = {r["v"]: r["betweenness"] for r in est.take_all()}
+    assert info["samples"] <= info["bound"]
+    norm = n * (n - 1)
+    for v in ex:
+        assert abs(got[v] - ex[v]) / norm <= 0.2, (v, got[v], ex[v])
+    # determinism: the hash draw is partition- and run-independent
+    est2, info2 = adaptive_betweenness(
+        sym, n, eps=0.2, delta=0.1, batch=8, seed=3, sampler="hash", num_parts=3
+    )
+    got2 = {r["v"]: r["betweenness"] for r in est2.take_all()}
+    assert info2["samples"] == info["samples"]
+    for v in got:
+        assert abs(got[v] - got2[v]) <= 1e-9
+    with pytest.raises(ValueError):
+        adaptive_betweenness(sym, n, sampler="bogus")
