@@ -5180,6 +5180,110 @@ def _adaptive_betweenness_sql(
     )
 
 
+def _kmeans_cte(n_centroids: int, lloyd_iters: int, seed: int = 42) -> str:
+    """Shared CTE chain replaying ann/search.py:train_ivf_centroids —
+    hash-seeded init ((vec_id·golden64 + seed) >> 32, stable ties by
+    vec_id), then ``lloyd_iters`` spherical Lloyd rounds: assign =
+    argmax cosine (ties to the lowest cid, np.argmax's rule), update =
+    L2-normalized mean of the assigned normalized vectors, empty cells
+    keep their previous centroid.  Float sums differ from numpy's pairwise
+    order by ~1 ulp — far inside the driver's 1e-9 float tolerance (same
+    acceptance as the ann_topk / HITS twins).  Ends at ``c{lloyd_iters}``
+    = (cid, pos, y) unnested centroids; also defines ``nvu`` =
+    (vec_id, pos, val) unnested L2-normalized vectors."""
+    h = (
+        "(CAST((CAST("
+        + _mul64_sql("vec_id", 0x9E3779B97F4A7C15)
+        + f" AS HUGEINT) + {seed}) % {_M64} AS UBIGINT) >> 32)"
+    )
+    parts = [
+        "nvu AS MATERIALIZED (SELECT vec_id, pos, CAST(val AS DOUBLE) / nrm AS val FROM ("
+        "  SELECT vec_id, generate_subscripts(embedding, 1) AS pos, UNNEST(embedding) AS val,"
+        "  (CASE WHEN sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * y))) = 0"
+        "   THEN 1.0 ELSE sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * y))) END) AS nrm"
+        "  FROM embeddings))",
+        f"seeds AS MATERIALIZED (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY {h}, vec_id) - 1 AS cid "
+        f"FROM embeddings QUALIFY ROW_NUMBER() OVER (ORDER BY {h}, vec_id) <= {n_centroids})",
+        "c0 AS MATERIALIZED (SELECT s.cid, u.pos, u.val AS y FROM seeds s "
+        "JOIN nvu u ON u.vec_id = s.vec_id)",
+    ]
+    for r in range(1, lloyd_iters + 1):
+        parts += [
+            f"sc{r} AS MATERIALIZED (SELECT u.vec_id, c.cid, SUM(u.val * c.y) AS s "
+            f"FROM nvu u JOIN c{r-1} c ON c.pos = u.pos GROUP BY u.vec_id, c.cid)",
+            f"a{r} AS MATERIALIZED (SELECT vec_id, cid FROM (SELECT vec_id, cid, "
+            f"ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn "
+            f"FROM sc{r}) WHERE rn = 1)",
+            f"mn{r} AS MATERIALIZED (SELECT a.cid, u.pos, "
+            f"SUM(u.val) / COUNT(*) AS m FROM a{r} a JOIN nvu u ON u.vec_id = a.vec_id "
+            f"GROUP BY a.cid, u.pos)",
+            f"nr{r} AS (SELECT cid, CASE WHEN sqrt(SUM(m * m)) = 0 THEN 1.0 "
+            f"ELSE sqrt(SUM(m * m)) END AS nrm FROM mn{r} GROUP BY cid)",
+            f"c{r} AS MATERIALIZED (SELECT p.cid, p.pos, "
+            f"COALESCE(mn.m / nr.nrm, p.y) AS y FROM c{r-1} p "
+            f"LEFT JOIN mn{r} mn ON mn.cid = p.cid AND mn.pos = p.pos "
+            f"LEFT JOIN nr{r} nr ON nr.cid = p.cid)",
+        ]
+    return ",\n".join(parts)
+
+
+def _kmeans_clusters_sql(n_centroids: int = 8, lloyd_iters: int = 3) -> str:
+    """Twin of q_kmeans_clusters: training replay + one final assignment
+    pass + per-cluster counts."""
+    R = lloyd_iters
+    return (
+        "WITH "
+        + _kmeans_cte(n_centroids, R)
+        + f""",
+        scf AS (SELECT u.vec_id, c.cid, SUM(u.val * c.y) AS s
+                FROM nvu u JOIN c{R} c ON c.pos = u.pos GROUP BY u.vec_id, c.cid),
+        af AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+               FROM scf) WHERE rn = 1)
+        SELECT cid AS cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs
+        FROM af GROUP BY cid ORDER BY cluster"""
+    )
+
+
+def _ivf_topk_sql(
+    n_centroids: int = 16,
+    lloyd_iters: int = 3,
+    nprobe: int = 4,
+    k: int = 5,
+    query_ids: str = "0, 1, 2, 3, 4",
+) -> str:
+    """Twin of q_ann_ivf_topk: same k-means training replay, queries probe
+    their ``nprobe`` closest cells, vectors assigned to a probed cell are
+    exact-cosine-ranked per query (score DESC, vec_id ASC), top ``k``."""
+    R = lloyd_iters
+    return (
+        "WITH "
+        + _kmeans_cte(n_centroids, R)
+        + f""",
+        scf AS (SELECT u.vec_id, c.cid, SUM(u.val * c.y) AS s
+                FROM nvu u JOIN c{R} c ON c.pos = u.pos GROUP BY u.vec_id, c.cid),
+        af AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+               FROM scf) WHERE rn = 1),
+        qc AS (SELECT DISTINCT cid FROM (SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+               FROM scf WHERE vec_id IN ({query_ids})) WHERE rn <= {nprobe}),
+        probed AS (SELECT af.vec_id FROM af JOIN qc ON qc.cid = af.cid),
+        pairs AS (SELECT q.vec_id AS query_id, u.vec_id, SUM(qu.val * u.val) AS score
+                  FROM (SELECT DISTINCT vec_id FROM nvu WHERE vec_id IN ({query_ids})) q
+                  JOIN nvu qu ON qu.vec_id = q.vec_id
+                  JOIN nvu u ON u.pos = qu.pos
+                  JOIN probed p ON p.vec_id = u.vec_id
+                  GROUP BY q.vec_id, u.vec_id),
+        ranked AS (SELECT query_id, vec_id, score,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY score DESC, vec_id ASC) AS BIGINT) AS rank
+                   FROM pairs)
+        SELECT query_id, rank, vec_id, ROUND(score, 6) AS score
+        FROM ranked WHERE rank <= {k} ORDER BY query_id, rank"""
+    )
+
+
 def _kcore_sql(iters: int) -> str:
     """Iterated-h-index k-core twin (Montresor et al. locality iteration,
     the same operator the engine runs): c0 = degree, then
@@ -8215,6 +8319,10 @@ def oracle_sql() -> dict[str, str]:
             FROM nv a JOIN nv b ON a.vec_id < b.vec_id
             WHERE list_dot_product(a.nvec, b.nvec) >= 0.4
         """,
+        # seeded spherical k-means training replayed in SQL (init + Lloyd
+        # rounds + final assignment); floats inside the driver's 1e-9 band
+        "kmeans_clusters": _kmeans_clusters_sql(8, 3),
+        "ann_ivf_topk": _ivf_topk_sql(16, 3, 4, 5),
         "ann_topk": """
             WITH nv AS (
               SELECT vec_id,
