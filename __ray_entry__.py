@@ -2509,8 +2509,12 @@ def q_embedding_near_dups(sf_dir):
     dim = len(emb.take(1)[0]["embedding"])
     # testdata cluster cosines sit around 0.3-0.5 (max ~0.5 at sf0.01), so
     # 0.4 is the regime where near-dup pairs actually exist; band shape is
-    # auto-tuned to ≥0.99 recall at this threshold (32 bands × 4 planes)
-    return _round_col(embedding_near_dups(emb, dim, threshold=0.4), "cos", 6)
+    # auto-tuned to ≥0.99 recall at this threshold (32 bands × 4 planes).
+    # plane_gen="hash" (splitmix64 + Box-Muller) makes the banding SQL-
+    # replayable — oracle-exact; the PCG64 default keeps its recall tests.
+    return _round_col(
+        embedding_near_dups(emb, dim, threshold=0.4, plane_gen="hash"), "cos", 6
+    )
 
 
 def q_embedding_near_dups_exact(sf_dir):
@@ -2532,12 +2536,16 @@ def q_ann_topk(sf_dir):
 
 
 def q_ann_lsh_topk(sf_dir):
+    """Hyperplane-LSH probed top-k with the splitmix64+Box-Muller plane
+    draw (plane_gen="hash"), so bucket keys, the ≤2-bit-flip probe set and
+    the exact ranking of the probed subset all have a SQL twin; the PCG64
+    default plane draw keeps its recall-vs-brute-force tests."""
     import ray.data
 
     from networkit_ray.ann.search import lsh_topk
 
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    return lsh_topk(emb, [0, 1, 2, 3, 4], k=5)
+    return lsh_topk(emb, [0, 1, 2, 3, 4], k=5, plane_gen="hash")
 
 
 def q_ann_ivf_topk(sf_dir):
@@ -5177,6 +5185,106 @@ def _adaptive_betweenness_sql(
         "\nSELECT cum.v, ROUND(cum.cum * (CAST(km.n AS DOUBLE) / kr.k), 6) AS betweenness "
         "FROM cum JOIN stop ON cum.r = stop.r JOIN kr ON kr.r = stop.r CROSS JOIN km "
         "ORDER BY cum.v"
+    )
+
+
+_NVU_SQL = (
+    "nvu AS MATERIALIZED (SELECT vec_id, pos, CAST(val AS DOUBLE) / nrm AS val FROM ("
+    "  SELECT vec_id, generate_subscripts(embedding, 1) AS pos, UNNEST(embedding) AS val,"
+    "  (CASE WHEN sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * y))) = 0"
+    "   THEN 1.0 ELSE sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * y))) END) AS nrm"
+    "  FROM embeddings))"
+)
+
+
+def _planes_cte(num_planes: int, dim: int, seed: int = 42) -> list[str]:
+    """CTE chain replaying dedup/embed._planes_hash: splitmix64 counter
+    draws (staged _sm64_stages) → Box-Muller gaussians.  Ends at
+    ``planes(plane, pos, w)`` with pos 1-based (matching
+    generate_subscripts)."""
+    base = (seed * 0x100000001B3) % _M64
+    inv64 = repr(2.0**-64)
+    twopi = repr(2.0 * np.pi)
+    return [
+        f"pi0 AS (SELECT CAST(range AS BIGINT) AS i FROM range({num_planes * dim}))",
+        *_sm64_stages("ph1", "pi0", f"(CAST({base} AS HUGEINT) + 2*i)", "i"),
+        *_sm64_stages("ph2", "pi0", f"(CAST({base} AS HUGEINT) + 2*i + 1)", "i"),
+        f"planes AS MATERIALIZED (SELECT a.i // {dim} AS plane, (a.i % {dim}) + 1 AS pos, "
+        f"sqrt(-2.0 * ln((CAST(a.h AS DOUBLE) + 1.0) * {inv64})) * "
+        f"cos({twopi} * (CAST(b.h AS DOUBLE) * {inv64})) AS w "
+        f"FROM ph1c a JOIN ph2c b ON b.i = a.i)",
+    ]
+
+
+def _lsh_topk_sql(
+    num_planes: int = 8,
+    probe_bits: int = 2,
+    k: int = 5,
+    seed: int = 42,
+    query_ids: str = "0, 1, 2, 3, 4",
+) -> str:
+    """Twin of q_ann_lsh_topk (plane_gen='hash'): hyperplane sign buckets,
+    the union of every query bucket's ≤ probe_bits bit-flip neighborhood,
+    exact cosine ranking of the probed vectors."""
+    return (
+        "WITH "
+        + ",\n".join([_NVU_SQL, *_planes_cte(num_planes, 64, seed)])
+        + f""",
+        proj AS MATERIALIZED (SELECT u.vec_id, p.plane, SUM(u.val * p.w) AS s
+               FROM nvu u JOIN planes p ON p.pos = u.pos GROUP BY u.vec_id, p.plane),
+        keys AS MATERIALIZED (SELECT vec_id,
+               SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << plane) ELSE 0 END) AS key
+               FROM proj GROUP BY vec_id),
+        masks AS (SELECT CAST(range AS BIGINT) AS m FROM range({1 << num_planes})
+                  WHERE bit_count(CAST(range AS BIGINT)) <= {probe_bits}),
+        probe AS (SELECT DISTINCT xor(k.key, m.m) AS key FROM keys k
+                  CROSS JOIN masks m WHERE k.vec_id IN ({query_ids})),
+        cand AS (SELECT k.vec_id FROM keys k JOIN probe p ON p.key = k.key),
+        pairs AS (SELECT qu.vec_id AS query_id, u.vec_id, SUM(qu.val * u.val) AS score
+                  FROM nvu qu JOIN nvu u ON u.pos = qu.pos
+                  JOIN cand c ON c.vec_id = u.vec_id
+                  WHERE qu.vec_id IN ({query_ids})
+                  GROUP BY qu.vec_id, u.vec_id),
+        ranked AS (SELECT query_id, vec_id, score,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY score DESC, vec_id ASC) AS BIGINT) AS rank
+                   FROM pairs)
+        SELECT query_id, rank, vec_id, ROUND(score, 6) AS score
+        FROM ranked WHERE rank <= {k} ORDER BY query_id, rank"""
+    )
+
+
+def _embed_near_dups_sql(
+    num_bands: int = 32,
+    planes_per_band: int = 4,
+    threshold: float = 0.4,
+    seed: int = 42,
+) -> str:
+    """Twin of q_embedding_near_dups (plane_gen='hash'): per-band sign
+    keys over the shared plane matrix, within-bucket upper-triangle
+    cosine ≥ threshold, distinct across bands (cos is band-independent,
+    so DISTINCT == the engine's groupby(a, b).max).  Assumes no bucket
+    exceeds the engine's max_bucket cap (true at every sf: bucket ≤ n)."""
+    g = num_bands * planes_per_band
+    return (
+        "WITH "
+        + ",\n".join([_NVU_SQL, *_planes_cte(g, 64, seed)])
+        + f""",
+        proj AS MATERIALIZED (SELECT u.vec_id, p.plane, SUM(u.val * p.w) AS s
+               FROM nvu u JOIN planes p ON p.pos = u.pos GROUP BY u.vec_id, p.plane),
+        keys AS MATERIALIZED (SELECT vec_id, plane // {planes_per_band} AS band,
+               SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << (plane % {planes_per_band}))
+                   ELSE 0 END) AS key
+               FROM proj GROUP BY vec_id, plane // {planes_per_band}),
+        cand AS (SELECT DISTINCT k1.vec_id AS a, k2.vec_id AS b
+                 FROM keys k1 JOIN keys k2
+                 ON k2.band = k1.band AND k2.key = k1.key AND k2.vec_id > k1.vec_id),
+        cosd AS (SELECT c.a, c.b, SUM(ua.val * ub.val) AS cos
+                 FROM cand c JOIN nvu ua ON ua.vec_id = c.a
+                 JOIN nvu ub ON ub.vec_id = c.b AND ub.pos = ua.pos
+                 GROUP BY c.a, c.b)
+        SELECT a, b, ROUND(cos, 6) AS cos FROM cosd
+        WHERE cos >= {repr(threshold)} ORDER BY a, b"""
     )
 
 
@@ -8323,6 +8431,9 @@ def oracle_sql() -> dict[str, str]:
         # rounds + final assignment); floats inside the driver's 1e-9 band
         "kmeans_clusters": _kmeans_clusters_sql(8, 3),
         "ann_ivf_topk": _ivf_topk_sql(16, 3, 4, 5),
+        # hash-plane (splitmix64 + Box-Muller) LSH replays
+        "ann_lsh_topk": _lsh_topk_sql(8, 2, 5),
+        "embedding_near_dups": _embed_near_dups_sql(32, 4, 0.4),
         "ann_topk": """
             WITH nv AS (
               SELECT vec_id,

@@ -246,6 +246,7 @@ def lsh_topk(
     num_planes: int = 8,
     probe_bits: int = 2,
     seed: int = 42,
+    plane_gen: str = "pcg",
 ) -> ray.data.Dataset:
     """Approximate cosine top-k via hyperplane-bucket probing.
 
@@ -255,10 +256,10 @@ def lsh_topk(
     is one filtered pass over the corpus (column-pruned at the read when the
     source is parquet).
     """
-    from networkit_ray.dedup.embed import _planes
+    from networkit_ray.dedup.embed import make_planes
 
     q = query_matrix(emb, query_ids)
-    planes = _planes(q.shape[1], num_planes, seed)
+    planes = make_planes(q.shape[1], num_planes, seed, plane_gen)
     qsig = ((q @ planes.T) > 0).astype(np.int64)
     qkeys = (qsig * (1 << np.arange(num_planes))).sum(axis=1)
 

@@ -28,6 +28,37 @@ def _planes(dim: int, num_planes: int, seed: int) -> np.ndarray:
     return rng.standard_normal((num_planes, dim))
 
 
+def _planes_hash(dim: int, num_planes: int, seed: int) -> np.ndarray:
+    """SQL-replayable gaussian planes: splitmix64 counter → Box-Muller.
+
+    Entry (plane, pos) at flat index i draws u1 from splitmix64(base + 2i)
+    (shifted into (0, 1]) and u2 from splitmix64(base + 2i + 1) (in [0, 1)),
+    z = sqrt(-2 ln u1) · cos(2π u2).  Same distribution as ``_planes``;
+    the counter construction makes the matrix a pure function of
+    (dim, num_planes, seed) that DuckDB can replay term by term."""
+    from networkit_ray.dedup.tokenize import _splitmix
+
+    base = np.uint64((seed * 0x100000001B3) % (1 << 64))
+    idx = np.arange(num_planes * dim, dtype=np.uint64)
+    h1 = _splitmix(base + np.uint64(2) * idx)
+    h2 = _splitmix(base + np.uint64(2) * idx + np.uint64(1))
+    u1 = (h1.astype(np.float64) + 1.0) * 2.0**-64
+    u2 = h2.astype(np.float64) * 2.0**-64
+    z = np.sqrt(-2.0 * np.log(u1)) * np.cos(2.0 * np.pi * u2)
+    return z.reshape(num_planes, dim)
+
+
+def make_planes(dim: int, num_planes: int, seed: int, plane_gen: str = "pcg") -> np.ndarray:
+    """Hyperplane factory: ``"pcg"`` = PCG64 standard normals (default),
+    ``"hash"`` = the splitmix64 + Box-Muller counter draw (_planes_hash),
+    which an exact SQL oracle can reproduce."""
+    if plane_gen == "pcg":
+        return _planes(dim, num_planes, seed)
+    if plane_gen == "hash":
+        return _planes_hash(dim, num_planes, seed)
+    raise ValueError(f"unknown plane_gen {plane_gen!r} (want 'pcg' or 'hash')")
+
+
 def _emb_matrix(t: pa.Table) -> np.ndarray:
     col = t["embedding"].combine_chunks()
     flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
@@ -35,10 +66,11 @@ def _emb_matrix(t: pa.Table) -> np.ndarray:
 
 
 def lsh_buckets(
-    emb: ray.data.Dataset, dim: int, *, num_planes: int = 16, seed: int = 42
+    emb: ray.data.Dataset, dim: int, *, num_planes: int = 16, seed: int = 42,
+    plane_gen: str = "pcg",
 ) -> ray.data.Dataset:
     """(vec_id, bucket) — sign pattern of seeded hyperplane projections."""
-    planes = _planes(dim, num_planes, seed)
+    planes = make_planes(dim, num_planes, seed, plane_gen)
 
     def f(t: pa.Table) -> pa.Table:
         m = _emb_matrix(t)
@@ -75,6 +107,7 @@ def embedding_near_dups(
     planes_per_band: int | None = None,
     seed: int = 42,
     max_bucket: int = 2000,
+    plane_gen: str = "pcg",
 ) -> ray.data.Dataset:
     """(a, b, cos) pairs with cosine ≥ threshold, multi-band LSH blocking.
 
@@ -86,7 +119,7 @@ def embedding_near_dups(
         num_bands, planes_per_band = lsh_params_for(threshold)
     # one (num_bands*planes_per_band, dim) matrix, sliced per band — a single
     # matmul per batch produces every band's sign bits
-    planes = _planes(dim, num_bands * planes_per_band, seed)
+    planes = make_planes(dim, num_bands * planes_per_band, seed, plane_gen)
     weights = 1 << np.arange(planes_per_band)
 
     def with_bucket(t: pa.Table) -> pa.Table:

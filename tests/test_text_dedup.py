@@ -897,3 +897,27 @@ class TestSegmentDedup:
         got = dict(zip(out["doc_id"], out["clean_text"]))
         assert got == {0: "dup"}
         assert len(segs) == 3
+
+
+def test_hash_planes_gaussian_and_deterministic():
+    """The splitmix64+Box-Muller plane draw is deterministic, seed-sensitive,
+    and close enough to N(0,1) for LSH geometry (moments + sign balance)."""
+    import numpy as np
+
+    from networkit_ray.dedup.embed import _planes_hash, make_planes
+
+    p1 = _planes_hash(64, 128, 42)
+    p2 = _planes_hash(64, 128, 42)
+    p3 = _planes_hash(64, 128, 7)
+    assert p1.shape == (128, 64)
+    np.testing.assert_array_equal(p1, p2)
+    assert np.abs(p1 - p3).max() > 0.1
+    flat = p1.ravel()
+    assert abs(flat.mean()) < 0.02
+    assert abs(flat.std() - 1.0) < 0.02
+    assert abs((flat > 0).mean() - 0.5) < 0.02
+    np.testing.assert_array_equal(make_planes(64, 8, 42, "hash"), _planes_hash(64, 8, 42))
+    import pytest
+
+    with pytest.raises(ValueError):
+        make_planes(8, 8, 1, "bogus")
