@@ -2483,15 +2483,35 @@ def q_langid(sf_dir):
 
 
 def q_minhash_near_dups(sf_dir):
+    """MinHash+LSH near-dups with the md5 token hasher and splitmix64
+    permutation draw, so shingle hashes, all 64 signature lanes, the
+    16×4 banding, the bucket cap and the exact-Jaccard verify are all
+    replayed by the SQL twin (_minhash_sql); the siphash/PCG64 defaults
+    keep their pytest oracles."""
     from networkit_ray.dedup.minhash import near_dup_pairs
 
-    return _round_col(near_dup_pairs(_docs(sf_dir, ["doc_id", "text"]), threshold=0.8), "jaccard", 6)
+    return _round_col(
+        near_dup_pairs(
+            _docs(sf_dir, ["doc_id", "text"]),
+            threshold=0.8,
+            hasher="md5",
+            perm_gen="hash",
+        ),
+        "jaccard",
+        6,
+    )
 
 
 def q_simhash_near_dups(sf_dir):
+    """64-bit SimHash near-dups with the md5 token hasher (DuckDB's
+    md5_number_upper), so lanes, fingerprints, the 4×16-bit Charikar
+    banding and the Hamming verify all have an exact SQL twin
+    (_simhash_sql); the siphash default keeps its pytest oracles."""
     from networkit_ray.dedup.simhash import simhash_near_dups
 
-    return simhash_near_dups(_docs(sf_dir, ["doc_id", "text"]), max_hamming=3)
+    return simhash_near_dups(
+        _docs(sf_dir, ["doc_id", "text"]), max_hamming=3, hasher="md5"
+    )
 
 
 def q_jaccard_near_dups(sf_dir):
@@ -5285,6 +5305,141 @@ def _embed_near_dups_sql(
                  GROUP BY c.a, c.b)
         SELECT a, b, ROUND(cos, 6) AS cos FROM cosd
         WHERE cos >= {repr(threshold)} ORDER BY a, b"""
+    )
+
+
+def _simhash_sql(max_hamming: int = 3, max_bucket: int = 200) -> str:
+    """Exact twin of dedup/simhash.py with hasher='md5': token hash =
+    md5_number_upper (little-endian first 8 digest bytes — identical to
+    the engine's int.from_bytes(md5[:8], 'little')), 64 ±count lanes,
+    sign-pattern fingerprint (empty docs → 0), 4×16-bit Charikar bands
+    with the engine's per-bucket smallest-doc_id cap, Hamming ≤
+    ``max_hamming`` on candidate pairs (band-independent, so DISTINCT ==
+    the engine's groupby(a, b).min)."""
+    return f"""
+        WITH toks AS MATERIALIZED (
+          SELECT doc_id, UNNEST(list_filter(
+              string_split_regex(lower(text), '[^a-z0-9_]+'), x -> x <> '')) AS tok
+          FROM documents),
+        th AS MATERIALIZED (SELECT doc_id, md5_number_upper(tok) AS h FROM toks),
+        cnt AS (SELECT doc_id, COUNT(*) AS n FROM th GROUP BY doc_id),
+        lanes AS MATERIALIZED (
+          SELECT t.doc_id, b.b,
+                 SUM(CASE WHEN (t.h >> b.b) & 1 = 1 THEN 1 ELSE 0 END) AS ones
+          FROM th t CROSS JOIN (SELECT UNNEST(RANGE(0, 64)) AS b) b
+          GROUP BY t.doc_id, b.b),
+        fp0 AS (
+          SELECT l.doc_id, CAST(SUM(CASE WHEN 2 * l.ones - c.n > 0
+                 THEN (CAST(1 AS UBIGINT) << l.b) ELSE 0 END) AS UBIGINT) AS f
+          FROM lanes l JOIN cnt c USING (doc_id) GROUP BY l.doc_id),
+        fp AS MATERIALIZED (
+          SELECT d.doc_id, COALESCE(f.f, CAST(0 AS UBIGINT)) AS f
+          FROM documents d LEFT JOIN fp0 f USING (doc_id)),
+        bnd AS (
+          SELECT doc_id, b.b AS band,
+                 CAST((f >> (16 * b.b)) & 65535 AS BIGINT) AS key, f
+          FROM fp CROSS JOIN (SELECT UNNEST(RANGE(0, 4)) AS b) b),
+        kept AS MATERIALIZED (
+          SELECT doc_id, band, key, f FROM (
+            SELECT doc_id, band, key, f,
+                   ROW_NUMBER() OVER (PARTITION BY band, key ORDER BY doc_id) AS rn
+            FROM bnd) WHERE rn <= {max_bucket}),
+        cand AS (
+          SELECT DISTINCT k1.doc_id AS a, k2.doc_id AS b,
+                 bit_count(xor(k1.f, k2.f)) AS hamc
+          FROM kept k1 JOIN kept k2
+          ON k2.band = k1.band AND k2.key = k1.key AND k2.doc_id > k1.doc_id)
+        SELECT a, b, CAST(hamc AS BIGINT) AS ham FROM cand
+        WHERE hamc <= {max_hamming} ORDER BY a, b"""
+
+
+def _mulcol64_sql(a: str, b: str) -> str:
+    """(a * b) mod 2^64 for two UBIGINT column expressions (32-bit-split
+    HUGEINT products; every intermediate < 2^96 fits HUGEINT)."""
+    ah, al = f"(CAST({a} AS HUGEINT) >> 32)", f"(CAST({a} AS HUGEINT) & 4294967295)"
+    bh, bl = f"(CAST({b} AS HUGEINT) >> 32)", f"(CAST({b} AS HUGEINT) & 4294967295)"
+    return (
+        f"CAST(({al}*{bl} + (({al}*{bh} + {ah}*{bl}) % 4294967296) * 4294967296) "
+        f"% {_M64} AS UBIGINT)"
+    )
+
+
+def _minhash_sql(
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    max_bucket: int = 200,
+) -> str:
+    """Exact twin of dedup/minhash.py:near_dup_pairs with hasher='md5' and
+    perm_gen='hash': md5_number_upper token hashes, the k=3 rolling
+    (acc·golden64)^next fold + splitmix64 shingle hashes, splitmix64-drawn
+    affine permutations (a|1), per-lane MIN signatures, the
+    (bh·golden64)^next band fold + splitmix64 band keys, the per-bucket
+    smallest-doc_id cap, and the exact distinct-shingle Jaccard verify.
+    Assumes every document has ≥ 3 tokens (true at every sf — the same
+    contract the jaccard_near_dups twin documents)."""
+    r = num_hashes // bands
+    base = (seed * 0x100000001B3) % _M64
+    G = 0x9E3779B97F4A7C15
+    # k=3 shingle fold over consecutive token hashes
+    f1 = _mul64_sql("a.h", G)
+    f2 = _mul64_sql(f"xor({f1}, b.h)", G)
+    fold = f"xor({f2}, c.h)"
+    # 4-lane band fold over signature lanes s0..s3
+    bfold = "s0"
+    for j in range(1, r):
+        bfold = f"xor({_mul64_sql(bfold, G)}, s{j})"
+    lane_cols = ", ".join(
+        f"MAX(CASE WHEN hh % {r} = {j} THEN m END) AS s{j}" for j in range(r)
+    )
+    parts = [
+        "tarr AS MATERIALIZED (SELECT doc_id, list_filter("
+        "string_split_regex(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS ws FROM documents)",
+        "th AS MATERIALIZED (SELECT doc_id, p, md5_number_upper(tok) AS h FROM ("
+        "SELECT doc_id, generate_subscripts(ws, 1) AS p, UNNEST(ws) AS tok FROM tarr))",
+        f"w3p AS (SELECT a.doc_id, {fold} AS pre FROM th a "
+        "JOIN th b ON b.doc_id = a.doc_id AND b.p = a.p + 1 "
+        "JOIN th c ON c.doc_id = a.doc_id AND c.p = a.p + 2)",
+        *_sm64_stages("w3s", "w3p", "CAST(pre AS HUGEINT)", "doc_id"),
+        # permutations: a = splitmix(base+2h) | 1, b = splitmix(base+2h+1)
+        f"prm0 AS (SELECT CAST(range AS BIGINT) AS hh FROM range({num_hashes}))",
+        *_sm64_stages("pa", "prm0", f"(CAST({base} AS HUGEINT) + 2*hh)", "hh"),
+        *_sm64_stages("pb", "prm0", f"(CAST({base} AS HUGEINT) + 2*hh + 1)", "hh"),
+        "perms AS MATERIALIZED (SELECT a.hh, (a.h | 1) AS pa, b.h AS pb "
+        "FROM pac a JOIN pbc b USING (hh))",
+        # signature lane minima over (pa*sh + pb) mod 2^64
+        "sig AS MATERIALIZED (SELECT s.doc_id, p.hh, MIN(CAST((CAST("
+        + _mulcol64_sql("p.pa", "s.h")
+        + f" AS HUGEINT) + p.pb) % {_M64} AS UBIGINT)) AS m "
+        "FROM w3sc s CROSS JOIN perms p GROUP BY s.doc_id, p.hh)",
+        f"sigb AS (SELECT doc_id, hh // {r} AS band, {lane_cols} "
+        f"FROM sig GROUP BY doc_id, hh // {r})",
+        f"bhp AS (SELECT doc_id, band, {bfold} AS pre FROM sigb)",
+        *_sm64_stages("bh", "bhp", "CAST(pre AS HUGEINT)", "doc_id, band"),
+        "kept AS MATERIALIZED (SELECT doc_id, band, h FROM ("
+        "SELECT doc_id, band, h, ROW_NUMBER() OVER "
+        "(PARTITION BY band, h ORDER BY doc_id) AS rn FROM bhc) "
+        f"WHERE rn <= {max_bucket})",
+        "cand AS MATERIALIZED (SELECT DISTINCT k1.doc_id AS a, k2.doc_id AS b "
+        "FROM kept k1 JOIN kept k2 ON k2.band = k1.band AND k2.h = k1.h "
+        "AND k2.doc_id > k1.doc_id)",
+        # exact Jaccard over distinct shingle hashes
+        "shd AS MATERIALIZED (SELECT DISTINCT doc_id, h AS sh FROM w3sc)",
+        "ssz AS (SELECT doc_id, COUNT(*) AS sz FROM shd GROUP BY doc_id)",
+        "inter AS (SELECT p.a, p.b, COUNT(*) AS i FROM cand p "
+        "JOIN shd x ON x.doc_id = p.a JOIN shd y ON y.doc_id = p.b AND y.sh = x.sh "
+        "GROUP BY p.a, p.b)",
+        "jac AS (SELECT c.a, c.b, CAST(COALESCE(i.i, 0) AS DOUBLE) / "
+        "(za.sz + zb.sz - COALESCE(i.i, 0)) AS jaccard "
+        "FROM cand c JOIN ssz za ON za.doc_id = c.a JOIN ssz zb ON zb.doc_id = c.b "
+        "LEFT JOIN inter i ON i.a = c.a AND i.b = c.b)",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT a, b, ROUND(jaccard, 6) AS jaccard FROM jac "
+        f"WHERE jaccard >= {repr(threshold)} ORDER BY a, b"
     )
 
 
@@ -8434,6 +8589,10 @@ def oracle_sql() -> dict[str, str]:
         # hash-plane (splitmix64 + Box-Muller) LSH replays
         "ann_lsh_topk": _lsh_topk_sql(8, 2, 5),
         "embedding_near_dups": _embed_near_dups_sql(32, 4, 0.4),
+        # md5-token-hash simhash replay
+        "simhash_near_dups": _simhash_sql(3, 200),
+        # md5 tokens + splitmix permutations: full MinHash+LSH replay
+        "minhash_near_dups": _minhash_sql(0.8, 64, 16, 42, 200),
         "ann_topk": """
             WITH nv AS (
               SELECT vec_id,

@@ -34,7 +34,20 @@ from networkit_ray.dedup.tokenize import (
 )
 
 
-def _perm_params(num_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+def _perm_params(
+    num_hashes: int, seed: int, perm_gen: str = "pcg"
+) -> tuple[np.ndarray, np.ndarray]:
+    """(a, b) affine-permutation params.  ``"pcg"`` (default) draws from
+    PCG64; ``"hash"`` derives them from a splitmix64 counter (a forced odd)
+    so a SQL oracle can re-derive every permutation."""
+    if perm_gen == "hash":
+        base = np.uint64((seed * 0x100000001B3) % (1 << 64))
+        idx = np.arange(num_hashes, dtype=np.uint64)
+        a = _splitmix(base + np.uint64(2) * idx) | np.uint64(1)
+        b = _splitmix(base + np.uint64(2) * idx + np.uint64(1))
+        return a, b
+    if perm_gen != "pcg":
+        raise ValueError(f"unknown perm_gen {perm_gen!r} (want 'pcg' or 'hash')")
     rng = np.random.default_rng(seed)
     a = rng.integers(1, 2**63, size=num_hashes, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
     b = rng.integers(0, 2**63, size=num_hashes, dtype=np.uint64)
@@ -42,14 +55,15 @@ def _perm_params(num_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def minhash_signatures_batch(
-    texts: pa.Array | pa.ChunkedArray, a: np.ndarray, b: np.ndarray
+    texts: pa.Array | pa.ChunkedArray, a: np.ndarray, b: np.ndarray,
+    hasher: str = "siphash",
 ) -> np.ndarray:
     """(n_docs, H) uint64 signatures, vectorized over the whole batch.
 
     The H×S value matrix is computed in chunks of 8 hash functions to bound
     peak memory at 8 × total_shingles × 8 bytes regardless of batch size.
     """
-    sh, starts = shingle_hashes_batch(texts)
+    sh, starts = shingle_hashes_batch(texts, hasher=hasher)
     H, n, S = len(a), len(starts), len(sh)
     sig = np.empty((H, n), dtype=np.uint64)
     for h0 in range(0, H, 8):
@@ -73,14 +87,16 @@ def band_rows(
     num_hashes: int = 64,
     bands: int = 16,
     seed: int = 42,
+    hasher: str = "siphash",
+    perm_gen: str = "pcg",
 ) -> ray.data.Dataset:
     """(doc_id, band, band_hash) LSH rows, bands of r = num_hashes//bands."""
     r = num_hashes // bands
-    a, b = _perm_params(num_hashes, seed)
+    a, b = _perm_params(num_hashes, seed, perm_gen)
 
     def f(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        sig = minhash_signatures_batch(t["text"], a, b)  # (n, H)
+        sig = minhash_signatures_batch(t["text"], a, b, hasher)  # (n, H)
         n = len(ids)
         s3 = sig.reshape(n, bands, r)
         bh = s3[:, :, 0].copy()
@@ -105,6 +121,8 @@ def candidate_pairs(
     bands: int = 16,
     seed: int = 42,
     max_bucket: int = 200,
+    hasher: str = "siphash",
+    perm_gen: str = "pcg",
 ) -> ray.data.Dataset:
     """Distinct (a, b) a<b candidate pairs from LSH buckets.
 
@@ -113,7 +131,8 @@ def candidate_pairs(
     e.g. empty pages all colliding); the cap is logged via the n_trunc column
     of bucket_stats rather than silently dropped.
     """
-    rows = band_rows(docs, num_hashes=num_hashes, bands=bands, seed=seed)
+    rows = band_rows(docs, num_hashes=num_hashes, bands=bands, seed=seed,
+                     hasher=hasher, perm_gen=perm_gen)
 
     # hash-exchange on the bucket key, then ONE vectorized all-buckets pair
     # expansion per partition — the former groupby().map_groups ran a Python
@@ -208,11 +227,16 @@ def near_dup_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     seed: int = 42,
+    hasher: str = "siphash",
+    perm_gen: str = "pcg",
 ) -> ray.data.Dataset:
     """Verified near-duplicate pairs (a, b, jaccard ≥ threshold)."""
     # materialize: the emptiness check would otherwise re-execute the whole
     # LSH pipeline when the verify joins consume `cand` again
-    cand = candidate_pairs(docs, num_hashes=num_hashes, bands=bands, seed=seed).materialize()
+    cand = candidate_pairs(
+        docs, num_hashes=num_hashes, bands=bands, seed=seed,
+        hasher=hasher, perm_gen=perm_gen,
+    ).materialize()
     if cand.count() == 0:
         return ray.data.from_arrow(
             pa.schema(
@@ -235,7 +259,7 @@ def near_dup_pairs(
         )
         # fully vectorized per-pair exact Jaccard (two segmented lexsorts,
         # no per-pair Python loop)
-        ja = pairwise_jaccard(both)
+        ja = pairwise_jaccard(both, hasher=hasher)
         out = pa.table({"a": t["a"], "b": t["b"], "jaccard": pa.array(ja)})
         return out.filter(pa.compute.greater_equal(out["jaccard"], threshold))
 

