@@ -1448,7 +1448,9 @@ def q_gce_community(sf_dir):
 
 
 def q_lte_community(sf_dir):
-    """LocalTightnessExpansion from two seeds (rows-only)."""
+    """LocalTightnessExpansion from two seeds; oracle-exact — shared
+    pop/add twin (_scd_popadd_sql variant='lte': adjacency-cosine
+    similarities, E/X acceptance, discard-until-pass pop replay)."""
     from networkit_ray.graph.scd import lte_communities
 
     sym, n = _sym(sf_dir)
@@ -1501,7 +1503,10 @@ def q_random_bfs_community(sf_dir):
 
 
 def q_tce_community(sf_dir):
-    """TCE conductance-guarded expansion from two seeds (rows-only)."""
+    """TCE conductance-guarded expansion from two seeds; oracle-exact —
+    shared pop/add twin (_scd_popadd_sql variant='tce': triadic-closure
+    scores, global-degree/region-cut conductance test, discard-until-pass
+    pop replay)."""
     from networkit_ray.graph.scd import tce_communities
 
     sym, n = _sym(sf_dir)
@@ -3961,6 +3966,140 @@ def _maxflow_sql(aug_rounds: int = 45, depth: int = 24) -> str:
         f"- (SELECT COALESCE(SUM(fl), 0) FROM f{A} WHERE v = 0) AS DOUBLE), 6) "
         f"AS max_flow, "
         f"(SELECT CAST(COUNT(*) AS BIGINT) FROM ss) AS source_set_size"
+    )
+
+
+def _scd_popadd_sql(
+    seeds: tuple, radius: int, max_size: int, variant: str, alpha: float = 1.0
+) -> str:
+    """Shared exact twin for the pop/add SCD expanders (graph/scd.py
+    _tce_group / _lte_group).  Both engines loop: pop the highest-priority
+    ACTIVE shell node (ties → smallest id), add it iff its acceptance test
+    passes (higher-priority failures are permanently discarded until a
+    later add re-activates them), and re-activate the new member's
+    non-member neighbors.  Between adds every score is a pure function of
+    the member set, so one SQL round per ADD replays the whole pop
+    sequence: add = best-priority PASSING active node, discarded = active
+    nodes with strictly higher priority, and a no-add round drains the
+    active set (all pops fail), freezing later rounds.
+
+    variant='tce': priority = Σ_{x∈com∩N(v)} (1+tri(v,x))/(min(dv,dx)·dv),
+    test = conductance improvement with GLOBAL degrees and REGION cut
+    edges (num_cut has the closed form rdeg(seed) + Σ_{v≠seed} d(v) −
+    2·internal region edges).  variant='lte': priority = internal
+    similarity Σ sim(v,x∈com), sim = (2+tri)/(√(1+da)·√(1+db)), test =
+    E/X − (α·se − si)/(2·si) > 0 (X=0 → pass; si≤0 → fail).  Scores are
+    float sums of deterministic rationals; SQL summation order differs
+    from the engine's set-iteration order by ~1 ulp — inside the driver's
+    1e-9 acceptance unless two shell nodes are exactly tied AND the tie
+    decides the pop order (not observed on the sf fixtures)."""
+    seed_vals = ", ".join(f"({s})" for s in seeds)
+    parts = [
+        "WITH se AS MATERIALIZED ({SYM})",
+        "degt AS MATERIALIZED (SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS d "
+        "FROM se GROUP BY src)",
+        f"seeds(s) AS (SELECT CAST(col0 AS BIGINT) FROM (VALUES {seed_vals}))",
+        "rg0 AS (SELECT s, s AS v FROM seeds)",
+    ]
+    for k in range(1, radius + 1):
+        parts.append(
+            f"rg{k} AS MATERIALIZED (SELECT s, v FROM rg{k-1} UNION "
+            f"SELECT r.s, e.dst FROM rg{k-1} r JOIN se e ON e.src = r.v)"
+        )
+    parts += [
+        f"re AS MATERIALIZED (SELECT m1.s, e.src AS a, e.dst AS b FROM se e "
+        f"JOIN rg{radius} m1 ON m1.v = e.src "
+        f"JOIN rg{radius} m2 ON m2.s = m1.s AND m2.v = e.dst WHERE e.src < e.dst)",
+        "radj AS MATERIALIZED (SELECT s, a AS u, b AS w FROM re "
+        "UNION ALL SELECT s, b, a FROM re)",
+        # region common-neighbour counts for every region-adjacent pair
+        "cnt AS MATERIALIZED (SELECT e.s, e.u, e.w, COALESCE(t.c, 0) AS tri "
+        "FROM radj e LEFT JOIN (SELECT a.s, a.u AS u, b.u AS w, COUNT(*) AS c "
+        "FROM radj a JOIN radj b ON b.s = a.s AND b.w = a.w AND b.u <> a.u "
+        "GROUP BY a.s, a.u, b.u) t ON t.s = e.s AND t.u = e.u AND t.w = e.w)",
+    ]
+    if variant == "tce":
+        parts += [
+            # directional contribution of member w to shell u
+            "ctab AS MATERIALIZED (SELECT c.s, c.u, c.w, "
+            "(1.0 + c.tri) / (LEAST(du.d, dw.d) * du.d) AS c "
+            "FROM cnt c JOIN degt du ON du.v = c.u JOIN degt dw ON dw.v = c.w)",
+            "srd AS (SELECT s, COUNT(*) AS rd FROM radj WHERE u = s GROUP BY s)",
+            "sgd AS (SELECT s, d.d AS gd FROM seeds JOIN degt d ON d.v = s)",
+        ]
+    else:
+        parts.append(
+            "simt AS MATERIALIZED (SELECT c.s, c.u, c.w, "
+            "(2.0 + c.tri) / (sqrt(1.0 + du.d) * sqrt(1.0 + dw.d)) AS sim "
+            "FROM cnt c JOIN degt du ON du.v = c.u JOIN degt dw ON dw.v = c.w)"
+        )
+    parts += [
+        "com0 AS MATERIALIZED (SELECT s, s AS v FROM seeds)",
+        "act0 AS MATERIALIZED (SELECT s, w AS v FROM radj WHERE u = s)",
+    ]
+    for r in range(1, max_size):
+        p = r - 1
+        if variant == "tce":
+            parts += [
+                f"sc{r} AS MATERIALIZED (SELECT a.s, a.v, "
+                f"COALESCE(SUM(CASE WHEN c.v IS NOT NULL THEN ct.c END), 0) AS sc, "
+                f"COUNT(CASE WHEN c.v IS NOT NULL THEN 1 END) AS ce, "
+                f"MIN(du.d) AS dv "
+                f"FROM act{p} a JOIN ctab ct ON ct.s = a.s AND ct.u = a.v "
+                f"JOIN degt du ON du.v = a.v "
+                f"LEFT JOIN com{p} c ON c.s = a.s AND c.v = ct.w GROUP BY a.s, a.v)",
+                f"agg{r} AS (SELECT vol.s, vol.vol, "
+                f"vol.vol - sgd.gd + srd.rd - 2 * COALESCE(ie.ie, 0) AS ncut "
+                f"FROM (SELECT c.s, CAST(SUM(d.d) AS DOUBLE) AS vol FROM com{p} c "
+                f"JOIN degt d ON d.v = c.v GROUP BY c.s) vol "
+                f"JOIN srd ON srd.s = vol.s JOIN sgd ON sgd.s = vol.s "
+                f"LEFT JOIN (SELECT c1.s, COUNT(*) AS ie FROM re e "
+                f"JOIN com{p} c1 ON c1.s = e.s AND c1.v = e.a "
+                f"JOIN com{p} c2 ON c2.s = e.s AND c2.v = e.b GROUP BY c1.s) ie "
+                f"ON ie.s = vol.s)",
+                f"add{r} AS MATERIALIZED (SELECT s, v, sc FROM ("
+                f"SELECT x.s, x.v, x.sc, ROW_NUMBER() OVER "
+                f"(PARTITION BY x.s ORDER BY x.sc DESC, x.v ASC) AS rn "
+                f"FROM sc{r} x JOIN agg{r} g ON g.s = x.s "
+                f"WHERE g.vol > 0 AND "
+                f"(g.ncut + x.dv - 2.0 * x.ce) / (g.vol + x.dv) < g.ncut / g.vol"
+                f") WHERE rn = 1)",
+            ]
+        else:
+            parts += [
+                f"sc{r} AS MATERIALIZED (SELECT a.s, a.v, "
+                f"COALESCE(SUM(CASE WHEN c.v IS NOT NULL THEN st.sim END), 0) AS sc, "
+                f"COALESCE(SUM(CASE WHEN c.v IS NULL THEN st.sim END), 0) AS se "
+                f"FROM act{p} a JOIN simt st ON st.s = a.s AND st.u = a.v "
+                f"LEFT JOIN com{p} c ON c.s = a.s AND c.v = st.w GROUP BY a.s, a.v)",
+                f"agg{r} AS (SELECT sd.s, "
+                f"COALESCE(SUM(CASE WHEN ci.v IS NOT NULL AND co.v IS NOT NULL "
+                f"THEN st.sim END), 0) AS x, "
+                f"COALESCE(SUM(CASE WHEN ci.v IS NOT NULL AND co.v IS NULL "
+                f"THEN st.sim END), 0) AS e "
+                f"FROM seeds sd LEFT JOIN simt st ON st.s = sd.s "
+                f"LEFT JOIN com{p} ci ON ci.s = st.s AND ci.v = st.u "
+                f"LEFT JOIN com{p} co ON co.s = st.s AND co.v = st.w GROUP BY sd.s)",
+                f"add{r} AS MATERIALIZED (SELECT s, v, sc FROM ("
+                f"SELECT x.s, x.v, x.sc, ROW_NUMBER() OVER "
+                f"(PARTITION BY x.s ORDER BY x.sc DESC, x.v ASC) AS rn "
+                f"FROM sc{r} x JOIN agg{r} g ON g.s = x.s "
+                f"WHERE x.sc > 0 AND (g.x <= 0 OR "
+                f"g.e / g.x - ({repr(alpha)} * x.se - x.sc) / (2.0 * x.sc) > 0)"
+                f") WHERE rn = 1)",
+            ]
+        parts += [
+            f"com{r} AS MATERIALIZED (SELECT * FROM com{p} "
+            f"UNION ALL SELECT s, v FROM add{r})",
+            f"act{r} AS MATERIALIZED (SELECT DISTINCT s, v FROM ("
+            f"SELECT a.s, a.v FROM sc{r} a JOIN add{r} d ON d.s = a.s "
+            f"WHERE a.v <> d.v AND (a.sc < d.sc OR (a.sc = d.sc AND a.v > d.v)) "
+            f"UNION ALL SELECT d.s, ra.w AS v FROM add{r} d "
+            f"JOIN radj ra ON ra.s = d.s AND ra.u = d.v "
+            f"WHERE NOT EXISTS (SELECT 1 FROM com{r} c WHERE c.s = d.s AND c.v = ra.w)))",
+        ]
+    return ",\n".join(parts) + (
+        f"\nSELECT s AS seed, v FROM com{max_size - 1} ORDER BY seed, v"
     )
 
 
@@ -6569,6 +6708,12 @@ def oracle_sql() -> dict[str, str]:
             "{SYM}", SYMMETRIC_EDGES_SQL
         ),
         "two_phase_l": _twophasel_sql((0, 7), 3, 50).replace(
+            "{SYM}", SYMMETRIC_EDGES_SQL
+        ),
+        "tce_community": _scd_popadd_sql((0, 7), 3, 50, "tce").replace(
+            "{SYM}", SYMMETRIC_EDGES_SQL
+        ),
+        "lte_community": _scd_popadd_sql((0, 7), 3, 50, "lte").replace(
             "{SYM}", SYMMETRIC_EDGES_SQL
         ),
         "lfm_community": _lfm_sql((0, 7), 3, 50).replace(
