@@ -2588,8 +2588,11 @@ def q_multimodal_decode(sf_dir):
     from networkit_ray.multimodal.decode import decode_media, synth_media
 
     # REAL decode: synth_media emits genuine P6 PPM payloads; the actor
-    # pool parses headers + pixel buffers and extracts content features
-    dec = decode_media(synth_media(200, kind="image"), real=True)
+    # pool parses headers + pixel buffers and extracts content features.
+    # noise_gen="hash" (splitmix64 counter bytes) lets the SQL twin replay
+    # the synth→encode→decode→feature pipeline analytically
+    # (_multimodal_sql); the PCG64 default keeps its decode tests.
+    dec = decode_media(synth_media(200, kind="image", noise_gen="hash"), real=True)
 
     def scalarize(t: pa.Table) -> pa.Table:
         feats = t["features"].combine_chunks()
@@ -5579,6 +5582,53 @@ def _minhash_sql(
         + ",\n".join(parts)
         + f"\nSELECT a, b, ROUND(jaccard, 6) AS jaccard FROM jac "
         f"WHERE jaccard >= {repr(threshold)} ORDER BY a, b"
+    )
+
+
+def _multimodal_sql(n_items: int = 200) -> str:
+    """Exact twin of q_multimodal_decode with noise_gen='hash': replays
+    synth_media's pixel construction analytically (integer gradient ramps
+    + splitmix64 counter noise bytes), then the decoded-image features —
+    per-channel means and the 2×2 luma grid (regions [0, h//2), [h//2, h))
+    — and the np.resize-to-8 wrap (f0 counted twice in feat_sum).  The
+    PPM encode→decode roundtrip is lossless, so the decoded pixels equal
+    the synthesized ones; channel means are exact integer-sum divisions,
+    luma region means differ from numpy's pairwise sum by ~1 ulp (inside
+    the driver tolerance after ROUND 6)."""
+    FNV = 0x100000001B3
+    parts = [
+        f"WITH ids AS (SELECT CAST(range AS BIGINT) AS id FROM range({n_items}))",
+        "dims AS (SELECT id, 16 + id % 16 AS ht, 16 + (id*7) % 16 AS wd FROM ids)",
+        "px0 AS (SELECT d.id, d.ht, d.wd, yy.y, xx.x, "
+        "(yy.y*255) // (d.ht - 1) AS r, (xx.x*255) // (d.wd - 1) AS g "
+        "FROM dims d JOIN (SELECT CAST(range AS BIGINT) AS y FROM range(32)) yy ON yy.y < d.ht "
+        "JOIN (SELECT CAST(range AS BIGINT) AS x FROM range(32)) xx ON xx.x < d.wd)",
+        *_sm64_stages(
+            "nz",
+            "px0",
+            f"(CAST(id + 1 AS HUGEINT) * {FNV} + y * wd + x)",
+            "id, ht, wd, y, x, r, g",
+        ),
+        "px AS MATERIALIZED (SELECT id, ht, wd, y, x, r, g, "
+        "CAST(h & 255 AS BIGINT) AS b FROM nzc)",
+        "chan AS (SELECT id, (CAST(SUM(r) AS DOUBLE) / COUNT(*)) / 255.0 AS f0, "
+        "(CAST(SUM(g) AS DOUBLE) / COUNT(*)) / 255.0 AS f1, "
+        "(CAST(SUM(b) AS DOUBLE) / COUNT(*)) / 255.0 AS f2 FROM px GROUP BY id)",
+        "lum AS (SELECT id, CASE WHEN y < ht // 2 THEN 0 ELSE 1 END AS gy, "
+        "CASE WHEN x < wd // 2 THEN 0 ELSE 1 END AS gx, "
+        "(SUM((r + g + b) / 3.0) / COUNT(*)) / 255.0 AS lm "
+        "FROM px GROUP BY id, gy, gx)",
+        "feats AS (SELECT c.id, c.f0, c.f1, c.f2, "
+        "MAX(CASE WHEN l.gy = 0 AND l.gx = 0 THEN l.lm END) AS f3, "
+        "MAX(CASE WHEN l.gy = 0 AND l.gx = 1 THEN l.lm END) AS f4, "
+        "MAX(CASE WHEN l.gy = 1 AND l.gx = 0 THEN l.lm END) AS f5, "
+        "MAX(CASE WHEN l.gy = 1 AND l.gx = 1 THEN l.lm END) AS f6 "
+        "FROM chan c JOIN lum l USING (id) GROUP BY c.id, c.f0, c.f1, c.f2)",
+    ]
+    return ",\n".join(parts) + (
+        "\nSELECT d.id, d.ht AS height, d.wd AS width, CAST(3 AS BIGINT) AS channels, "
+        "ROUND(f.f0 + f.f1 + f.f2 + f.f3 + f.f4 + f.f5 + f.f6 + f.f0, 6) AS feat_sum "
+        "FROM dims d JOIN feats f ON f.id = d.id ORDER BY d.id"
     )
 
 
@@ -8738,6 +8788,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dups": _simhash_sql(3, 200),
         # md5 tokens + splitmix permutations: full MinHash+LSH replay
         "minhash_near_dups": _minhash_sql(0.8, 64, 16, 42, 200),
+        # splitmix noise bytes: synth->PPM->decode->features replay
+        "multimodal_decode": _multimodal_sql(200),
         "ann_topk": """
             WITH nv AS (
               SELECT vec_id,

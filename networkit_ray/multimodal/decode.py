@@ -60,11 +60,20 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
 
 
 def synth_media(
-    num_items: int, *, kind: str = "image", payload_bytes: int = 1024
+    num_items: int, *, kind: str = "image", payload_bytes: int = 1024,
+    noise_gen: str = "pcg",
 ) -> ray.data.Dataset:
     """Deterministic media table with REAL payloads: P6 PPM images with
     seeded gradient+noise pixels, or PCM WAV tones; ``kind='opaque'``
-    produces the old hash-byte payloads (for the fake-decode path)."""
+    produces the old hash-byte payloads (for the fake-decode path).
+
+    ``noise_gen`` picks the image noise channel's source: ``"pcg"``
+    (default) draws PCG64 bytes; ``"hash"`` derives byte (y, x) of image i
+    from splitmix64((i+1)·FNV + y·w + x) — same uniform byte noise, but a
+    pure counter function a SQL oracle can replay through the real
+    encode→decode→feature pipeline."""
+    if noise_gen not in ("pcg", "hash"):
+        raise ValueError(f"unknown noise_gen {noise_gen!r} (want 'pcg' or 'hash')")
 
     def gen(batch: dict) -> pa.Table:
         ids = batch["id"]
@@ -75,11 +84,23 @@ def synth_media(
                 h, w = 16 + int(i) % 16, 16 + (int(i) * 7) % 16
                 yy, xx = np.mgrid[0:h, 0:w]
                 base = ((yy * 255 // max(h - 1, 1))[..., None]).astype(np.uint8)
+                if noise_gen == "hash":
+                    from networkit_ray.sources.synth import _splitmix64
+
+                    idx = np.arange(h * w, dtype=np.uint64)
+                    noise = (
+                        _splitmix64(
+                            np.uint64(int(i) + 1) * np.uint64(0x100000001B3) + idx
+                        )
+                        & np.uint64(0xFF)
+                    ).astype(np.uint8).reshape(h, w, 1)
+                else:
+                    noise = rng.integers(0, 256, (h, w, 1), dtype=np.uint8)
                 px = np.concatenate(
                     [
                         base,
                         ((xx * 255 // max(w - 1, 1))[..., None]).astype(np.uint8),
-                        rng.integers(0, 256, (h, w, 1), dtype=np.uint8),
+                        noise,
                     ],
                     axis=2,
                 )
