@@ -2621,7 +2621,9 @@ def q_rmat_edges(sf_dir):
 
 def q_hyperbolic_edges(sf_dir):
     """generators/HyperbolicGenerator.cpp cold (T=0) threshold variant;
-    rows-only — replica-exact/power-law tests in tests/test_generators2.py."""
+    oracle-exact — the splitmix64 coordinate draws and the cosh-distance
+    threshold are replayed in SQL (_hyperbolic_sql); replica-exact /
+    power-law tests in tests/test_generators2.py."""
     from networkit_ray.sources.synth import hyperbolic_edges
 
     edges, _n = hyperbolic_edges(512, 6.0, 0.85, seed=42)
@@ -5582,6 +5584,38 @@ def _minhash_sql(
         + ",\n".join(parts)
         + f"\nSELECT a, b, ROUND(jaccard, 6) AS jaccard FROM jac "
         f"WHERE jaccard >= {repr(threshold)} ORDER BY a, b"
+    )
+
+
+def _hyperbolic_sql(n: int, radius: float, alpha: float, seed: int = 42) -> str:
+    """Twin of sources/synth.py:hyperbolic_edges (cold T=0 threshold
+    variant): splitmix64 counter draws replayed exactly; θ and the
+    inverse-CDF radial coordinate re-derived with DuckDB ln/sqrt/exp/cos
+    (cosh/sinh/acosh composed from exp/ln — values agree with numpy's to
+    ~1 ulp, and the only discrete decision, cosh d ≤ cosh R, would need a
+    pair within ~1e-11 of the threshold to flip: none exist on the
+    conformance sizes).  cosh(αR)−1 and cosh(R) are emitted as constants
+    computed by the engine's own numpy expressions."""
+    base = (seed * 0x100000001B3) % _M64
+    C = repr(float(np.cosh(alpha * radius) - 1.0))
+    thresh = repr(float(np.cosh(radius)))
+    inv64 = "18446744073709551616.0"
+    parts = [
+        f"WITH ids AS (SELECT CAST(range AS BIGINT) AS i FROM range({n}))",
+        *_sm64_stages("ta", "ids", f"(CAST(i AS HUGEINT)*2 + {base})", "i"),
+        *_sm64_stages("ua", "ids", f"(CAST(i AS HUGEINT)*2 + 1 + {base})", "i"),
+        f"crd0 AS (SELECT t.i, CAST(t.h AS DOUBLE)/{inv64} AS tu, "
+        f"CAST(u.h AS DOUBLE)/{inv64} AS uu FROM tac t JOIN uac u ON u.i = t.i)",
+        f"crd1 AS (SELECT i, tu*2.0*pi() AS th, "
+        f"ln(yv + sqrt(yv*yv - 1.0))/{repr(alpha)} AS r "
+        f"FROM (SELECT i, tu, 1.0 + uu*{C} AS yv FROM crd0))",
+        "crd AS MATERIALIZED (SELECT i, th, (exp(r) + exp(-r))/2.0 AS ch, "
+        "(exp(r) - exp(-r))/2.0 AS sh FROM crd1)",
+    ]
+    return ",\n".join(parts) + (
+        f"\nSELECT a.i AS src, b.i AS dst FROM crd a JOIN crd b ON b.i > a.i "
+        f"WHERE a.ch*b.ch - a.sh*b.sh*cos(a.th - b.th) <= {thresh} "
+        f"ORDER BY src, dst"
     )
 
 
@@ -8790,6 +8824,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dups": _minhash_sql(0.8, 64, 16, 42, 200),
         # splitmix noise bytes: synth->PPM->decode->features replay
         "multimodal_decode": _multimodal_sql(200),
+        # splitmix coordinate draws: cold hyperbolic RGG replay
+        "hyperbolic_edges": _hyperbolic_sql(512, 6.0, 0.85, 42),
         "ann_topk": """
             WITH nv AS (
               SELECT vec_id,
