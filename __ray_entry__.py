@@ -2713,8 +2713,8 @@ def q_bidirectional_sssp(sf_dir):
 def q_spanning_edge_centrality(sf_dir):
     """centrality/SpanningEdgeCentrality.cpp:68-105 runApproximation
     analog (k=48 JL sketch, counter-hash signs, one multi-RHS block-CG);
-    rows-only — exactness bounds vs a pinv oracle in
-    tests/test_spanning_edge.py."""
+    oracle-exact — sketch RHS + CG trajectory replayed by an unrolled SQL
+    CG (_sec_sql); pinv-oracle bounds in tests/test_spanning_edge.py."""
     from networkit_ray.graph.algebraic import spanning_edge_centrality
 
     sym, n = _sym(sf_dir)
@@ -2726,8 +2726,8 @@ def q_spanning_edge_centrality(sf_dir):
 def q_electrical_closeness(sf_dir):
     """centrality/ApproxElectricalCloseness.cpp analog: diag(L⁺) from the
     same k=48 JL sketch solve as spanning_edge_centrality, closeness
-    (n−1)/(n·diag + tr); rows-only — pinv-oracle bounds in
-    tests/test_spanning_edge.py::TestElectricalCloseness."""
+    (n−1)/(n·diag + tr); oracle-exact — the same unrolled SQL CG replay (_ec_sql);
+    pinv-oracle bounds in tests/test_spanning_edge.py::TestElectricalCloseness."""
     from networkit_ray.graph.algebraic import electrical_closeness
 
     sym, n = _sym(sf_dir)
@@ -2748,9 +2748,10 @@ def q_pivot_mds(sf_dir):
 
 
 def q_commute_time(sf_dir):
-    """distance/CommuteTimeDistance.cpp:154-189 analog; rows-only — the
-    L⁺ solve has no SQL twin, exactness is proven against a numpy pinv
-    oracle in tests/test_algebraic.py.  Pairs are the 6 smallest vertex
+    """distance/CommuteTimeDistance.cpp:154-189 analog; oracle-exact — the
+    block-CG trajectory (alpha/beta guards, stop rule) is replayed by an
+    unrolled SQL CG (_commute_time_sql); pinv-oracle exactness in
+    tests/test_algebraic.py.  Pairs are the 6 smallest vertex
     ids of the giant component, paired consecutively."""
     import ray.data
 
@@ -2783,7 +2784,9 @@ def q_commute_time(sf_dir):
 
 def q_stress_layout(sf_dir):
     """MaxentStress's sparse-stress half (pivot-anchored majorization);
-    rows-only — stress-descent/ring-geometry tests in tests/test_layout.py."""
+    oracle-exact — splitmix init + unrolled pivot-BFS + 20 majorization
+    updates replayed in SQL (_stress_sql); stress-descent / ring-geometry
+    tests in tests/test_layout.py."""
     from networkit_ray.graph.layout import stress_layout
 
     sym, n = _sym(sf_dir)
@@ -5616,6 +5619,226 @@ def _hyperbolic_sql(n: int, radius: float, alpha: float, seed: int = 42) -> str:
         f"\nSELECT a.i AS src, b.i AS dst FROM crd a JOIN crd b ON b.i > a.i "
         f"WHERE a.ch*b.ch - a.sh*b.sh*cos(a.th - b.th) <= {thresh} "
         f"ORDER BY src, dst"
+    )
+
+
+def _cg_parts(T: int, tol: float, b0_cte: str | None) -> list[str]:
+    """CTE chain replaying graph/algebraic.py:_block_cg on the Laplacian
+    of the {SYM} edge table: per unrolled iteration, Ap = deg·p − Σ_N p,
+    α = rr/pAp (0-guarded), x/r updates, β = rr'/rr (0-guarded), p update
+    — the engine's exact arithmetic, with per-column scalars.  The stop
+    rule (iterate while max_k rr_k > tol²) is replayed by selecting the
+    first round whose max rr is ≤ tol² (``stop`` CTE; the engine's x at
+    that point is the output).  ``b0_cte`` must define b0(k, v, bv) DENSE
+    over the vertex universe ``nodes``.  Requires T ≥ the engine's actual
+    iteration count (asserted by the stop CTE falling back to T).
+    Scalar dot products are SQL SUMs vs the engine's per-partition
+    partials — ~1 ulp per iteration, which CG's self-correction keeps far
+    inside the driver tolerance at the rounded output."""
+    tol2 = repr(tol * tol)
+    parts = [
+        "degt AS MATERIALIZED (SELECT nodes.v, CAST(COALESCE(d.deg, 0) AS DOUBLE) AS d "
+        "FROM nodes LEFT JOIN (SELECT src AS v, COUNT(*) AS deg FROM se GROUP BY src) d "
+        "ON d.v = nodes.v)",
+        *([b0_cte] if b0_cte else []),
+        "st0 AS MATERIALIZED (SELECT k, v, 0.0 AS x, bv AS r, bv AS p FROM b0)",
+        "rr0 AS (SELECT k, SUM(r*r) AS rr FROM st0 GROUP BY k)",
+    ]
+    for i in range(1, T + 1):
+        p = i - 1
+        parts += [
+            f"ap{i} AS (SELECT s.k, s.v, s.x, s.r, s.p, "
+            f"dg.d * s.p - COALESCE(nb.sm, 0) AS ap "
+            f"FROM st{p} s JOIN degt dg ON dg.v = s.v "
+            f"LEFT JOIN (SELECT s2.k, e.dst AS v, SUM(s2.p) AS sm FROM st{p} s2 "
+            f"JOIN se e ON e.src = s2.v GROUP BY s2.k, e.dst) nb "
+            f"ON nb.k = s.k AND nb.v = s.v)",
+            # al/rr MATERIALIZED: a non-materialized al{i} chains into the
+            # previous round's rr{p} -> up{p} -> al{p} -> ... giving the
+            # optimizer an exponentially expanding inline tree (measured:
+            # T=10 took 200x T=6)
+            f"al{i} AS MATERIALIZED (SELECT a.k, r.rr, CASE WHEN SUM(a.p*a.ap) > 0 "
+            f"THEN r.rr / SUM(a.p*a.ap) ELSE 0.0 END AS alpha "
+            f"FROM ap{i} a JOIN rr{p} r ON r.k = a.k GROUP BY a.k, r.rr)",
+            f"up{i} AS (SELECT a.k, a.v, a.x + l.alpha*a.p AS x, "
+            f"a.r - l.alpha*a.ap AS r, a.p FROM ap{i} a JOIN al{i} l ON l.k = a.k)",
+            f"rr{i} AS MATERIALIZED (SELECT k, SUM(r*r) AS rr FROM up{i} GROUP BY k)",
+            f"st{i} AS MATERIALIZED (SELECT u.k, u.v, u.x, u.r, "
+            f"u.r + (CASE WHEN l.rr > 0 THEN n.rr / l.rr ELSE 0.0 END) * u.p AS p "
+            f"FROM up{i} u JOIN al{i} l ON l.k = u.k JOIN rr{i} n ON n.k = u.k)",
+        ]
+    parts += [
+        "rrall AS ("
+        + " UNION ALL ".join(
+            f"SELECT {i} AS it, MAX(rr) AS m FROM rr{i}" for i in range(0, T + 1)
+        )
+        + ")",
+        f"stop AS (SELECT COALESCE(MIN(it), {T}) AS it FROM rrall WHERE m <= {tol2})",
+        "xf AS MATERIALIZED ("
+        + " UNION ALL ".join(
+            f"SELECT {i} AS it, k, v, x FROM st{i}" for i in range(0, T + 1)
+        )
+        + ")",
+        "xs AS MATERIALIZED (SELECT xf.k, xf.v, xf.x FROM xf JOIN stop ON xf.it = stop.it)",
+    ]
+    return parts
+
+
+def _commute_time_sql(T: int = 120, tol: float = 1e-12) -> str:
+    """Twin of q_commute_time: pairs = the 6 smallest vertices of the
+    giant component paired consecutively (both sf fixtures are CONNECTED
+    — 1 component — so these are ids 0..5; the same assumption the query
+    itself verifies via _cc_labels), b_k = e_s − e_t, unrolled CG replay,
+    ctd = sqrt(|x_s − x_t| · vol)."""
+    pairs = [(0, 1), (2, 3), (4, 5)]
+    b0 = (
+        "b0 AS MATERIALIZED (SELECT pr.k, nodes.v, "
+        "CASE WHEN nodes.v = pr.s THEN 1.0 WHEN nodes.v = pr.t THEN -1.0 ELSE 0.0 END AS bv "
+        "FROM nodes CROSS JOIN (VALUES "
+        + ", ".join(f"({k}, {s}, {t})" for k, (s, t) in enumerate(pairs))
+        + ") pr(k, s, t))"
+    )
+    parts = [
+        "WITH se AS MATERIALIZED ({SYM})",
+        "nodes AS MATERIALIZED (SELECT CAST(c_custkey AS BIGINT) AS v FROM customer)",
+        *_cg_parts(T, tol, b0),
+        "vol AS (SELECT SUM(d) AS vol FROM degt)",
+    ]
+    return ",\n".join(parts) + (
+        "\nSELECT pr.s AS src, pr.t AS dst, "
+        "ROUND(sqrt(abs(xa.x - xb.x) * vol.vol), 6) AS ctd "
+        "FROM (VALUES "
+        + ", ".join(f"({k}, {s}, {t})" for k, (s, t) in enumerate(pairs))
+        + ") pr(k, s, t) "
+        "JOIN xs xa ON xa.k = pr.k AND xa.v = pr.s "
+        "JOIN xs xb ON xb.k = pr.k AND xb.v = pr.t CROSS JOIN vol "
+        "ORDER BY src, dst"
+    )
+
+
+def _sec_rhs_cte(k: int, seed: int) -> list[str]:
+    """b(k, v) = Σ_e ±1/√k · B(e, v) with the sign-hash bit draw
+    (algebraic.py:_sign_hash): bit i of splitmix64(u·golden64 + v + seed)
+    over canonical (u < v) edges; +q at u, −q at v."""
+    inv = repr(1.0 / np.sqrt(k))
+    return [
+        "ce AS MATERIALIZED (SELECT src AS a, dst AS b FROM se WHERE src < dst)",
+        "sh0 AS (SELECT a, b, CAST((CAST("
+        + _mul64_sql("a", 0x9E3779B97F4A7C15)
+        + f" AS HUGEINT) + b + {seed}) % {_M64} AS UBIGINT) AS z0 FROM ce)",
+        *_sm64_stages("sh", "sh0", "CAST(z0 AS HUGEINT)", "a, b"),
+        f"sgn AS MATERIALIZED (SELECT s.a, s.b, kk.k, "
+        f"CASE WHEN (s.h >> kk.k) & 1 = 1 THEN {inv} ELSE -{inv} END AS q "
+        f"FROM shc s CROSS JOIN (SELECT UNNEST(RANGE(0, {k})) AS k) kk)",
+        "bs AS (SELECT k, v, SUM(q) AS bv FROM ("
+        "SELECT k, a AS v, q FROM sgn UNION ALL SELECT k, b AS v, -q FROM sgn"
+        ") GROUP BY k, v)",
+        f"b0 AS MATERIALIZED (SELECT kk0.k, nodes.v, COALESCE(bs.bv, 0.0) AS bv "
+        f"FROM nodes CROSS JOIN (SELECT UNNEST(RANGE(0, {k})) AS k) kk0 "
+        f"LEFT JOIN bs ON bs.k = kk0.k AND bs.v = nodes.v)",
+    ]
+
+
+def _sec_sql(k: int = 48, seed: int = 42, T: int = 120, tol: float = 1e-10) -> str:
+    """Twin of q_spanning_edge_centrality: JL sketch RHS (sign-hash bits),
+    one unrolled multi-RHS CG replay, sec(e) = Σ_i (x_i[u] − x_i[v])²."""
+    parts = [
+        "WITH se AS MATERIALIZED ({SYM})",
+        "nodes AS MATERIALIZED (SELECT CAST(c_custkey AS BIGINT) AS v FROM customer)",
+        *_sec_rhs_cte(k, seed),
+        *_cg_parts(T, tol, None),
+    ]
+    return ",\n".join(parts) + (
+        "\nSELECT ce.a AS src, ce.b AS dst, "
+        "ROUND(SUM((xa.x - xb.x) * (xa.x - xb.x)), 6) AS sec "
+        "FROM ce JOIN xs xa ON xa.v = ce.a JOIN xs xb ON xb.k = xa.k AND xb.v = ce.b "
+        "GROUP BY ce.a, ce.b ORDER BY src, dst"
+    )
+
+
+def _ec_sql(k: int = 48, seed: int = 42, T: int = 120, tol: float = 1e-10) -> str:
+    """Twin of q_electrical_closeness: same sketch solve as _sec_sql;
+    diag(L⁺)_v ≈ ‖x_v‖², closeness = (n−1)/(n·diag + tr)."""
+    parts = [
+        "WITH se AS MATERIALIZED ({SYM})",
+        "nodes AS MATERIALIZED (SELECT CAST(c_custkey AS BIGINT) AS v FROM customer)",
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes)",
+        *_sec_rhs_cte(k, seed),
+        *_cg_parts(T, tol, None),
+    ]
+    return ",\n".join(parts) + (
+        "\n, diag AS (SELECT v, SUM(x*x) AS dg FROM xs GROUP BY v),"
+        " tr AS (SELECT SUM(dg) AS tr FROM diag)"
+        "\nSELECT d.v, ROUND((nn.n - 1) / (nn.n * d.dg + tr.tr), 6) AS electrical_closeness "
+        "FROM diag d CROSS JOIN nn CROSS JOIN tr ORDER BY d.v"
+    )
+
+
+def _stress_sql(
+    num_pivots: int = 8,
+    iterations: int = 20,
+    seed: int = 42,
+    bfs_levels: int = 24,
+) -> str:
+    """Twin of graph/layout.py:stress_layout — splitmix64 coordinate init
+    (× √n), evenly-spaced pivots, unrolled level-synchronous BFS hop
+    distances, and ``iterations`` majorization updates
+    x_v ← Σ_p w·(x_p + d·unit(x_v − x_p)) / Σw with w = 1/max(d,1)² and
+    the engine's exact guards (d > 0 mask, 1e-12 norm/denominator
+    floors, coords kept when Σw = 0).  Every update is elementwise float
+    arithmetic in the same expression shape; the k-pivot sums differ
+    from numpy's pairwise order by ~1 ulp (inside the driver tolerance
+    after ROUND 6)."""
+    base = (seed * 0x9E3779B97F4A7C15) % _M64
+    inv64 = "18446744073709551616.0"
+    parts = [
+        "WITH se AS MATERIALIZED ({SYM})",
+        "nodes AS MATERIALIZED (SELECT CAST(c_custkey AS BIGINT) AS v FROM customer)",
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes)",
+        f"piv AS MATERIALIZED (SELECT DISTINCT (k.k * nn.n) // {num_pivots} AS p "
+        f"FROM (SELECT UNNEST(RANGE(0, {num_pivots})) AS k) k CROSS JOIN nn)",
+        # BFS hop distances from every pivot
+        "f0 AS MATERIALIZED (SELECT p AS s, p AS v, 0 AS dist FROM piv)",
+        "vis0 AS MATERIALIZED (SELECT * FROM f0)",
+    ]
+    for k in range(1, bfs_levels + 1):
+        parts += [
+            f"f{k} AS MATERIALIZED (SELECT DISTINCT f.s, e.dst AS v, {k} AS dist "
+            f"FROM f{k-1} f JOIN se e ON e.src = f.v "
+            f"WHERE NOT EXISTS (SELECT 1 FROM vis{k-1} w WHERE w.s = f.s AND w.v = e.dst))",
+            f"vis{k} AS MATERIALIZED (SELECT * FROM vis{k-1} UNION ALL SELECT * FROM f{k})",
+        ]
+    parts += [
+        # (v, s, d): hop distance, -1 when unreachable (engine convention)
+        f"dm AS MATERIALIZED (SELECT nodes.v, piv.p AS s, "
+        f"CAST(COALESCE(w.dist, -1) AS DOUBLE) AS d FROM nodes CROSS JOIN piv "
+        f"LEFT JOIN vis{bfs_levels} w ON w.s = piv.p AND w.v = nodes.v)",
+        *_sm64_stages("ix", "nodes", f"(CAST(v AS HUGEINT)*2 + {base})", "v"),
+        *_sm64_stages("iy", "nodes", f"(CAST(v AS HUGEINT)*2 + 1 + {base})", "v"),
+        "c0 AS MATERIALIZED (SELECT a.v, "
+        f"CAST(a.h AS DOUBLE)/{inv64} * sqrt(CAST(nn.n AS DOUBLE)) AS x, "
+        f"CAST(b.h AS DOUBLE)/{inv64} * sqrt(CAST(nn.n AS DOUBLE)) AS y "
+        "FROM ixc a JOIN iyc b ON b.v = a.v CROSS JOIN nn)",
+    ]
+    for r in range(1, iterations + 1):
+        p = r - 1
+        parts += [
+            f"t{r} AS (SELECT c.v, dm.d, "
+            f"CASE WHEN dm.d > 0 THEN 1.0/(GREATEST(dm.d, 1.0)*GREATEST(dm.d, 1.0)) ELSE 0.0 END AS w, "
+            f"pc.x AS px, pc.y AS py, c.x - pc.x AS dx, c.y - pc.y AS dy "
+            f"FROM c{p} c JOIN dm ON dm.v = c.v JOIN c{p} pc ON pc.v = dm.s)",
+            f"u{r} AS (SELECT v, d, w, px, py, dx, dy, "
+            f"GREATEST(sqrt(dx*dx + dy*dy), 1e-12) AS nrm FROM t{r})",
+            f"c{r} AS MATERIALIZED (SELECT c.v, "
+            f"CASE WHEN g.ws > 0 THEN g.sx / GREATEST(g.ws, 1e-12) ELSE c.x END AS x, "
+            f"CASE WHEN g.ws > 0 THEN g.sy / GREATEST(g.ws, 1e-12) ELSE c.y END AS y "
+            f"FROM c{p} c JOIN (SELECT v, SUM(w) AS ws, "
+            f"SUM(w * (px + d * (dx / nrm))) AS sx, "
+            f"SUM(w * (py + d * (dy / nrm))) AS sy "
+            f"FROM u{r} GROUP BY v) g ON g.v = c.v)",
+        ]
+    return ",\n".join(parts) + (
+        f"\nSELECT v, ROUND(x, 6) AS x, ROUND(y, 6) AS y FROM c{iterations} ORDER BY v"
     )
 
 
@@ -8826,6 +9049,19 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_decode": _multimodal_sql(200),
         # splitmix coordinate draws: cold hyperbolic RGG replay
         "hyperbolic_edges": _hyperbolic_sql(512, 6.0, 0.85, 42),
+        # splitmix init + unrolled pivot-BFS + 20 majorization updates
+        "stress_layout": _stress_sql(8, 20, 42).replace(
+            "{SYM}", SYMMETRIC_EDGES_SQL
+        ),
+        # unrolled CG replays of the Laplacian solves (engine converges in
+        # <=24 iterations on the sf fixtures; T=40 is the safety margin)
+        "commute_time": _commute_time_sql(40).replace("{SYM}", SYMMETRIC_EDGES_SQL),
+        "spanning_edge_centrality": _sec_sql(48, 42, 40).replace(
+            "{SYM}", SYMMETRIC_EDGES_SQL
+        ),
+        "electrical_closeness": _ec_sql(48, 42, 40).replace(
+            "{SYM}", SYMMETRIC_EDGES_SQL
+        ),
         "ann_topk": """
             WITH nv AS (
               SELECT vec_id,
