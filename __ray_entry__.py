@@ -2738,8 +2738,10 @@ def q_electrical_closeness(sf_dir):
 
 def q_pivot_mds(sf_dir):
     """viz/PivotMDS.cpp analog (deterministic evenly-spaced pivots, exact
-    k×k eigensolve); rows-only — verified against a numpy replication of
-    the reference algorithm in tests/test_layout.py."""
+    k×k eigensolve); oracle-exact — the twin re-derives the Gram matrix in
+    SQL and runs its own unrolled cyclic-Jacobi 8×8 eigensolve
+    (_pivot_mds_sql); also verified against a numpy replication of the
+    reference algorithm in tests/test_layout.py."""
     from networkit_ray.graph.layout import pivot_mds
 
     sym, n = _sym(sf_dir)
@@ -5771,6 +5773,120 @@ def _ec_sql(k: int = 48, seed: int = 42, T: int = 120, tol: float = 1e-10) -> st
         " tr AS (SELECT SUM(dg) AS tr FROM diag)"
         "\nSELECT d.v, ROUND((nn.n - 1) / (nn.n * d.dg + tr.tr), 6) AS electrical_closeness "
         "FROM diag d CROSS JOIN nn CROSS JOIN tr ORDER BY d.v"
+    )
+
+
+def _pivot_mds_sql(
+    num_pivots: int = 8, dim: int = 2, sweeps: int = 8, bfs_levels: int = 24
+) -> str:
+    """Twin of graph/layout.py:pivot_mds.  The only non-relational step is
+    an 8×8 symmetric eigensolve; both np.linalg.eigh and cyclic Jacobi
+    converge to the true eigenpairs to ~1e-15 (relative eigengaps on the
+    sf fixtures are >=5e-3, so eigenvector error stays <=1e-12 — far under
+    the ROUND-6 output), so the oracle runs its OWN eigensolver: ``sweeps``
+    unrolled cyclic-Jacobi sweeps over a single-row LIST-typed state (the
+    8×8 matrix and the accumulated rotation V as 64-lists), one CTE per
+    rotation with compile-time (p, q) indices.  Double-centering, the
+    Gram matrix, the top-``dim`` eigenvector pick, the argmax-|component|
+    sign rule, and pos = C·V are all plain SQL."""
+    K = num_pivots
+    parts = [
+        "WITH se AS MATERIALIZED ({SYM})",
+        "nodes AS MATERIALIZED (SELECT CAST(c_custkey AS BIGINT) AS v FROM customer)",
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes)",
+        f"piv AS MATERIALIZED (SELECT p, ROW_NUMBER() OVER (ORDER BY p) - 1 AS kk "
+        f"FROM (SELECT DISTINCT (k.k * nn.n) // {K} AS p "
+        f"FROM (SELECT UNNEST(RANGE(0, {K})) AS k) k CROSS JOIN nn))",
+        "f0 AS MATERIALIZED (SELECT p AS s, p AS v, 0 AS dist FROM piv)",
+        "vis0 AS MATERIALIZED (SELECT * FROM f0)",
+    ]
+    for k in range(1, bfs_levels + 1):
+        parts += [
+            f"f{k} AS MATERIALIZED (SELECT DISTINCT f.s, e.dst AS v, {k} AS dist "
+            f"FROM f{k-1} f JOIN se e ON e.src = f.v "
+            f"WHERE NOT EXISTS (SELECT 1 FROM vis{k-1} w WHERE w.s = f.s AND w.v = e.dst))",
+            f"vis{k} AS MATERIALIZED (SELECT * FROM vis{k-1} UNION ALL SELECT * FROM f{k})",
+        ]
+    parts += [
+        # D with -1 -> 0 (unreachable), dense (node x pivot)
+        f"dm AS MATERIALIZED (SELECT nodes.v, piv.kk, "
+        f"CAST(GREATEST(COALESCE(w.dist, 0), 0) AS DOUBLE) AS d "
+        f"FROM nodes CROSS JOIN piv "
+        f"LEFT JOIN vis{bfs_levels} w ON w.s = piv.p AND w.v = nodes.v)",
+        "rmt AS (SELECT v, SUM(d) / " + str(K) + ".0 AS rm FROM dm GROUP BY v)",
+        "cmt AS (SELECT kk, SUM(d) / CAST(nn.n AS DOUBLE) AS cm "
+        "FROM dm CROSS JOIN nn GROUP BY kk, nn.n)",
+        f"gmt AS (SELECT SUM(d) / (CAST(nn.n AS DOUBLE) * {K}) AS gm "
+        f"FROM dm CROSS JOIN nn GROUP BY nn.n)",
+        "ct AS MATERIALIZED (SELECT dm.v, dm.kk, dm.d - rmt.rm - cmt.cm + gmt.gm AS c "
+        "FROM dm JOIN rmt ON rmt.v = dm.v JOIN cmt ON cmt.kk = dm.kk CROSS JOIN gmt)",
+        "mg AS (SELECT a.kk AS i, b.kk AS j, SUM(a.c * b.c) AS a "
+        "FROM ct a JOIN ct b ON b.v = a.v GROUP BY a.kk, b.kk)",
+        # single-row LIST state: m = row-major 8x8 Gram, vm = identity
+        f"j0 AS MATERIALIZED (SELECT LIST(a ORDER BY i * {K} + j) AS m, "
+        f"list_transform(RANGE(0, {K*K}), f -> CASE WHEN f // {K} = f % {K} "
+        f"THEN 1.0 ELSE 0.0 END) AS vm FROM mg)",
+    ]
+    step = 0
+    for _ in range(sweeps):
+        for P in range(K):
+            for Q in range(P + 1, K):
+                step += 1
+                app, aqq, apq = f"m[{P*K+P+1}]", f"m[{Q*K+Q+1}]", f"m[{P*K+Q+1}]"
+                mnew = (
+                    f"list_transform(RANGE(0, {K*K}), f -> CASE "
+                    f"WHEN f = {P*K+P} THEN c*c*app - 2.0*c*s*apq + s*s*aqq "
+                    f"WHEN f = {Q*K+Q} THEN s*s*app + 2.0*c*s*apq + c*c*aqq "
+                    f"WHEN f = {P*K+Q} OR f = {Q*K+P} THEN 0.0 "
+                    f"WHEN f % {K} = {P} AND f // {K} <> {P} AND f // {K} <> {Q} "
+                    f"THEN c*m[f+1] - s*m[f + {Q-P} + 1] "
+                    f"WHEN f % {K} = {Q} AND f // {K} <> {P} AND f // {K} <> {Q} "
+                    f"THEN s*m[f - {Q-P} + 1] + c*m[f+1] "
+                    f"WHEN f // {K} = {P} AND f % {K} <> {P} AND f % {K} <> {Q} "
+                    f"THEN c*m[f+1] - s*m[f + {(Q-P)*K} + 1] "
+                    f"WHEN f // {K} = {Q} AND f % {K} <> {P} AND f % {K} <> {Q} "
+                    f"THEN s*m[f - {(Q-P)*K} + 1] + c*m[f+1] "
+                    f"ELSE m[f+1] END)"
+                )
+                vnew = (
+                    f"list_transform(RANGE(0, {K*K}), f -> CASE "
+                    f"WHEN f % {K} = {P} THEN c*vm[f+1] - s*vm[f + {Q-P} + 1] "
+                    f"WHEN f % {K} = {Q} THEN s*vm[f - {Q-P} + 1] + c*vm[f+1] "
+                    f"ELSE vm[f+1] END)"
+                )
+                parts.append(
+                    f"j{step} AS MATERIALIZED (SELECT {mnew} AS m, {vnew} AS vm FROM ("
+                    f"SELECT m, vm, app, aqq, apq, 1.0/sqrt(1.0 + t*t) AS c, "
+                    f"t/sqrt(1.0 + t*t) AS s FROM ("
+                    f"SELECT m, vm, app, aqq, apq, CASE WHEN apq = 0 THEN 0.0 ELSE "
+                    f"(CASE WHEN tau >= 0 THEN 1.0 ELSE -1.0 END)"
+                    f"/(abs(tau) + sqrt(1.0 + tau*tau)) END AS t FROM ("
+                    f"SELECT m, vm, {app} AS app, {aqq} AS aqq, {apq} AS apq, "
+                    f"CASE WHEN {apq} = 0 THEN 0.0 ELSE ({aqq} - {app})/(2.0*{apq}) END AS tau "
+                    f"FROM j{step-1}))))"
+                )
+    parts += [
+        # eigen order: top-dim by eigenvalue desc (gaps make ties impossible)
+        f"ev AS (SELECT kk, m[kk * {K} + kk + 1] AS lam FROM j{step} "
+        f"CROSS JOIN (SELECT UNNEST(RANGE(0, {K})) AS kk))",
+        f"topd AS (SELECT kk, ROW_NUMBER() OVER (ORDER BY lam DESC, kk ASC) - 1 AS d "
+        f"FROM ev QUALIFY ROW_NUMBER() OVER (ORDER BY lam DESC, kk ASC) <= {dim})",
+        # eigenvector columns with the argmax-|component| sign rule
+        f"vcol AS MATERIALIZED (SELECT t.d, i.i, vm[i.i * {K} + t.kk + 1] AS val "
+        f"FROM j{step} CROSS JOIN topd t "
+        f"CROSS JOIN (SELECT UNNEST(RANGE(0, {K})) AS i) i)",
+        "sgn AS (SELECT d, CASE WHEN val < 0 THEN -1.0 ELSE 1.0 END AS sg FROM ("
+        "SELECT d, val, ROW_NUMBER() OVER (PARTITION BY d "
+        "ORDER BY abs(val) DESC, i ASC) AS rn FROM vcol) WHERE rn = 1)",
+        "vfix AS MATERIALIZED (SELECT v.d, v.i, v.val * s.sg AS val "
+        "FROM vcol v JOIN sgn s ON s.d = v.d)",
+        "pos AS (SELECT ct.v, vf.d, SUM(ct.c * vf.val) AS coord "
+        "FROM ct JOIN vfix vf ON vf.i = ct.kk GROUP BY ct.v, vf.d)",
+    ]
+    return ",\n".join(parts) + (
+        "\nSELECT v, ROUND(MAX(CASE WHEN d = 0 THEN coord END), 6) AS x, "
+        "ROUND(MAX(CASE WHEN d = 1 THEN coord END), 6) AS y "
+        "FROM pos GROUP BY v ORDER BY v"
     )
 
 
@@ -9056,6 +9172,8 @@ def oracle_sql() -> dict[str, str]:
         # unrolled CG replays of the Laplacian solves (engine converges in
         # <=24 iterations on the sf fixtures; T=40 is the safety margin)
         "commute_time": _commute_time_sql(40).replace("{SYM}", SYMMETRIC_EDGES_SQL),
+        # oracle runs its OWN 8x8 eigensolver (unrolled cyclic Jacobi)
+        "pivot_mds": _pivot_mds_sql(8, 2, sweeps=6).replace("{SYM}", SYMMETRIC_EDGES_SQL),
         "spanning_edge_centrality": _sec_sql(48, 42, 40).replace(
             "{SYM}", SYMMETRIC_EDGES_SQL
         ),
