@@ -838,9 +838,14 @@ def q_seir(sf_dir):
 
 
 def q_path_growing_matching(sf_dir):
-    """Drake–Hougardy path-growing matching (single-task conformance);
-    rows-only — validity/half-approx/determinism tests in
-    tests/test_randomize_suitor.py."""
+    """Drake–Hougardy path-growing matching, run on the induced subgraph
+    of vertices < 96 (a SQL-twinnable conformance size: the twin unrolls
+    one round per vertex REMOVAL, so the instance must bound the round
+    count); oracle-exact — _pgm_sql replays start-vertex selection
+    (live-degree desc, id asc), heaviest-edge growth (weight desc,
+    neighbor asc), the M1/M2 alternation with per-path take reset, and
+    the final heavier-matching pick.  Full-graph validity/half-approx/
+    determinism tests stay in tests/test_randomize_suitor.py."""
     from networkit_ray.graph.matching import path_growing_matching
 
     canon, n = _canon(sf_dir)
@@ -848,12 +853,15 @@ def q_path_growing_matching(sf_dir):
     def with_w(t: pa.Table) -> pa.Table:
         src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
         dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (src < 96) & (dst < 96)
+        t = t.filter(pa.array(keep))
+        src, dst = src[keep], dst[keep]
         return t.append_column(
             "w", pa.array(((src + dst) % 7 + 1).astype(np.float64))
         )
 
     cw = canon.map_batches(with_w, batch_format="pyarrow").materialize()
-    return path_growing_matching(cw, n).sort(["src", "dst"])
+    return path_growing_matching(cw, min(n, 96)).sort(["src", "dst"])
 
 
 def q_suitor_matching(sf_dir):
@@ -5776,6 +5784,67 @@ def _ec_sql(k: int = 48, seed: int = 42, T: int = 120, tol: float = 1e-10) -> st
     )
 
 
+def _pgm_sql(cap: int = 96, rounds: int = 100) -> str:
+    """Exact twin of graph/matching.py:path_growing_matching on the
+    vertex-id-capped induced subgraph: one SQL round per vertex REMOVAL.
+    Round state: alive set, path head (NULL between paths), take parity
+    (reset to 0 at every path start).  A round with a live head grows the
+    path along the heaviest live edge (ties → smaller neighbor id) and
+    alternates M1/M2; a head-less round starts at the highest-live-degree
+    vertex (ties → smaller id) or discards it edge-less; rounds after the
+    alive set drains are no-ops.  ``rounds`` must be ≥ the number of
+    vertices with ≥1 subgraph edge (96-cap ⇒ ≤96).  Weights
+    ((src+dst)%7+1) are integer-valued floats, so the final M1-vs-M2
+    weight-sum comparison is exact in any summation order."""
+    parts = [
+        "WITH ce0 AS MATERIALIZED ({CANON})",
+        f"ce AS MATERIALIZED (SELECT src AS a, dst AS b, "
+        f"CAST((src + dst) % 7 + 1 AS DOUBLE) AS w FROM ce0 "
+        f"WHERE src < {cap} AND dst < {cap})",
+        "adj AS MATERIALIZED (SELECT a AS u, b AS x, w FROM ce "
+        "UNION ALL SELECT b, a, w FROM ce)",
+        "alive0 AS MATERIALIZED (SELECT DISTINCT u AS v FROM adj)",
+        "hd0 AS MATERIALIZED (SELECT CAST(NULL AS BIGINT) AS h, 0 AS tk)",
+        "m0 AS MATERIALIZED (SELECT CAST(NULL AS BIGINT) AS a, "
+        "CAST(NULL AS BIGINT) AS b, CAST(NULL AS DOUBLE) AS w, "
+        "CAST(NULL AS INT) AS tk WHERE FALSE)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts += [
+            # current vertex: live head, else best (live-degree, -id) start
+            f"cur{r} AS MATERIALIZED (SELECT COALESCE(hd.h, pick.v) AS c, "
+            f"CASE WHEN hd.h IS NULL THEN 0 ELSE hd.tk END AS tk "
+            f"FROM hd{p} hd LEFT JOIN (SELECT v FROM ("
+            f"SELECT al.v, COALESCE(ld.d, 0) AS d FROM alive{p} al LEFT JOIN ("
+            f"SELECT adj.u, COUNT(*) AS d FROM adj "
+            f"JOIN alive{p} a2 ON a2.v = adj.x GROUP BY adj.u) ld ON ld.u = al.v) "
+            f"ORDER BY d DESC, v ASC LIMIT 1) pick ON TRUE)",
+            # heaviest live edge out of c (ties -> smaller neighbor id)
+            f"nb{r} AS MATERIALIZED (SELECT adj.x, adj.w FROM adj "
+            f"JOIN cur{r} c ON adj.u = c.c "
+            f"JOIN alive{p} al ON al.v = adj.x "
+            f"ORDER BY adj.w DESC, adj.x ASC LIMIT 1)",
+            f"m{r} AS MATERIALIZED (SELECT * FROM m{p} UNION ALL "
+            f"SELECT LEAST(c.c, n.x), GREATEST(c.c, n.x), n.w, c.tk "
+            f"FROM cur{r} c JOIN nb{r} n ON c.c IS NOT NULL)",
+            f"alive{r} AS MATERIALIZED (SELECT al.v FROM alive{p} al "
+            f"JOIN cur{r} c ON TRUE WHERE c.c IS NULL OR al.v <> c.c)",
+            f"hd{r} AS MATERIALIZED (SELECT "
+            f"(SELECT n.x FROM nb{r} n) AS h, "
+            f"CASE WHEN EXISTS (SELECT 1 FROM nb{r}) THEN 1 - c.tk ELSE c.tk END AS tk "
+            f"FROM cur{r} c)",
+        ]
+    return ",\n".join(parts) + (
+        f"""
+        , ws AS (SELECT COALESCE(SUM(CASE WHEN tk = 0 THEN w END), 0) AS w0,
+                 COALESCE(SUM(CASE WHEN tk = 1 THEN w END), 0) AS w1 FROM m{rounds})
+        SELECT a AS src, b AS dst, w FROM m{rounds} CROSS JOIN ws
+        WHERE tk = (CASE WHEN ws.w0 >= ws.w1 THEN 0 ELSE 1 END)
+        ORDER BY src, dst"""
+    )
+
+
 def _pivot_mds_sql(
     num_pivots: int = 8, dim: int = 2, sweeps: int = 8, bfs_levels: int = 24
 ) -> str:
@@ -7645,6 +7714,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "local_max_matching": matching_sql,
         "suitor_matching": suitor_sql,
+        # one unrolled round per vertex removal on the 96-cap subgraph
+        "path_growing_matching": _pgm_sql(96, 100).replace(
+            "{CANON}", CANONICAL_EDGES_SQL
+        ),
         "seir": seir_sql,
         # Degree preservation is the edge-switching invariant: the switched
         # graph's degree table must EQUAL the original's (randomize.py).
