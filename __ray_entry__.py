@@ -1720,7 +1720,9 @@ def q_normalize_text(sf_dir):
 
 
 def q_agglomerative(sf_dir):
-    """Matching-based agglomerative communities (rows-only: iterative)."""
+    """Matching-based agglomerative communities; oracle-exact — the twin
+    unrolls the fixed 4 levels × 4 handshake rounds with bit-exact
+    integer-valued modularity gains (_agglomerative_sql)."""
     from networkit_ray.graph.agglomerative import agglomerative_communities
 
     canon, n = _canon(sf_dir)
@@ -5784,6 +5786,81 @@ def _ec_sql(k: int = 48, seed: int = 42, T: int = 120, tol: float = 1e-10) -> st
     )
 
 
+def _agglomerative_sql(levels: int = 4, rounds: int = 4) -> str:
+    """Exact twin of graph/agglomerative.py:agglomerative_communities —
+    ``levels`` coarsening levels, each running the fixed-``rounds``
+    handshake matching on modularity merge gains
+    dq = (2·tw·w − wd(u)·wd(v)) / (2·tw).  Every quantity is an
+    integer-valued double below 2^53 (w are merge-summed unit weights),
+    so scores, best-partner picks (score DESC, partner ASC), mutual
+    agreement, and the level-break conditions (diff==0, n−diff<2,
+    diff/n ≤ 5e-3, tw≤0, n<2 — replayed as a cumulative ``ok`` flag that
+    empties the applied-match set) are all bit-exact.  Contraction maps
+    matched pairs to their min id, composes the vertex mapping, and
+    re-groups edges (self-loops kept, as the engine's wdeg does)."""
+    parts = [
+        "WITH ce AS MATERIALIZED ({CANON})",
+        "e0 AS MATERIALIZED (SELECT src AS u, dst AS v, CAST(1 AS DOUBLE) AS w FROM ce)",
+        "map0 AS MATERIALIZED (SELECT DISTINCT x AS v, x AS rep FROM "
+        "(SELECT u AS x FROM e0 UNION ALL SELECT v FROM e0))",
+        "go0 AS (SELECT TRUE AS g)",
+    ]
+    for L in range(1, levels + 1):
+        p = L - 1
+        parts += [
+            f"tw{L} AS (SELECT COALESCE(SUM(w), 0) AS tw FROM e{p})",
+            f"ns{L} AS MATERIALIZED (SELECT * FROM e{p} WHERE u <> v)",
+            f"nc{L} AS (SELECT COUNT(DISTINCT x) AS nc FROM "
+            f"(SELECT u AS x FROM ns{L} UNION ALL SELECT v FROM ns{L}))",
+            f"wd{L} AS MATERIALIZED (SELECT x, SUM(w) AS wd FROM "
+            f"(SELECT u AS x, w FROM e{p} UNION ALL SELECT v, w FROM e{p}) GROUP BY x)",
+            f"lv{L}_0 AS MATERIALIZED (SELECT ns.u, ns.v, "
+            f"(2.0*tw.tw*ns.w - du.wd*dv.wd)/(2.0*tw.tw) AS score "
+            f"FROM ns{L} ns JOIN wd{L} du ON du.x = ns.u "
+            f"JOIN wd{L} dv ON dv.x = ns.v CROSS JOIN tw{L} tw)",
+        ]
+        for r in range(1, rounds + 1):
+            q = r - 1
+            parts += [
+                f"bp{L}_{r} AS MATERIALIZED (SELECT x, partner AS bp FROM ("
+                f"SELECT x, partner, ROW_NUMBER() OVER (PARTITION BY x "
+                f"ORDER BY score DESC, partner ASC) AS rn FROM ("
+                f"SELECT u AS x, v AS partner, score FROM lv{L}_{q} "
+                f"UNION ALL SELECT v, u, score FROM lv{L}_{q})) WHERE rn = 1)",
+                f"ag{L}_{r} AS MATERIALIZED (SELECT b1.x AS u, b1.bp AS v "
+                f"FROM bp{L}_{r} b1 JOIN bp{L}_{r} b2 "
+                f"ON b2.x = b1.bp AND b2.bp = b1.x WHERE b1.x < b1.bp)",
+                f"lv{L}_{r} AS MATERIALIZED (SELECT e.* FROM lv{L}_{q} e "
+                f"WHERE NOT EXISTS (SELECT 1 FROM ag{L}_{r} a "
+                f"WHERE a.u IN (e.u, e.v) OR a.v IN (e.u, e.v)))",
+            ]
+        parts += [
+            f"mt{L} AS MATERIALIZED ("
+            + " UNION ALL ".join(f"SELECT * FROM ag{L}_{r}" for r in range(1, rounds + 1))
+            + ")",
+            f"ok{L} AS (SELECT (go{p}.g AND tw.tw > 0 AND nc.nc >= 2 "
+            f"AND df.d > 0 AND (nc.nc - df.d) >= 2 "
+            f"AND CAST(df.d AS DOUBLE) / nc.nc > 0.005) AS g "
+            f"FROM go{p}, tw{L} tw, nc{L} nc, "
+            f"(SELECT COUNT(*) AS d FROM mt{L}) df)",
+            f"go{L} AS (SELECT g FROM ok{L})",
+            f"rep{L} AS MATERIALIZED (SELECT old, new FROM ("
+            f"SELECT u AS old, LEAST(u, v) AS new FROM mt{L} "
+            f"UNION ALL SELECT v, LEAST(u, v) FROM mt{L}) "
+            f"CROSS JOIN ok{L} WHERE ok{L}.g)",
+            f"map{L} AS MATERIALIZED (SELECT m.v, COALESCE(r.new, m.rep) AS rep "
+            f"FROM map{p} m LEFT JOIN rep{L} r ON r.old = m.rep)",
+            f"e{L} AS MATERIALIZED (SELECT LEAST(cu, cv) AS u, "
+            f"GREATEST(cu, cv) AS v, SUM(w) AS w FROM ("
+            f"SELECT COALESCE(ru.new, e.u) AS cu, COALESCE(rv.new, e.v) AS cv, e.w "
+            f"FROM e{p} e LEFT JOIN rep{L} ru ON ru.old = e.u "
+            f"LEFT JOIN rep{L} rv ON rv.old = e.v) GROUP BY LEAST(cu, cv), GREATEST(cu, cv))",
+        ]
+    return ",\n".join(parts) + (
+        f"\nSELECT v, rep AS label FROM map{levels} ORDER BY v"
+    )
+
+
 def _pgm_sql(cap: int = 96, rounds: int = 100) -> str:
     """Exact twin of graph/matching.py:path_growing_matching on the
     vertex-id-capped induced subgraph: one SQL round per vertex REMOVAL.
@@ -7716,6 +7793,10 @@ def oracle_sql() -> dict[str, str]:
         "suitor_matching": suitor_sql,
         # one unrolled round per vertex removal on the 96-cap subgraph
         "path_growing_matching": _pgm_sql(96, 100).replace(
+            "{CANON}", CANONICAL_EDGES_SQL
+        ),
+        # 4 coarsening levels x 4 handshake rounds, bit-exact dq scores
+        "agglomerative_communities": _agglomerative_sql(4, 4).replace(
             "{CANON}", CANONICAL_EDGES_SQL
         ),
         "seir": seir_sql,
