@@ -181,29 +181,11 @@ def test_queries_oracles_consistent():
         "louvain_modularity",
         "leiden_refine",
         "ego_splitting",
-        "minhash_near_dups",
-        "simhash_near_dups",
-        "embedding_near_dups",
-        "ann_lsh_topk",
-        "ann_ivf_topk",
-        "multimodal_decode",
         "lfr_edges",
         "lfr_mixing",
-        "commute_time",
-        "pivot_mds",
-        "spanning_edge_centrality",
-        "electrical_closeness",
-        "agglomerative_communities",
-        "kmeans_clusters",
-        "tce_community",
-        "lte_community",
         "lfm_cover",
-        "path_growing_matching",
         "sgns_embeddings",
-        "hyperbolic_edges",
         "cut_clustering",
-        "stress_layout",
-        "adaptive_betweenness",
     }
 
 

@@ -38,10 +38,18 @@ def to_df(x):
 
 
 qs, os_ = E.queries(), E.oracle_sql()
-start_at = int(sys.argv[1]) if len(sys.argv) > 1 else 0
-stop_at = int(sys.argv[2]) if len(sys.argv) > 2 else len(qs)
+if len(sys.argv) > 1 and not sys.argv[1].isdigit():
+    # explicit comma-separated query-name list (targeted re-certification)
+    names = [n for n in sys.argv[1].split(",") if n]
+    unknown = [n for n in names if n not in qs]
+    if unknown:
+        sys.exit(f"unknown queries: {unknown}")
+    start_at, stop_at = 0, len(names)
+else:
+    start_at = int(sys.argv[1]) if len(sys.argv) > 1 else 0
+    stop_at = int(sys.argv[2]) if len(sys.argv) > 2 else len(qs)
+    names = list(qs)[start_at:stop_at]
 results = {}
-names = list(qs)[start_at:stop_at]
 for i, name in enumerate(names):
     t0 = time.time()
     rec = {"rows_match": None, "schema_match": None, "hash_match": None,
