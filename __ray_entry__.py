@@ -8362,7 +8362,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # normalize_text twin: byte-identical LOWER + whitespace collapse
         # + TRIM (web-text cleaning prefix).
-        "normalize_text": """
+        "normalize_text": r"""
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
                    TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')) AS norm
             FROM documents ORDER BY doc_id
