@@ -248,8 +248,9 @@ def q_louvain(sf_dir):
 
 def q_ego_splitting(sf_dir):
     """community/EgoSplitting.cpp analog (persona-graph overlapping
-    communities); rows-only — planted-structure oracles in
-    tests/test_egosplit.py."""
+    communities); oracle-exact — all-integer replay (_egosplit_sql:
+    per-ego min-label closures, packed persona keys, persona-graph
+    closure); planted-structure oracles in tests/test_egosplit.py."""
     from networkit_ray.graph.egosplit import ego_splitting
 
     canon, n = _canon(sf_dir)
@@ -3989,6 +3990,62 @@ def _maxflow_sql(aug_rounds: int = 45, depth: int = 24) -> str:
     )
 
 
+def _egosplit_sql() -> str:
+    """Exact twin of q_ego_splitting (community/EgoSplitting.cpp analog,
+    graph/egosplit.py).  Every quantity is an int64, so the replay is
+    bit-exact: ego-net edges are the triangle rows through each ego,
+    per-ego connected components via a recursive min-label closure keyed
+    by ego (rep = min member id — the engine's union-find rep), persona
+    key = ego·2³² + rep, persona edges from each canonical edge's two
+    endpoint personas, persona components again via min-label closure
+    (community = min packed key — invariant under the engine's id
+    compaction), membership = persona owner, plus singleton personas
+    (no persona edge) as their own community."""
+    return """
+WITH RECURSIVE
+ce AS MATERIALIZED ({CANON}),
+se AS MATERIALIZED ({SYM}),
+ee AS MATERIALIZED (
+  SELECT w1.src AS ego, e.src AS a, e.dst AS b
+  FROM ce e
+  JOIN se w1 ON w1.dst = e.src
+  JOIN se w2 ON w2.src = w1.src AND w2.dst = e.dst
+),
+eb AS MATERIALIZED (SELECT ego, a, b FROM ee UNION ALL SELECT ego, b, a FROM ee),
+mem AS MATERIALIZED (SELECT src AS ego, dst AS v FROM se),
+r(ego, v, l) AS (
+  SELECT ego, v, v FROM mem
+  UNION
+  SELECT eb.ego, eb.b, r.l FROM r JOIN eb ON eb.ego = r.ego AND eb.a = r.v
+),
+rep AS MATERIALIZED (SELECT ego, v AS nbr, MIN(l) AS rep FROM r GROUP BY ego, v),
+pe AS MATERIALIZED (
+  SELECT LEAST(e.src * 4294967296 + rs.rep, e.dst * 4294967296 + rd.rep) AS u,
+         GREATEST(e.src * 4294967296 + rs.rep, e.dst * 4294967296 + rd.rep) AS v
+  FROM ce e
+  JOIN rep rs ON rs.ego = e.src AND rs.nbr = e.dst
+  JOIN rep rd ON rd.ego = e.dst AND rd.nbr = e.src
+),
+pse AS MATERIALIZED (SELECT u, v FROM pe UNION SELECT v AS u, u AS v FROM pe),
+pr2(v, l) AS (
+  SELECT u, u FROM pse
+  UNION
+  SELECT pse.v, pr2.l FROM pr2 JOIN pse ON pse.u = pr2.v
+),
+pcm AS MATERIALIZED (SELECT v AS p, MIN(l) AS community FROM pr2 GROUP BY v),
+members AS (SELECT DISTINCT p // 4294967296 AS v, community FROM pcm),
+lonely AS (
+  SELECT DISTINCT ego * 4294967296 + rep AS packed FROM rep
+  WHERE ego * 4294967296 + rep NOT IN (SELECT u FROM pse)
+)
+SELECT CAST(v AS BIGINT) AS v, CAST(community AS BIGINT) AS community FROM (
+  SELECT v, community FROM members
+  UNION
+  SELECT packed // 4294967296 AS v, packed AS community FROM lonely
+) ORDER BY v, community
+"""
+
+
 def _scd_popadd_sql(
     seeds: tuple, radius: int, max_size: int, variant: str, alpha: float = 1.0
 ) -> str:
@@ -7289,6 +7346,9 @@ def oracle_sql() -> dict[str, str]:
             "{SYM}", SYMMETRIC_EDGES_SQL
         ),
         "max_flow": _maxflow_sql().replace("{SYM}", SYMMETRIC_EDGES_SQL),
+        "ego_splitting": _egosplit_sql()
+        .replace("{CANON}", CANONICAL_EDGES_SQL)
+        .replace("{SYM}", SYMMETRIC_EDGES_SQL),
         "approx_global_clustering": _agcc_sql(4000, 42).replace(
             "{SYM}", SYMMETRIC_EDGES_SQL
         ),
