@@ -239,6 +239,11 @@ def q_plp_communities(sf_dir):
 
 
 def q_louvain(sf_dir):
+    """community/PLM.cpp analog (parity-gated synchronous local moving +
+    coarsening); oracle-exact — full multi-level replay in SQL
+    (_louvain_parts: unrolled move rounds with the best-Q̂ stop fold,
+    coarsening, min-gain-gated prolongation); parity/determinism tests in
+    tests/test_louvain.py."""
     from networkit_ray.graph.louvain import louvain
 
     sym, n = _sym(sf_dir)
@@ -261,7 +266,9 @@ def q_ego_splitting(sf_dir):
 
 def q_leiden_refine(sf_dir):
     """community/ParallelLeiden.cpp refinement-phase analog on the
-    louvain() output; rows-only — split/boundary/determinism oracles in
+    louvain() output; oracle-exact — the louvain replay's labels feed a
+    global singleton-init refinement replay with per-parent freeze
+    (_leiden_refine_sql); split/boundary/determinism oracles in
     tests/test_louvain.py::TestRefineCommunities."""
     from networkit_ray.graph.louvain import louvain, refine_communities
 
@@ -272,6 +279,9 @@ def q_leiden_refine(sf_dir):
 
 
 def q_louvain_modularity(sf_dir):
+    """Modularity of the louvain() partition; oracle-exact — the louvain
+    replay's labels through the same ROUND-8 modularity formula the
+    `modularity` twin uses (_louvain_modularity_sql)."""
     from networkit_ray.common.hashing import round_half_away
     from networkit_ray.graph.louvain import louvain
     from networkit_ray.graph.quality import modularity
@@ -3990,6 +4000,294 @@ def _maxflow_sql(aug_rounds: int = 45, depth: int = 24) -> str:
     )
 
 
+def _louvain_parts(rounds=(32, 12, 6), min_gain=2e-3) -> tuple[list, str]:
+    """CTE parts replaying louvain() (graph/louvain.py) exactly; returns
+    (parts, final_label_cte) where the final CTE is (v, l) in original
+    vertex ids.  Shared by the louvain / louvain_modularity /
+    leiden_refine twins.
+
+    The engine's parity-gated synchronous local moving, best-Q̂ monitor
+    (patience 3 / idle-parity 2 stops), coarsening (sorted-distinct dense
+    relabel) and min-gain-gated prolongation are replayed per level.  On
+    these inputs every engine quantity is integer-valued (unit weights →
+    coarse weights are edge-count sums; volumes/degrees integer floats),
+    so the only float arithmetic is the gain / Q̂ divisions — replicated
+    operand-for-operand (DuckDB DOUBLE ops are the same IEEE-754
+    correctly-rounded ops numpy uses → bit-identical), and the per-round
+    stop fold (st CTEs) replays the stale/idle logic so trailing
+    unrolled rounds are ignored.  ``rounds`` bounds the per-level unroll
+    (engine max_rounds=32; coarse levels stop far earlier) and 3 levels
+    exceed the fixtures' hierarchy depth (level-1 gain < min_gain at
+    sf0.01, level-2 at sf0.001) — like _maxflow_sql's aug_rounds, the
+    bounds only need to cover the fixture and the certification sweep
+    pins them."""
+    K = "11400714819323198485"  # 0x9E3779B97F4A7C15
+    TWO64 = "18446744073709551616"
+    TWO63 = "9223372036854775808"
+    L = len(rounds)
+    p = []
+    p.append(
+        "nodes0 AS MATERIALIZED (SELECT CAST(c_custkey AS BIGINT) AS v FROM customer)"
+    )
+    p.append("eall0 AS MATERIALIZED (SELECT src, dst, 1.0 AS w FROM ({SYM}))")
+    for l in range(L):
+        R = rounds[l]
+        if l > 0:
+            pl = l - 1
+            p.append(
+                f"ce{l} AS MATERIALIZED (SELECT ls.l AS s2, ld.l AS d2, SUM(e.w) AS w "
+                f"FROM eall{pl} e JOIN labB{pl} ls ON ls.v = e.src "
+                f"JOIN labB{pl} ld ON ld.v = e.dst GROUP BY ls.l, ld.l)"
+            )
+            p.append(
+                f"map{l} AS MATERIALIZED (SELECT lbl, ROW_NUMBER() OVER (ORDER BY lbl) - 1 AS idx "
+                f"FROM (SELECT DISTINCT s2 AS lbl FROM ce{l} UNION SELECT DISTINCT d2 FROM ce{l}))"
+            )
+            p.append(
+                f"eall{l} AS MATERIALIZED (SELECT ms.idx AS src, md.idx AS dst, c.w AS w "
+                f"FROM ce{l} c JOIN map{l} ms ON ms.lbl = c.s2 JOIN map{l} md ON md.lbl = c.d2)"
+            )
+            p.append(f"nodes{l} AS MATERIALIZED (SELECT idx AS v FROM map{l})")
+        p.append(f"e{l} AS MATERIALIZED (SELECT * FROM eall{l} WHERE src <> dst)")
+        p.append(
+            f"sw{l} AS MATERIALIZED (SELECT src AS v, SUM(w) AS w FROM eall{l} "
+            f"WHERE src = dst GROUP BY src)"
+        )
+        p.append(f"mm{l} AS MATERIALIZED (SELECT SUM(w) / 2.0 AS m FROM eall{l})")
+        p.append(
+            f"dw{l} AS MATERIALIZED (SELECT n.v, COALESCE(s.w, 0.0) + COALESCE(x.w, 0.0) AS degw "
+            f"FROM nodes{l} n LEFT JOIN sw{l} s ON s.v = n.v "
+            f"LEFT JOIN (SELECT src AS v, SUM(w) AS w FROM e{l} GROUP BY src) x ON x.v = n.v)"
+        )
+        p.append(f"lab{l}_0 AS MATERIALIZED (SELECT v, v AS l FROM nodes{l})")
+        p.append(f"vol{l}_0 AS MATERIALIZED (SELECT v, degw AS vol FROM dw{l})")
+        p.append(
+            f"st{l}_0 AS MATERIALIZED (SELECT CAST('-infinity' AS DOUBLE) AS bq, "
+            f"0 AS br, 0 AS stale, 0 AS idle, 0 AS stopped, 0 AS tm)"
+        )
+        for t in range(R):
+            p.append(
+                f"h{l}_{t} AS MATERIALIZED (SELECT d, c, SUM(ww) AS ww FROM ("
+                f"SELECT e.dst AS d, ls.l AS c, e.w AS ww FROM e{l} e "
+                f"JOIN lab{l}_{t} ls ON ls.v = e.src "
+                f"UNION ALL SELECT v, l, 0.0 FROM lab{l}_{t}) GROUP BY d, c)"
+            )
+            p.append(
+                f"ow{l}_{t} AS MATERIALIZED (SELECT h.d AS v, h.ww AS own FROM h{l}_{t} h "
+                f"JOIN lab{l}_{t} lb ON lb.v = h.d AND lb.l = h.c)"
+            )
+            p.append(
+                f"gn{l}_{t} AS MATERIALIZED (SELECT h.d, h.c, "
+                f"CASE WHEN h.c = lb.l THEN 0.0 ELSE "
+                f"((h.ww - ow.own) / mm.m) - "
+                f"((dg.degw * (vc.vol - (va.vol - dg.degw))) / ((2.0 * mm.m) * mm.m)) "
+                f"END AS gain "
+                f"FROM h{l}_{t} h "
+                f"JOIN lab{l}_{t} lb ON lb.v = h.d "
+                f"JOIN ow{l}_{t} ow ON ow.v = h.d "
+                f"JOIN dw{l} dg ON dg.v = h.d "
+                f"JOIN vol{l}_{t} vc ON vc.v = h.c "
+                f"JOIN vol{l}_{t} va ON va.v = lb.l "
+                f"CROSS JOIN mm{l} mm)"
+            )
+            p.append(
+                f"bs{l}_{t} AS MATERIALIZED (SELECT d AS v, c AS bc, gain AS bg FROM ("
+                f"SELECT d, c, gain, ROW_NUMBER() OVER (PARTITION BY d ORDER BY gain DESC, c ASC) AS rn "
+                f"FROM gn{l}_{t}) WHERE rn = 1)"
+            )
+            cmp_ = ">=" if (t & 1) == 1 else "<"
+            p.append(
+                f"mv{l}_{t} AS MATERIALIZED (SELECT b.v, lb.l AS old, b.bc AS new, dg.degw "
+                f"FROM bs{l}_{t} b JOIN lab{l}_{t} lb ON lb.v = b.v JOIN dw{l} dg ON dg.v = b.v "
+                f"WHERE b.bg > 1e-12 AND b.bc <> lb.l "
+                f"AND (CAST(b.v AS HUGEINT) * {K}) % {TWO64} {cmp_} {TWO63})"
+            )
+            p.append(
+                f"q{l}_{t} AS MATERIALIZED (SELECT "
+                f"((SELECT SUM(own) FROM ow{l}_{t}) / (2.0 * mm.m)) - "
+                f"((SELECT SUM(vol * vol) FROM vol{l}_{t}) / ((4.0 * mm.m) * mm.m)) AS q, "
+                f"(SELECT COUNT(*) FROM mv{l}_{t}) AS mc FROM mm{l} mm)"
+            )
+            p.append(
+                f"lab{l}_{t + 1} AS MATERIALIZED (SELECT lb.v, COALESCE(m.new, lb.l) AS l "
+                f"FROM lab{l}_{t} lb LEFT JOIN mv{l}_{t} m ON m.v = lb.v)"
+            )
+            p.append(
+                f"vol{l}_{t + 1} AS MATERIALIZED (SELECT vo.v, vo.vol "
+                f"- COALESCE(o.s, 0.0) + COALESCE(nn.s, 0.0) AS vol FROM vol{l}_{t} vo "
+                f"LEFT JOIN (SELECT old AS v, SUM(degw) AS s FROM mv{l}_{t} GROUP BY old) o ON o.v = vo.v "
+                f"LEFT JOIN (SELECT new AS v, SUM(degw) AS s FROM mv{l}_{t} GROUP BY new) nn ON nn.v = vo.v)"
+            )
+            p.append(
+                f"st{l}_{t + 1} AS MATERIALIZED (SELECT "
+                f"CASE WHEN s.stopped = 1 THEN s.bq "
+                f"WHEN q.q > s.bq + 1e-12 THEN q.q ELSE s.bq END AS bq, "
+                f"CASE WHEN s.stopped = 1 THEN s.br "
+                f"WHEN (q.mc = 0 AND s.idle + 1 >= 2) OR q.q > s.bq + 1e-12 THEN {t} "
+                f"ELSE s.br END AS br, "
+                f"CASE WHEN s.stopped = 1 THEN s.stale "
+                f"WHEN q.q > s.bq + 1e-12 THEN 0 ELSE s.stale + 1 END AS stale, "
+                f"CASE WHEN s.stopped = 1 THEN s.idle "
+                f"WHEN q.mc = 0 THEN s.idle + 1 ELSE 0 END AS idle, "
+                f"CASE WHEN s.stopped = 1 THEN 1 "
+                f"WHEN q.mc = 0 AND s.idle + 1 >= 2 THEN 1 "
+                f"WHEN (CASE WHEN q.q > s.bq + 1e-12 THEN 0 ELSE s.stale + 1 END) >= 3 THEN 1 "
+                f"ELSE 0 END AS stopped, "
+                f"CASE WHEN s.stopped = 1 THEN s.tm ELSE s.tm + q.mc END AS tm "
+                f"FROM st{l}_{t} s CROSS JOIN q{l}_{t} q)"
+            )
+        branches = " UNION ALL ".join(
+            f"SELECT v, l FROM lab{l}_{t} WHERE (SELECT br FROM st{l}_{R}) = {t}"
+            for t in range(R)
+        )
+        p.append(f"labB{l} AS MATERIALIZED ({branches})")
+        p.append(
+            f"lv{l} AS MATERIALIZED (SELECT s.bq - (SELECT q FROM q{l}_0) AS gain, s.tm AS tm, "
+            f"(SELECT COUNT(*) FROM nodes{l}) AS n FROM st{l}_{R} s)"
+        )
+    for l in range(1, L):
+        prev_use = " AND ".join(
+            [f"(SELECT tm FROM lv{k}) > 0" for k in range(l)]
+            + [
+                f"(SELECT n FROM lv{k + 1}) < (SELECT n FROM lv{k})"
+                for k in range(l - 1)
+            ]
+            + [f"(SELECT gain FROM lv{k}) >= {min_gain}" for k in range(1, l)]
+        )
+        p.append(
+            f"g{l} AS (SELECT CASE WHEN {prev_use} "
+            f"AND (SELECT n FROM lv{l}) < (SELECT n FROM lv{l - 1}) "
+            f"AND NOT ((SELECT gain FROM lv{l}) < {min_gain}) THEN 1 ELSE 0 END AS u)"
+        )
+    p.append("rp1 AS MATERIALIZED (SELECT idx, lbl AS orig FROM map1)")
+    for l in range(2, L):
+        p.append(
+            f"rp{l} AS MATERIALIZED (SELECT m.idx, r.orig FROM map{l} m "
+            f"JOIN rp{l - 1} r ON r.idx = m.lbl)"
+        )
+    for l in range(1, L):
+        p.append(
+            f"t{l} AS MATERIALIZED (SELECT ru.orig AS frm, rl.orig AS tgt "
+            f"FROM labB{l} lb JOIN rp{l} ru ON ru.idx = lb.v JOIN rp{l} rl ON rl.idx = lb.l)"
+        )
+    p.append("f0 AS MATERIALIZED (SELECT v, l FROM labB0)")
+    for l in range(1, L):
+        p.append(
+            f"f{l} AS MATERIALIZED (SELECT f.v, "
+            f"CASE WHEN (SELECT u FROM g{l}) = 1 THEN COALESCE(t.tgt, f.l) ELSE f.l END AS l "
+            f"FROM f{l - 1} f LEFT JOIN t{l} t ON t.frm = f.l)"
+        )
+    return p, f"f{L - 1}"
+
+
+def _louvain_sql() -> str:
+    """Exact twin of q_louvain — see _louvain_parts."""
+    parts, fin = _louvain_parts()
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT v, CAST(l AS BIGINT) AS label FROM {fin} ORDER BY v"
+    )
+
+
+def _louvain_modularity_sql() -> str:
+    """Exact twin of q_louvain_modularity: the louvain replay's labels fed
+    through the same modularity formula the `modularity` twin uses
+    (intra/m − Σ(vol/2m)², canonical edges, ROUND 8)."""
+    parts, fin = _louvain_parts()
+    parts += [
+        "qce AS MATERIALIZED ({CANON})",
+        "qm AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM qce)",
+        f"qintra AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM qce "
+        f"JOIN {fin} l1 ON l1.v = qce.src JOIN {fin} l2 ON l2.v = qce.dst "
+        f"WHERE l1.l = l2.l)",
+        "qdeg AS (SELECT v, CAST(COUNT(*) AS DOUBLE) AS deg FROM "
+        "(SELECT src AS v FROM qce UNION ALL SELECT dst FROM qce) GROUP BY v)",
+        f"qvols AS (SELECT l.l AS label, SUM(d.deg) AS vol FROM qdeg d "
+        f"JOIN {fin} l ON l.v = d.v GROUP BY l.l)",
+    ]
+    return (
+        "WITH " + ",\n".join(parts)
+        + "\nSELECT ROUND((SELECT c FROM qintra) / (SELECT m FROM qm) "
+        "- SUM(POWER(vol / (2 * (SELECT m FROM qm)), 2)), 8) AS modularity FROM qvols"
+    )
+
+
+def _leiden_refine_sql(max_rounds: int = 16) -> str:
+    """Exact twin of q_leiden_refine (graph/louvain.py refine_communities
+    on the louvain() labels).  Per-parent singleton-init local moving is
+    replayed GLOBALLY: membership only spreads along intra-parent edges,
+    and within a parent the engine's local dense ids are order-isomorphic
+    to original ids (sorted-unique searchsorted), so original-id labels
+    reproduce its (gain desc, community asc) tie-breaks.  The engine
+    breaks each parent's loop at its first zero-move round — before the
+    parity gate could admit later moves — so a per-parent frozen set
+    accumulates and filters later applications.  All quantities are
+    integers except the gain divisions (same IEEE replication as
+    _louvain_parts)."""
+    parts, fin = _louvain_parts()
+    parts += [
+        f"rl AS MATERIALIZED (SELECT v AS lv, l AS lc FROM {fin})",
+        "ri AS MATERIALIZED (SELECT e.src, e.dst, l1.lc AS pc FROM ({SYM}) e "
+        "JOIN rl l1 ON l1.lv = e.src JOIN rl l2 ON l2.lv = e.dst "
+        "WHERE l1.lc = l2.lc)",
+        "rverts AS MATERIALIZED (SELECT DISTINCT pc, src AS v FROM ri)",
+        "rdeg AS MATERIALIZED (SELECT pc, src AS v, CAST(COUNT(*) AS DOUBLE) AS degw "
+        "FROM ri GROUP BY pc, src)",
+        "rm AS MATERIALIZED (SELECT pc, COUNT(*) / 2.0 AS m FROM ri GROUP BY pc)",
+        "rlab0 AS MATERIALIZED (SELECT pc, v, v AS l FROM rverts)",
+        "rfz0 AS MATERIALIZED (SELECT pc FROM rverts WHERE 1 = 0)",
+    ]
+    for t in range(max_rounds):
+        parts += [
+            f"rvol{t} AS MATERIALIZED (SELECT lb.pc, lb.l AS c, SUM(dg.degw) AS vol "
+            f"FROM rlab{t} lb JOIN rdeg dg ON dg.pc = lb.pc AND dg.v = lb.v "
+            f"GROUP BY lb.pc, lb.l)",
+            f"rh{t} AS MATERIALIZED (SELECT e.pc, e.src AS u, lb.l AS c, "
+            f"CAST(COUNT(*) AS DOUBLE) AS hw FROM ri e "
+            f"JOIN rlab{t} lb ON lb.pc = e.pc AND lb.v = e.dst "
+            f"GROUP BY e.pc, e.src, lb.l)",
+            f"rg{t} AS MATERIALIZED (SELECT h.pc, h.u, h.c, "
+            f"((h.hw - COALESCE(oc.hw, 0.0)) / m.m) - "
+            f"((dg.degw * ((vb.vol - CASE WHEN h.c = lb.l THEN dg.degw ELSE 0.0 END) "
+            f"- (va.vol - dg.degw))) / ((2.0 * m.m) * m.m)) AS gain "
+            f"FROM rh{t} h "
+            f"JOIN rlab{t} lb ON lb.pc = h.pc AND lb.v = h.u "
+            f"JOIN rdeg dg ON dg.pc = h.pc AND dg.v = h.u "
+            f"JOIN rm m ON m.pc = h.pc "
+            f"JOIN rvol{t} vb ON vb.pc = h.pc AND vb.c = h.c "
+            f"JOIN rvol{t} va ON va.pc = h.pc AND va.c = lb.l "
+            f"LEFT JOIN rh{t} oc ON oc.pc = h.pc AND oc.u = h.u AND oc.c = lb.l)",
+            f"rb{t} AS MATERIALIZED (SELECT pc, u, c AS bc, gain AS bg FROM ("
+            f"SELECT pc, u, c, gain, ROW_NUMBER() OVER "
+            f"(PARTITION BY pc, u ORDER BY gain DESC, c ASC) AS rn FROM rg{t}) "
+            f"WHERE rn = 1)",
+            f"rmv{t} AS MATERIALIZED (SELECT b.pc, b.u AS v, b.bc AS new "
+            f"FROM rb{t} b JOIN rlab{t} lb ON lb.pc = b.pc AND lb.v = b.u "
+            f"WHERE b.bg > 1e-12 AND (b.u + {t}) % 2 = 0 AND b.bc <> lb.l "
+            f"AND b.pc NOT IN (SELECT pc FROM rfz{t}))",
+            f"rfz{t + 1} AS MATERIALIZED (SELECT pc FROM rfz{t} UNION "
+            f"SELECT p.pc FROM (SELECT DISTINCT pc FROM rverts) p "
+            f"WHERE p.pc NOT IN (SELECT pc FROM rfz{t}) "
+            f"AND NOT EXISTS (SELECT 1 FROM rmv{t} m WHERE m.pc = p.pc))",
+            f"rlab{t + 1} AS MATERIALIZED (SELECT lb.pc, lb.v, "
+            f"COALESCE(m.new, lb.l) AS l FROM rlab{t} lb "
+            f"LEFT JOIN rmv{t} m ON m.pc = lb.pc AND m.v = lb.v)",
+        ]
+    R = max_rounds
+    parts += [
+        f"rrep AS MATERIALIZED (SELECT pc, l, MIN(v) AS rep FROM rlab{R} GROUP BY pc, l)",
+        f"rout AS (SELECT lb.v, rr.rep AS label FROM rlab{R} lb "
+        f"JOIN rrep rr ON rr.pc = lb.pc AND rr.l = lb.l)",
+    ]
+    return (
+        "WITH " + ",\n".join(parts)
+        + "\nSELECT v, CAST(label AS BIGINT) AS label FROM ("
+        "SELECT v, label FROM rout UNION ALL "
+        "SELECT n.v, n.v AS label FROM nodes0 n "
+        "WHERE n.v NOT IN (SELECT v FROM rverts)) ORDER BY v"
+    )
+
+
 def _egosplit_sql() -> str:
     """Exact twin of q_ego_splitting (community/EgoSplitting.cpp analog,
     graph/egosplit.py).  Every quantity is an int64, so the replay is
@@ -7349,6 +7647,11 @@ def oracle_sql() -> dict[str, str]:
         "ego_splitting": _egosplit_sql()
         .replace("{CANON}", CANONICAL_EDGES_SQL)
         .replace("{SYM}", SYMMETRIC_EDGES_SQL),
+        "louvain": _louvain_sql().replace("{SYM}", SYMMETRIC_EDGES_SQL),
+        "louvain_modularity": _louvain_modularity_sql()
+        .replace("{CANON}", CANONICAL_EDGES_SQL)
+        .replace("{SYM}", SYMMETRIC_EDGES_SQL),
+        "leiden_refine": _leiden_refine_sql().replace("{SYM}", SYMMETRIC_EDGES_SQL),
         "approx_global_clustering": _agcc_sql(4000, 42).replace(
             "{SYM}", SYMMETRIC_EDGES_SQL
         ),
