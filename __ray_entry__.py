@@ -2820,8 +2820,10 @@ def q_stress_layout(sf_dir):
 
 def q_cut_clustering(sf_dir):
     """Flake–Tarjan cut clustering on the supplier ring graph (α = 0.8:
-    between the unit ring weights and the chord density); rows-only —
-    EK-replica-exact tests in tests/test_flow.py."""
+    between the unit ring weights and the chord density); oracle-exact —
+    the twin runs its own multi-source integer Edmonds–Karp plus the
+    (degree DESC, id ASC) assignment fold (_cutcluster_sql); EK-replica
+    tests in tests/test_flow.py."""
     from networkit_ray.graph.flow import cut_clustering
     from networkit_ray.sources.derive import supplier_ring_edges
 
@@ -3997,6 +3999,84 @@ def _maxflow_sql(aug_rounds: int = 45, depth: int = 24) -> str:
         f"- (SELECT COALESCE(SUM(fl), 0) FROM f{A} WHERE v = 0) AS DOUBLE), 6) "
         f"AS max_flow, "
         f"(SELECT CAST(COUNT(*) AS BIGINT) FROM ss) AS source_set_size"
+    )
+
+
+def _cutcluster_sql(aug_rounds=26, depth=12, slots=100) -> str:
+    """Exact twin of q_cut_clustering (community/CutClustering.cpp analog,
+    graph/flow.py cut_clustering).  Two facts make a replay unnecessary:
+    (1) each Flake-Tarjan flow starts from a FRESH residual graph, so the
+    per-source min u-t cut is independent of the assignment state and all
+    sources run as ONE multi-source unrolled Edmonds-Karp (min-id
+    shortest-path parents, s-keyed CTEs); (2) the engine's source side is
+    the residual-reachable set = the unique inclusion-minimal min cut, so
+    the oracle's own EK converges to the same side.  Capacities scale x5
+    to integers (ring 5, sink alpha 0.8 -> 4) - scaling preserves every
+    residual>0 pattern and the unique min-cut sides, and keeps all SQL
+    arithmetic exact.  The (degree DESC, id ASC) assignment pass is an
+    unrolled fold over ``slots`` seed positions (no-op once every vertex
+    is labelled).  ``aug_rounds`` need only exceed the max per-source
+    augmentation count (23 on the sf fixtures), ``slots`` the supplier
+    count (100 at sf0.01)."""
+    parts = [
+        "nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM supplier)",
+        "re AS MATERIALIZED (SELECT src, dst FROM ({RING}))",
+        "sv AS MATERIALIZED (SELECT CAST(s_suppkey AS BIGINT) AS v FROM supplier)",
+        "ae AS MATERIALIZED (SELECT src AS u, dst AS v, CAST(5 AS BIGINT) AS cap FROM re "
+        "UNION ALL SELECT v, (SELECT n FROM nn), CAST(4 AS BIGINT) FROM sv "
+        "UNION ALL SELECT (SELECT n FROM nn), v, CAST(4 AS BIGINT) FROM sv)",
+        "cce AS MATERIALIZED (SELECT s.v AS s, e.u, e.v, e.cap FROM sv s CROSS JOIN ae e)",
+        "cf0 AS MATERIALIZED (SELECT s, u, v, CAST(0 AS BIGINT) AS fl FROM cce)",
+    ]
+    for a in range(aug_rounds):
+        parts += [
+            f"cr{a} AS MATERIALIZED (SELECT c.s, c.u, c.v, c.cap - fa.fl + fb.fl AS r "
+            f"FROM cce c JOIN cf{a} fa ON fa.s = c.s AND fa.u = c.u AND fa.v = c.v "
+            f"JOIN cf{a} fb ON fb.s = c.s AND fb.u = c.v AND fb.v = c.u)",
+            f"cd{a}(s, v, d) AS (SELECT v, v, 0 FROM sv UNION "
+            f"SELECT dr.s, e.v, dr.d + 1 FROM cd{a} dr "
+            f"JOIN cr{a} e ON e.s = dr.s AND e.u = dr.v AND e.r > 0 WHERE dr.d < {depth})",
+            f"ci{a} AS MATERIALIZED (SELECT s, v, MIN(d) AS d FROM cd{a} GROUP BY s, v)",
+            f"cp{a} AS MATERIALIZED (SELECT dv.s, dv.v, MIN(e.u) AS p "
+            f"FROM cr{a} e JOIN ci{a} du ON du.s = e.s AND du.v = e.u "
+            f"JOIN ci{a} dv ON dv.s = e.s AND dv.v = e.v AND dv.d = du.d + 1 "
+            f"WHERE e.r > 0 GROUP BY dv.s, dv.v)",
+            f"cw{a}(s, v) AS (SELECT s, v FROM ci{a} WHERE v = (SELECT n FROM nn) UNION "
+            f"SELECT w.s, pa.p FROM cw{a} w JOIN cp{a} pa ON pa.s = w.s AND pa.v = w.v "
+            f"WHERE w.v <> w.s)",
+            f"cq{a} AS MATERIALIZED (SELECT w.s, pa.p AS u, w.v FROM cw{a} w "
+            f"JOIN cp{a} pa ON pa.s = w.s AND pa.v = w.v WHERE w.v <> w.s)",
+            f"cb{a} AS MATERIALIZED (SELECT p.s, MIN(e.r) AS b FROM cq{a} p "
+            f"JOIN cr{a} e ON e.s = p.s AND e.u = p.u AND e.v = p.v GROUP BY p.s)",
+            f"cf{a + 1} AS MATERIALIZED (SELECT f.s, f.u, f.v, f.fl + "
+            f"(CASE WHEN EXISTS (SELECT 1 FROM cq{a} p WHERE p.s = f.s AND p.u = f.u AND p.v = f.v) "
+            f"THEN COALESCE((SELECT b FROM cb{a} bb WHERE bb.s = f.s), 0) ELSE 0 END) AS fl "
+            f"FROM cf{a} f)",
+        ]
+    A = aug_rounds
+    parts += [
+        f"crf AS MATERIALIZED (SELECT c.s, c.u, c.v, c.cap - fa.fl + fb.fl AS r "
+        f"FROM cce c JOIN cf{A} fa ON fa.s = c.s AND fa.u = c.u AND fa.v = c.v "
+        f"JOIN cf{A} fb ON fb.s = c.s AND fb.u = c.v AND fb.v = c.u)",
+        "css(s, v) AS (SELECT v, v FROM sv UNION "
+        "SELECT ss.s, e.v FROM css ss JOIN crf e ON e.s = ss.s AND e.u = ss.v AND e.r > 0)",
+        "cside AS MATERIALIZED (SELECT s, v FROM css WHERE v <> (SELECT n FROM nn))",
+        "cdeg AS MATERIALIZED (SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS dg FROM re GROUP BY src)",
+        "cord AS MATERIALIZED (SELECT v, ROW_NUMBER() OVER (ORDER BY dg DESC, v ASC) AS rk "
+        "FROM (SELECT s.v, COALESCE(d.dg, 0) AS dg FROM sv s LEFT JOIN cdeg d ON d.v = s.v))",
+        "as0 AS MATERIALIZED (SELECT v, CAST(-1 AS BIGINT) AS lab FROM sv)",
+    ]
+    for k in range(1, slots + 1):
+        parts.append(
+            f"as{k} AS MATERIALIZED (SELECT a.v, CASE WHEN "
+            f"(SELECT a2.lab FROM as{k - 1} a2 JOIN cord o ON o.v = a2.v AND o.rk = {k}) = -1 "
+            f"AND EXISTS (SELECT 1 FROM cside sd JOIN cord o2 ON o2.rk = {k} AND sd.s = o2.v "
+            f"WHERE sd.v = a.v) "
+            f"THEN (SELECT v FROM cord WHERE rk = {k}) ELSE a.lab END AS lab FROM as{k - 1} a)"
+        )
+    return (
+        "WITH RECURSIVE " + ",\n".join(parts)
+        + f"\nSELECT v, lab AS label FROM as{slots} ORDER BY v"
     )
 
 
@@ -7644,6 +7724,7 @@ def oracle_sql() -> dict[str, str]:
             "{SYM}", SYMMETRIC_EDGES_SQL
         ),
         "max_flow": _maxflow_sql().replace("{SYM}", SYMMETRIC_EDGES_SQL),
+        "cut_clustering": _cutcluster_sql().replace("{RING}", SUPPLIER_RING_SQL),
         "ego_splitting": _egosplit_sql()
         .replace("{CANON}", CANONICAL_EDGES_SQL)
         .replace("{SYM}", SYMMETRIC_EDGES_SQL),
