@@ -692,12 +692,18 @@ def q_diameter(sf_dir):
 
 
 def q_lfm_cover(sf_dir):
-    """Full LFM overlapping cover; rows-only — coverage/determinism/
+    """Full LFM overlapping cover on the supplier ring graph (the
+    radius-3 regions keep the unrolled twin's add rounds tractable);
+    oracle-exact — per-round signed-splitmix seed ranking + batched
+    expansion replay (_lfm_cover_sql); full-graph coverage/determinism/
     per-seed-expansion-equality tests in tests/test_scd.py."""
     from networkit_ray.graph.scd import lfm_cover
+    from networkit_ray.sources.derive import supplier_ring_edges
 
-    sym, n = _sym(sf_dir)
-    return lfm_cover(sym, n, seeds_per_round=16, seed=42).sort(["c", "v"])
+    sym, s = supplier_ring_edges(sf_dir)
+    return lfm_cover(
+        sym.materialize(), s, seeds_per_round=16, seed=42
+    ).sort(["c", "v"])
 
 
 def q_warm_katz(sf_dir):
@@ -4558,39 +4564,33 @@ def _scd_popadd_sql(
     )
 
 
-def _lfm_sql(seeds: tuple, radius: int, max_size: int, purge_depth: int = 4) -> str:
-    """Exact twin of graph/scd.py:_lfm_group with alpha = 1.0 (fitness
-    f = 2·iw/(2·iw + cut), one float division of exact integers).  Each
-    unrolled add round is followed by ``purge_depth`` unrolled purge
-    steps (remove the most-improving non-seed member, ties → smallest
-    id); like the BFS ``levels`` bounds elsewhere, ``purge_depth`` only
-    needs to exceed the deepest purge chain the data produces — extra
-    steps are no-ops.  Adds require dq > 0 strictly, purges dq < 0
-    strictly, so stop rounds are idempotent and the fixed unroll is
-    value-exact.  Add rounds carry ``add_slack`` extra iterations beyond
-    max_size − 1 because each purge removal frees capacity for another
-    add (the engine's while-loop re-checks |com| < max_size after every
-    cycle); the per-round size guard keeps extras no-ops."""
-    add_slack = 8
-    seed_vals = ", ".join(f"({s})" for s in seeds)
-    parts = [
-        "WITH se AS MATERIALIZED ({SYM})",
-        "deg AS MATERIALIZED (SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS d FROM se GROUP BY src)",
-        f"seeds(s) AS (SELECT CAST(col0 AS BIGINT) FROM (VALUES {seed_vals}))",
-        "rg0 AS (SELECT s, s AS v FROM seeds)",
-    ]
+def _lfm_expand_parts(
+    prefix: str,
+    seeds_cte: str,
+    radius: int,
+    add_rounds: int,
+    size_cap: int,
+    purge_depth: int = 4,
+) -> tuple[list, str]:
+    """Prefixed CTE parts for one batch of LFM alpha=1 expansions from
+    ``seeds_cte`` (column s) — the _lfm_sql body factored out so the
+    cover twin can run several seed batches in one statement; returns
+    (parts, final_community_cte).  ``se``/``deg`` are shared unprefixed
+    CTEs the caller provides."""
+    P = prefix
+    parts = [f"{P}rg0 AS (SELECT s, s AS v FROM {seeds_cte})"]
     for k in range(1, radius + 1):
         parts.append(
-            f"rg{k} AS MATERIALIZED (SELECT s, v FROM rg{k-1} UNION "
-            f"SELECT r.s, e.dst FROM rg{k-1} r JOIN se e ON e.src = r.v)"
+            f"{P}rg{k} AS MATERIALIZED (SELECT s, v FROM {P}rg{k-1} UNION "
+            f"SELECT r.s, e.dst FROM {P}rg{k-1} r JOIN se e ON e.src = r.v)"
         )
     parts += [
-        f"re AS MATERIALIZED (SELECT m1.s, e.src AS a, e.dst AS b FROM se e "
-        f"JOIN rg{radius} m1 ON m1.v = e.src "
-        f"JOIN rg{radius} m2 ON m2.s = m1.s AND m2.v = e.dst WHERE e.src < e.dst)",
-        "radj AS MATERIALIZED (SELECT s, a AS u, b AS w FROM re "
-        "UNION ALL SELECT s, b, a FROM re)",
-        "lc0_0 AS MATERIALIZED (SELECT s, s AS v FROM seeds)",
+        f"{P}re AS MATERIALIZED (SELECT m1.s, e.src AS a, e.dst AS b FROM se e "
+        f"JOIN {P}rg{radius} m1 ON m1.v = e.src "
+        f"JOIN {P}rg{radius} m2 ON m2.s = m1.s AND m2.v = e.dst WHERE e.src < e.dst)",
+        f"{P}radj AS MATERIALIZED (SELECT s, a AS u, b AS w FROM {P}re "
+        f"UNION ALL SELECT s, b, a FROM {P}re)",
+        f"{P}lc0_0 AS MATERIALIZED (SELECT s, s AS v FROM {seeds_cte})",
     ]
 
     def fit(iw: str, cut: str) -> str:
@@ -4603,48 +4603,48 @@ def _lfm_sql(seeds: tuple, radius: int, max_size: int, purge_depth: int = 4) -> 
         return (
             f"{name} AS (SELECT sd.s, CAST(COALESCE(x.c, 0) AS DOUBLE) AS iw, "
             f"CAST(COALESCE(y.sd2, 0) - 2*COALESCE(x.c, 0) AS DOUBLE) AS cut, "
-            f"COALESCE(y.n, 0) AS n FROM seeds sd "
-            f"LEFT JOIN (SELECT re.s, COUNT(*) AS c FROM re "
+            f"COALESCE(y.n, 0) AS n FROM {seeds_cte} sd "
+            f"LEFT JOIN (SELECT re.s, COUNT(*) AS c FROM {P}re re "
             f"JOIN {com} c1 ON c1.s = re.s AND c1.v = re.a "
             f"JOIN {com} c2 ON c2.s = re.s AND c2.v = re.b GROUP BY re.s) x ON x.s = sd.s "
             f"LEFT JOIN (SELECT c.s, SUM(COALESCE(deg.d, 0)) AS sd2, COUNT(*) AS n "
             f"FROM {com} c LEFT JOIN deg ON deg.v = c.v GROUP BY c.s) y ON y.s = sd.s)"
         )
 
-    prev = "lc0_0"
-    for r in range(1, max_size + add_slack):
-        st = f"lst{r}"
+    prev = f"{P}lc0_0"
+    for r in range(1, add_rounds + 1):
+        st = f"{P}lst{r}"
         parts.append(stats(st, prev))
         nq = fit("st.iw + sh.idg", "st.cut - sh.idg + sh.d - sh.idg")
         cq = fit("st.iw", "st.cut")
-        cur = f"lc{r}_0"
+        cur = f"{P}lc{r}_0"
         parts.append(
             f"{cur} AS MATERIALIZED (SELECT * FROM {prev} UNION ALL "
             f"SELECT s, v FROM (SELECT sh.s, sh.v, ROW_NUMBER() OVER "
             f"(PARTITION BY sh.s ORDER BY ({nq}) - ({cq}) DESC, sh.v ASC) AS rn "
             f"FROM (SELECT ra.s, ra.u AS v, CAST(COUNT(*) AS DOUBLE) AS idg, "
-            f"ANY_VALUE(COALESCE(dg.d, 0)) AS d FROM radj ra "
+            f"ANY_VALUE(COALESCE(dg.d, 0)) AS d FROM {P}radj ra "
             f"JOIN {prev} c ON c.s = ra.s AND c.v = ra.w "
             f"LEFT JOIN deg dg ON dg.v = ra.u "
             f"WHERE NOT EXISTS (SELECT 1 FROM {prev} c2 WHERE c2.s = ra.s AND c2.v = ra.u) "
             f"GROUP BY ra.s, ra.u) sh JOIN {st} st ON st.s = sh.s "
             f"WHERE ({nq}) - ({cq}) > 0 "
-            f"AND (SELECT COUNT(*) FROM {prev} c3 WHERE c3.s = sh.s) < {max_size}) "
+            f"AND (SELECT COUNT(*) FROM {prev} c3 WHERE c3.s = sh.s) < {size_cap}) "
             f"WHERE rn = 1)"
         )
         prev = cur
         for j in range(1, purge_depth + 1):
-            st = f"lst{r}_{j}"
+            st = f"{P}lst{r}_{j}"
             parts.append(stats(st, prev))
             rq = fit("st.iw - mx.idg", "st.cut + mx.idg - (mx.d - mx.idg)")
             cq = fit("st.iw", "st.cut")
-            cur = f"lc{r}_{j}"
+            cur = f"{P}lc{r}_{j}"
             parts.append(
                 f"{cur} AS MATERIALIZED (SELECT c.s, c.v FROM {prev} c "
                 f"LEFT JOIN (SELECT s, v FROM (SELECT mx.s, mx.v, ROW_NUMBER() OVER "
                 f"(PARTITION BY mx.s ORDER BY ({cq}) - ({rq}) ASC, mx.v ASC) AS rn "
                 f"FROM (SELECT m.s, m.v, "
-                f"CAST(COALESCE((SELECT COUNT(*) FROM radj ra2 "
+                f"CAST(COALESCE((SELECT COUNT(*) FROM {P}radj ra2 "
                 f"JOIN {prev} cc ON cc.s = ra2.s AND cc.v = ra2.w "
                 f"WHERE ra2.s = m.s AND ra2.u = m.v), 0) AS DOUBLE) AS idg, "
                 f"COALESCE((SELECT ANY_VALUE(d) FROM deg WHERE deg.v = m.v), 0) AS d "
@@ -4653,9 +4653,81 @@ def _lfm_sql(seeds: tuple, radius: int, max_size: int, purge_depth: int = 4) -> 
                 f"ON w.s = c.s AND w.v = c.v WHERE w.v IS NULL)"
             )
             prev = cur
-    return ",\n".join(parts) + (
-        f"\nSELECT s AS seed, v FROM {prev} ORDER BY seed, v"
+    return parts, prev
+
+
+def _lfm_sql(seeds: tuple, radius: int, max_size: int, purge_depth: int = 4) -> str:
+    """Exact twin of graph/scd.py:_lfm_group with alpha = 1.0 (fitness
+    f = 2·iw/(2·iw + cut), one float division of exact integers).  Each
+    unrolled add round is followed by ``purge_depth`` unrolled purge
+    steps (remove the most-improving non-seed member, ties → smallest
+    id); like the BFS ``levels`` bounds elsewhere, ``purge_depth`` only
+    needs to exceed the deepest purge chain the data produces — extra
+    steps are no-ops.  Adds require dq > 0 strictly, purges dq < 0
+    strictly, so stop rounds are idempotent and the fixed unroll is
+    value-exact.  Add rounds carry 7 extra iterations beyond
+    max_size − 1 because each purge removal frees capacity for another
+    add (the engine's while-loop re-checks |com| < max_size after every
+    cycle); the per-round size guard keeps extras no-ops."""
+    seed_vals = ", ".join(f"({s})" for s in seeds)
+    parts = [
+        "WITH se AS MATERIALIZED ({SYM})",
+        "deg AS MATERIALIZED (SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS d FROM se GROUP BY src)",
+        f"seeds(s) AS (SELECT CAST(col0 AS BIGINT) FROM (VALUES {seed_vals}))",
+    ]
+    body, fin = _lfm_expand_parts(
+        "", "seeds", radius, max_size + 7, max_size, purge_depth
     )
+    return ",\n".join(parts + body) + (
+        f"\nSELECT s AS seed, v FROM {fin} ORDER BY seed, v"
+    )
+
+
+def _lfm_cover_sql(
+    outer: int = 4,
+    radius: int = 3,
+    add_rounds: int = 30,
+    purge_depth: int = 4,
+    spr: int = 16,
+    seed: int = 42,
+) -> str:
+    """Exact twin of q_lfm_cover (graph/scd.py lfm_cover on the supplier
+    ring graph).  Per outer round: the ``spr`` unassigned nodes of
+    smallest SIGNED splitmix64(v + round·FNV + seed) rank (the engine
+    casts the hash to int64 before sorting) expand in one batch via
+    _lfm_expand_parts, covered nodes leave the unassigned set, and the
+    next round's ranks re-hash with the round counter.  ``outer`` /
+    ``add_rounds`` / ``purge_depth`` bound the fixtures (3 rounds, 26
+    adds, purge chains ≤ 3 at sf0.01); the size guard 10⁹ equals the
+    engine's unbounded max_size.  Extra rounds see an empty seed set and
+    are no-ops."""
+    FNV = 0x100000001B3
+    parts = [
+        "WITH se AS MATERIALIZED ({RING})",
+        "deg AS MATERIALIZED (SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS d FROM se GROUP BY src)",
+        "un0 AS MATERIALIZED (SELECT CAST(s_suppkey AS BIGINT) AS v FROM supplier)",
+    ]
+    fins = []
+    for r in range(outer):
+        c = r * FNV + seed
+        parts += _sm64_stages(f"cvh{r}", f"un{r}", f"v + {c}", "v")
+        parts.append(
+            f"csd{r} AS MATERIALIZED (SELECT v AS s FROM ("
+            f"SELECT v, CASE WHEN h >= 9223372036854775808 "
+            f"THEN CAST(h AS HUGEINT) - 18446744073709551616 "
+            f"ELSE CAST(h AS HUGEINT) END AS hs FROM cvh{r}c ORDER BY hs, v LIMIT {spr}))"
+        )
+        body, fin = _lfm_expand_parts(
+            f"cv{r}", f"csd{r}", radius, add_rounds, 1000000000, purge_depth
+        )
+        parts += body
+        fins.append(fin)
+        parts.append(
+            f"un{r + 1} AS MATERIALIZED (SELECT v FROM un{r} "
+            f"WHERE v NOT IN (SELECT v FROM {fin}))"
+        )
+    union = " UNION ALL ".join(f"SELECT s AS c, v FROM {f}" for f in fins)
+    return ",\n".join(parts) + f"\nSELECT c, v FROM ({union}) ORDER BY c, v"
 
 
 def _twophasel_sql(seeds: tuple, radius: int, max_size: int) -> str:
@@ -7725,6 +7797,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "max_flow": _maxflow_sql().replace("{SYM}", SYMMETRIC_EDGES_SQL),
         "cut_clustering": _cutcluster_sql().replace("{RING}", SUPPLIER_RING_SQL),
+        "lfm_cover": _lfm_cover_sql().replace("{RING}", SUPPLIER_RING_SQL),
         "ego_splitting": _egosplit_sql()
         .replace("{CANON}", CANONICAL_EDGES_SQL)
         .replace("{SYM}", SYMMETRIC_EDGES_SQL),

@@ -177,15 +177,9 @@ def test_queries_oracles_consistent():
     # the non-SQL set is intentional and documented
     rows_only = set(qs) - set(os_)
     assert rows_only == {
-        "louvain",
-        "louvain_modularity",
-        "leiden_refine",
-        "ego_splitting",
         "lfr_edges",
         "lfr_mixing",
-        "lfm_cover",
         "sgns_embeddings",
-        "cut_clustering",
     }
 
 
