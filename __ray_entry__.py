@@ -801,14 +801,18 @@ def q_group_closeness(sf_dir):
 
 def q_sgns_embeddings(sf_dir):
     """Node2Vec's word2vec half (LearnEmbedding.cpp analog): SGNS over
-    the deterministic walks; rows-only — pair-replica and planted-cluster
-    separation tests in tests/test_embedding.py."""
+    the deterministic walks, in the 2⁻²⁴-lattice replayable mode (exact
+    gradient sums — see embedding._grad_partial); oracle-exact — full
+    training replay in SQL (_sgns_sql: walks, windowed pairs with pinned
+    batch indices, splitmix negatives, quantized scores/contributions,
+    one exactly-summed update per epoch); pair-replica and
+    planted-cluster separation tests in tests/test_embedding.py."""
     from networkit_ray.graph.embedding import sgns_embeddings
     from networkit_ray.graph.walks import random_walks
 
     sym, n = _sym(sf_dir)
     walks = random_walks(sym, n, n_walkers=128, length=8, seed=42).materialize()
-    out = sgns_embeddings(walks, n, dim=8, epochs=3, lr=0.05, seed=42)
+    out = sgns_embeddings(walks, n, dim=8, epochs=3, lr=0.05, seed=42, lattice=True)
     for j in range(8):
         out = _round_col(out, f"e{j}", 6)
     return out.sort("v")
@@ -4083,6 +4087,148 @@ def _cutcluster_sql(aug_rounds=26, depth=12, slots=100) -> str:
     return (
         "WITH RECURSIVE " + ",\n".join(parts)
         + f"\nSELECT v, lab AS label FROM as{slots} ORDER BY v"
+    )
+
+
+def _sgns_sql(n_walkers=128, length=8, dim=8, window=2, neg=3, epochs=3,
+              lr="0.05", seed=42, parts_n=16) -> str:
+    """Exact twin of q_sgns_embeddings (graph/embedding.py, lattice mode).
+    Replays the whole training: the certified random-walks replay, the
+    windowed pair construction with CONSTRUCTION-TIME batch-local indices
+    (block order: off asc, fwd before rev, (walker, earlier-step) within),
+    the walker-hash partition ids (exchange._key_hash + hashing.vpart),
+    per-epoch splitmix negatives keyed on (idx·neg + k + (seed+1000·ep)·FNV),
+    sigmoid scores and per-pair gradient contributions quantized to the
+    2^-24 lattice (floor(x·2^24 + 0.5)/2^24 — fl-identical both sides), and
+    one exactly-summed update per epoch (lattice sums are exact in f64, so
+    SQL GROUP BY equals np.add.at at any order).  Embedding state is
+    bit-exact throughout; only the sigmoid's exp can differ by an ulp
+    between numpy and DuckDB, absorbed by the quantization except on a
+    measure-~1e-10 boundary set."""
+    _K = 0x9E3779B97F4A7C15
+    _GOLD_S = "11400714819323198485"
+    _MIX_S = "13787848793156543929"
+    _FNV = 0x100000001B3
+    n = "(SELECT COUNT(*) FROM customer)"
+    rng_base = (seed * _K) % _M64
+    Q = "16777216.0"
+    p = [
+        "wse AS MATERIALIZED ({SYM})",
+        "wnodes AS MATERIALIZED (SELECT CAST(c_custkey AS BIGINT) AS v FROM customer)",
+        f"wpiv AS MATERIALIZED (SELECT v, CAST(ROW_NUMBER() OVER (ORDER BY v) - 1 AS BIGINT) AS walker "
+        f"FROM (SELECT v FROM wnodes "
+        f"ORDER BY (CAST(v + {seed} AS HUGEINT) * CAST('{_GOLD_S}' AS HUGEINT)) "
+        f"% CAST('{_M64}' AS HUGEINT) LIMIT {n_walkers}))",
+        "wadj AS MATERIALIZED (SELECT src AS v, list(dst ORDER BY dst) AS ns, "
+        "CAST(COUNT(*) AS BIGINT) AS d FROM wse GROUP BY src)",
+        "ws0 AS MATERIALIZED (SELECT walker, v FROM wpiv)",
+    ]
+    for k in range(1, length + 1):
+        p.append(
+            f"ws{k} AS MATERIALIZED (SELECT s.walker, "
+            f"CASE WHEN a.d IS NULL THEN s.v "
+            f"ELSE a.ns[CAST(((CAST(s.walker + 1 AS HUGEINT) * CAST('{_GOLD_S}' AS HUGEINT) "
+            f"+ CAST({k} AS HUGEINT) * CAST('{_MIX_S}' AS HUGEINT)) "
+            f"% CAST('{_M64}' AS HUGEINT)) % a.d AS BIGINT) + 1] END AS v "
+            f"FROM ws{k-1} s LEFT JOIN wadj a ON a.v = s.v)"
+        )
+    walk_union = " UNION ALL ".join(
+        f"SELECT walker, CAST({k} AS BIGINT) AS step, v FROM ws{k}"
+        for k in range(length + 1)
+    )
+    p.append(f"wk AS MATERIALIZED ({walk_union})")
+    # partition id per walker: vpart(key_hash(walker)) = ((walker*K mod 2^64)*K mod 2^64) >> 33 % 16
+    h1 = _mul64_sql("walker", _K)
+    h2 = _mul64_sql(h1, _K)
+    p.append(
+        f"wbp AS MATERIALIZED (SELECT DISTINCT walker, "
+        f"CAST(({h2} >> 33) % {parts_n} AS BIGINT) AS part FROM wk)"
+    )
+    # pairs: blocks (off asc; fwd then rev), within block ordered by (walker, earlier step)
+    blocks = []
+    for off in range(1, window + 1):
+        blocks.append(
+            f"SELECT a.walker, a.step, a.v AS center, b.v AS context, {2*(off-1)} AS blk "
+            f"FROM wk a JOIN wk b ON b.walker = a.walker AND b.step = a.step + {off}"
+        )
+        blocks.append(
+            f"SELECT a.walker, a.step, b.v AS center, a.v AS context, {2*(off-1)+1} AS blk "
+            f"FROM wk a JOIN wk b ON b.walker = a.walker AND b.step = a.step + {off}"
+        )
+    p.append("pr0 AS MATERIALIZED (" + " UNION ALL ".join(blocks) + ")")
+    p.append(
+        "prs AS MATERIALIZED (SELECT bp.part, pr.center, pr.context, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY bp.part ORDER BY pr.blk, pr.walker, pr.step) - 1 AS BIGINT) AS idx "
+        "FROM pr0 pr JOIN wbp bp ON bp.walker = pr.walker)"
+    )
+    # init embeddings: idx0 = v*dim + j (in) / n*dim + v*dim + j (out); h = sm64(idx0 + rng_base)
+    p.append(
+        f"emi0 AS (SELECT t.tag, n.v, j.j, "
+        f"CAST(((t.tag * {n} + n.v) * {dim} + j.j + {rng_base}) % {_M64} AS UBIGINT) AS a0 "
+        f"FROM (SELECT 0 AS tag UNION ALL SELECT 1) t "
+        f"CROSS JOIN wnodes n CROSS JOIN (SELECT UNNEST(range({dim})) AS j) j)"
+    )
+    p += _sm64_stages("emh", "emi0", "a0", "tag, v, j")
+    p.append(
+        f"emv AS MATERIALIZED (SELECT tag, v, j, "
+        f"(CAST(h AS DOUBLE) / 18446744073709551616.0 - 0.5) / {float(dim)} AS val FROM emhc)"
+    )
+    in_cols = ", ".join(
+        f"MAX(CASE WHEN j = {j} THEN val END) AS e{j}" for j in range(dim)
+    )
+    p.append(f"wi0 AS MATERIALIZED (SELECT v, {in_cols} FROM emv WHERE tag = 0 GROUP BY v)")
+    p.append(f"wo0 AS MATERIALIZED (SELECT v, {in_cols} FROM emv WHERE tag = 1 GROUP BY v)")
+
+    for ep in range(epochs):
+        base_ep = ((seed + 1000 * ep) * _FNV) % _M64
+        # negatives: k in 0..neg-1, arg = idx*neg + k + base
+        p.append(
+            f"ng{ep}0 AS (SELECT part, center, idx, k.k, "
+            f"CAST((idx * {neg} + k.k + {base_ep}) % {_M64} AS UBIGINT) AS a0 "
+            f"FROM prs CROSS JOIN (SELECT UNNEST(range({neg})) AS k) k)"
+        )
+        p += _sm64_stages(f"ng{ep}h", f"ng{ep}0", "a0", "part, center, idx, k")
+        p.append(
+            f"tg{ep} AS MATERIALIZED ("
+            f"SELECT center, context AS tgt, 1.0 AS label FROM prs "
+            f"UNION ALL SELECT center, CAST(h % CAST({n} AS UBIGINT) AS BIGINT) AS tgt, 0.0 AS label "
+            f"FROM ng{ep}hc)"
+        )
+        dot = " + ".join(f"i.e{j} * o.e{j}" for j in range(dim))
+        p.append(
+            f"sc{ep} AS MATERIALIZED (SELECT t.center, t.tgt, "
+            f"t.label - FLOOR((1.0 / (1.0 + EXP(-({dot})))) * {Q} + 0.5) / {Q} AS coef "
+            f"FROM tg{ep} t JOIN wi{ep} i ON i.v = t.center JOIN wo{ep} o ON o.v = t.tgt)"
+        )
+        gi_cols = ", ".join(
+            f"SUM(FLOOR((s.coef * o.e{j}) * {Q} + 0.5) / {Q}) AS g{j}" for j in range(dim)
+        )
+        go_cols = ", ".join(
+            f"SUM(FLOOR((s.coef * i.e{j}) * {Q} + 0.5) / {Q}) AS g{j}" for j in range(dim)
+        )
+        p.append(
+            f"gi{ep} AS MATERIALIZED (SELECT s.center AS v, {gi_cols} "
+            f"FROM sc{ep} s JOIN wo{ep} o ON o.v = s.tgt GROUP BY s.center)"
+        )
+        p.append(
+            f"go{ep} AS MATERIALIZED (SELECT s.tgt AS v, {go_cols} "
+            f"FROM sc{ep} s JOIN wi{ep} i ON i.v = s.center GROUP BY s.tgt)"
+        )
+        up_i = ", ".join(
+            f"w.e{j} + {lr} * COALESCE(g.g{j}, 0.0) AS e{j}" for j in range(dim)
+        )
+        p.append(
+            f"wi{ep+1} AS MATERIALIZED (SELECT w.v, {up_i} FROM wi{ep} w "
+            f"LEFT JOIN gi{ep} g ON g.v = w.v)"
+        )
+        p.append(
+            f"wo{ep+1} AS MATERIALIZED (SELECT w.v, {up_i} FROM wo{ep} w "
+            f"LEFT JOIN go{ep} g ON g.v = w.v)"
+        )
+    out_cols = ", ".join(f"ROUND(e{j}, 6) AS e{j}" for j in range(dim))
+    return (
+        "WITH " + ",\n".join(p)
+        + f"\nSELECT v, {out_cols} FROM wi{epochs} ORDER BY v"
     )
 
 
@@ -7798,6 +7944,7 @@ def oracle_sql() -> dict[str, str]:
         "max_flow": _maxflow_sql().replace("{SYM}", SYMMETRIC_EDGES_SQL),
         "cut_clustering": _cutcluster_sql().replace("{RING}", SUPPLIER_RING_SQL),
         "lfm_cover": _lfm_cover_sql().replace("{RING}", SUPPLIER_RING_SQL),
+        "sgns_embeddings": _sgns_sql().replace("{SYM}", SYMMETRIC_EDGES_SQL),
         "ego_splitting": _egosplit_sql()
         .replace("{CANON}", CANONICAL_EDGES_SQL)
         .replace("{SYM}", SYMMETRIC_EDGES_SQL),

@@ -56,10 +56,15 @@ def skipgram_pairs(
             xs.append(v[off:][same])
             cs.append(v[off:][same])
             xs.append(v[:-off][same])
+        c = np.concatenate(cs)
+        # "idx" pins each pair's batch-local position at CONSTRUCTION time
+        # (partition task = batch), so negative draws are invariant to any
+        # later re-blocking of the materialized pair table
         return pa.table(
             {
-                "center": pa.array(np.concatenate(cs)),
+                "center": pa.array(c),
                 "context": pa.array(np.concatenate(xs)),
+                "idx": pa.array(np.arange(len(c), dtype=np.int64)),
             }
         )
 
@@ -71,34 +76,62 @@ def skipgram_pairs(
     ]
     if not keep:
         return ray.data.from_arrow(
-            pa.schema([("center", pa.int64()), ("context", pa.int64())]).empty_table()
+            pa.schema(
+                [
+                    ("center", pa.int64()),
+                    ("context", pa.int64()),
+                    ("idx", pa.int64()),
+                ]
+            ).empty_table()
         )
     return ray.data.from_arrow_refs(keep)
 
 
 @ray.remote
 def _grad_partial(
-    t: pa.Table, w_in_ref, w_out_ref, num_nodes: int, neg: int, seed_base: int
+    t: pa.Table,
+    w_in_ref,
+    w_out_ref,
+    num_nodes: int,
+    neg: int,
+    seed_base: int,
+    lattice: bool = False,
 ):
-    """Dense (n, d) gradient partials for one pair batch (SGNS loss)."""
+    """Dense (n, d) gradient partials for one pair batch (SGNS loss).
+
+    ``lattice=True`` quantizes the sigmoid score and each pair's gradient
+    contribution to the 2⁻²⁴ lattice (floor(x·2²⁴ + 0.5)/2²⁴): lattice
+    values sum EXACTLY in float64, so partials become independent of pair
+    order and re-blocking — the replayable-draw option pattern that backs
+    the SQL oracle.  The default full-precision path is untouched."""
     w_in, w_out = w_in_ref, w_out_ref
     c = t["center"].to_numpy(zero_copy_only=False).astype(np.int64)
     x = t["context"].to_numpy(zero_copy_only=False).astype(np.int64)
     d = w_in.shape[1]
     g_in = np.zeros_like(w_in)
     g_out = np.zeros_like(w_out)
+    Q = 16777216.0  # 2^24
 
     def sgd_pair(ctr, tgt, label):
         vi = w_in[ctr]  # (m, d)
         vo = w_out[tgt]
         score = 1.0 / (1.0 + np.exp(-np.einsum("ij,ij->i", vi, vo)))
+        if lattice:
+            score = np.floor(score * Q + 0.5) / Q
         coef = (label - score)[:, None]
-        np.add.at(g_in, ctr, coef * vo)
-        np.add.at(g_out, tgt, coef * vi)
+        if lattice:
+            np.add.at(g_in, ctr, np.floor(coef * vo * Q + 0.5) / Q)
+            np.add.at(g_out, tgt, np.floor(coef * vi * Q + 0.5) / Q)
+        else:
+            np.add.at(g_in, ctr, coef * vo)
+            np.add.at(g_out, tgt, coef * vi)
 
     sgd_pair(c, x, 1.0)
     base = np.uint64(seed_base) * np.uint64(0x100000001B3)
-    idx = np.arange(len(c), dtype=np.uint64)
+    if "idx" in t.column_names:
+        idx = t["idx"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    else:
+        idx = np.arange(len(c), dtype=np.uint64)
     for k in range(neg):
         negs = (
             _splitmix64(idx * np.uint64(neg) + np.uint64(k) + base)
@@ -118,11 +151,18 @@ def sgns_embeddings(
     epochs: int = 5,
     lr: float = 0.05,
     seed: int = 42,
+    lattice: bool = False,
 ) -> ray.data.Dataset:
     """(v, e0..e{dim-1}) trained SGNS input embeddings.
 
     Flat float columns (not a list column) so the result joins/round-trips
     through parquet and the driver hash like every other table.
+
+    ``lattice=True``: gradient contributions quantize to the 2⁻²⁴ lattice
+    (see _grad_partial) and each epoch applies ONE exactly-summed update
+    (the lattice partials add without rounding, so the result is
+    independent of batch count/order) — the replayable mode the
+    `sgns_embeddings` SQL oracle targets; accuracy tests cover both modes.
     """
     # array (not scalar) uint64 arithmetic — numpy scalars promote on overflow
     rng_base = (np.array([seed], np.uint64) * np.uint64(0x9E3779B97F4A7C15))[0]
@@ -143,14 +183,20 @@ def sgns_embeddings(
         partials = ray.get(
             [
                 _grad_partial.remote(
-                    r, in_ref, out_ref, num_nodes, neg, seed + 1000 * ep
+                    r, in_ref, out_ref, num_nodes, neg, seed + 1000 * ep, lattice
                 )
                 for r in pair_refs
             ]
         )
-        for g_in, g_out in partials:
+        if lattice:
+            g_in = sum(g for g, _ in partials)  # exact: lattice multiples
+            g_out = sum(g for _, g in partials)
             w_in += lr * g_in
             w_out += lr * g_out
+        else:
+            for g_in, g_out in partials:
+                w_in += lr * g_in
+                w_out += lr * g_out
 
     cols = {"v": pa.array(np.arange(num_nodes, dtype=np.int64))}
     for j in range(dim):

@@ -179,7 +179,6 @@ def test_queries_oracles_consistent():
     assert rows_only == {
         "lfr_edges",
         "lfr_mixing",
-        "sgns_embeddings",
     }
 
 
