@@ -396,28 +396,35 @@ def q_havel_hakimi_degrees(sf_dir):
 
 
 def q_lfr_edges(sf_dir):
-    """generators/LFRGenerator.cpp analog; rows-only — degree/mixing/
-    recovery invariants are asserted in tests/test_lfr.py (deterministic
-    counter-hashed draws, so the table is stable across runs)."""
+    """generators/LFRGenerator.cpp analog, in the replayable mode
+    (canonical per-community order, counter-hashed draws only — see
+    lfr._intra_group); oracle-exact — the full pipeline (powerlaw degrees,
+    stochastic-rounded internal degrees, size draws, capacity-feasible
+    assignment rounds, per-community Havel–Hakimi, bucket stub pairing)
+    replayed in SQL (_lfr_parts); degree/mixing/recovery invariants for
+    BOTH modes in tests/test_lfr.py."""
     from networkit_ray.sources.lfr import lfr_graph
 
     _, nc = _canon(sf_dir)
     n = min(max(nc, 200), 600)
     edges, _, _ = lfr_graph(
-        n, mu=0.15, min_deg=4, max_deg=20, min_comm=20, max_comm=60, seed=42
+        n, mu=0.15, min_deg=4, max_deg=20, min_comm=20, max_comm=60, seed=42,
+        replayable=True,
     )
     return edges.sort(["src", "dst"])
 
 
 def q_lfr_mixing(sf_dir):
-    """Planted vs realized LFR summary; rows-only — tolerance invariants
-    in tests/test_lfr.py."""
+    """Planted vs realized LFR summary (replayable mode); oracle-exact —
+    the edge replay plus the inter-community fraction (_lfr_parts);
+    tolerance invariants in tests/test_lfr.py."""
     from networkit_ray.sources.lfr import lfr_graph, realized_mixing
 
     _, nc = _canon(sf_dir)
     n = min(max(nc, 200), 600)
     edges, comms, info = lfr_graph(
-        n, mu=0.15, min_deg=4, max_deg=20, min_comm=20, max_comm=60, seed=42
+        n, mu=0.15, min_deg=4, max_deg=20, min_comm=20, max_comm=60, seed=42,
+        replayable=True,
     )
     edges = edges.materialize()
     from networkit_ray.common.hashing import round_half_away
@@ -4232,6 +4239,224 @@ def _sgns_sql(n_walkers=128, length=8, dim=8, window=2, neg=3, epochs=3,
     )
 
 
+def _lfr_parts(
+    mu=0.15, gamma=-2.0, min_deg=4, max_deg=20, gamma_size=-1.0,
+    min_comm=20, max_comm=60, seed=42,
+    size_blocks=3, assign_rounds=8, hh_steps=56,
+) -> list:
+    """CTE parts ending in lfedges (src, dst) + lfasg (v, deg, ideg, c) +
+    lfncomm (k).  All draws counter-hashed; CDF thresholds are embedded
+    from the same numpy computation the engine runs."""
+    from networkit_ray.sources.lfr import _plaw_cdf  # engine-identical thresholds
+
+    _K = 0x9E3779B97F4A7C15
+
+    cdf_d = _plaw_cdf(gamma, min_deg, max_deg)
+    cdf_s = _plaw_cdf(gamma_size, min_comm, max_comm)
+    vals_d = ", ".join(f"({x!r})" for x in cdf_d)
+    vals_s = ", ".join(f"({x!r})" for x in cdf_s)
+    TWO64F = "18446744073709551616.0"
+    p = [
+        "lfn AS MATERIALIZED (SELECT LEAST(GREATEST(CAST(COUNT(*) AS BIGINT), 200), 600) AS n FROM customer)",
+        f"lfcd(t) AS (SELECT CAST(col0 AS DOUBLE) FROM (VALUES {vals_d}))",
+        f"lfcs(t) AS (SELECT CAST(col0 AS DOUBLE) FROM (VALUES {vals_s}))",
+        "lfv AS MATERIALIZED (SELECT CAST(range AS BIGINT) AS v FROM range(600) "
+        "WHERE range < (SELECT n FROM lfn))",
+    ]
+    # A. degrees
+    p += _sm64_stages("lfdg", "lfv", f"v + {seed * 0x85EBCA77}", "v")
+    p.append(
+        f"lfdeg AS MATERIALIZED (SELECT v, {min_deg} + "
+        f"(SELECT COUNT(*) FROM lfcd WHERE t < u) AS deg FROM "
+        f"(SELECT v, CAST(h AS DOUBLE) / {TWO64F} AS u FROM lfdgc))"
+    )
+    # B. internal degrees (stochastic rounding, hash coin)
+    p += _sm64_stages("lfco", "lfdeg", f"v + {seed * 0xB5297A4D}", "v, deg")
+    p.append(
+        f"lfnd AS MATERIALIZED (SELECT v, deg, "
+        f"CAST(FLOOR((1.0 - {mu}) * deg) AS BIGINT) + "
+        f"(CASE WHEN CAST(h AS DOUBLE) / {TWO64F} < "
+        f"((1.0 - {mu}) * deg) - FLOOR((1.0 - {mu}) * deg) THEN 1 ELSE 0 END) AS ideg "
+        f"FROM lfcoc)"
+    )
+    # C. community sizes: blocks of draws, keep prefix with running_before < n
+    blk = "GREATEST(4, (SELECT n FROM lfn) // 40 + 2)"
+    p.append(
+        f"lfsz0 AS (SELECT b.b, i.i FROM (SELECT UNNEST(range({size_blocks})) AS b) b "
+        f"CROSS JOIN (SELECT CAST(range AS BIGINT) AS i FROM range(20)) i WHERE i.i < {blk})"
+    )
+    p += _sm64_stages(
+        "lfszh", "lfsz0", f"i + (b + {seed + 7}) * 2654435761", "b, i"
+    )
+    p.append(
+        f"lfszd AS MATERIALIZED (SELECT b, i, {min_comm} + "
+        f"(SELECT COUNT(*) FROM lfcs WHERE t < u) AS s FROM "
+        f"(SELECT b, i, CAST(h AS DOUBLE) / {TWO64F} AS u FROM lfszhc))"
+    )
+    p.append(
+        "lfszk AS MATERIALIZED (SELECT pos, s FROM ("
+        "SELECT ROW_NUMBER() OVER (ORDER BY b, i) - 1 AS pos, s, "
+        "COALESCE(SUM(s) OVER (ORDER BY b, i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before "
+        "FROM lfszd) WHERE before < (SELECT n FROM lfn))"
+    )
+    p.append("lfszt AS (SELECT CAST(SUM(s) AS BIGINT) AS tot FROM lfszk)")
+    p.append(
+        "lfszadj AS MATERIALIZED (SELECT pos, s + CASE WHEN "
+        "ROW_NUMBER() OVER (ORDER BY s ASC, pos ASC) = 1 "
+        "THEN (SELECT n FROM lfn) - (SELECT tot FROM lfszt) ELSE 0 END AS s "
+        "FROM lfszk)"
+    )
+    p.append("lfncomm AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM lfszadj)")
+    # community rank: argsort(-sizes, stable) -> ci
+    p.append(
+        "lfcomm AS MATERIALIZED (SELECT CAST(ROW_NUMBER() OVER (ORDER BY s DESC, pos ASC) - 1 AS BIGINT) AS ci, "
+        "s AS size FROM lfszadj)"
+    )
+    # D. assignment rounds
+    p.append("lfcap0 AS MATERIALIZED (SELECT ci, size AS cap FROM lfcomm)")
+    p.append("lfpd0 AS MATERIALIZED (SELECT v, deg, ideg FROM lfnd)")
+    kept_names = []
+    for t in range(assign_rounds):
+        p.append(
+            f"lfcc{t} AS MATERIALIZED (SELECT c.ci, c.cap, cm.size, "
+            f"SUM(c.cap) OVER (ORDER BY c.ci) AS cum FROM lfcap{t} c "
+            f"JOIN lfcomm cm ON cm.ci = c.ci)"
+        )
+        p += _sm64_stages(
+            f"lfah{t}", f"lfpd{t}",
+            f"v + {t * 0xC2B2AE35 + seed * 0x27D4EB2F}", "v, deg, ideg",
+        )
+        p.append(
+            f"lfdr{t} AS MATERIALIZED (SELECT v, deg, ideg, h, "
+            f"CASE WHEN eff > 0 THEN "
+            f"(SELECT COUNT(*) FROM lfcc{t} w WHERE w.cum <= "
+            f"CAST(h % CAST(GREATEST(eff, 1) AS UBIGINT) AS BIGINT)) ELSE -1 END AS c, "
+            f"CAST(h % 9223372036854775808 AS BIGINT) AS hs FROM ("
+            f"SELECT v, deg, ideg, h, "
+            f"CASE WHEN fcap > 0 THEN fcap ELSE (SELECT MAX(cum) FROM lfcc{t}) END AS eff "
+            f"FROM (SELECT v, deg, ideg, h, "
+            f"COALESCE((SELECT w.cum FROM lfcc{t} w WHERE w.ci = "
+            f"(SELECT COUNT(*) FROM lfcc{t} x WHERE x.size >= q.ideg + 1) - 1), 0) AS fcap "
+            f"FROM lfah{t}c q)))"
+        )
+        p.append(
+            f"lfkp{t} AS MATERIALIZED (SELECT v, deg, ideg, c FROM ("
+            f"SELECT d.*, ROW_NUMBER() OVER (PARTITION BY d.c ORDER BY d.hs, d.v) AS rn, "
+            f"cp.cap FROM lfdr{t} d LEFT JOIN lfcap{t} cp ON cp.ci = d.c) "
+            f"WHERE c >= 0 AND rn <= cap)"
+        )
+        kept_names.append(f"lfkp{t}")
+        p.append(
+            f"lfcap{t + 1} AS MATERIALIZED (SELECT c.ci, c.cap - "
+            f"COALESCE((SELECT COUNT(*) FROM lfkp{t} k WHERE k.c = c.ci), 0) AS cap "
+            f"FROM lfcap{t} c)"
+        )
+        p.append(
+            f"lfpd{t + 1} AS MATERIALIZED (SELECT p.v, p.deg, p.ideg FROM lfpd{t} p "
+            f"WHERE p.v NOT IN (SELECT v FROM lfkp{t}))"
+        )
+    p.append(
+        "lfasg AS MATERIALIZED ("
+        + " UNION ALL ".join(f"SELECT * FROM {k}" for k in kept_names)
+        + ")"
+    )
+    # E. intra: per-community HH on (ideg clamped, parity-fixed)
+    p.append(
+        "lfmem AS MATERIALIZED (SELECT a.c AS ci, a.v, a.ideg, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY a.c ORDER BY a.v) - 1 AS BIGINT) AS i, "
+        "COUNT(*) OVER (PARTITION BY a.c) AS size FROM lfasg a)"
+    )
+    p.append(
+        "lfd0a AS MATERIALIZED (SELECT ci, v, i, LEAST(ideg, size - 1) AS def FROM lfmem)"
+    )
+    p.append(
+        "lfdf0 AS MATERIALIZED (SELECT ci, v, i, def - CASE WHEN "
+        "(SELECT SUM(def) FROM lfd0a x WHERE x.ci = lfd0a.ci) % 2 = 1 AND "
+        "ROW_NUMBER() OVER (PARTITION BY ci ORDER BY def DESC, i ASC) = 1 "
+        "THEN 1 ELSE 0 END AS def FROM lfd0a)"
+    )
+    ed_names = []
+    for s in range(1, hh_steps + 1):
+        pv = f"lfdf{s - 1}"
+        p.append(
+            f"lfrk{s} AS MATERIALIZED (SELECT ci, v, i, def, "
+            f"ROW_NUMBER() OVER (PARTITION BY ci ORDER BY def DESC, i ASC) AS rn FROM {pv})"
+        )
+        p.append(
+            f"lfpk{s} AS MATERIALIZED (SELECT ci, i AS ui, v AS uv, def AS d "
+            f"FROM lfrk{s} WHERE rn = 1 AND def > 0)"
+        )
+        p.append(
+            f"lftg{s} AS MATERIALIZED (SELECT r.ci, r.i, r.v FROM lfrk{s} r "
+            f"JOIN lfpk{s} k ON k.ci = r.ci "
+            f"WHERE r.rn BETWEEN 2 AND k.d + 1 AND r.def > 0)"
+        )
+        p.append(
+            f"lfed{s} AS MATERIALIZED (SELECT LEAST(k.uv, t.v) AS src, "
+            f"GREATEST(k.uv, t.v) AS dst FROM lfpk{s} k JOIN lftg{s} t ON t.ci = k.ci)"
+        )
+        ed_names.append(f"lfed{s}")
+        p.append(
+            f"lfdf{s} AS MATERIALIZED (SELECT d.ci, d.v, d.i, "
+            f"CASE WHEN k.ui IS NOT NULL AND d.i = k.ui THEN 0 "
+            f"WHEN tg.i IS NOT NULL THEN d.def - 1 ELSE d.def END AS def "
+            f"FROM {pv} d LEFT JOIN lfpk{s} k ON k.ci = d.ci "
+            f"LEFT JOIN lftg{s} tg ON tg.ci = d.ci AND tg.i = d.i)"
+        )
+    # F. inter: stub pairing in 64 buckets
+    p.append(
+        f"lfst0 AS (SELECT a.v, a.c, j.j FROM lfasg a "
+        f"CROSS JOIN (SELECT CAST(range AS BIGINT) AS j FROM range({max_deg})) j "
+        f"WHERE j.j < GREATEST(a.deg - a.ideg, 0))"
+    )
+    vK = _mul64_sql("v", _K)
+    p += _sm64_stages(
+        "lfsh", "lfst0", f"(CAST({vK} AS HUGEINT) + j + {seed * 0x165667B1}) % {_M64}",
+        "v, c, j",
+    )
+    p.append(
+        "lfstb AS MATERIALIZED (SELECT v, c, CAST(h % 64 AS BIGINT) AS bucket, "
+        "CAST(h >> 8 AS BIGINT) AS hs FROM lfshc)"
+    )
+    p.append(
+        "lfpr AS MATERIALIZED (SELECT bucket, v, c, "
+        "ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY hs, v) - 1 AS rn, "
+        "COUNT(*) OVER (PARTITION BY bucket) AS cnt FROM lfstb)"
+    )
+    p.append(
+        "lfie AS MATERIALIZED (SELECT LEAST(a.v, b.v) AS src, GREATEST(a.v, b.v) AS dst "
+        "FROM lfpr a JOIN lfpr b ON b.bucket = a.bucket AND b.rn = a.rn + 1 "
+        "WHERE a.rn % 2 = 0 AND a.rn + 1 < a.cnt - (a.cnt % 2) + 1 "
+        "AND a.rn < a.cnt - (a.cnt % 2) "
+        "AND a.v <> b.v AND a.c <> b.c)"
+    )
+    p.append(
+        "lfedges AS MATERIALIZED (SELECT DISTINCT src, dst FROM ("
+        + " UNION ALL ".join(f"SELECT src, dst FROM {e}" for e in ed_names)
+        + " UNION ALL SELECT src, dst FROM lfie))"
+    )
+    return p
+
+
+def _lfr_edges_sql():
+    p = _lfr_parts()
+    return "WITH " + ",\n".join(p) + "\nSELECT src, dst FROM lfedges ORDER BY src, dst"
+
+
+def _lfr_mixing_sql():
+    p = _lfr_parts()
+    p.append(
+        "lfmx AS (SELECT CAST(COUNT(*) AS BIGINT) AS m, "
+        "CAST(SUM(CASE WHEN la.c <> lb.c THEN 1 ELSE 0 END) AS DOUBLE) AS s "
+        "FROM lfedges e JOIN lfasg la ON la.v = e.src JOIN lfasg lb ON lb.v = e.dst)"
+    )
+    return (
+        "WITH " + ",\n".join(p)
+        + "\nSELECT (SELECT n FROM lfn) AS n, m, (SELECT k FROM lfncomm) AS n_communities, "
+        "ROUND(s / GREATEST(1, m), 6) AS realized_mu FROM lfmx"
+    )
+
+
 def _louvain_parts(rounds=(32, 12, 6), min_gain=2e-3) -> tuple[list, str]:
     """CTE parts replaying louvain() (graph/louvain.py) exactly; returns
     (parts, final_label_cte) where the final CTE is (v, l) in original
@@ -7945,6 +8170,8 @@ def oracle_sql() -> dict[str, str]:
         "cut_clustering": _cutcluster_sql().replace("{RING}", SUPPLIER_RING_SQL),
         "lfm_cover": _lfm_cover_sql().replace("{RING}", SUPPLIER_RING_SQL),
         "sgns_embeddings": _sgns_sql().replace("{SYM}", SYMMETRIC_EDGES_SQL),
+        "lfr_edges": _lfr_edges_sql(),
+        "lfr_mixing": _lfr_mixing_sql(),
         "ego_splitting": _egosplit_sql()
         .replace("{CANON}", CANONICAL_EDGES_SQL)
         .replace("{SYM}", SYMMETRIC_EDGES_SQL),

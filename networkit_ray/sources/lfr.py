@@ -246,11 +246,21 @@ def _assign_communities(
 
 
 # ------------------------------------------------------------ intra edges
-def _intra_group(seed: int):
+def _intra_group(seed: int, replayable: bool = False):
     """Per-community Havel–Hakimi + seeded edge-switch rounds (local task;
-    LFRGenerator.cpp:132-176 generateIntraClusterGraph shape)."""
+    LFRGenerator.cpp:132-176 generateIntraClusterGraph shape).
+
+    ``replayable=True`` (the SQL-oracle-backing mode): rows sort by vertex
+    id first, so HH tie-breaks are a pure function of the member set (the
+    default inherits the group's arrival order), and the PCG64 edge-switch
+    randomization is skipped — HH + the configuration-model inter stage
+    already realize the planted degree/mixing structure, which is what the
+    invariant tests assert; switching only randomizes WHICH intra pairs
+    carry the internal degrees."""
 
     def fn(g: pd.DataFrame) -> pd.DataFrame:
+        if replayable:
+            g = g.sort_values("v").reset_index(drop=True)
         c = int(g["c"].iloc[0])
         v = g["v"].to_numpy().astype(np.int64)
         ideg = g["int_deg"].to_numpy().astype(np.int64).copy()
@@ -281,6 +291,11 @@ def _intra_group(seed: int):
             return pd.DataFrame({"src": np.empty(0, np.int64), "dst": np.empty(0, np.int64)})
         a = np.array(src_l, np.int64)
         b = np.array(dst_l, np.int64)
+        if replayable:
+            ga, gb = v[a], v[b]
+            return pd.DataFrame(
+                {"src": np.minimum(ga, gb), "dst": np.maximum(ga, gb)}
+            )
         # seeded local edge switching to randomize the HH structure
         rng = np.random.default_rng((seed * 1_000_003 + c) & 0xFFFFFFFF)
         m = len(a)
@@ -373,8 +388,13 @@ def lfr_graph(
     min_comm: int = 16,
     max_comm: int = 64,
     seed: int = 42,
+    replayable: bool = False,
 ) -> tuple[ray.data.Dataset, ray.data.Dataset, dict]:
     """(canonical edges (src<dst), communities (v, c), info).
+
+    ``replayable=True``: canonical per-community row order and no PCG64
+    edge switching (see _intra_group) — every draw is then a counter hash
+    the SQL oracle replays bit-for-bit.
 
     Deterministic LFR: every random draw is a counter hash of ``seed``, so
     the same parameters give the same graph at any parallelism.  ``mu`` is
@@ -433,7 +453,7 @@ def lfr_graph(
     assigned = _assign_communities(nodes, sizes, seed).materialize()
 
     intra = assigned.groupby("c").map_groups(
-        _intra_group(seed), batch_format="pandas"
+        _intra_group(seed, replayable), batch_format="pandas"
     )
     inter = _inter_edges(assigned, seed)
     from networkit_ray.common.exchange import exchange_unique

@@ -174,12 +174,9 @@ def test_query_matches_oracle(name, sf_tiny, con):
 def test_queries_oracles_consistent():
     qs, os_ = E.queries(), E.oracle_sql()
     assert set(os_) <= set(qs), "oracle without a query"
-    # the non-SQL set is intentional and documented
+    # every query carries an exact DuckDB twin (since round 4)
     rows_only = set(qs) - set(os_)
-    assert rows_only == {
-        "lfr_edges",
-        "lfr_mixing",
-    }
+    assert rows_only == set()
 
 
 def test_entry_smoke():
