@@ -71,3 +71,50 @@ def test_sgns_separates_planted_clusters(ray_session):
         df[[f"e{j}" for j in range(8)]].to_numpy(),
         df2[[f"e{j}" for j in range(8)]].to_numpy(),
     )
+
+
+def test_sgns_lattice_mode_reblocking_invariant(ray_session):
+    """lattice=True: gradients quantize to 2^-24 multiples that sum exactly,
+    so the trained weights are bit-identical under any walk re-blocking —
+    the property the sgns_embeddings SQL oracle relies on."""
+    from networkit_ray.graph.embedding import sgns_embeddings
+    from networkit_ray.graph.walks import random_walks
+    from networkit_ray.sources.synth import planted_partition
+
+    n = 30
+    canon, labels = planted_partition(n, 2, p_in=0.9, p_out=0.05, seed=11)
+    both = canon.map_batches(
+        lambda t: pa.table(
+            {
+                "src": pa.concat_arrays(
+                    [t["src"].combine_chunks(), t["dst"].combine_chunks()]
+                ),
+                "dst": pa.concat_arrays(
+                    [t["dst"].combine_chunks(), t["src"].combine_chunks()]
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    walks = random_walks(both, n, n_walkers=30, length=6, seed=9).materialize()
+
+    cols = [f"e{j}" for j in range(6)]
+
+    def train(w):
+        df = (
+            sgns_embeddings(w, n, dim=6, epochs=3, lr=0.1, seed=13, lattice=True)
+            .to_pandas()
+            .sort_values("v")
+        )
+        return df[cols].to_numpy()
+
+    a = train(walks.repartition(1).materialize())
+    b = train(walks.repartition(8).materialize())
+    np.testing.assert_array_equal(a, b)  # bit-exact, not allclose
+
+    # quality parity: the lattice mode still separates the planted clusters
+    E = a / np.maximum(np.linalg.norm(a, axis=1, keepdims=True), 1e-12)
+    sim = E @ E.T
+    same = labels[:, None] == labels[None, :]
+    off = ~np.eye(n, dtype=bool)
+    assert sim[same & off].mean() > sim[~same].mean(), "lattice mode lost signal"

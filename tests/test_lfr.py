@@ -122,3 +122,26 @@ def test_louvain_recovers_planted_lfr_communities(lfr600):
     )
     score = nmi(labels, planted, 600)
     assert score > 0.6, f"NMI {score}"
+
+
+def test_lfr_replayable_mode_deterministic_and_valid(ray_session):
+    """replayable=True (the SQL-oracle-backing mode): bit-identical across
+    runs, canonical structure intact, and mixing still lands near mu."""
+    edges1, comms1, info1 = lfr_graph(400, replayable=True, **PARAMS)
+    edges2, comms2, _ = lfr_graph(400, replayable=True, **PARAMS)
+    e1 = edges1.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    e2 = edges2.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    assert e1.equals(e2)
+    c1 = comms1.to_pandas().sort_values("v").reset_index(drop=True)
+    c2 = comms2.to_pandas().sort_values("v").reset_index(drop=True)
+    assert c1.equals(c2)
+
+    # canonical edge invariants
+    assert (e1["src"] < e1["dst"]).all()
+    assert not e1.duplicated(["src", "dst"]).any()
+    assert set(c1["v"]) == set(range(400))
+
+    # the mode changes intra-community wiring, not the contract: realized
+    # mixing must still be near the target mu
+    mix = realized_mixing(edges1, comms1)
+    assert abs(mix - PARAMS["mu"]) < 0.10, mix
