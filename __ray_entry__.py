@@ -3468,6 +3468,21 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
 # already-validated queries to the back.  Update this set each round from
 # the new CORRECTNESS artifact.
 _DRIVER_VALIDATED = {
+    # round 4 (CORRECTNESS_r04.json, 50/50 green)
+    "adamic_adar_distance", "apsp", "blended_scores",
+    "chance_corrected_triangles", "contamination",
+    "degree_preserving_shuffle", "doc_sample", "dyn_apsp",
+    "dyn_top_harmonic", "edge_triangle_scores", "ego_splitting",
+    "forest_fire_scores", "geometric_mean_scores", "jaccard_distance",
+    "k_path_centrality", "leiden_refine", "lfm_cover",
+    "linearized_triangle_scores", "link_prediction", "link_roc",
+    "lm_cross_entropy", "local_degree_scores", "local_similarity",
+    "map_equation", "multiscale_scores", "neighborhood_function",
+    "normalized_triangle_scores", "path_growing_matching",
+    "prefix_jaccard_scores", "quadrangle_scores", "random_edge_scores",
+    "reverse_bfs", "same_community", "score_as_weight", "simmelian_overlap",
+    "sparsify_triangles", "stable_partition_nodes", "token_shards",
+    "top_harmonic_closeness", "volume", "warm_katz", "warm_pagerank",
     # round 3 (CORRECTNESS_r03.json, 50/50 green)
     "anchor_histogram", "anchor_summary", "anchor_texts",
     "betweenness_pivots", "bidirectional_sssp", "bm25_topk",

@@ -15,7 +15,10 @@ getMaxFlow / getSourceSet).  Re-expressed on the BSP engine:
   frontier neighbor wins), so the augmenting path is a *shortest* path as
   Edmonds-Karp requires;
 - path backtrack / bottleneck / capacity updates are O(path length)
-  driver-side RPCs on tiny payloads — never O(n) pulls.
+  driver-side RPCs on tiny payloads; the only O(n) driver state in this
+  module is ``cut_clustering``'s vertex-sized assignment array (numpy,
+  never Python objects), which is gated by an explicit ``driver_limit``
+  guard — edge-sized data never leaves the object store.
 
 Scale note: max-flow is inherently sequential in the number of augmenting
 paths (≤ O(V·E) supersteps worst case); this operator is for *graph-sized*
@@ -227,6 +230,7 @@ def cut_clustering(
     alpha: float,
     *,
     num_parts: int | None = None,
+    driver_limit: int = 1 << 27,
 ) -> ray.data.Dataset:
     """(v, label) — Flake–Tarjan cut clustering.
 
@@ -240,11 +244,22 @@ def cut_clustering(
 
     Scale note: the cluster-count many max-flows are the algorithm's
     inherent sequential spine (same as the reference); each flow's BFS
-    supersteps are fully distributed.  The assignment array is vertex-
-    sized driver state — cluster-level, not edge-level.
+    supersteps are fully distributed.  The assignment array and the
+    degree-order permutation are vertex-sized numpy driver state (never
+    Python dicts/rows); ``driver_limit`` (default 2^27 vertices, ~3 GB
+    of int64 state) converts a silent driver OOM at pathological scale
+    into an immediate error naming the override lever.
     """
     import pyarrow as pa
     from ray.data.aggregate import Count
+
+    if num_nodes > driver_limit:
+        raise ValueError(
+            f"cut_clustering: num_nodes={num_nodes:,} exceeds "
+            f"driver_limit={driver_limit:,}. The assignment array is "
+            "vertex-sized driver state; pass a higher driver_limit= to "
+            "override on a big-memory driver, or pre-partition the graph."
+        )
 
     t = num_nodes
     ids = np.arange(num_nodes, dtype=np.int64)
@@ -257,26 +272,25 @@ def cut_clustering(
     )
     aug = sym_w.union(ray.data.from_arrow(sink_rows)).materialize()
 
-    deg = {
-        r["src"]: r["deg"]
-        for r in sym_w.groupby("src").aggregate(Count(alias_name="deg")).take_all()
-    }
-    order = sorted(range(num_nodes), key=lambda v: (-deg.get(v, 0), v))
+    deg_df = (
+        sym_w.groupby("src").aggregate(Count(alias_name="deg")).to_pandas()
+    )
+    deg = np.zeros(num_nodes, np.int64)
+    deg[deg_df["src"].to_numpy(np.int64)] = deg_df["deg"].to_numpy(np.int64)
+    # (degree DESC, id ASC): stable argsort on -deg keeps id order inside
+    # equal-degree runs — same order as the reference's comparator.
+    order = np.argsort(-deg, kind="stable")
 
     labels = np.full(num_nodes, -1, dtype=np.int64)
     n_flows = 0
     for u in order:
         if labels[u] != -1:
             continue
-        _, side, _ = max_flow(aug, num_nodes + 1, u, t, num_parts=num_parts)
-        members = np.array(
-            [
-                r["v"]
-                for r in side.take_all()
-                if r["in_source_set"] and r["v"] != t
-            ],
-            dtype=np.int64,
-        )
+        _, side, _ = max_flow(aug, num_nodes + 1, int(u), t, num_parts=num_parts)
+        side_df = side.to_pandas()
+        v_arr = side_df["v"].to_numpy(np.int64)
+        in_src = side_df["in_source_set"].to_numpy(bool)
+        members = v_arr[in_src & (v_arr != t)]
         labels[members] = u
         n_flows += 1
     return ray.data.from_arrow(
