@@ -24,6 +24,18 @@ Superstep shape: per-edge (dst, label[src], w) messages, pre-aggregated per
 (dst, label) inside each map task (the combiner — hub in-degree skew is
 absorbed here), then per-destination-partition reduce does the final
 (dst, label) sum and the argmax-with-min-label-tie-break.
+
+Delta supersteps (unweighted packed path): the reference deactivates
+settled nodes (PLP.cpp:94-99) so late sweeps only touch the boundary; the
+synchronous analog is EXACT, not heuristic.  Each destination partition
+pins its (dst_local·n + label) → count histogram in the object store after
+one full sweep; from then on map tasks ship only ±1 count deltas for the
+out-edges of vertices whose label changed last sweep, and the reduce
+merges deltas into the pinned histogram (integer arithmetic — no float
+drift) and re-runs the argmax only for destinations that received a
+delta.  An untouched destination's histogram is unchanged, so its argmax
+— and hence its label — is unchanged: the delta schedule is bit-identical
+to the full recompute while late supersteps cost O(boundary), not O(m).
 """
 
 from __future__ import annotations
@@ -143,15 +155,17 @@ def _plp_map_packed(block: dict, labels: np.ndarray, chunk: int, n: int) -> tupl
     return tuple(out)
 
 
-@ray.remote(num_returns=2)
-def _plp_reduce_packed(labels: np.ndarray, n: int, *partials):
-    """Packed-key twin of ``_plp_reduce``: keys arrive pre-grouped per
-    partial, one argsort merges them; ascending key order IS (dst, label)
-    order, so the argmax-with-min-label scan is unchanged; integer counts
-    make the max comparison exact."""
+@ray.remote(num_returns=4)
+def _plp_reduce_packed_hist(labels: np.ndarray, n: int, *partials):
+    """Packed-key reduce (keys pre-grouped per partial, one argsort merges;
+    ascending key order IS (dst, label) order so the argmax-with-min-label
+    scan needs no extra sort) that also RETURNS the merged (key → count)
+    histogram so subsequent supersteps can run the delta path against
+    it."""
     ks = [p[0] for p in partials if len(p[0])]
     if not ks:
-        return labels, 0
+        e64 = np.empty(0, np.int64)
+        return labels, 0, e64, e64
     k = np.concatenate(ks)
     c = np.concatenate([p[1] for p in partials if len(p[1])]).astype(np.int64)
     o = np.argsort(k)
@@ -178,7 +192,133 @@ def _plp_reduce_packed(labels: np.ndarray, n: int, *partials):
     new = labels.copy()
     new[d[heads]] = l[heads]
     changed = int((new != labels).sum())
-    return new, changed
+    return new, changed, k, w
+
+
+@ray.remote
+def _plp_map_delta(
+    block: dict, prev_labels: np.ndarray, cur_labels: np.ndarray, chunk: int, n: int
+) -> tuple:
+    """Delta sweep: for edges whose SOURCE changed label last sweep, ship
+    per target partition the combined (key, ±count) histogram deltas —
+    key = dst_local·n + label, -1 under the old label, +1 under the new.
+    Message volume ∝ out-edges of the changed boundary, not m."""
+    from networkit_ray.graph.bsp import grouped_dst, grouped_src
+
+    P = len(block["part_bounds"]) - 1
+    empty = (np.empty(0, np.int64), np.empty(0, np.int32))
+    sl = grouped_src(block, chunk)
+    if not len(sl):
+        return tuple([empty] * P)
+    changed = prev_labels != cur_labels
+    mask = changed[sl]
+    if not mask.any():
+        return tuple([empty] * P)
+    dl = grouped_dst(block, chunk)
+    if chunk < 0:
+        pb = block["part_bounds"]
+    else:
+        c = block["chunks"][chunk]
+        gs, gb = c["gs_rel"], c["gb"]
+        n_edges = c["end"] - c["start"]
+        pb = np.array(
+            [gs[gb[q]] if gb[q] < len(gs) else n_edges for q in range(P)] + [n_edges],
+            dtype=np.int64,
+        )
+    out = []
+    for q in range(P):
+        s, e = pb[q], pb[q + 1]
+        if s == e:
+            out.append(empty)
+            continue
+        idx = s + np.flatnonzero(mask[s:e])
+        if not len(idx):
+            out.append(empty)
+            continue
+        base = dl[idx].astype(np.int64) * np.int64(n)
+        src_sel = sl[idx]
+        keys = np.concatenate(
+            [base + prev_labels[src_sel].astype(np.int64),
+             base + cur_labels[src_sel].astype(np.int64)]
+        )
+        cnt = np.empty(2 * len(idx), np.int32)
+        cnt[: len(idx)] = -1
+        cnt[len(idx):] = 1
+        o2 = np.argsort(keys)
+        keys, cnt = keys[o2], cnt[o2]
+        change = np.empty(len(keys), dtype=bool)
+        change[0] = True
+        change[1:] = keys[1:] != keys[:-1]
+        starts = np.flatnonzero(change)
+        ck = keys[starts]
+        cc = np.add.reduceat(cnt, starts)
+        nz = cc != 0
+        out.append((ck[nz], cc[nz].astype(np.int32)))
+    return tuple(out)
+
+
+@ray.remote(num_returns=4)
+def _plp_reduce_delta(labels: np.ndarray, n: int, hk: np.ndarray, hc: np.ndarray, *partials):
+    """Merge ±count deltas into the pinned histogram and re-run the
+    argmax-with-min-label scan ONLY for destinations that received a
+    delta.  Integer counts make the merged histogram exactly equal to a
+    fresh full-sweep histogram, so labels are bit-identical to the full
+    path; untouched destinations keep their labels (unchanged histogram
+    ⇒ unchanged argmax)."""
+    ks = [p[0] for p in partials if len(p[0])]
+    if not ks:
+        return labels, 0, hk, hc
+    dk = np.concatenate(ks)
+    dc = np.concatenate([p[1] for p in partials if len(p[1])]).astype(np.int64)
+    o = np.argsort(dk)
+    dk, dc = dk[o], dc[o]
+    change = np.empty(len(dk), dtype=bool)
+    change[0] = True
+    change[1:] = dk[1:] != dk[:-1]
+    starts = np.flatnonzero(change)
+    dk = dk[starts]
+    dc = np.add.reduceat(dc, starts)
+    nz = dc != 0
+    dk, dc = dk[nz], dc[nz]
+    if not len(dk):
+        return labels, 0, hk, hc
+    touched = np.unique(dk // np.int64(n))
+    pos = np.searchsorted(hk, dk)
+    exists = np.zeros(len(dk), bool)
+    in_rng = pos < len(hk)
+    exists[in_rng] = hk[pos[in_rng]] == dk[in_rng]
+    hc = hc.copy()  # object-store arrays are read-only
+    hc[pos[exists]] += dc[exists]
+    miss = ~exists
+    if miss.any():
+        hk = np.insert(hk, pos[miss], dk[miss])
+        hc = np.insert(hc, pos[miss], dc[miss])
+    keep = hc > 0
+    if not keep.all():
+        hk, hc = hk[keep], hc[keep]
+    lo = np.searchsorted(hk, touched * np.int64(n))
+    hi = np.searchsorted(hk, (touched + 1) * np.int64(n))
+    lens = hi - lo
+    valid = lens > 0
+    touched, lo, lens = touched[valid], lo[valid], lens[valid]
+    new = labels.copy()
+    if len(touched):
+        seg_starts = np.cumsum(lens) - lens
+        total = int(lens.sum())
+        seg_id = np.repeat(np.arange(len(touched)), lens)
+        idx = np.arange(total) - np.repeat(seg_starts, lens) + np.repeat(lo, lens)
+        k = hk[idx]
+        c = hc[idx]
+        segmax = np.maximum.reduceat(c, seg_starts)
+        hit = np.flatnonzero(c == segmax[seg_id])
+        seg_of_hit = seg_id[hit]
+        first = np.empty(len(hit), dtype=bool)
+        first[0] = True
+        first[1:] = seg_of_hit[1:] != seg_of_hit[:-1]
+        heads = hit[first]
+        new[touched] = (k[heads] % np.int64(n)).astype(labels.dtype)
+    changed = int((new != labels).sum())
+    return new, changed, hk, hc
 
 
 @ray.remote
@@ -303,12 +443,35 @@ def plp_refs(
         and g.num_nodes > 0
         and max(g.part_sizes()) * g.num_nodes < 2**62
     )
+    # delta-superstep state: pinned per-partition histograms (hk, hc) of
+    # prev_labels' full (dst, label) counts; None until a full packed
+    # sweep has built them (fresh start, resume, or weighted path).
+    hist: tuple[list, list] | None = None
+    prev_labels: list | None = None
+    last_updated: int | None = None
     while iteration < max_iterations:
         t0 = time.perf_counter()
         use_min = min_sweep_first and iteration == start_iter
+        # delta sweep costs ~2× the changed vertices' out-edges; a full
+        # sweep costs m.  Under heavy churn (early sweeps) full is
+        # cheaper — switch to deltas once <30% of vertices moved.
+        use_delta = (
+            packed
+            and not use_min
+            and hist is not None
+            and last_updated is not None
+            and last_updated * 10 < g.num_nodes * 3
+        )
         if use_min:
             map_out = [
                 _plp_map_min.options(num_returns=P).remote(g.block_refs[p], c)
+                for p, c in units
+            ]
+        elif use_delta:
+            map_out = [
+                _plp_map_delta.options(num_returns=P).remote(
+                    g.block_refs[p], prev_labels[p], labels[p], c, g.num_nodes
+                )
                 for p, c in units
             ]
         elif packed:
@@ -324,18 +487,32 @@ def plp_refs(
                 for p, c in units
             ]
         new_labels, count_refs = [], []
+        new_hk, new_hc = [], []
         for q in range(P):
             if use_min:
                 s, c = _plp_reduce_min.remote(labels[q], *[mo[q] for mo in map_out])
+            elif use_delta:
+                s, c, hk, hc = _plp_reduce_delta.remote(
+                    labels[q], g.num_nodes, hist[0][q], hist[1][q],
+                    *[mo[q] for mo in map_out],
+                )
+                new_hk.append(hk)
+                new_hc.append(hc)
             elif packed:
-                s, c = _plp_reduce_packed.remote(
+                s, c, hk, hc = _plp_reduce_packed_hist.remote(
                     labels[q], g.num_nodes, *[mo[q] for mo in map_out]
                 )
+                new_hk.append(hk)
+                new_hc.append(hc)
             else:
                 s, c = _plp_reduce.remote(labels[q], *[mo[q] for mo in map_out])
             new_labels.append(s)
             count_refs.append(c)
         n_updated = sum(ray.get(count_refs))
+        last_updated = n_updated
+        if packed and not use_min:
+            hist = (new_hk, new_hc)
+        prev_labels = labels
         labels = new_labels
         iteration += 1
         timing.append(time.perf_counter() - t0)
