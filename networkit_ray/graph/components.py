@@ -43,9 +43,15 @@ def _cc_init(vids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 @ray.remote
-def _cc_map(block: dict, state: tuple, chunk: int) -> tuple:
+def _cc_map(block: dict, state: tuple, chunk: int, narrow: bool) -> tuple:
     # messages are VALUES ONLY — destination indices are superstep-invariant
-    # and pinned once via PGraph.msg_bundle_refs(), halving exchange bytes
+    # and pinned once via PGraph.msg_bundle_refs(), halving exchange bytes.
+    # ``narrow``: labels are component min-ids < num_nodes, so when
+    # num_nodes < 2^32-1 the aggregated mins ship as uint32 (4 B not 8 B
+    # per message — the f32-PageRank trick applied to the integer kernel);
+    # the uint32 sentinel 0xFFFFFFFF still exceeds every valid label, so
+    # min semantics are unchanged.  Cast AFTER the reduceat: O(messages),
+    # not O(edges).
     from networkit_ray.graph import bsp as _bsp
     from networkit_ray.graph.bsp import grouped_src
 
@@ -54,7 +60,10 @@ def _cc_map(block: dict, state: tuple, chunk: int) -> tuple:
     per_edge = labels[src_local]
     if not active.all():
         per_edge = np.where(active[src_local], per_edge, _SENTINEL)
-    return tuple(_bsp.message_values(block, per_edge, chunk, op=np.minimum))
+    vals = _bsp.message_values(block, per_edge, chunk, op=np.minimum)
+    if narrow:
+        return tuple(v.astype(np.uint32) for v in vals)
+    return tuple(vals)
 
 
 @ray.remote(num_returns=2)
@@ -63,6 +72,8 @@ def _cc_reduce(state: tuple, idx_bundle: list, *values):
     new = labels.copy()
     for idx, mins in zip(idx_bundle, values):
         if len(idx):
+            if mins.dtype != new.dtype:  # narrow (uint32) wire format
+                mins = mins.astype(new.dtype)
             np.minimum.at(new, idx, mins)  # idx unique per partial; .at for overlap across partials is handled by successive calls
     changed = new < labels
     return (new, changed), int(changed.sum())
@@ -171,9 +182,12 @@ def connected_components_refs(
     total_jumps = 0
     units = g.map_units()
     bundles = g.msg_bundle_refs()  # pinned once; supersteps ship values only
+    narrow = g.num_nodes < 0xFFFFFFFF  # uint32 label messages (see _cc_map)
     while iteration < max_iterations:
         map_out = [
-            _cc_map.options(num_returns=P).remote(g.block_refs[p], state[p], c)
+            _cc_map.options(num_returns=P).remote(
+                g.block_refs[p], state[p], c, narrow
+            )
             for p, c in units
         ]
         new_state, count_refs = [], []
