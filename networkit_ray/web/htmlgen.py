@@ -44,7 +44,16 @@ EPOCH_US = 1_577_836_800_000_000  # 2020-01-01T00:00:00Z in microseconds
 
 
 def num_documents(sf_dir: str) -> int:
-    return pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    import os
+
+    path = f"{sf_dir}/documents.parquet"
+    if os.path.isdir(path):  # partitioned table (e.g. web.bigcorpus output)
+        return sum(
+            pq.read_metadata(os.path.join(path, f)).num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    return pq.read_metadata(path).num_rows
 
 
 def page_url(doc_id: int) -> str:
