@@ -309,6 +309,23 @@ def run_bench() -> dict:
     plp_eps = sym_m * 5 / dt
     log(f"plp: 5 iters in {dt:.2f}s → {plp_eps/1e6:.1f}M edge-scans/s/iter")
 
+    # delta-superstep effective rate: past the churny first sweeps the
+    # delta path ships only the changed boundary, so the EFFECTIVE
+    # per-iteration edge-scan rate over a convergence-length run is the
+    # deployment-relevant number (m·iters / wall)
+    plp_holder = {}
+
+    def plp_long():
+        _, info = plp_refs(gs, max_iterations=25, update_threshold=0)
+        plp_holder["timing"] = info["timing"]
+        return info
+
+    stage("plp_25_iters", plp_long, max(3, reps))
+    plp_eff = sym_m * 25 / queries["plp_25_iters"]
+    log(f"plp 25 iters: {queries['plp_25_iters']:.2f}s → effective "
+        f"{plp_eff/1e6:.0f}M edge-scans/s/iter "
+        f"(decay {['%.3f' % t for t in plp_holder['timing'][:6]]}…)")
+
     # ---- sf-dir pipelines -------------------------------------------
     e2holder = {}
 
@@ -426,6 +443,57 @@ def run_bench() -> dict:
         "ann_topk", lambda: brute_force_topk(emb, list(range(8)), k=10).to_pandas()
     )
 
+    # ---- GB-scale corpus legs -----------------------------------------
+    # The sf corpus is ~1.5 MB: its MB/s numbers are fixed-overhead, not
+    # throughput (round-4 finding).  Expand deterministically to ≥1 GB
+    # (web.bigcorpus) and measure the corpus stages where streaming rate
+    # is the cost.  GRAFT_BIGCORPUS_MB overrides (e.g. 256 for quick
+    # local iterations).
+    from networkit_ray.web.bigcorpus import expand_documents
+
+    big_mb = int(os.environ.get("GRAFT_BIGCORPUS_MB", "1024"))
+    big_dir = "/tmp/nkr_bench_bigcorpus"
+    shutil.rmtree(big_dir, ignore_errors=True)
+    big_info = stage(
+        "bigcorpus_generate",
+        lambda: expand_documents(sf_dir, big_dir, target_mb=big_mb),
+        1,
+    )
+    big_text_mb = big_info["text_mb"]
+    log(f"bigcorpus: {big_info['n_docs']} docs, {big_text_mb} MB text "
+        f"in {queries['bigcorpus_generate']:.1f}s")
+
+    big_docs = ray.data.read_parquet(
+        f"{big_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    nkept = stage("bigcorpus_segment_dedup", lambda: segment_dedup(big_docs).count())
+    log(f"bigcorpus segment_dedup: {queries['bigcorpus_segment_dedup']:.1f}s → "
+        f"{big_text_mb/queries['bigcorpus_segment_dedup']:.0f} MB/s ({nkept} kept)")
+
+    bm = stage(
+        "bigcorpus_web_extract",
+        lambda: extract_edges(pages_dataset(big_dir), ids="hash").count(),
+    )
+    log(f"bigcorpus web_extract: {queries['bigcorpus_web_extract']:.1f}s → "
+        f"{big_text_mb/queries['bigcorpus_web_extract']:.0f} MB/s text ({bm} edges)")
+
+    big_warc_dir = "/tmp/nkr_bench_warc_big"
+
+    def big_warc_cycle():
+        shutil.rmtree(big_warc_dir, ignore_errors=True)
+        write_warc(pages_dataset(big_dir), big_warc_dir, shards=64).materialize()
+        return read_warc(big_warc_dir).count()
+
+    stage("bigcorpus_warc_roundtrip", big_warc_cycle, 1)
+    big_warc_bytes = sum(
+        os.path.getsize(os.path.join(big_warc_dir, f))
+        for f in os.listdir(big_warc_dir)
+    )
+    log(f"bigcorpus warc: {big_warc_bytes/1e6:.0f} MB written+read in "
+        f"{queries['bigcorpus_warc_roundtrip']:.1f}s")
+    shutil.rmtree(big_warc_dir, ignore_errors=True)
+    shutil.rmtree(big_dir, ignore_errors=True)
+
     log("minhash signature kernel A/B (vectorized vs round-1 per-gram loop) ...")
     ab = _minhash_ab(sf_dir)
     log(f"minhash A/B: vectorized {ab['vectorized_sec']}s vs per-gram "
@@ -450,10 +518,27 @@ def run_bench() -> dict:
         "pagerank_edges_per_sec_superstep": round(pr_eps, 0),
         "pagerank_edges_per_sec_superstep_f32": round(pr_eps_f32, 0),
         "plp_edge_scans_per_sec_iter": round(plp_eps, 0),
+        "plp_edge_scans_per_sec_iter_effective": round(plp_eff, 0),
+        "plp_superstep_decay_sec": [round(t, 4) for t in plp_holder["timing"]],
         "pagerank_iters_to_1e6": pr_iters,
-        # corpus-side stages in bytes/s terms (same headline scrutiny as
-        # the kernels; corpus = the sf documents/pages tables)
+        # corpus-side stages in MB/s measured on the ≥1 GB expanded
+        # corpus (load-bearing streaming rates; the sf-0.1 corpus is
+        # ~1.5 MB so its numbers — kept below for round-over-round
+        # comparability — are fixed-overhead, not throughput)
         "corpus_mb_per_sec": {
+            "corpus_text_mb": big_text_mb,
+            "segment_dedup": round(
+                big_text_mb / queries["bigcorpus_segment_dedup"], 1
+            ),
+            "web_extract_text": round(
+                big_text_mb / queries["bigcorpus_web_extract"], 1
+            ),
+            "warc_roundtrip": round(
+                big_warc_bytes / 1e6 / queries["bigcorpus_warc_roundtrip"], 1
+            ),
+            "generate": round(big_text_mb / queries["bigcorpus_generate"], 1),
+        },
+        "corpus_mb_per_sec_sf01_overhead_bound": {
             "warc_roundtrip": round(warc_bytes / 1e6 / queries["warc_roundtrip"], 2),
             "segment_dedup": round(sd_bytes / 1e6 / queries["segment_dedup"], 2),
         },
@@ -470,7 +555,7 @@ def run_bench() -> dict:
                 [
                     int(x)
                     for x in os.environ.get(
-                        "GRAFT_SCALING_CPUS", "2,8"
+                        "GRAFT_SCALING_CPUS", "2,8,32"
                     ).split(",")
                 ],
                 # 2 interleaved cycles by default: the r4 driver artifact
@@ -561,6 +646,7 @@ def _scaling_summary(legs: list[int], cycles: int) -> dict:
     res = {
         "lo_cpus": lo,
         "hi_cpus": hi,
+        "context_cpus": legs[2:],
         "scaling_efficiency": round(eff, 3),
         "rmat_scale": int(os.environ.get("GRAFT_RMAT_SCALE", "23")),
         "cycles": cycles,
@@ -572,6 +658,17 @@ def _scaling_summary(legs: list[int], cycles: int) -> dict:
             }
             for c in legs
         },
+        "protocol": (
+            f"efficiency pair {lo}→{hi} CPUs (N→4N): both legs sit under "
+            "this host's shared-memory-bus ceiling — the round-4 sweep in "
+            "BASELINE.md shows the superstep saturating the bus at ≥16 "
+            "CPUs (~420-480M f64 edges/s total), so pairs ending ≥16 "
+            "measure the bus, not the engine; a real 4N-node cluster "
+            "adds memory buses with the nodes while per-node exchange "
+            "volume stays constant.  Legs beyond the pair "
+            "(context_cpus) are measured and reported as "
+            "saturated-context evidence, not used in the ratio."
+        ),
     }
     # the f32 exchange path is the deployment configuration (half the
     # message bytes); report its N->4N efficiency alongside the f64 one
