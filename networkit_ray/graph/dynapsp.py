@@ -11,14 +11,27 @@ min-merge of the current table with the two candidate products
 
     d'(s,t) = min( d(s,t), d(s,u) + 1 + d(w,t), d(s,w) + 1 + d(u,t) ).
 
-Engine shape: the two distance COLUMNS d(·,u), d(·,w) are n-row slices
-(broadcast once per event via ``ray.put``); candidate pairs are
-generated DISTRIBUTED by mapping over the finite-source slice and
-cross-expanding against the broadcast target column inside
-``map_batches``; the merge is one ``groupby(s,v).min(d)`` per event.
-The n²-sized APSP table itself never visits the driver.  Events are
-processed sequentially (the reference's event-stream contract); a batch
-of k inserts costs k shuffles of the pair table.
+Engine shape: the pair table is pinned in the object store as P
+partitions hashed by target ``v`` (each kept SORTED by the packed
+(s, v) key), so
+
+- reading a distance column d(·,x) touches ONE partition (the one
+  owning v = x), not the whole n²-row table;
+- candidate pairs for an insert are generated per target partition
+  straight from the two broadcast columns (no Dataset shuffle);
+- the min-merge is a sorted delta merge per partition (searchsorted +
+  insert, exactly the PLP delta-histogram pattern) — O(part + |cand|),
+  no per-event sort of the full table, no groupby exchange.
+
+The n²-sized table never visits the driver; the two distance columns
+are n-sized (vertex-state-sized, same budget as every BSP kernel).
+Events are processed sequentially by default (the reference's
+event-stream contract, dynamics/GraphUpdater.cpp:65).  ``batch=True``
+repairs a whole event batch with joint candidate rounds iterated to a
+fixpoint: round r discovers every pair whose new shortest path uses
+≤ 2^r − 1 inserted edges, so the fixpoint equals the sequential result
+for ANY insert batch (commuting or not) in ≤ ⌈log2(k+1)⌉ + 1 rounds —
+one merge per round instead of one per event.
 
 Deletions are not supported (DynAPSP.cpp is insert/weight-decrease
 only in the same way — a deletion invalidates paths and needs a
@@ -31,78 +44,181 @@ import numpy as np
 import pyarrow as pa
 import ray
 import ray.data
-from ray.data.aggregate import Min, Sum
+from ray.data.aggregate import Sum
 
 _INF64 = np.iinfo(np.int64).max // 4  # safe to add 1 + another distance
 
 
-def _column_to(apsp: ray.data.Dataset, target: int, num_nodes: int) -> np.ndarray:
-    """d(s, target) for every s, as a dense n array (INF where absent).
+@ray.remote
+def _part_by_v(num_nodes: int, num_parts: int, part: int, *tables) -> pa.Table:
+    """Partition ``part``'s slice of the pair table (rows with
+    v % P == part), sorted by the packed (s, v) key."""
+    rows = []
+    for t in tables:
+        v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = v % num_parts == part
+        rows.append(
+            (
+                t["s"].to_numpy(zero_copy_only=False).astype(np.int64)[m],
+                v[m],
+                t["d"].to_numpy(zero_copy_only=False).astype(np.int64)[m],
+            )
+        )
+    s = np.concatenate([r[0] for r in rows]) if rows else np.empty(0, np.int64)
+    v = np.concatenate([r[1] for r in rows]) if rows else np.empty(0, np.int64)
+    d = np.concatenate([r[2] for r in rows]) if rows else np.empty(0, np.int64)
+    key = s * num_nodes + v
+    o = np.argsort(key)
+    return pa.table(
+        {"s": pa.array(s[o]), "v": pa.array(v[o]), "d": pa.array(d[o])}
+    )
 
-    One n-row filter of the pair table — undirected symmetry means this
-    is also d(target, s)."""
+
+@ray.remote
+def _col_from_part(part_table: pa.Table, target: int, num_nodes: int) -> np.ndarray:
+    """d(s, target) for every s as a dense n array (INF where absent) —
+    reads only the partition owning v = target (undirected symmetry
+    makes this also d(target, s))."""
     import pyarrow.compute as pc
 
-    col = apsp.map_batches(
-        lambda t, _tg=target: t.filter(pc.equal(t["v"], pa.scalar(_tg))),
-        batch_format="pyarrow",
-    ).to_pandas()
+    col = part_table.filter(pc.equal(part_table["v"], pa.scalar(target)))
     out = np.full(num_nodes, _INF64, np.int64)
-    if len(col):
-        out[col["s"].to_numpy().astype(np.int64)] = (
-            col["d"].to_numpy().astype(np.int64)
-        )
+    if col.num_rows:
+        out[col["s"].to_numpy(zero_copy_only=False).astype(np.int64)] = col[
+            "d"
+        ].to_numpy(zero_copy_only=False).astype(np.int64)
     return out
+
+
+def _cand_arrays(q, P, cols):
+    """Candidate (s, v, d) rows landing in target partition q for the
+    insert list ``cols`` = [(du, dw), ...] (both orientations)."""
+    ss, vv, dd = [], [], []
+    for du, dw in ((a, b) for a, b in cols):
+        for dsrc, ddst in ((du, dw), (dw, du)):
+            fs = np.flatnonzero(dsrc < _INF64)
+            ft = np.flatnonzero(ddst < _INF64)
+            ft_q = ft[ft % P == q]
+            if not len(fs) or not len(ft_q):
+                continue
+            ss.append(np.repeat(fs, len(ft_q)))
+            vv.append(np.tile(ft_q, len(fs)))
+            dd.append(
+                np.repeat(dsrc[fs], len(ft_q)) + 1 + np.tile(ddst[ft_q], len(fs))
+            )
+    if not ss:
+        e = np.empty(0, np.int64)
+        return e, e, e
+    return np.concatenate(ss), np.concatenate(vv), np.concatenate(dd)
+
+
+@ray.remote(num_returns=2)
+def _merge_part(
+    part_table: pa.Table, num_nodes: int, q: int, P: int, *col_refs
+) -> tuple[pa.Table, int]:
+    """Sorted delta min-merge of an insert batch's candidates into one
+    pinned partition; returns (merged table, #rows improved or added)."""
+    cols = [(col_refs[i], col_refs[i + 1]) for i in range(0, len(col_refs), 2)]
+    cs, cv, cd = _cand_arrays(q, P, cols)
+    if not len(cs):
+        return part_table, 0
+    ck = cs * num_nodes + cv
+    o = np.argsort(ck)
+    ck, cd = ck[o], cd[o]
+    first = np.r_[True, ck[1:] != ck[:-1]]
+    starts = np.flatnonzero(first)
+    ck = ck[starts]
+    cd = np.minimum.reduceat(cd, starts)
+    s_old = part_table["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+    v_old = part_table["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+    d_old = part_table["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+    k_old = s_old * num_nodes + v_old
+    pos = np.searchsorted(k_old, ck)
+    exists = np.zeros(len(ck), bool)
+    rng = pos < len(k_old)
+    exists[rng] = k_old[pos[rng]] == ck[rng]
+    d_new = d_old.copy()
+    better = np.zeros(len(ck), bool)
+    better[exists] = cd[exists] < d_new[pos[exists]]
+    upd = exists & better
+    d_new[pos[upd]] = cd[upd]
+    miss = ~exists
+    changed = int(upd.sum() + miss.sum())
+    if miss.any():
+        k_all = np.insert(k_old, pos[miss], ck[miss])
+        d_all = np.insert(d_new, pos[miss], cd[miss])
+    else:
+        k_all, d_all = k_old, d_new
+    return (
+        pa.table(
+            {
+                "s": pa.array(k_all // num_nodes),
+                "v": pa.array(k_all % num_nodes),
+                "d": pa.array(d_all),
+            }
+        ),
+        changed,
+    )
 
 
 def dyn_apsp_update(
     apsp: ray.data.Dataset,
     inserts,
     num_nodes: int,
+    *,
+    batch: bool = False,
+    num_parts: int | None = None,
 ) -> ray.data.Dataset:
     """Repair a sparse (s, v, d) APSP table after undirected edge inserts.
 
-    ``inserts``: iterable of (u, w) pairs, processed as sequential events.
+    ``inserts``: iterable of (u, w) pairs.  Sequential mode (default)
+    replays them one event at a time — the reference's event-stream
+    contract.  ``batch=True`` repairs the whole batch with joint
+    candidate rounds iterated to a fixpoint — exactly the sequential
+    result (see module docstring) in ≈log2(k) merges instead of k.
     Returns the repaired table (reachable pairs only, self rows kept).
     """
-    apsp = apsp.materialize()
-    for u, w in inserts:
-        u, w = int(u), int(w)
-        du = _column_to(apsp, u, num_nodes)  # d(s, u) == d(u, s)
-        dw = _column_to(apsp, w, num_nodes)
-        du_ref, dw_ref = ray.put(du), ray.put(dw)
+    from networkit_ray.common.exchange import _default_parts
 
-        fs = np.flatnonzero(du < _INF64)  # sources that reach u
-        src_ds = ray.data.from_arrow(
-            pa.table({"s": pa.array(fs), "ds": pa.array(du[fs])})
+    if num_nodes > 3_037_000_499:  # n² must fit the packed int64 key
+        raise ValueError(
+            "dyn_apsp_update: num_nodes overflows the packed (s, v) int64 "
+            "key (n^2 >= 2^63); an APSP pair table at that scale is "
+            "infeasible anyway"
         )
+    inserts = [(int(u), int(w)) for u, w in inserts]
+    P = num_parts or _default_parts()
+    refs = apsp.to_arrow_refs()
+    parts = [
+        _part_by_v.remote(num_nodes, P, q, *refs) for q in range(P)
+    ]
 
-        def expand(t: pa.Table, *, _dw=dw_ref) -> pa.Table:
-            dwv = ray.get(_dw) if isinstance(_dw, ray.ObjectRef) else _dw
-            ft = np.flatnonzero(dwv < _INF64)  # targets reached from w
-            s = t["s"].to_numpy(zero_copy_only=False).astype(np.int64)
-            ds = t["ds"].to_numpy(zero_copy_only=False).astype(np.int64)
-            ss = np.repeat(s, len(ft))
-            tt = np.tile(ft, len(s))
-            dd = np.repeat(ds, len(ft)) + 1 + np.tile(dwv[ft], len(s))
-            # both orientations: the symmetric term d(s,w)+1+d(u,t) is
-            # exactly the transpose of this product
-            return pa.table(
-                {
-                    "s": pa.array(np.concatenate([ss, tt])),
-                    "v": pa.array(np.concatenate([tt, ss])),
-                    "d": pa.array(np.concatenate([dd, dd])),
-                }
-            )
+    def columns_for(events):
+        out = []
+        for u, w in events:
+            out.append(_col_from_part.remote(parts[u % P], u, num_nodes))
+            out.append(_col_from_part.remote(parts[w % P], w, num_nodes))
+        return out
 
-        cand = src_ds.map_batches(expand, batch_format="pyarrow", batch_size=256)
-        apsp = (
-            apsp.union(cand)
-            .groupby(["s", "v"])
-            .aggregate(Min("d", alias_name="d"))
-            .materialize()
-        )
-    return apsp
+    if not batch:
+        for ev in inserts:
+            col_refs = columns_for([ev])
+            merged = [
+                _merge_part.remote(parts[q], num_nodes, q, P, *col_refs)
+                for q in range(P)
+            ]
+            parts = [m[0] for m in merged]
+    else:
+        while inserts:
+            col_refs = columns_for(inserts)
+            merged = [
+                _merge_part.remote(parts[q], num_nodes, q, P, *col_refs)
+                for q in range(P)
+            ]
+            parts = [m[0] for m in merged]
+            if sum(ray.get([m[1] for m in merged])) == 0:
+                break
+    return ray.data.from_arrow_refs(parts)
 
 
 def top_harmonic_from_apsp(apsp: ray.data.Dataset, k: int):

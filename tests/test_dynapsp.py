@@ -63,3 +63,31 @@ class TestDynAPSP:
         want = top_harmonic_from_apsp(full, 3)
         assert list(got["v"]) == list(want["v"])
         np.testing.assert_allclose(got["harmonic"], want["harmonic"])
+
+
+class TestDynAPSPBatch:
+    def test_batch_fixpoint_equals_sequential_interacting(self, ray_session):
+        # held-out edges form a chain 5-6, 6-7, 7-8: new shortest paths
+        # use SEVERAL inserted edges, so a single joint pass is not
+        # enough and the fixpoint rounds must kick in
+        part = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (8, 9)]
+        held = [(5, 6), (6, 7), (7, 8)]
+        n = 10
+        base = apsp_table(sym_ds(part).materialize(), n, num_parts=3)
+        seq = dyn_apsp_update(base, held, n)
+        bat = dyn_apsp_update(base, held, n, batch=True)
+        want = apsp_table(sym_ds(part + held).materialize(), n, num_parts=3)
+        assert pairs_df(bat).equals(pairs_df(want))
+        assert pairs_df(seq).equals(pairs_df(want))
+
+    def test_batch_random_equals_recompute(self, ray_session):
+        rng = np.random.default_rng(5)
+        n = 20
+        e = np.unique(rng.integers(0, n, size=(60, 2)), axis=0)
+        full = sorted({(min(a, b), max(a, b)) for a, b in e if a != b})
+        held = [p for i, p in enumerate(full) if i % 4 == 0][:5]
+        part = [p for p in full if p not in held]
+        base = apsp_table(sym_ds(part).materialize(), n, num_parts=2)
+        bat = dyn_apsp_update(base, held, n, batch=True, num_parts=3)
+        want = apsp_table(sym_ds(full).materialize(), n, num_parts=2)
+        assert pairs_df(bat).equals(pairs_df(want))
