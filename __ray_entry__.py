@@ -414,6 +414,24 @@ def q_lfr_edges(sf_dir):
     return edges.sort(["src", "dst"])
 
 
+def q_lfr_edges_default(sf_dir):
+    """Default-mode LFR — PCG64 edge-switch randomization, the SHIPPING
+    configuration (generators/LFRGenerator.cpp uses an
+    EdgeSwitchingMarkovChainGenerator; the certified replayable twin is
+    q_lfr_edges).  Deliberately rows-only (round-4 advice): the
+    edge-switched draw has no SQL twin, so the driver checks row-count +
+    schema stability here while tests/test_lfr.py pins this exact mode's
+    degree/mixing/community-recovery invariants."""
+    from networkit_ray.sources.lfr import lfr_graph
+
+    _, nc = _canon(sf_dir)
+    n = min(max(nc, 200), 600)
+    edges, _, _ = lfr_graph(
+        n, mu=0.15, min_deg=4, max_deg=20, min_comm=20, max_comm=60, seed=42,
+    )
+    return edges.sort(["src", "dst"])
+
+
 def q_lfr_mixing(sf_dir):
     """Planted vs realized LFR summary (replayable mode); oracle-exact —
     the edge replay plus the inter-community fraction (_lfr_parts);
@@ -698,6 +716,20 @@ def q_diameter(sf_dir):
     return pd.DataFrame([{"diameter": res["diameter"]}])
 
 
+def q_lfm_cover_full(sf_dir):
+    """LFM overlapping cover on the FULL derived customer graph — the
+    round-3 certified workload (the exact twin q_lfm_cover moved to the
+    supplier ring to keep the unrolled SQL tractable; round-4 advice
+    asked that the full-graph default stay on the driver surface).
+    Rows-only: coverage/determinism invariants in tests/test_scd.py."""
+    from networkit_ray.graph.scd import lfm_cover
+
+    sym, n = _sym(sf_dir)
+    return lfm_cover(
+        sym.materialize(), n, seeds_per_round=16, seed=42
+    ).sort(["c", "v"])
+
+
 def q_lfm_cover(sf_dir):
     """Full LFM overlapping cover on the supplier ring graph (the
     radius-3 regions keep the unrolled twin's add rounds tractable);
@@ -820,6 +852,25 @@ def q_sgns_embeddings(sf_dir):
     sym, n = _sym(sf_dir)
     walks = random_walks(sym, n, n_walkers=128, length=8, seed=42).materialize()
     out = sgns_embeddings(walks, n, dim=8, epochs=3, lr=0.05, seed=42, lattice=True)
+    for j in range(8):
+        out = _round_col(out, f"e{j}", 6)
+    return out.sort("v")
+
+
+def q_sgns_embeddings_default(sf_dir):
+    """Default-mode SGNS — full-precision float SGD, the SHIPPING
+    configuration (the certified 2⁻²⁴-lattice twin is
+    q_sgns_embeddings).  Deliberately rows-only (round-4 advice): float
+    accumulation order varies with scheduling, so the driver checks
+    row-count + schema stability here while
+    tests/test_embedding.py:76-120 pins this mode's replica-equality and
+    planted-cluster separation invariants."""
+    from networkit_ray.graph.embedding import sgns_embeddings
+    from networkit_ray.graph.walks import random_walks
+
+    sym, n = _sym(sf_dir)
+    walks = random_walks(sym, n, n_walkers=128, length=8, seed=42).materialize()
+    out = sgns_embeddings(walks, n, dim=8, epochs=3, lr=0.05, seed=42)
     for j in range(8):
         out = _round_col(out, f"e{j}", 6)
     return out.sort("v")
@@ -3450,7 +3501,10 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "havel_hakimi_degrees": q_havel_hakimi_degrees,
         "dorogovtsev_mendes": q_dorogovtsev_mendes,
         "lfr_edges": q_lfr_edges,
+        "lfr_edges_default": q_lfr_edges_default,
         "lfr_mixing": q_lfr_mixing,
+        "sgns_embeddings_default": q_sgns_embeddings_default,
+        "lfm_cover_full": q_lfm_cover_full,
         "tumbling_window": q_tumbling_window,
         "sliding_window": q_sliding_window,
         "asof_click_to_view": q_asof_click_to_view,
@@ -4026,11 +4080,17 @@ def _maxflow_sql(aug_rounds: int = 45, depth: int = 24) -> str:
         "ss(v) AS (SELECT CAST(0 AS BIGINT) UNION "
         "SELECT e.v FROM ss JOIN rf e ON e.u = ss.v AND e.r > 0)",
     ]
+    # guard (round-4 advice): if t is still residual-reachable from s
+    # after aug_rounds the flow is not maximal (also catches a too-small
+    # BFS depth) — error instead of silently under-reporting
     return ",\n".join(parts) + (
         f"\nSELECT ROUND(CAST((SELECT COALESCE(SUM(fl), 0) FROM f{A} WHERE u = 0) "
         f"- (SELECT COALESCE(SUM(fl), 0) FROM f{A} WHERE v = 0) AS DOUBLE), 6) "
         f"AS max_flow, "
-        f"(SELECT CAST(COUNT(*) AS BIGINT) FROM ss) AS source_set_size"
+        f"(SELECT CAST(COUNT(*) AS BIGINT) FROM ss) AS source_set_size "
+        f"WHERE (SELECT CASE WHEN EXISTS (SELECT 1 FROM ss WHERE v = (SELECT t FROM tv)) "
+        f"THEN error('max_flow oracle: aug_rounds={aug_rounds}/depth={depth} "
+        f"unroll exhausted (augmenting path remains)') ELSE 0 END) = 0"
     )
 
 
@@ -4106,9 +4166,21 @@ def _cutcluster_sql(aug_rounds=26, depth=12, slots=100) -> str:
             f"WHERE sd.v = a.v) "
             f"THEN (SELECT v FROM cord WHERE rk = {k}) ELSE a.lab END AS lab FROM as{k - 1} a)"
         )
+    # guards (round-4 advice): the unrolls are fixture-pinned — fail
+    # loudly instead of silently diverging when (a) the residual graph
+    # still has an s→t path after aug_rounds EK rounds (flow not maximal,
+    # also catches a too-small BFS ``depth``), or (b) a vertex is still
+    # unlabelled after ``slots`` assignment folds (every vertex labels
+    # itself by its own rank slot, so -1 after all slots ⇒ slots < n)
     return (
         "WITH RECURSIVE " + ",\n".join(parts)
-        + f"\nSELECT v, lab AS label FROM as{slots} ORDER BY v"
+        + f"\nSELECT v, lab AS label FROM as{slots} "
+        f"WHERE (SELECT CASE WHEN EXISTS (SELECT 1 FROM css WHERE v = (SELECT n FROM nn)) "
+        f"THEN error('cut_clustering oracle: aug_rounds={aug_rounds}/depth={depth} "
+        f"unroll exhausted (residual s-t path remains)') "
+        f"WHEN EXISTS (SELECT 1 FROM as{slots} WHERE lab = -1) "
+        f"THEN error('cut_clustering oracle: slots={slots} unroll exhausted "
+        f"(unlabelled vertices remain)') ELSE 0 END) = 0 ORDER BY v"
     )
 
 
@@ -4126,7 +4198,12 @@ def _sgns_sql(n_walkers=128, length=8, dim=8, window=2, neg=3, epochs=3,
     SQL GROUP BY equals np.add.at at any order).  Embedding state is
     bit-exact throughout; only the sigmoid's exp can differ by an ulp
     between numpy and DuckDB, absorbed by the quantization except on a
-    measure-~1e-10 boundary set."""
+    measure-~1e-10 boundary set.  The certification is therefore
+    PLATFORM-PINNED (round-4 advice): hash-exactness is guaranteed on a
+    fixed numpy/libm/DuckDB build (this container) and probabilistically
+    robust — not deterministic like the integer twins — across builds; a
+    libm change that lands a score on the quantization boundary shows up
+    as an oracle mismatch, not silent corruption."""
     _K = 0x9E3779B97F4A7C15
     _GOLD_S = "11400714819323198485"
     _MIX_S = "13787848793156543929"
@@ -4295,10 +4372,18 @@ def _lfr_parts(
         f"FROM lfcoc)"
     )
     # C. community sizes: blocks of draws, keep prefix with running_before < n
-    blk = "GREATEST(4, (SELECT n FROM lfn) // 40 + 2)"
+    # block size mirrors sources/lfr.py:438 exactly — computed from the
+    # min_comm/max_comm ARGUMENTS (round-4 advice: the old hardcoded
+    # n//40+2 silently diverged for non-default community sizes), and the
+    # i-range is sized to the worst case under lfn's 600-vertex clamp so
+    # it can never truncate the block
+    avg_comm = (min_comm + max_comm) // 2
+    blk = f"GREATEST(4, (SELECT n FROM lfn) // {avg_comm} + 2)"
+    blk_cap = max(4, 600 // avg_comm + 2)
     p.append(
         f"lfsz0 AS (SELECT b.b, i.i FROM (SELECT UNNEST(range({size_blocks})) AS b) b "
-        f"CROSS JOIN (SELECT CAST(range AS BIGINT) AS i FROM range(20)) i WHERE i.i < {blk})"
+        f"CROSS JOIN (SELECT CAST(range AS BIGINT) AS i FROM range({blk_cap})) i "
+        f"WHERE i.i < {blk})"
     )
     p += _sm64_stages(
         "lfszh", "lfsz0", f"i + (b + {seed + 7}) * 2654435761", "b, i"
@@ -4370,10 +4455,15 @@ def _lfr_parts(
             f"lfpd{t + 1} AS MATERIALIZED (SELECT p.v, p.deg, p.ideg FROM lfpd{t} p "
             f"WHERE p.v NOT IN (SELECT v FROM lfkp{t}))"
         )
+    # guard: the assignment unroll is fixture-pinned (engine loops up to
+    # 40 rounds) — if any vertex is still unassigned after the last
+    # unrolled round the oracle must FAIL, not silently diverge
     p.append(
-        "lfasg AS MATERIALIZED ("
+        "lfasg AS MATERIALIZED (SELECT * FROM ("
         + " UNION ALL ".join(f"SELECT * FROM {k}" for k in kept_names)
-        + ")"
+        + f") WHERE (SELECT CASE WHEN (SELECT COUNT(*) FROM lfpd{assign_rounds}) <> 0 "
+        f"THEN error('lfr oracle: assign_rounds={assign_rounds} unroll exhausted "
+        f"(unassigned vertices remain)') ELSE 0 END) = 0)"
     )
     # E. intra: per-community HH on (ideg clamped, parity-fixed)
     p.append(
@@ -4445,10 +4535,15 @@ def _lfr_parts(
         "AND a.rn < a.cnt - (a.cnt % 2) "
         "AND a.v <> b.v AND a.c <> b.c)"
     )
+    # guard: hh_steps is fixture-pinned — a community needing more
+    # Havel-Hakimi picks than the unroll covers must fail loudly
     p.append(
         "lfedges AS MATERIALIZED (SELECT DISTINCT src, dst FROM ("
         + " UNION ALL ".join(f"SELECT src, dst FROM {e}" for e in ed_names)
-        + " UNION ALL SELECT src, dst FROM lfie))"
+        + " UNION ALL SELECT src, dst FROM lfie) "
+        + f"WHERE (SELECT CASE WHEN (SELECT COALESCE(SUM(def), 0) FROM lfdf{hh_steps}) <> 0 "
+        f"THEN error('lfr oracle: hh_steps={hh_steps} unroll exhausted "
+        f"(residual intra-degree deficit)') ELSE 0 END) = 0)"
     )
     return p
 
@@ -5113,7 +5208,15 @@ def _lfm_cover_sql(
             f"WHERE v NOT IN (SELECT v FROM {fin}))"
         )
     union = " UNION ALL ".join(f"SELECT s AS c, v FROM {f}" for f in fins)
-    return ",\n".join(parts) + f"\nSELECT c, v FROM ({union}) ORDER BY c, v"
+    # guard (round-4 advice): the engine loops until every node is
+    # covered (max_rounds=200); if vertices remain uncovered after the
+    # unrolled ``outer`` rounds the oracle must fail, not diverge
+    return ",\n".join(parts) + (
+        f"\nSELECT c, v FROM ({union}) "
+        f"WHERE (SELECT CASE WHEN (SELECT COUNT(*) FROM un{outer}) <> 0 "
+        f"THEN error('lfm_cover oracle: outer={outer} unroll exhausted "
+        f"(uncovered vertices remain)') ELSE 0 END) = 0 ORDER BY c, v"
+    )
 
 
 def _twophasel_sql(seeds: tuple, radius: int, max_size: int) -> str:

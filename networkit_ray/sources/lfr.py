@@ -253,10 +253,15 @@ def _intra_group(seed: int, replayable: bool = False):
     ``replayable=True`` (the SQL-oracle-backing mode): rows sort by vertex
     id first, so HH tie-breaks are a pure function of the member set (the
     default inherits the group's arrival order), and the PCG64 edge-switch
-    randomization is skipped — HH + the configuration-model inter stage
-    already realize the planted degree/mixing structure, which is what the
-    invariant tests assert; switching only randomizes WHICH intra pairs
-    carry the internal degrees."""
+    randomization is skipped.  The planted DEGREE and MIXING invariants
+    still hold, but the intra wiring is HH-deterministic and therefore
+    STRUCTURALLY non-representative of reference LFR output (the
+    reference's EdgeSwitchingMarkovChainGenerator decorrelates the
+    wiring; HH graphs are highly assortative with inflated clustering
+    within communities).  Replayable graphs are verification artifacts —
+    community-recovery / structural tests stay on the DEFAULT
+    edge-switched mode (tests/test_lfr.py), which is also what
+    ``q_lfr_edges_default`` keeps on the driver surface."""
 
     def fn(g: pd.DataFrame) -> pd.DataFrame:
         if replayable:
