@@ -174,9 +174,15 @@ def test_query_matches_oracle(name, sf_tiny, con):
 def test_queries_oracles_consistent():
     qs, os_ = E.queries(), E.oracle_sql()
     assert set(os_) <= set(qs), "oracle without a query"
-    # every query carries an exact DuckDB twin (since round 4)
+    # every query carries an exact DuckDB twin (since round 4) EXCEPT the
+    # three deliberate default-mode rows-only queries (round-4 advice:
+    # the shipping stochastic defaults stay on the driver surface even
+    # though their draws have no SQL twin; their invariants are pinned by
+    # tests/test_lfr.py, tests/test_embedding.py, tests/test_scd.py)
     rows_only = set(qs) - set(os_)
-    assert rows_only == set()
+    assert rows_only == {
+        "lfr_edges_default", "sgns_embeddings_default", "lfm_cover_full",
+    }
 
 
 def test_entry_smoke():
