@@ -358,3 +358,52 @@ def test_warm_start_katz_same_fixpoint_fewer_iterations(ray_session):
     b2 = {r["v"]: r["score"] for r in cold2.take_all()}
     for v in b2:
         assert abs(a2[v] - b2[v]) < 1e-7
+
+
+class TestPLPDeltaSupersteps:
+    """The delta-superstep path (pinned count histograms + boundary-only
+    ±1 messages, graph/plp.py) must stay bit-identical to a full
+    recompute on every sweep — it is the default for unweighted graphs."""
+
+    def _graph(self):
+        rng = np.random.default_rng(17)
+        blocks = rng.integers(0, 8, 400)
+        es = []
+        u = rng.integers(0, 400, 3000)
+        v = rng.integers(0, 400, 3000)
+        keep = (blocks[u] == blocks[v]) | (rng.random(3000) < 0.05)
+        e = np.stack([u[keep], v[keep]], 1)
+        e = np.unique(e, axis=0)
+        return sym(e[e[:, 0] != e[:, 1]]), 400
+
+    def test_delta_equals_generic_full_path(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        s, n = self._graph()
+        # delta path (unweighted default)
+        lab, info = plp(edges_ds(s), n, num_parts=5, update_threshold=0,
+                        max_iterations=35)
+        a = lab.to_pandas().sort_values("v")["label"].to_numpy()
+        # generic full path (weighted kernel, unit weights) recomputes the
+        # complete histogram every sweep — no delta machinery
+        w = rd.from_arrow(pa.table({
+            "src": pa.array(s[:, 0].astype(np.int64)),
+            "dst": pa.array(s[:, 1].astype(np.int64)),
+            "w": pa.array(np.ones(len(s))),
+        }))
+        lab2, info2 = plp(w, n, weighted=True, num_parts=3,
+                          update_threshold=0, max_iterations=35)
+        b = lab2.to_pandas().sort_values("v")["label"].to_numpy()
+        assert np.array_equal(a, b)
+        assert info["iterations"] == info2["iterations"]
+
+    def test_churn_fallback_still_exact(self):
+        # tiny threshold forces the 30%-churn fallback to flip between
+        # full and delta sweeps; result must match the reference oracle
+        s, n = self._graph()
+        lab, _ = plp(edges_ds(s), n, num_parts=4, update_threshold=0,
+                     max_iterations=12)
+        got = lab.to_pandas().sort_values("v")["label"].to_numpy()
+        expect, _ = ref.plp_ref(s, n, max_iterations=12)
+        assert np.array_equal(got, expect)
