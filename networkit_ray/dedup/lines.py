@@ -85,20 +85,22 @@ def explode_segments(
     if mode not in ("words", "lines"):
         raise ValueError(mode)
 
-    def explode(df: pd.DataFrame) -> pd.DataFrame:
-        out_doc, out_no, out_seg = [], [], []
-        for doc_id, text in zip(df["doc_id"], df["text"]):
-            segs = _segments(text, mode, seg_len)
-            out_doc.extend([doc_id] * len(segs))
-            out_no.extend(range(len(segs)))
-            out_seg.extend(segs)
-        return pd.DataFrame(
-            {"doc_id": pd.array(out_doc, dtype="int64"),
-             "seg_no": pd.array(out_no, dtype="int64"),
-             "seg": out_seg}
+    def explode(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "seg_no": pa.array([], pa.int64()),
+                 "seg": pa.array([], pa.string())}
+            )
+        rep_idx, seg_no, segs = _segment_table(t["text"], mode, seg_len)
+        doc = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"doc_id": pa.array(doc[rep_idx]),
+             "seg_no": pa.array(seg_no),
+             "seg": segs.cast(pa.string())}
         )
 
-    return docs.map_batches(explode, batch_format="pandas")
+    return docs.map_batches(explode, batch_format="pyarrow")
 
 
 def _segment_table(

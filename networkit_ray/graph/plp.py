@@ -202,7 +202,13 @@ def _plp_map_delta(
     """Delta sweep: for edges whose SOURCE changed label last sweep, ship
     per target partition the combined (key, ±count) histogram deltas —
     key = dst_local·n + label, -1 under the old label, +1 under the new.
-    Message volume ∝ out-edges of the changed boundary, not m."""
+    Message volume, sort cost and reduce cost are all ∝ the changed
+    boundary's out-edges, not m.  The one remaining O(m) component is
+    the ``changed[sl]`` boolean gather over the grouped edge order —
+    kept deliberately: it preserves the build-time hub-splitting chunks
+    (a CSR-range gather would be O(boundary) but put a whole hub's
+    out-edges in one task), and as a branch-free memory-bound pass it
+    costs ~1/10 of the full path's histogram sort."""
     from networkit_ray.graph.bsp import grouped_dst, grouped_src
 
     P = len(block["part_bounds"]) - 1
