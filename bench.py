@@ -660,14 +660,15 @@ def _scaling_summary(legs: list[int], cycles: int) -> dict:
         },
         "protocol": (
             f"efficiency pair {lo}→{hi} CPUs (N→4N): both legs sit under "
-            "this host's shared-memory-bus ceiling — the round-4 sweep in "
-            "BASELINE.md shows the superstep saturating the bus at ≥16 "
-            "CPUs (~420-480M f64 edges/s total), so pairs ending ≥16 "
-            "measure the bus, not the engine; a real 4N-node cluster "
-            "adds memory buses with the nodes while per-node exchange "
-            "volume stays constant.  Legs beyond the pair "
-            "(context_cpus) are measured and reported as "
-            "saturated-context evidence, not used in the ratio."
+            "this host's shared-memory-bus ceiling — the BASELINE.md "
+            "sweeps show the superstep saturating past ~8-16 CPUs "
+            "(round-4 wall ~420-480M f64 edges/s; round-5 kernels lift "
+            "it to ~785M, with 8→32 CPUs yielding only ~1.7× for 4× the "
+            "cores), so pairs ending ≥16 measure the bus, not the "
+            "engine; a real 4N-node cluster adds memory buses with the "
+            "nodes while per-node exchange volume stays constant.  Legs "
+            "beyond the pair (context_cpus) are measured and reported "
+            "as saturated-context evidence, not used in the ratio."
         ),
     }
     # the f32 exchange path is the deployment configuration (half the
