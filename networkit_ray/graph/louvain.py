@@ -351,6 +351,18 @@ def _local_move_refs(
     return best_labels, total_moves, float(q_init or 0.0), float(best_q)
 
 
+def _edge_arrays(edge_tables):
+    et = pa.concat_tables(
+        [t for t in edge_tables if t.num_rows and "src" in t.column_names],
+        promote_options="default",
+    )
+    return (
+        et["src"].to_numpy(zero_copy_only=False).astype(np.int64),
+        et["dst"].to_numpy(zero_copy_only=False).astype(np.int64),
+        et["w"].to_numpy(zero_copy_only=False).astype(np.float64),
+    )
+
+
 def _labels_dataset(g: PGraph, label_refs: list) -> ray.data.Dataset:
     import pyarrow.compute as pc
 
@@ -415,25 +427,18 @@ def _translate(
     return j.map_batches(fix, batch_format="pyarrow")
 
 
-@ray.remote
-def _local_move_one(
-    n: int, m: float, gamma: float, max_rounds: int, patience: int, *edge_tables
+def _local_move_core(
+    n: int, m: float, gamma: float, max_rounds: int, patience: int,
+    src: np.ndarray, dst: np.ndarray, w: np.ndarray,
 ):
     """Single-task local moving for state-sized levels — the EXACT same
     parity-gated synchronous schedule, gain formula, tie-breaks and
-    best-Q̂ monitor as the distributed path, in one numpy task.  On
+    best-Q̂ monitor as the distributed path, in plain numpy.  On
     unweighted inputs every quantity is integer-valued, so the two paths
     are bit-identical (tested); the BSP path exists for levels too big
     for one worker (first levels of a web-scale graph).
 
     Returns (labels, total_moves, q_init, q_best)."""
-    et = pa.concat_tables(
-        [t for t in edge_tables if t.num_rows and "src" in t.column_names],
-        promote_options="default",
-    )
-    src = et["src"].to_numpy(zero_copy_only=False).astype(np.int64)
-    dst = et["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
-    w = et["w"].to_numpy(zero_copy_only=False).astype(np.float64)
     selfmask = src == dst
     selfw = np.zeros(n, np.float64)
     np.add.at(selfw, src[selfmask], w[selfmask])
@@ -509,6 +514,18 @@ def _local_move_one(
     return best_labels, total_moves, float(q_init or 0.0), float(best_q)
 
 
+def _edge_arrays(edge_tables):
+    et = pa.concat_tables(
+        [t for t in edge_tables if t.num_rows and "src" in t.column_names],
+        promote_options="default",
+    )
+    return (
+        et["src"].to_numpy(zero_copy_only=False).astype(np.int64),
+        et["dst"].to_numpy(zero_copy_only=False).astype(np.int64),
+        et["w"].to_numpy(zero_copy_only=False).astype(np.float64),
+    )
+
+
 @ray.remote(num_returns=3)
 def _coarsen_one(n_label: int, *tables):
     """Single-task coarsening for SMALL levels (same output contract as
@@ -525,14 +542,27 @@ def _coarsen_one(n_label: int, *tables):
     ll = lt["label"].to_numpy(zero_copy_only=False).astype(np.int64)
     lab = np.empty(int(lv.max()) + 1 if len(lv) else 0, np.int64)
     lab[lv] = ll
-    et = pa.concat_tables(
-        [t for t in edge_tables if t.num_rows and "src" in t.column_names],
-        promote_options="default",
+    esrc, edst, ew = _edge_arrays(edge_tables)
+    si, di, wn, uniq = _coarsen_core(lab, esrc, edst, ew)
+    coarse = pa.table(
+        {"src": pa.array(si), "dst": pa.array(di), "w": pa.array(wn)}
     )
-    src = lab[et["src"].to_numpy(zero_copy_only=False).astype(np.int64)]
-    dst = lab[et["dst"].to_numpy(zero_copy_only=False).astype(np.int64)]
-    w = et["w"].to_numpy(zero_copy_only=False).astype(np.float64)
-    # dense relabel: ascending distinct labels (compact_ids convention)
+    mapping = pa.table(
+        {
+            "v": pa.array(uniq),
+            "idx": pa.array(np.arange(len(uniq), dtype=np.int64)),
+        }
+    )
+    return coarse, mapping, len(uniq)
+
+
+def _coarsen_core(lab, esrc, edst, ew):
+    """Numpy body shared by _coarsen_one and _louvain_tail: relabel by
+    ``lab``, dense-renumber by ascending distinct labels (compact_ids
+    convention), sum parallel edges.  Returns (src, dst, w, uniq)."""
+    src = lab[esrc]
+    dst = lab[edst]
+    w = ew
     uniq = np.unique(np.concatenate([src, dst]))
     si = np.searchsorted(uniq, src)
     di = np.searchsorted(uniq, dst)
@@ -543,20 +573,67 @@ def _coarsen_one(n_label: int, *tables):
         newg[0] = True
         newg[1:] = (si[1:] != si[:-1]) | (di[1:] != di[:-1])
     starts = np.flatnonzero(newg)
-    coarse = pa.table(
-        {
-            "src": pa.array(si[starts]),
-            "dst": pa.array(di[starts]),
-            "w": pa.array(np.add.reduceat(w, starts) if len(starts) else w),
-        }
+    return (
+        si[starts],
+        di[starts],
+        np.add.reduceat(w, starts) if len(starts) else w,
+        uniq,
     )
-    mapping = pa.table(
-        {
-            "v": pa.array(uniq),
-            "idx": pa.array(np.arange(len(uniq), dtype=np.int64)),
-        }
-    )
-    return coarse, mapping, len(uniq)
+
+
+@ray.remote
+def _louvain_tail(
+    n0: int, gamma: float, max_rounds: int, min_gain: float,
+    levels_left: int, start_level: int, *edge_tables,
+):
+    """ALL remaining state-sized levels in ONE task: the same
+    _local_move_core schedule and _coarsen_core renumbering the
+    distributed path uses, chained without per-level Dataset round trips
+    (5 small levels cost ~25 streaming-executor spins — seconds of pure
+    fixed overhead on state-sized tables; measured 3.2 s → 0.3 s on the
+    sf0.1 battery).  Labels are bit-identical to the level-at-a-time
+    path: composition in entry-id space commutes with the outer loop's
+    per-level orig-space translation, and unmapped (isolated-rep) ids
+    keep their value exactly like _translate's left-outer join.
+
+    Returns (fine, levels): ``fine`` maps every entry-level vertex to
+    its final entry-level representative id."""
+    src, dst, w = _edge_arrays(edge_tables)
+    n = n0
+    repr_ = None  # current dense id → entry id (None = identity)
+    fine = None  # entry id → entry rep id
+    levels: list[dict] = []
+    for off in range(levels_left):
+        m = float(w.sum()) / 2.0
+        if m == 0.0:
+            break
+        labels, moves, q_init, q_best = _local_move_core(
+            n, m, gamma, max_rounds, 3, src, dst, w
+        )
+        levels.append({"n": n, "m": m, "moves": moves, "dq": q_best - q_init})
+        if (start_level + off) > 0 and q_best - q_init < min_gain:
+            break
+        lab_entry = labels if repr_ is None else repr_[labels]
+        if fine is None:
+            fine = lab_entry.copy()
+        else:
+            inv = np.full(n0, -1, np.int64)
+            inv[repr_] = np.arange(n, dtype=np.int64)
+            pos = inv[fine]
+            mask = pos >= 0
+            fine[mask] = lab_entry[pos[mask]]
+        if moves == 0:
+            break
+        si, di, wn, uniq = _coarsen_core(labels, src, dst, w)
+        n_coarse = len(uniq)
+        if n_coarse >= n or n_coarse == 0:
+            break
+        repr_ = uniq if repr_ is None else repr_[uniq]
+        src, dst, w = si, di, wn
+        n = n_coarse
+    if fine is None:
+        fine = np.arange(n0, dtype=np.int64)
+    return fine, levels
 
 
 # levels at or below this many edge rows coarsen in one task; above it the
@@ -688,28 +765,44 @@ def louvain(
     info: dict = {"levels": [], "rounds": 0}
 
     for level in range(max_levels):
-        m = float(cur_edges.sum("w") or 0.0) / 2.0
-        if m == 0.0:
-            break
         n_edges_cur = cur_edges.count()
         if n_edges_cur <= _SMALL_COARSEN_EDGES and num_parts is None:
-            # state-sized level: the full parity-gated schedule in ONE task
-            # (identical semantics/results; round-trip waves on a 4k-vertex
-            # level were 10s of pure task-latency overhead)
-            lab_arr, moves, q_init, q_best = ray.get(
-                _local_move_one.remote(
-                    cur_n, m, gamma, max_rounds, 3, *cur_edges.to_arrow_refs()
+            # state-sized from here on: run ALL remaining levels in one
+            # task (see _louvain_tail), translate/compose once, stop
+            fine_arr, tail_levels = ray.get(
+                _louvain_tail.remote(
+                    cur_n, gamma, max_rounds, min_gain,
+                    max_levels - level, level, *cur_edges.to_arrow_refs()
                 )
             )
+            info["levels"].extend(tail_levels)
+            info["rounds"] += len(tail_levels)
             lab_ds = ray.data.from_arrow(
                 pa.table(
                     {
                         "v": pa.array(np.arange(cur_n, dtype=np.int64)),
-                        "label": pa.array(lab_arr.astype(np.int64)),
+                        "label": pa.array(fine_arr.astype(np.int64)),
                     }
                 )
             ).materialize()
-        else:
+            P_lv = _lv_parts(cur_n)
+            if cur_repr is None:
+                lab_orig = lab_ds
+            else:
+                t1 = _translate(lab_ds, "v", cur_repr, P_lv)
+                lab_orig = _translate(t1, "label", cur_repr, P_lv).materialize()
+            if fine_labels is None:
+                fine_labels = lab_orig
+            else:
+                fine_labels = _translate(
+                    fine_labels, "label", _as_map(lab_orig, "v", "label"),
+                    _lv_parts(num_nodes),
+                ).materialize()
+            break
+        m = float(cur_edges.sum("w") or 0.0) / 2.0
+        if m == 0.0:
+            break
+        if True:
             noself, selfw = None, None
             if level > 0:
                 P0 = num_parts or bsp.default_num_parts(n_edges_cur)
