@@ -46,6 +46,40 @@ def normalize_url(base: str, href: str) -> str | None:
     )
 
 
+_ABS_HTTP_RE = re.compile(r"^[hH][tT][tT][pP][sS]?://[^/?#]")
+_MISS = object()
+
+
+class _UrlNormalizer:
+    """Memoizing :func:`normalize_url` for the warm-parser actors.
+
+    An absolute http(s) href with a nonempty authority resolves
+    independently of the base URL (RFC 3986 §5.2.2: when R.scheme and
+    R.authority are defined the target is built from R alone), so its
+    normalization caches on the href ALONE.  Link targets repeat heavily
+    on the web (popular pages), and urljoin/urlsplit dominate the
+    extraction stage (~17 µs/href measured, 70% of the actor's time), so
+    the cache converts the dominant cost into a dict hit.  Relative
+    hrefs take the full urljoin path.  The cache resets at ``max_size``
+    entries to bound actor memory (plain dict: hits stay O(1))."""
+
+    def __init__(self, max_size: int = 1_000_000):
+        self._cache: dict = {}
+        self._max = max_size
+
+    def __call__(self, base: str, href: str) -> str | None:
+        if _ABS_HTTP_RE.match(href):
+            got = self._cache.get(href, _MISS)
+            if got is not _MISS:
+                return got
+            out = normalize_url(base, href)
+            if len(self._cache) >= self._max:
+                self._cache.clear()
+            self._cache[href] = out
+            return out
+        return normalize_url(base, href)
+
+
 def extract_text(html: bytes) -> str:
     """Byte-identical text extraction: first <p> block, entity-unescaped.
 
@@ -72,6 +106,7 @@ class OutlinkExtractor:
         self.ids = ids
         self.href_re = _HREF_RE
         self.docid_re = re.compile(r"/p/(\d+)$")
+        self.norm = _UrlNormalizer()
 
     def _doc_id(self, url: str) -> int:
         m = self.docid_re.search(url)
@@ -82,12 +117,14 @@ class OutlinkExtractor:
         htmls = batch["html"].to_pylist()
         src_list: list[str] = []
         dst_list: list[str] = []
+        norm = self.norm
         for url, html in zip(urls, htmls):
             seen = set()
             for m in self.href_re.finditer(html):
                 href = m.group(1).decode("utf-8", "replace")
-                href = _html.unescape(href)
-                target = normalize_url(url, href)
+                if "&" in href:  # unescape is a no-op otherwise
+                    href = _html.unescape(href)
+                target = norm(url, href)
                 if target is None or target in seen:
                     continue
                 seen.add(target)
@@ -109,7 +146,7 @@ def extract_edges(
     pages: ray.data.Dataset,
     *,
     ids: str = "hash",
-    concurrency: int | tuple = (1, 4),
+    concurrency: int | tuple = (1, 16),
     batch_size: int = 1024,
     dedup: bool = True,
 ) -> ray.data.Dataset:
@@ -140,6 +177,7 @@ class AnchorTextExtractor:
         self.ids = ids
         self.anchor_re = _ANCHOR_RE
         self.docid_re = re.compile(r"/p/(\d+)$")
+        self.norm = _UrlNormalizer()
 
     def _doc_id(self, url: str) -> int:
         m = self.docid_re.search(url)
@@ -151,11 +189,14 @@ class AnchorTextExtractor:
         src_list: list[str] = []
         dst_list: list[str] = []
         anchors: list[str] = []
+        norm = self.norm
         for url, html in zip(urls, htmls):
             seen = set()
             for m in self.anchor_re.finditer(html):
-                href = _html.unescape(m.group(1).decode("utf-8", "replace"))
-                target = normalize_url(url, href)
+                href = m.group(1).decode("utf-8", "replace")
+                if "&" in href:  # unescape is a no-op otherwise
+                    href = _html.unescape(href)
+                target = norm(url, href)
                 if target is None or target in seen:
                     continue
                 seen.add(target)
@@ -179,7 +220,7 @@ def extract_anchors(
     pages: ray.data.Dataset,
     *,
     ids: str = "hash",
-    concurrency: int | tuple = (1, 4),
+    concurrency: int | tuple = (1, 16),
     batch_size: int = 1024,
 ) -> ray.data.Dataset:
     """pages → (src, dst, anchor) anchor-text link table (no cross-page
@@ -286,7 +327,7 @@ class TextExtractor:
 
 
 def extract_texts(
-    pages: ray.data.Dataset, *, concurrency: int | tuple = (1, 4), batch_size: int = 1024
+    pages: ray.data.Dataset, *, concurrency: int | tuple = (1, 16), batch_size: int = 1024
 ) -> ray.data.Dataset:
     return pages.map_batches(
         TextExtractor,
