@@ -407,3 +407,66 @@ class TestPLPDeltaSupersteps:
         got = lab.to_pandas().sort_values("v")["label"].to_numpy()
         expect, _ = ref.plp_ref(s, n, max_iterations=12)
         assert np.array_equal(got, expect)
+
+    def test_reduce_delta_fuzz_vs_bruteforce(self):
+        """Unit-level: _plp_reduce_delta's histogram merge + touched-dst
+        argmax vs a dict brute force, 100 random (histogram, delta-batch)
+        instances.  The reduce only re-argmaxes dsts whose COMBINED delta
+        is nonzero — exact under the invariant labels == argmax(pinned
+        histogram), which the harness emulates in its expectation."""
+        import ray
+
+        from networkit_ray.graph.plp import _plp_reduce_delta
+
+        rng = np.random.default_rng(0)
+        for _ in range(100):
+            n = int(rng.integers(3, 30))
+            keys = np.unique(
+                rng.integers(0, n * n, int(rng.integers(0, 40))).astype(np.int64)
+            )
+            cnts = rng.integers(1, 5, len(keys)).astype(np.int64)
+            labels = rng.integers(0, n, n).astype(np.uint64)
+            true = dict(zip(keys.tolist(), cnts.tolist()))
+            partials = []
+            for _p in range(int(rng.integers(1, 4))):
+                dk, dc = [], []
+                for _d in range(int(rng.integers(0, 10))):
+                    pos_keys = [k for k, v in true.items() if v > 0]
+                    if pos_keys and rng.random() < 0.5:
+                        k = int(rng.choice(pos_keys))
+                        c = -int(rng.integers(1, true[k] + 1))
+                    else:
+                        k = int(rng.integers(0, n * n))
+                        c = int(rng.integers(1, 4))
+                    dk.append(k)
+                    dc.append(c)
+                    true[k] = true.get(k, 0) + c
+                if dk:
+                    u, inv = np.unique(np.array(dk, np.int64), return_inverse=True)
+                    s = np.zeros(len(u), np.int64)
+                    np.add.at(s, inv, np.array(dc, np.int64))
+                    nz = s != 0
+                    partials.append((u[nz], s[nz].astype(np.int32)))
+                else:
+                    partials.append(
+                        (np.empty(0, np.int64), np.empty(0, np.int32))
+                    )
+            new, chg, hk, hc = ray.get(
+                list(_plp_reduce_delta.remote(labels, n, keys, cnts, *partials))
+            )
+            exp = {k: v for k, v in true.items() if v > 0}
+            assert dict(zip(hk.tolist(), hc.tolist())) == exp
+            allk: dict = {}
+            for k_, c_ in partials:
+                for k, c in zip(k_.tolist(), c_.tolist()):
+                    allk[k] = allk.get(k, 0) + c
+            touched = {k // n for k, v in allk.items() if v != 0}
+            expect_lab = labels.copy()
+            for d in touched:
+                seg = {k % n: v for k, v in exp.items() if k // n == d}
+                if seg:
+                    mx = max(seg.values())
+                    expect_lab[d] = min(
+                        l for l, v in seg.items() if v == mx
+                    )
+            assert np.array_equal(new, expect_lab)
