@@ -99,3 +99,49 @@ class TestUrlNormalizerMemo:
             norm("https://b.example/", "https://t9.example/p")
             == "https://t9.example/p"
         )
+
+
+class TestSegmentTableFuzz:
+    def test_equivalent_to_python_split(self):
+        """The buffer-level segmenter must exactly match the Python
+        _segments loop — including empty tokens from repeated separators,
+        empty texts, leading/trailing separators, and multibyte UTF-8."""
+        from networkit_ray.dedup.lines import _segment_table, _segments
+
+        rng = np.random.default_rng(3)
+        words = ["alpha", "b", "ccc", "dd", "", "eé€", "zz"]
+        for mode, L in [("words", 8), ("words", 3), ("lines", 1), ("lines", 5)]:
+            sep = "\n" if mode == "lines" else " "
+            texts = []
+            for i in range(300):
+                k = int(rng.integers(0, 40))
+                texts.append(
+                    sep.join(rng.choice(words, k)) if k else ("" if i % 3 else "x")
+                )
+            texts += ["", " ", "  ", "\n", "a  b", " lead", "trail ", "\n\n"]
+            arr = pa.array(texts, pa.string())
+            rep, sno, segs = _segment_table(arr, mode, L)
+            segs_py = segs.to_pylist()
+            pos = 0
+            for i, t in enumerate(texts):
+                ref = _segments(t, mode, L)
+                assert segs_py[pos : pos + len(ref)] == ref, (mode, L, i, t)
+                assert sno[pos : pos + len(ref)].tolist() == list(range(len(ref)))
+                assert set(rep[pos : pos + len(ref)].tolist()) <= {i}
+                pos += len(ref)
+            assert pos == len(segs_py)
+
+    def test_sliced_and_chunked_input(self):
+        """Arrow slice offsets and chunked arrays must not shift buffers."""
+        from networkit_ray.dedup.lines import _segment_table, _segments
+
+        texts = ["a b c d e", "x", "", "p q", "lone"]
+        arr = pa.array(texts * 3, pa.string()).slice(4, 7)
+        chunked = pa.chunked_array([arr[:3], arr[3:]])
+        for a in (arr, chunked):
+            rep, sno, segs = _segment_table(a, "words", 2)
+            expect = []
+            vals = a.to_pylist()
+            for t in vals:
+                expect.extend(_segments(t, "words", 2))
+            assert segs.to_pylist() == expect
