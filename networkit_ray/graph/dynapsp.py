@@ -50,25 +50,31 @@ _INF64 = np.iinfo(np.int64).max // 4  # safe to add 1 + another distance
 
 
 @ray.remote
-def _part_by_v(num_nodes: int, num_parts: int, part: int, *tables) -> pa.Table:
-    """Partition ``part``'s slice of the pair table (rows with
-    v % P == part), sorted by the packed (s, v) key."""
-    rows = []
-    for t in tables:
-        v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
-        m = v % num_parts == part
-        rows.append(
-            (
-                t["s"].to_numpy(zero_copy_only=False).astype(np.int64)[m],
-                v[m],
-                t["d"].to_numpy(zero_copy_only=False).astype(np.int64)[m],
-            )
-        )
-    s = np.concatenate([r[0] for r in rows]) if rows else np.empty(0, np.int64)
-    v = np.concatenate([r[1] for r in rows]) if rows else np.empty(0, np.int64)
-    d = np.concatenate([r[2] for r in rows]) if rows else np.empty(0, np.int64)
-    key = s * num_nodes + v
-    o = np.argsort(key)
+def _scatter_by_v(num_parts: int, t: pa.Table) -> tuple:
+    """One-pass scatter of an input block: slice q holds rows with
+    v % P == q (``num_returns=P`` — each assembler fetches only its
+    slice; the table is read once, not once per partition)."""
+    v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+    part = v % num_parts
+    order = np.argsort(part, kind="stable")
+    cut = np.searchsorted(part[order], np.arange(num_parts + 1))
+    s = t["s"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+    vv = v[order]
+    d = t["d"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+    return tuple(
+        (s[cut[q] : cut[q + 1]], vv[cut[q] : cut[q + 1]], d[cut[q] : cut[q + 1]])
+        for q in range(num_parts)
+    )
+
+
+@ray.remote
+def _assemble_part(num_nodes: int, *slices) -> pa.Table:
+    """Concat one partition's scatter slices, sorted by the packed
+    (s, v) key (the order the delta merges maintain)."""
+    s = np.concatenate([x[0] for x in slices]) if slices else np.empty(0, np.int64)
+    v = np.concatenate([x[1] for x in slices]) if slices else np.empty(0, np.int64)
+    d = np.concatenate([x[2] for x in slices]) if slices else np.empty(0, np.int64)
+    o = np.argsort(s * num_nodes + v)
     return pa.table(
         {"s": pa.array(s[o]), "v": pa.array(v[o]), "d": pa.array(d[o])}
     )
@@ -189,8 +195,12 @@ def dyn_apsp_update(
     inserts = [(int(u), int(w)) for u, w in inserts]
     P = num_parts or _default_parts()
     refs = apsp.to_arrow_refs()
+    scattered = [
+        _scatter_by_v.options(num_returns=P).remote(P, r) for r in refs
+    ]
     parts = [
-        _part_by_v.remote(num_nodes, P, q, *refs) for q in range(P)
+        _assemble_part.remote(num_nodes, *[sc[q] for sc in scattered])
+        for q in range(P)
     ]
 
     def columns_for(events):
