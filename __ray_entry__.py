@@ -2524,6 +2524,21 @@ def q_segment_dedup(sf_dir):
     return segment_dedup(_docs(sf_dir, ["doc_id", "text"]), mode="words", seg_len=8)
 
 
+def q_substring_dedup(sf_dir):
+    """ExactSubstr-style duplicated-substring removal (dedup/substring.py;
+    Lee et al. 2022 semantics as sliding-window first-wins + token
+    masking): a token survives iff some covering ≥8-token window is the
+    corpus-wide first occurrence of its content (or the doc is shorter
+    than the window); oracle-exact — the twin rebuilds the same windows
+    with string_split + STRING_AGG and replays the first-wins + coverage
+    rule in SQL."""
+    from networkit_ray.dedup.substring import substring_dedup
+
+    return substring_dedup(
+        _docs(sf_dir, ["doc_id", "text"]), min_len=8
+    ).sort("doc_id")
+
+
 def q_token_counts(sf_dir):
     from networkit_ray.text.analysis import token_counts
 
@@ -3473,6 +3488,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "anchor_summary": q_anchor_summary,
         "exact_dedup": q_exact_dedup,
         "segment_dedup": q_segment_dedup,
+        "substring_dedup": q_substring_dedup,
         "token_counts": q_token_counts,
         "token_percentiles": q_token_percentiles,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -3602,6 +3618,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # additions that should receive driver validation this round.
         "warc_roundtrip", "segment_dedup", "betweenness_pivots",
         "robots_allowed",
+        # round-5 marquee addition: ExactSubstr-style substring dedup —
+        # front-load it into the driver window
+        "substring_dedup",
     ]
     never = [k for k in web_priority if k in never] + [
         k for k in never if k not in web_priority
@@ -10117,6 +10136,34 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY anchor ORDER BY anchor
         """,
         "exact_dedup":"SELECT md5(text) AS text_md5, CAST(MIN(doc_id) AS BIGINT) AS doc_id FROM documents GROUP BY md5(text)",
+        # ExactSubstr twin: identical window strings group together
+        # (tokens cannot contain the separator, so the space-joined
+        # window string bijects with the token tuple the engine hashes)
+        "substring_dedup": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+            tk AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) - 1 AS pos FROM toks),
+            tc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS T FROM tk GROUP BY doc_id),
+            win AS (
+                SELECT t.doc_id, t.pos AS p, STRING_AGG(t2.tok, ' ' ORDER BY t2.pos) AS s
+                FROM tk t
+                JOIN tc c ON c.doc_id = t.doc_id
+                JOIN tk t2 ON t2.doc_id = t.doc_id AND t2.pos BETWEEN t.pos AND t.pos + 7
+                WHERE t.pos + 8 <= c.T
+                GROUP BY t.doc_id, t.pos
+            ),
+            winr AS (SELECT doc_id, p FROM (
+                SELECT doc_id, p, ROW_NUMBER() OVER (PARTITION BY s ORDER BY doc_id, p) AS rn
+                FROM win) WHERE rn = 1),
+            kept AS (
+                SELECT t.doc_id, t.pos, t.tok FROM tk t JOIN tc c ON c.doc_id = t.doc_id
+                WHERE c.T < 8 OR EXISTS (
+                    SELECT 1 FROM winr k WHERE k.doc_id = t.doc_id
+                      AND k.p BETWEEN GREATEST(t.pos - 7, 0) AND LEAST(t.pos, c.T - 8)
+                )
+            )
+            SELECT doc_id, STRING_AGG(tok, ' ' ORDER BY pos) AS clean_text
+            FROM kept GROUP BY doc_id ORDER BY doc_id
+        """,
         "segment_dedup": """
             WITH toks AS (
                 SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS ord

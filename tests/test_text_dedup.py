@@ -959,3 +959,92 @@ def test_md5_hasher_and_hash_perms():
     assert (a % 2 == 1).all()  # affine multipliers must be odd (bijective)
     with pytest.raises(ValueError):
         _perm_params(8, 42, perm_gen="bogus")
+
+
+class TestSubstringDedup:
+    """ExactSubstr-style window dedup (dedup/substring.py) vs a dict
+    brute force of the documented rule: token kept iff uncovered (doc
+    shorter than the window) or some covering window is the corpus-wide
+    first occurrence of its content."""
+
+    @staticmethod
+    def _brute(docs, L):
+        toks = {d: t.split(" ") for d, t in docs}
+        first = {}
+        for d, tk in sorted(toks.items()):
+            for p in range(max(0, len(tk) - L + 1)):
+                first.setdefault(tuple(tk[p : p + L]), (d, p))
+        out = {}
+        for d, t in docs:
+            tk = t.split(" ")
+            T = len(tk)
+            kept = []
+            for i in range(T):
+                if T < L:
+                    kept.append(tk[i])
+                    continue
+                lo, hi = max(0, i - L + 1), min(i, T - L)
+                if any(
+                    first[tuple(tk[p : p + L])] == (d, p)
+                    for p in range(lo, hi + 1)
+                ):
+                    kept.append(tk[i])
+            if kept:
+                out[d] = " ".join(kept)
+        return out
+
+    def test_matches_bruteforce_planted(self, ray_session):
+        import ray.data as rd
+
+        from networkit_ray.dedup.substring import substring_dedup
+
+        rng = np.random.default_rng(1)
+        vocab = ["aa", "bb", "cc", "dd", "ee", "ff", "gg", ""]
+        shared = " ".join(rng.choice(vocab, 12))
+        docs = []
+        for d in range(40):
+            k = int(rng.integers(0, 25))
+            body = " ".join(rng.choice(vocab, k)) if k else ""
+            if d % 3 == 0:
+                body = body + " " + shared if body else shared
+            docs.append((d, body))
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                    "text": pa.array([t for _, t in docs], pa.string()),
+                }
+            )
+        )
+        got = {
+            r["doc_id"]: r["clean_text"]
+            for r in substring_dedup(ds, min_len=5)
+            .to_pandas()
+            .to_dict("records")
+        }
+        assert got == self._brute(docs, 5)
+
+    def test_first_copy_untouched_later_removed(self, ray_session):
+        import ray.data as rd
+
+        from networkit_ray.dedup.substring import substring_dedup
+
+        body = "one two three four five six seven eight nine ten"
+        docs = [(0, body), (1, body), (2, "unique words only here")]
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                    "text": pa.array([t for _, t in docs], pa.string()),
+                }
+            )
+        )
+        got = {
+            r["doc_id"]: r["clean_text"]
+            for r in substring_dedup(ds, min_len=8)
+            .to_pandas()
+            .to_dict("records")
+        }
+        assert got[0] == body  # canonical copy keeps every token
+        assert 1 not in got  # full duplicate vanishes entirely
+        assert got[2] == "unique words only here"  # short doc untouched
