@@ -470,6 +470,16 @@ def run_bench() -> dict:
     log(f"bigcorpus segment_dedup: {queries['bigcorpus_segment_dedup']:.1f}s → "
         f"{big_text_mb/queries['bigcorpus_segment_dedup']:.0f} MB/s ({nkept} kept)")
 
+    from networkit_ray.dedup.substring import substring_dedup
+
+    nss = stage(
+        "bigcorpus_substring_dedup",
+        lambda: substring_dedup(big_docs, min_len=8).count(),
+        1,
+    )
+    log(f"bigcorpus substring_dedup: {queries['bigcorpus_substring_dedup']:.1f}s → "
+        f"{big_text_mb/queries['bigcorpus_substring_dedup']:.0f} MB/s ({nss} kept)")
+
     bm = stage(
         "bigcorpus_web_extract",
         lambda: extract_edges(pages_dataset(big_dir), ids="hash").count(),
@@ -529,6 +539,9 @@ def run_bench() -> dict:
             "corpus_text_mb": big_text_mb,
             "segment_dedup": round(
                 big_text_mb / queries["bigcorpus_segment_dedup"], 1
+            ),
+            "substring_dedup": round(
+                big_text_mb / queries["bigcorpus_substring_dedup"], 1
             ),
             "web_extract_text": round(
                 big_text_mb / queries["bigcorpus_web_extract"], 1
