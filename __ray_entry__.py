@@ -2539,6 +2539,41 @@ def q_substring_dedup(sf_dir):
     ).sort("doc_id")
 
 
+def q_redact_pii(sf_dir):
+    """PII redaction (text/redact.py — warm-regex actor pool) over a
+    deterministic contact corpus derived from customer by integer
+    arithmetic (the fixture documents contain no PII, so the corpus is
+    synthesized identically on both sides); oracle-exact — the twin
+    builds the same corpus with SQL concatenation and replays the
+    ordered email→phone→ipv4 redaction with RE2 ``regexp_replace('g')``
+    (the default patterns use only re/RE2-identical constructs)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from networkit_ray.text.redact import redact_pii
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+
+    def mk(t: pa.Table) -> pa.Table:
+        k = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+        def s(arr):
+            return pc.cast(pa.array(arr), pa.string())
+
+        text = pc.binary_join_element_wise(
+            "Contact ", t["c_name"], " at user", s(k), "@site", s(k % 50),
+            ".example or +1-", s(100 + k % 900), "-", s(1000 + (k * 7) % 9000),
+            " from ", s(k % 256), ".", s((k * 3) % 256), ".",
+            s((k * 7) % 256), ".", s((k * 13) % 256), " done", "",
+        )
+        return pa.table({"doc_id": pa.array(k), "text": text})
+
+    corpus = cust.map_batches(mk, batch_format="pyarrow")
+    return redact_pii(corpus).sort("doc_id")
+
+
 def q_token_counts(sf_dir):
     from networkit_ray.text.analysis import token_counts
 
@@ -3489,6 +3524,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": q_exact_dedup,
         "segment_dedup": q_segment_dedup,
         "substring_dedup": q_substring_dedup,
+        "redact_pii": q_redact_pii,
         "token_counts": q_token_counts,
         "token_percentiles": q_token_percentiles,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -3618,9 +3654,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # additions that should receive driver validation this round.
         "warc_roundtrip", "segment_dedup", "betweenness_pivots",
         "robots_allowed",
-        # round-5 marquee addition: ExactSubstr-style substring dedup —
-        # front-load it into the driver window
-        "substring_dedup",
+        # round-5 marquee additions: ExactSubstr-style substring dedup
+        # and PII redaction — front-load them into the driver window
+        "substring_dedup", "redact_pii",
     ]
     never = [k for k in web_priority if k in never] + [
         k for k in never if k not in web_priority
@@ -10136,6 +10172,36 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY anchor ORDER BY anchor
         """,
         "exact_dedup":"SELECT md5(text) AS text_md5, CAST(MIN(doc_id) AS BIGINT) AS doc_id FROM documents GROUP BY md5(text)",
+        # PII-redaction twin: identical corpus construction + staged RE2
+        # replacements; counts are taken on the running text exactly as
+        # the engine's ordered pattern loop does
+        "redact_pii": r"""
+            WITH corpus AS (
+                SELECT CAST(c_custkey AS BIGINT) AS doc_id,
+                       'Contact ' || c_name || ' at user' || c_custkey
+                       || '@site' || (c_custkey % 50)
+                       || '.example or +1-' || (100 + c_custkey % 900)
+                       || '-' || (1000 + (c_custkey * 7) % 9000)
+                       || ' from ' || (c_custkey % 256)
+                       || '.' || ((c_custkey * 3) % 256)
+                       || '.' || ((c_custkey * 7) % 256)
+                       || '.' || ((c_custkey * 13) % 256) || ' done' AS t0
+                FROM customer),
+            s1 AS (SELECT doc_id, t0,
+                       CAST(len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS c1,
+                       regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+                   FROM corpus),
+            s2 AS (SELECT doc_id, c1, t1,
+                       CAST(len(regexp_extract_all(t1, '\+1-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS c2,
+                       regexp_replace(t1, '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS t2
+                   FROM s1),
+            s3 AS (SELECT doc_id, c1, c2,
+                       CAST(len(regexp_extract_all(t2, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS c3,
+                       regexp_replace(t2, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS clean_text
+                   FROM s2)
+            SELECT doc_id, clean_text, c1 + c2 + c3 AS n_redactions
+            FROM s3 ORDER BY doc_id
+        """,
         # ExactSubstr twin: identical window strings group together
         # (tokens cannot contain the separator, so the space-joined
         # window string bijects with the token tuple the engine hashes)

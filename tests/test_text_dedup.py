@@ -1048,3 +1048,37 @@ class TestSubstringDedup:
         assert got[0] == body  # canonical copy keeps every token
         assert 1 not in got  # full duplicate vanishes entirely
         assert got[2] == "unique words only here"  # short doc untouched
+
+
+class TestRedactPii:
+    def test_patterns_and_counts(self, ray_session):
+        import ray.data as rd
+
+        from networkit_ray.text.redact import redact_pii
+
+        docs = [
+            (0, "mail me at jo.doe+x@sub.host.example thanks"),
+            (1, "call +1-555-0199 or +1-555-0200 now"),
+            (2, "server at 10.0.200.255 and 1.2.3.4"),
+            (3, "clean text with no pii at all"),
+            (4, "combo a@b.co +1-123-4567 9.9.9.9"),
+            (5, ""),
+        ]
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                    "text": pa.array([t for _, t in docs], pa.string()),
+                }
+            )
+        )
+        got = {
+            r["doc_id"]: (r["clean_text"], r["n_redactions"])
+            for r in redact_pii(ds).to_pandas().to_dict("records")
+        }
+        assert got[0] == ("mail me at <EMAIL> thanks", 1)
+        assert got[1] == ("call <PHONE> or <PHONE> now", 2)
+        assert got[2] == ("server at <IP> and <IP>", 2)
+        assert got[3] == ("clean text with no pii at all", 0)
+        assert got[4] == ("combo <EMAIL> <PHONE> <IP>", 3)
+        assert got[5] == ("", 0)
